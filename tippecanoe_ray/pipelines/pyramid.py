@@ -1,0 +1,728 @@
+"""The tile pyramid: tippecanoe's group-by-tile pipeline, Ray-Data-first.
+
+Dataflow (SURVEY.md §7; reference lifecycle main.cpp:1240 → tile.cpp
+traverse_zooms — re-expressed, not ported):
+
+  read/synth image table (payload columns pruned at the read)
+   → map_batches: geotag + quadkey index  (vectorized, zero-copy)
+   → [pass 1] per-bucket feature counts → driver prefix-sum = global
+     rank offsets (tiny; broadcast via ray.put)
+   → [pass 2] groupby(bucket = zoom-B tile key, ONE shuffle)
+       .map_groups(BucketWorker):
+         sort (index, seq) → global ranks → drop-ladder minzoom
+         (rank-local kernel, no cross-partition chain) → for every
+         z in B..maxzoom: tile runs are CONTIGUOUS index ranges
+         (tile key = quadkey prefix ⇒ no extra sorts/shuffles per
+         zoom) → keep rule → vectorized MVT encode → tile rows
+         + two tiny side channels:
+           · low-zoom survivors (the ladder keeps ~droprate^-(bz-z)
+             of features at zoom z, so the z<B set is geometrically
+             small — the same property that caps tippecanoe's
+             dense-tile skew caps our shuffle skew)
+           · cross-bucket boundary copies (see below)
+   → low-zoom pass over the survivor set → tiles for z in minzoom..B-1
+   → side-copy merge pass (splice boundary duplicates into tiles)
+   → parquet sink partitioned by bucket (resumable: finished buckets
+     are skipped on rerun; per-bucket lineage/metrics columns).
+
+Exact-match semantics reproduced from the reference:
+
+- keep rule per (tile, layer) (tile.cpp:1290-1319): the first feature
+  in index order is always kept; every other feature needs
+  z >= feature_minzoom. droprate=1 ⇒ keep-all.
+- spatial index of a point = quadkey of (wx & ~1, wy & ~1)
+  (serial.cpp:689-692 "loses one bit of precision at the bottom").
+- geometry_scale snapping (main.cpp:3765-3770, serial.cpp:30):
+  coordinates are stored as round(w / 2^G) with
+  G = max(0, 32 - (full_detail + maxzoom)), i.e. snapped to multiples
+  of 2^G on the world plane.
+- inclusive tile clip (clip.cpp:84-104): a point exactly on a tile
+  boundary (x or y ≡ 0 mod tile span — which snapping manufactures)
+  is included in BOTH adjacent tiles. We model the duplicates as
+  "ghost" copies: a feature with 2-adic valuation v of its snapped
+  coordinate is a boundary feature for every zoom z >= 32 - v.
+  Ghost copies whose tile lives in another zoom-B bucket are routed
+  through a (rare: O(2^{G-18}) of rows) side-row channel and merged
+  in a post-pass, including the first-feature-kept adjustment.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import io
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.ipc
+import ray
+import ray.data
+
+from ..functions.spatial import _compact_bits64
+from ..stages.geotag import Geotag
+from ..stages.minzoom import minzoom_for_rank_range
+from ..stages.mvt import _len_delim, _read_varint, _tag_varint
+from ..stages.tile_encode import encode_point_features, encode_point_tiles
+
+WORLD_BITS = 32
+
+TILE_COLS = (
+    "z", "x", "y", "n_features", "tile", "bucket", "kind",
+    "min_index", "min_seq", "first_minzoom",
+)
+
+
+@dataclasses.dataclass
+class PyramidConfig:
+    minzoom: int = 0
+    maxzoom: int = 14
+    basezoom: int | None = None  # None → maxzoom (reference -B default)
+    droprate: float = 2.5  # reference -r default (main.cpp:3198)
+    bucket_zoom: int | None = None  # None → auto from row count
+    layer_name: str = "points"
+    detail: int = 12  # full_detail; extent = 2^detail = 4096
+    geometry_scale: int | None = None  # None → max(0, 32-detail-maxzoom)
+    encode_tiles: bool = True
+    compress: bool = True
+    emit_ids: bool = False  # carry kept feature seqs per tile (fixtures)
+    hotspot_frac: float = 0.0
+    id_col: str = "image_id"
+    rule: str = "fnv"
+    seq_col: str | None = "seq"
+
+    def resolved_basezoom(self) -> int:
+        return self.maxzoom if self.basezoom is None else self.basezoom
+
+    def resolved_gscale(self) -> int:
+        if self.geometry_scale is not None:
+            return self.geometry_scale
+        return max(0, WORLD_BITS - (self.detail + self.maxzoom))
+
+
+def auto_bucket_zoom(n_rows: int, maxzoom: int, target_rows: int = 65536) -> int:
+    b = 0
+    while (4 ** (b + 1)) * target_rows <= n_rows and b + 1 <= maxzoom:
+        b += 1
+    return min(b + 2, maxzoom)  # a few levels finer than strictly needed
+
+
+def snap_coords(w: np.ndarray, gscale: int) -> np.ndarray:
+    """round(w / 2^G) * 2^G — SHIFT_RIGHT then SHIFT_LEFT
+    (serial.cpp:30-31; std::round = half away from zero; w >= 0)."""
+    if gscale == 0:
+        return np.asarray(w, dtype=np.int64)
+    w = np.asarray(w, dtype=np.int64)
+    return ((w + (1 << (gscale - 1))) >> gscale) << gscale
+
+
+def boundary_zoom(sw: np.ndarray) -> np.ndarray:
+    """Lowest zoom at which the snapped coordinate sits exactly on a
+    tile boundary: 32 - v2(sw); 64 where sw == 0 (world edge, no left/
+    up neighbor)."""
+    sw = np.asarray(sw, dtype=np.int64)
+    low = sw & -sw
+    with np.errstate(divide="ignore"):
+        v = np.where(sw > 0, np.log2(low.astype(np.float64)).astype(np.int64), 64)
+    return np.where(sw > 0, WORLD_BITS - v, 64).astype(np.int16)
+
+
+def geotag_narrow(ds: ray.data.Dataset, cfg: PyramidConfig) -> ray.data.Dataset:
+    """Geotag then project to the narrow tiling columns — shuffles move
+    ids and coordinates, never image payloads."""
+    tag = Geotag(id_col=cfg.id_col, rule=cfg.rule, curve="quadkey",
+                 hotspot_frac=cfg.hotspot_frac, seq_col=cfg.seq_col)
+    return ds.map_batches(tag, batch_format="pyarrow").select_columns(
+        ["wx", "wy", "index", "seq"]
+    )
+
+
+def point_index(wx: np.ndarray, wy: np.ndarray) -> np.ndarray:
+    """The reference's point spatial index (serial.cpp:689-692)."""
+    from ..functions.spatial import encode_quadkey
+
+    return encode_quadkey(np.asarray(wx, np.int64) & ~1, np.asarray(wy, np.int64) & ~1)
+
+
+def add_bucket(ds: ray.data.Dataset, bucket_zoom: int) -> ray.data.Dataset:
+    shift = 64 - 2 * bucket_zoom if bucket_zoom > 0 else 64
+
+    def fn(t: pa.Table) -> pa.Table:
+        idx = t["index"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        b = (idx >> np.uint64(shift)).astype(np.int64) if bucket_zoom > 0 else np.zeros(len(t), np.int64)
+        return t.append_column("bucket", pa.array(b, pa.int64()))
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def bucket_offsets(ds: ray.data.Dataset) -> dict[int, int]:
+    """Per-bucket exclusive prefix sums of row counts in bucket (= index)
+    order — the global rank offset of each bucket. Small aggregate."""
+
+    def partial_counts(t: pa.Table) -> pa.Table:
+        b, n = np.unique(t["bucket"].to_numpy(zero_copy_only=False), return_counts=True)
+        return pa.table({"bucket": b, "n": n})
+
+    parts = ds.map_batches(partial_counts, batch_format="pyarrow").take_all()
+    counts: dict[int, int] = {}
+    for row in parts:
+        counts[int(row["bucket"])] = counts.get(int(row["bucket"]), 0) + int(row["n"])
+    offsets: dict[int, int] = {}
+    acc = 0
+    for b in sorted(counts):
+        offsets[b] = acc
+        acc += counts[b]
+    return offsets
+
+
+def _feature_blob(arrs: dict[str, np.ndarray]) -> bytes:
+    t = pa.table({k: pa.array(v) for k, v in arrs.items()})
+    sink = io.BytesIO()
+    with pa.ipc.new_stream(sink, t.schema) as w:
+        w.write_table(t)
+    return sink.getvalue()
+
+
+def _blob_to_table(blob: bytes) -> pa.Table:
+    return pa.ipc.open_stream(io.BytesIO(blob)).read_all()
+
+
+def _tile_rows(
+    z: int, tx, ty, counts, tiles, bucket: int, min_index, min_seq, first_mz,
+    feature_ids=None,
+) -> pa.Table:
+    n = len(tx)
+    cols = {
+        "z": pa.array(np.full(n, z, dtype=np.int32)),
+        "x": pa.array(np.asarray(tx, dtype=np.int32)),
+        "y": pa.array(np.asarray(ty, dtype=np.int32)),
+        "n_features": pa.array(np.asarray(counts, dtype=np.int64)),
+        "tile": pa.array(tiles, pa.large_binary()),
+        "bucket": pa.array(np.full(n, bucket, dtype=np.int64)),
+        "kind": pa.array(np.zeros(n, dtype=np.int8)),
+        "min_index": pa.array(np.asarray(min_index, dtype=np.uint64)),
+        "min_seq": pa.array(np.asarray(min_seq, dtype=np.int64)),
+        "first_minzoom": pa.array(np.asarray(first_mz, dtype=np.int16)),
+    }
+    t = pa.table(cols)
+    if feature_ids is not None:
+        t = t.append_column("feature_ids", feature_ids)
+    return t
+
+
+class ZoomEmitter:
+    """Per-zoom tile emission over (index, seq)-sorted feature arrays
+    with snapped coordinates + boundary-ghost duplication."""
+
+    def __init__(self, cfg: PyramidConfig):
+        self.cfg = cfg
+
+    def emit(
+        self,
+        z: int,
+        index: np.ndarray,
+        seq: np.ndarray,
+        swx: np.ndarray,
+        swy: np.ndarray,
+        bzx: np.ndarray,
+        bzy: np.ndarray,
+        minzoom: np.ndarray,
+        bucket: int,
+        route: tuple[int, int, int] | None = None,
+    ) -> tuple[pa.Table | None, pa.Table | None]:
+        """Returns (tile_rows, side_rows). route=(B, bx, by) activates
+        cross-bucket routing of copies whose tile is outside this
+        bucket's subtree."""
+        cfg = self.cfg
+        n = len(index)
+        if n == 0:
+            return None, None
+        has_boundary = (
+            bool(((bzx <= z) | (bzy <= z)).any())
+            if z > 0
+            else bool((swx == 1 << 32).any())
+        )
+        if not has_boundary and z > 0:
+            return self._emit_fast(z, index, seq, swx, swy, minzoom, bucket), None
+        return self._emit_slow(z, index, seq, swx, swy, bzx, bzy, minzoom, bucket, route)
+
+    # ---------------------------------------------------------- fast path
+    def _emit_fast(self, z, index, seq, swx, swy, minzoom, bucket):
+        cfg = self.cfg
+        tkey = index >> np.uint64(64 - 2 * z)
+        change = np.flatnonzero(tkey[1:] != tkey[:-1]) + 1
+        starts = np.concatenate(([0], change))
+        ends = np.concatenate((change, [len(index)]))
+        kept = minzoom <= z
+        kept[starts] = True
+        counts = np.add.reduceat(kept, starts)
+        rk = tkey[starts]
+        tx = _compact_bits64(rk >> np.uint64(1)).astype(np.int64)
+        ty = _compact_bits64(rk).astype(np.int64)
+        return self._encode_rows(
+            z, swx, swy, seq, kept, counts, tx, ty, bucket,
+            index[starts], seq[starts], minzoom[starts],
+        )
+
+    # ---------------------------------------------------------- slow path
+    def _emit_slow(self, z, index, seq, swx, swy, bzx, bzy, minzoom, bucket, route):
+        cfg = self.cfg
+        shift = WORLD_BITS - z
+        nmax = 1 << z
+        tx0 = swx >> shift
+        ty0 = swy >> shift
+        mx = bzx <= z
+        my = bzy <= z
+        mxy = mx & my
+        base = np.arange(len(index))
+        parts = [(base, 0, 0)]
+        if mx.any():
+            parts.append((np.flatnonzero(mx), 1, 0))
+        if my.any():
+            parts.append((np.flatnonzero(my), 0, 1))
+        if mxy.any():
+            parts.append((np.flatnonzero(mxy), 1, 1))
+        sel = np.concatenate([p[0] for p in parts])
+        dx = np.concatenate([np.full(len(p[0]), p[1], dtype=np.int64) for p in parts])
+        dy = np.concatenate([np.full(len(p[0]), p[2], dtype=np.int64) for p in parts])
+        ctx = tx0[sel] - dx
+        cty = ty0[sel] - dy
+        valid = (ctx >= 0) & (ctx < nmax) & (cty >= 0) & (cty < nmax)
+        sel, ctx, cty = sel[valid], ctx[valid], cty[valid]
+        cidx, cseq, cmz = index[sel], seq[sel], minzoom[sel]
+        cswx, cswy = swx[sel], swy[sel]
+        side_tbl = None
+        if route is not None:
+            b_zoom, bx, by = route
+            sh = z - b_zoom
+            local = ((ctx >> sh) == bx) & ((cty >> sh) == by) if sh >= 0 else np.ones(len(ctx), bool)
+            if not local.all():
+                sm = ~local
+                side_tbl = pa.table(
+                    {
+                        "z": pa.array(np.full(sm.sum(), z, dtype=np.int32)),
+                        "x": pa.array(ctx[sm].astype(np.int32)),
+                        "y": pa.array(cty[sm].astype(np.int32)),
+                        "n_features": pa.array(np.zeros(sm.sum(), dtype=np.int64)),
+                        "tile": pa.array([b""] * int(sm.sum()), pa.large_binary()),
+                        "bucket": pa.array(np.full(sm.sum(), -1, dtype=np.int64)),
+                        "kind": pa.array(np.full(sm.sum(), 2, dtype=np.int8)),
+                        "min_index": pa.array(cidx[sm].astype(np.uint64)),
+                        "min_seq": pa.array(cseq[sm].astype(np.int64)),
+                        "first_minzoom": pa.array(cmz[sm].astype(np.int16)),
+                    }
+                )
+                # stash copy positions in dedicated columns
+                side_tbl = side_tbl.append_column("cx", pa.array(cswx[sm].astype(np.int64)))
+                side_tbl = side_tbl.append_column("cy", pa.array(cswy[sm].astype(np.int64)))
+            sel, ctx, cty = sel[local], ctx[local], cty[local]
+            cidx, cseq, cmz = cidx[local], cseq[local], cmz[local]
+            cswx, cswy = cswx[local], cswy[local]
+        key = (ctx << z) | cty if z > 0 else np.zeros(len(ctx), dtype=np.int64)
+        order = np.lexsort((cseq, cidx, key))
+        key, ctx, cty = key[order], ctx[order], cty[order]
+        cidx, cseq, cmz = cidx[order], cseq[order], cmz[order]
+        cswx, cswy = cswx[order], cswy[order]
+        if len(key) == 0:
+            return None, side_tbl
+        change = np.flatnonzero(key[1:] != key[:-1]) + 1
+        starts = np.concatenate(([0], change))
+        ends = np.concatenate((change, [len(key)]))
+        kept = cmz <= z
+        kept[starts] = True
+        counts = np.add.reduceat(kept, starts)
+        tile_tbl = self._encode_rows(
+            z, cswx, cswy, cseq, kept, counts, ctx[starts], cty[starts], bucket,
+            cidx[starts], cseq[starts], cmz[starts],
+        )
+        return tile_tbl, side_tbl
+
+    def _encode_rows(self, z, cswx, cswy, cseq, kept, counts, tx, ty, bucket,
+                     min_index, min_seq, first_mz):
+        cfg = self.cfg
+        kends = np.cumsum(counts)
+        kstarts = kends - counts
+        if cfg.encode_tiles:
+            tiles = encode_point_tiles(
+                cswx[kept], cswy[kept], kstarts, kends, tx, ty, z,
+                layer_name=cfg.layer_name, detail=cfg.detail, compress=cfg.compress,
+            )
+        else:
+            tiles = [b""] * len(tx)
+        fids = None
+        if cfg.emit_ids:
+            offs = np.concatenate(([0], kends)).astype(np.int32)
+            fids = pa.ListArray.from_arrays(pa.array(offs), pa.array(cseq[kept]))
+        return _tile_rows(z, tx, ty, counts, tiles, bucket, min_index, min_seq,
+                          first_mz, fids)
+
+
+class BucketWorker:
+    """map_groups callable for one zoom-B bucket: sort → ranks → ladder
+    minzoom → per-zoom tile emission + side channels."""
+
+    def __init__(self, cfg: PyramidConfig, bucket_zoom: int, offsets_ref):
+        self.cfg = cfg
+        self.bucket_zoom = bucket_zoom
+        self.offsets_ref = offsets_ref
+        self._offsets = None
+
+    def offsets(self) -> dict[int, int]:
+        if self._offsets is None:
+            self._offsets = (
+                ray.get(self.offsets_ref)
+                if isinstance(self.offsets_ref, ray.ObjectRef)
+                else self.offsets_ref
+            )
+        return self._offsets
+
+    def __call__(self, group: pa.Table) -> pa.Table:
+        cfg = self.cfg
+        bucket = int(group["bucket"][0].as_py())
+        index = group["index"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        seq = group["seq"].to_numpy(zero_copy_only=False)
+        wx = group["wx"].to_numpy(zero_copy_only=False)
+        wy = group["wy"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((seq, index))
+        index, seq, wx, wy = index[order], seq[order], wx[order], wy[order]
+        r0 = self.offsets()[bucket]
+        minzoom = minzoom_for_rank_range(
+            r0, r0 + len(index), cfg.maxzoom, cfg.resolved_basezoom(), cfg.droprate
+        ).astype(np.int16)
+        g = cfg.resolved_gscale()
+        swx = snap_coords(wx, g)
+        swy = snap_coords(wy, g)
+        bzx = boundary_zoom(swx)
+        bzy = boundary_zoom(swy)
+        b_zoom = self.bucket_zoom
+        bx = int(_compact_bits64(np.array([bucket], np.uint64) >> np.uint64(1))[0])
+        by = int(_compact_bits64(np.array([bucket], np.uint64))[0])
+        em = ZoomEmitter(cfg)
+        outs = []
+        for z in range(max(b_zoom, cfg.minzoom), cfg.maxzoom + 1):
+            tile_tbl, side_tbl = em.emit(
+                z, index, seq, swx, swy, bzx, bzy, minzoom, bucket,
+                route=(b_zoom, bx, by),
+            )
+            if tile_tbl is not None:
+                outs.append(tile_tbl)
+            if side_tbl is not None:
+                if cfg.emit_ids:
+                    side_tbl = side_tbl.append_column(
+                        "feature_ids",
+                        pa.ListArray.from_arrays(
+                            pa.array(np.zeros(len(side_tbl) + 1, dtype=np.int32)),
+                            pa.array([], pa.int64()),
+                        ),
+                    )
+                outs.append(side_tbl)
+        # low-zoom side channel: ladder low-zoom features + this bucket's
+        # first feature + any feature that is boundary at z < B
+        if b_zoom > cfg.minzoom:
+            surv = (minzoom < b_zoom) | (bzx < b_zoom) | (bzy < b_zoom)
+            surv[0] = True
+            blob = _feature_blob(
+                {
+                    "index": index[surv],
+                    "seq": seq[surv],
+                    "swx": swx[surv],
+                    "swy": swy[surv],
+                    "bzx": bzx[surv],
+                    "bzy": bzy[surv],
+                    "minzoom": minzoom[surv],
+                }
+            )
+            row = pa.table(
+                {
+                    "z": pa.array([-1], pa.int32()),
+                    "x": pa.array([0], pa.int32()),
+                    "y": pa.array([0], pa.int32()),
+                    "n_features": pa.array([int(surv.sum())], pa.int64()),
+                    "tile": pa.array([blob], pa.large_binary()),
+                    "bucket": pa.array([bucket], pa.int64()),
+                    "kind": pa.array([1], pa.int8()),
+                    "min_index": pa.array([0], pa.uint64()),
+                    "min_seq": pa.array([0], pa.int64()),
+                    "first_minzoom": pa.array([0], pa.int16()),
+                }
+            )
+            if cfg.emit_ids:
+                row = row.append_column(
+                    "feature_ids",
+                    pa.ListArray.from_arrays(pa.array([0, 0], pa.int32()), pa.array([], pa.int64())),
+                )
+            outs.append(row)
+        if not outs:
+            return pa.table({c: [] for c in TILE_COLS})
+        # side rows lack cx/cy in tile rows and vice versa: align schemas
+        outs = _align_tables(outs)
+        return pa.concat_tables(outs)
+
+
+def _align_tables(tables: list[pa.Table]) -> list[pa.Table]:
+    all_cols: list[str] = []
+    for t in tables:
+        for c in t.column_names:
+            if c not in all_cols:
+                all_cols.append(c)
+    out = []
+    for t in tables:
+        for c in all_cols:
+            if c not in t.column_names:
+                if c in ("cx", "cy"):
+                    t = t.append_column(c, pa.array(np.zeros(len(t), dtype=np.int64)))
+                elif c == "feature_ids":
+                    t = t.append_column(
+                        c,
+                        pa.ListArray.from_arrays(
+                            pa.array(np.zeros(len(t) + 1, dtype=np.int32)),
+                            pa.array([], pa.int64()),
+                        ),
+                    )
+        out.append(t.select(all_cols))
+    return out
+
+
+def lowzoom_tiles(survivor_rows: list[dict], cfg: PyramidConfig, bucket_zoom: int) -> pa.Table | None:
+    """Second (tiny) pass: tiles for z in [minzoom, B). Input is the
+    per-bucket survivor blobs; |input| ≈ n_buckets + n/droprate^(bz-B)."""
+    if bucket_zoom <= cfg.minzoom or not survivor_rows:
+        return None
+    t = pa.concat_tables([_blob_to_table(r["tile"]) for r in survivor_rows])
+    index = t["index"].to_numpy(zero_copy_only=False).astype(np.uint64)
+    seq = t["seq"].to_numpy(zero_copy_only=False)
+    swx = t["swx"].to_numpy(zero_copy_only=False)
+    swy = t["swy"].to_numpy(zero_copy_only=False)
+    bzx = t["bzx"].to_numpy(zero_copy_only=False)
+    bzy = t["bzy"].to_numpy(zero_copy_only=False)
+    minzoom = t["minzoom"].to_numpy(zero_copy_only=False)
+    order = np.lexsort((seq, index))
+    index, seq, swx, swy = index[order], seq[order], swx[order], swy[order]
+    bzx, bzy, minzoom = bzx[order], bzy[order], minzoom[order]
+    em = ZoomEmitter(cfg)
+    outs = []
+    for z in range(cfg.minzoom, bucket_zoom):
+        tt, _ = em.emit(z, index, seq, swx, swy, bzx, bzy, minzoom, bucket=-1, route=None)
+        if tt is not None:
+            outs.append(tt)
+    if not outs:
+        return None
+    return pa.concat_tables(_align_tables(outs))
+
+
+# ------------------------------------------------------- side-copy merge
+
+
+def _remove_first_feature(layer_msg: bytes) -> bytes:
+    """Drop the first feature record from a tile's single-layer message
+    (the demoted former first-of-tile). Layout written by our encoder:
+    [0x1a len [version/name header][features…][extent trailer]]."""
+    # outer: field 3 len-delim
+    pos = 0
+    key, pos = _read_varint(layer_msg, pos)
+    ln, pos = _read_varint(layer_msg, pos)
+    body = layer_msg[pos : pos + ln]
+    # body: version tag (0x78 v) + name (0x0a len name) + features + trailer
+    p = 0
+    k, p = _read_varint(body, p)  # 0x78
+    _, p = _read_varint(body, p)
+    k, p = _read_varint(body, p)  # 0x0a
+    nlen, p = _read_varint(body, p)
+    p += nlen
+    header = body[:p]
+    # first feature record at p: 0x12 len payload
+    k, q = _read_varint(body, p)
+    flen, q = _read_varint(body, q)
+    rest = body[q + flen :]
+    new_body = header + rest
+    return _len_delim(3, new_body)
+
+
+def merge_side_copies(
+    tile_tbl: pa.Table, side_rows: list[dict], cfg: PyramidConfig
+) -> pa.Table:
+    """Splice cross-bucket boundary copies into the tile set (driver-side;
+    side rows are O(2^{G-18}) of features — rare)."""
+    import gzip as _gzip
+    import zlib as _zlib
+
+    if not side_rows:
+        return tile_tbl
+    by_tile: dict[tuple[int, int, int], list[dict]] = {}
+    for r in side_rows:
+        by_tile.setdefault((int(r["z"]), int(r["x"]), int(r["y"])), []).append(r)
+    for v in by_tile.values():
+        v.sort(key=lambda r: (int(r["min_index"]), int(r["min_seq"])))
+
+    df = tile_tbl.to_pandas()
+    tile_keys = set(zip(df["z"].astype(int), df["x"].astype(int), df["y"].astype(int)))
+    new_rows = []
+    for key, ghosts in by_tile.items():
+        z = key[0]
+        if key in tile_keys:
+            idx = df.index[(df["z"] == z) & (df["x"] == key[1]) & (df["y"] == key[2])][0]
+            row = df.loc[idx]
+            g_kept = [g for g in ghosts if int(g["first_minzoom"]) <= z]
+            add = len(g_kept)
+            remove_first = False
+            g0 = ghosts[0]
+            if (int(g0["min_index"]), int(g0["min_seq"])) < (int(row["min_index"]), int(row["min_seq"])):
+                # a ghost is the new first-of-tile
+                if int(g0["first_minzoom"]) > z:
+                    add += 1
+                    g_kept = [g0] + g_kept
+                if int(row["first_minzoom"]) > z:
+                    add -= 1  # demoted interior first loses its free pass
+                    remove_first = True
+            df.at[idx, "n_features"] = int(row["n_features"]) + add
+            if cfg.encode_tiles and (g_kept or remove_first):
+                data = row["tile"]
+                raw = _gzip.decompress(data) if bytes(data[:2]) == b"\x1f\x8b" else bytes(data)
+                if remove_first:
+                    raw = _remove_first_feature(raw)
+                if g_kept:
+                    raw = _splice_ghost_features(raw, g_kept, z, cfg)
+                if cfg.compress:
+                    co = _zlib.compressobj(6, _zlib.DEFLATED, 16 + _zlib.MAX_WBITS)
+                    raw = co.compress(raw) + co.flush()
+                df.at[idx, "tile"] = raw
+        else:
+            # tile exists only through ghost copies: first is kept
+            kept = [ghosts[0]] + [g for g in ghosts[1:] if int(g["first_minzoom"]) <= z]
+            tile_bytes = b""
+            if cfg.encode_tiles:
+                tile_bytes = _encode_ghost_tile(kept, z, cfg)
+            new_rows.append(
+                {
+                    "z": z, "x": key[1], "y": key[2], "n_features": len(kept),
+                    "tile": tile_bytes, "bucket": -1, "kind": 0,
+                    "min_index": int(ghosts[0]["min_index"]),
+                    "min_seq": int(ghosts[0]["min_seq"]),
+                    "first_minzoom": int(ghosts[0]["first_minzoom"]),
+                }
+            )
+    if new_rows:
+        import pandas as pd
+
+        df = pd.concat([df, pd.DataFrame(new_rows)], ignore_index=True)
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+def _ghost_local(g: dict, z: int, cfg: PyramidConfig):
+    span_shift = WORLD_BITS - z
+    return int(g["cx"]) - (int(g["x"]) << span_shift), int(g["cy"]) - (int(g["y"]) << span_shift)
+
+
+def _splice_ghost_features(raw: bytes, ghosts: list[dict], z: int, cfg: PyramidConfig) -> bytes:
+    # raw = 0x1a len body; append ghost features before the extent trailer
+    pos = 0
+    _, pos = _read_varint(raw, pos)
+    ln, pos = _read_varint(raw, pos)
+    body = raw[pos : pos + ln]
+    trailer = _tag_varint(5, 1 << cfg.detail)
+    assert body.endswith(trailer)
+    core = body[: -len(trailer)]
+    shift = WORLD_BITS - z - cfg.detail
+    lx = np.array([_ghost_local(g, z, cfg)[0] for g in ghosts], dtype=np.int64)
+    ly = np.array([_ghost_local(g, z, cfg)[1] for g in ghosts], dtype=np.int64)
+    if shift >= 0:
+        lx >>= shift
+        ly >>= shift
+    else:
+        lx <<= -shift
+        ly <<= -shift
+    buf, _ = encode_point_features(lx, ly)
+    return _len_delim(3, core + buf.tobytes() + trailer)
+
+
+def _encode_ghost_tile(ghosts: list[dict], z: int, cfg: PyramidConfig) -> bytes:
+    import zlib as _zlib
+
+    shift = WORLD_BITS - z - cfg.detail
+    lx = np.array([_ghost_local(g, z, cfg)[0] for g in ghosts], dtype=np.int64)
+    ly = np.array([_ghost_local(g, z, cfg)[1] for g in ghosts], dtype=np.int64)
+    if shift >= 0:
+        lx >>= shift
+        ly >>= shift
+    else:
+        lx <<= -shift
+        ly <<= -shift
+    buf, _ = encode_point_features(lx, ly)
+    header = _tag_varint(15, 2) + _len_delim(1, cfg.layer_name.encode("utf-8"))
+    body = header + buf.tobytes() + _tag_varint(5, 1 << cfg.detail)
+    tile = _len_delim(3, body)
+    if cfg.compress:
+        co = _zlib.compressobj(6, _zlib.DEFLATED, 16 + _zlib.MAX_WBITS)
+        tile = co.compress(tile) + co.flush()
+    return tile
+
+
+# ------------------------------------------------------------ entry point
+
+
+def build_pyramid(
+    ds: ray.data.Dataset,
+    cfg: PyramidConfig | None = None,
+    n_rows: int | None = None,
+    out_dir: str | None = None,
+    resume: bool = False,
+) -> ray.data.Dataset:
+    """Run the full pyramid; returns the tile dataset (kind==0 rows).
+
+    With out_dir set, tile rows are written as parquet partitioned by
+    bucket; resume=True skips buckets whose partition already exists
+    (per-partition lineage — north_rule checkpoint/resume)."""
+    cfg = cfg or PyramidConfig()
+    narrow = geotag_narrow(ds, cfg).materialize()  # narrow columns only; reused twice
+    if n_rows is None:
+        n_rows = narrow.count()
+    b = cfg.bucket_zoom if cfg.bucket_zoom is not None else auto_bucket_zoom(n_rows, cfg.maxzoom)
+    b = max(cfg.minzoom, min(b, cfg.maxzoom))
+    narrow = add_bucket(narrow, b)
+    offsets = bucket_offsets(narrow)
+    if resume and out_dir and os.path.isdir(out_dir):
+        done = {
+            int(name.split("=", 1)[1])
+            for name in os.listdir(out_dir)
+            if name.startswith("bucket=")
+        }
+        if done:
+            done_ref = ray.put(done)
+
+            def not_done(t: pa.Table) -> pa.Table:
+                d = ray.get(done_ref)
+                bs = t["bucket"].to_numpy(zero_copy_only=False)
+                return t.filter(pa.array(~np.isin(bs, list(d))))
+
+            narrow = narrow.map_batches(not_done, batch_format="pyarrow")
+    worker = BucketWorker(cfg, b, ray.put(offsets))
+
+    def bucket_worker(group: pa.Table) -> pa.Table:
+        return worker(group)
+
+    tiles = narrow.groupby("bucket").map_groups(bucket_worker, batch_format="pyarrow")
+    tiles = tiles.materialize()  # tile rows ≪ input; consumed multiple times
+    surv_rows = tiles.filter(expr="kind == 1").take_all()
+    side_rows = tiles.filter(expr="kind == 2").take_all()
+    tile_tbl_ds = tiles.filter(expr="kind == 0")
+    low = lowzoom_tiles(surv_rows, cfg, b)
+    if low is not None:
+        tile_tbl_ds = tile_tbl_ds.union(ray.data.from_arrow(_align_tables([low])[0]))
+    if side_rows:
+        # rare path: materialize the tile rows driver-side and splice.
+        # (Tile rows ≪ input; at larger scale this would be a broadcast
+        # map_batches keyed by (z,x,y) instead — side rows are tiny.)
+        merged = merge_side_copies(
+            pa.Table.from_pandas(tile_tbl_ds.to_pandas()), side_rows, cfg
+        )
+        tile_tbl_ds = ray.data.from_arrow(merged)
+    if out_dir:
+        tile_tbl_ds.write_parquet(out_dir, partition_cols=["bucket"])
+        tile_tbl_ds = ray.data.read_parquet(out_dir)
+    return tile_tbl_ds
+
+
+def pyramid_counts(tile_ds: ray.data.Dataset) -> pa.Table:
+    """Small summary: per-zoom tile and feature counts."""
+    df = tile_ds.select_columns(["z", "n_features"]).to_pandas()
+    g = df.groupby("z").agg(n_tiles=("z", "size"), n_features=("n_features", "sum"))
+    return pa.Table.from_pandas(g.reset_index())

@@ -1,0 +1,439 @@
+"""Mapbox Vector Tile codec — self-contained protobuf writer/reader.
+
+Wire format per the public MVT 2.1 spec (reference encoder:
+/root/reference/mvt.cpp:114+, mvt.hpp:213-238 via protozero; this is a
+from-scratch implementation, vectorized for the point-heavy case):
+
+Tile { repeated Layer layers = 3 }
+Layer { version=15 (=2), name=1, repeated Feature features=2,
+        repeated string keys=3, repeated Value values=4, extent=5 }
+Feature { id=1, packed tags=2, type=3, packed geometry=4 }
+Value { string=1 | float=2 | double=3 | int=4 | uint=5 | sint=6 | bool=7 }
+
+Geometry: command integers (id & 7) | (count << 3); MoveTo=1, LineTo=2,
+ClosePath=7; parameters are zigzag-encoded deltas from the previous
+coordinate. Tiles are gzip-compressed unless disabled (reference
+compression.cpp; `-pC`).
+"""
+
+from __future__ import annotations
+
+import gzip
+import struct
+import zlib
+
+import numpy as np
+
+DEFAULT_EXTENT = 4096
+MOVETO, LINETO, CLOSEPATH = 1, 2, 7
+POINT, LINESTRING, POLYGON = 1, 2, 3
+
+
+# ------------------------------------------------------------- varint kernels
+
+
+def varint(v: int) -> bytes:
+    out = bytearray()
+    v = int(v)
+    while True:
+        b = v & 0x7F
+        v >>= 7
+        if v:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def varint_array(vals: np.ndarray) -> bytes:
+    """Vectorized LEB128 of a uint64 array (the hot path: packed
+    geometry / tags of big point tiles)."""
+    v = np.asarray(vals, dtype=np.uint64)
+    n = len(v)
+    if n == 0:
+        return b""
+    # bytes needed per value
+    nbits = np.zeros(n, dtype=np.int64)
+    tmp = v.copy()
+    nb = np.ones(n, dtype=np.int64)
+    while True:
+        tmp = tmp >> np.uint64(7)
+        more = tmp != 0
+        if not more.any():
+            break
+        nb += more
+    del nbits
+    total = int(nb.sum())
+    out = np.zeros(total, dtype=np.uint8)
+    pos = np.zeros(n, dtype=np.int64)
+    pos[1:] = np.cumsum(nb)[:-1]
+    shift = np.uint64(0)
+    idx = pos.copy()
+    remaining = v.copy()
+    alive = np.ones(n, dtype=bool)
+    while alive.any():
+        b = (remaining & np.uint64(0x7F)).astype(np.uint8)
+        remaining = remaining >> np.uint64(7)
+        more = remaining != 0
+        b = np.where(more, b | 0x80, b)
+        out[idx[alive]] = b[alive]
+        idx = idx + 1
+        alive = alive & more
+        shift += np.uint64(7)
+    return out.tobytes()
+
+
+def zigzag(v: np.ndarray) -> np.ndarray:
+    v = np.asarray(v, dtype=np.int64)
+    return ((v << 1) ^ (v >> 63)).astype(np.uint64)
+
+
+def unzigzag(v: np.ndarray) -> np.ndarray:
+    v = np.asarray(v, dtype=np.uint64)
+    return ((v >> np.uint64(1)).astype(np.int64)) ^ -((v & np.uint64(1)).astype(np.int64))
+
+
+def _key(field: int, wire: int) -> bytes:
+    return varint((field << 3) | wire)
+
+
+def _len_delim(field: int, payload: bytes) -> bytes:
+    return _key(field, 2) + varint(len(payload)) + payload
+
+
+def _tag_varint(field: int, v: int) -> bytes:
+    return _key(field, 0) + varint(v)
+
+
+# ------------------------------------------------------------------ values
+
+
+def encode_value(v) -> bytes:
+    if isinstance(v, bool):
+        return _tag_varint(7, 1 if v else 0)
+    if isinstance(v, (int, np.integer)):
+        v = int(v)
+        if v >= 0:
+            return _tag_varint(4, v)
+        return _key(6, 0) + varint(((v << 1) ^ (v >> 63)) & ((1 << 64) - 1))
+    if isinstance(v, (float, np.floating)):
+        return _key(3, 1) + struct.pack("<d", float(v))
+    if isinstance(v, bytes):
+        return _len_delim(1, v)
+    return _len_delim(1, str(v).encode("utf-8"))
+
+
+# ----------------------------------------------------------------- geometry
+
+
+def encode_point_geometries(xs: np.ndarray, ys: np.ndarray) -> list[bytes]:
+    """Per-feature single-point geometries, vectorized: each is
+    [MoveTo|1<<3, zz(dx), zz(dy)] with deltas from (0,0)."""
+    zx = zigzag(xs)
+    zy = zigzag(ys)
+    cmd = np.uint64((1 << 3) | MOVETO)
+    out = []
+    # encode each triple; vectorize by concatenating then splitting
+    tri = np.empty(len(xs) * 3, dtype=np.uint64)
+    tri[0::3] = cmd
+    tri[1::3] = zx
+    tri[2::3] = zy
+    blob = varint_array(tri)
+    # split points: recompute per-value byte lengths
+    lens = np.ones(len(tri), dtype=np.int64)
+    tmp = tri.copy()
+    while True:
+        tmp = tmp >> np.uint64(7)
+        more = tmp != 0
+        if not more.any():
+            break
+        lens += more
+    ends = np.cumsum(lens)
+    starts = ends - lens
+    for i in range(len(xs)):
+        out.append(blob[starts[3 * i] : ends[3 * i + 2]])
+    return out
+
+
+def encode_linestring(parts: list[np.ndarray]) -> bytes:
+    """parts: list of (k,2) int arrays (tile coords)."""
+    vals: list[int] = []
+    px = py = 0
+    for pts in parts:
+        pts = np.asarray(pts, dtype=np.int64)
+        vals.append((1 << 3) | MOVETO)
+        dx, dy = int(pts[0, 0] - px), int(pts[0, 1] - py)
+        vals += [int(zigzag(np.array([dx]))[0]), int(zigzag(np.array([dy]))[0])]
+        px, py = int(pts[0, 0]), int(pts[0, 1])
+        k = len(pts) - 1
+        if k > 0:
+            vals.append((k << 3) | LINETO)
+            for j in range(1, len(pts)):
+                dx, dy = int(pts[j, 0] - px), int(pts[j, 1] - py)
+                vals += [int(zigzag(np.array([dx]))[0]), int(zigzag(np.array([dy]))[0])]
+                px, py = int(pts[j, 0]), int(pts[j, 1])
+    return varint_array(np.array(vals, dtype=np.uint64))
+
+
+def encode_polygon(rings: list[np.ndarray]) -> bytes:
+    vals: list[int] = []
+    px = py = 0
+    for ring in rings:
+        ring = np.asarray(ring, dtype=np.int64)
+        if len(ring) > 1 and (ring[0] == ring[-1]).all():
+            ring = ring[:-1]  # MVT closes rings implicitly
+        vals.append((1 << 3) | MOVETO)
+        d = zigzag(np.array([ring[0, 0] - px, ring[0, 1] - py]))
+        vals += [int(d[0]), int(d[1])]
+        px, py = int(ring[0, 0]), int(ring[0, 1])
+        k = len(ring) - 1
+        if k > 0:
+            vals.append((k << 3) | LINETO)
+            for j in range(1, len(ring)):
+                d = zigzag(np.array([ring[j, 0] - px, ring[j, 1] - py]))
+                vals += [int(d[0]), int(d[1])]
+                px, py = int(ring[j, 0]), int(ring[j, 1])
+        vals.append((1 << 3) | CLOSEPATH)
+    return varint_array(np.array(vals, dtype=np.uint64))
+
+
+# -------------------------------------------------------------------- layer
+
+
+class ValuePool:
+    """Layer-scoped key/value constant pools (mvt.hpp:180-210 interning;
+    Arrow dictionary encoding makes this cheap upstream)."""
+
+    def __init__(self):
+        self.keys: list[str] = []
+        self.key_idx: dict[str, int] = {}
+        self.values: list[bytes] = []
+        self.val_idx: dict[bytes, int] = {}
+
+    def key(self, k: str) -> int:
+        i = self.key_idx.get(k)
+        if i is None:
+            i = len(self.keys)
+            self.keys.append(k)
+            self.key_idx[k] = i
+        return i
+
+    def value(self, v) -> int:
+        enc = encode_value(v)
+        i = self.val_idx.get(enc)
+        if i is None:
+            i = len(self.values)
+            self.values.append(enc)
+            self.val_idx[enc] = i
+        return i
+
+
+def encode_layer(
+    name: str,
+    features: list[dict],
+    extent: int = DEFAULT_EXTENT,
+) -> bytes:
+    """features: dicts with 'geom' (bytes), 'type' (int), optional 'id'
+    (int), optional 'tags' (list[int], pre-pooled) or 'attrs' (dict)."""
+    pool = ValuePool()
+    feats = []
+    for f in features:
+        body = b""
+        if f.get("id") is not None:
+            body += _tag_varint(1, int(f["id"]))
+        tags = f.get("tags")
+        if tags is None and f.get("attrs"):
+            tags = []
+            for k, v in f["attrs"].items():
+                if v is None:
+                    continue
+                tags += [pool.key(k), pool.value(v)]
+        if tags:
+            body += _len_delim(2, varint_array(np.array(tags, dtype=np.uint64)))
+        body += _tag_varint(3, int(f["type"]))
+        body += _len_delim(4, f["geom"])
+        feats.append(_len_delim(2, body))
+    out = _tag_varint(15, 2) + _len_delim(1, name.encode("utf-8"))
+    out += b"".join(feats)
+    for k in pool.keys:
+        out += _len_delim(3, k.encode("utf-8"))
+    for v in pool.values:
+        out += _len_delim(4, v)
+    out += _tag_varint(5, extent)
+    return out
+
+
+def encode_tile(layers: list[bytes], compress: bool = True) -> bytes:
+    raw = b"".join(_len_delim(3, l) for l in layers)
+    if compress:
+        return gzip.compress(raw, 6, mtime=0)
+    return raw
+
+
+# ------------------------------------------------------------------ decoder
+
+
+def _read_varint(buf: bytes, pos: int) -> tuple[int, int]:
+    out = 0
+    shift = 0
+    while True:
+        b = buf[pos]
+        pos += 1
+        out |= (b & 0x7F) << shift
+        if not b & 0x80:
+            return out, pos
+        shift += 7
+
+
+def _decode_value(buf: bytes):
+    pos = 0
+    while pos < len(buf):
+        key, pos = _read_varint(buf, pos)
+        field, wire = key >> 3, key & 7
+        if field == 1:
+            ln, pos = _read_varint(buf, pos)
+            return buf[pos : pos + ln].decode("utf-8")
+        if field == 2:
+            return struct.unpack("<f", buf[pos : pos + 4])[0]
+        if field == 3:
+            return struct.unpack("<d", buf[pos : pos + 8])[0]
+        if field in (4, 5):
+            v, pos = _read_varint(buf, pos)
+            return v
+        if field == 6:
+            v, pos = _read_varint(buf, pos)
+            return (v >> 1) ^ -(v & 1)
+        if field == 7:
+            v, pos = _read_varint(buf, pos)
+            return bool(v)
+    return None
+
+
+def decode_tile(data: bytes) -> list[dict]:
+    """Decode an MVT (transparently gunzipping, mvt.cpp decode) into
+    [{name, extent, version, features: [{id, type, tags: {k: v},
+    geometry: [(cmd, [(x, y), ...]), ...]}]}]."""
+    if data[:2] == b"\x1f\x8b":
+        data = gzip.decompress(data)
+    elif data[:1] == b"\x78":
+        data = zlib.decompress(data)
+    layers = []
+    pos = 0
+    while pos < len(data):
+        key, pos = _read_varint(data, pos)
+        field, wire = key >> 3, key & 7
+        if field == 3 and wire == 2:
+            ln, pos = _read_varint(data, pos)
+            layers.append(_decode_layer(data[pos : pos + ln]))
+            pos += ln
+        else:
+            pos = _skip(data, pos, wire)
+    return layers
+
+
+def _skip(buf: bytes, pos: int, wire: int) -> int:
+    if wire == 0:
+        _, pos = _read_varint(buf, pos)
+    elif wire == 2:
+        ln, pos = _read_varint(buf, pos)
+        pos += ln
+    elif wire == 5:
+        pos += 4
+    elif wire == 1:
+        pos += 8
+    return pos
+
+
+def _decode_layer(buf: bytes) -> dict:
+    name = ""
+    extent = DEFAULT_EXTENT
+    version = 1
+    raw_feats = []
+    keys: list[str] = []
+    values: list = []
+    pos = 0
+    while pos < len(buf):
+        key, pos = _read_varint(buf, pos)
+        field, wire = key >> 3, key & 7
+        if field == 1:
+            ln, pos = _read_varint(buf, pos)
+            name = buf[pos : pos + ln].decode("utf-8")
+            pos += ln
+        elif field == 2:
+            ln, pos = _read_varint(buf, pos)
+            raw_feats.append(buf[pos : pos + ln])
+            pos += ln
+        elif field == 3:
+            ln, pos = _read_varint(buf, pos)
+            keys.append(buf[pos : pos + ln].decode("utf-8"))
+            pos += ln
+        elif field == 4:
+            ln, pos = _read_varint(buf, pos)
+            values.append(_decode_value(buf[pos : pos + ln]))
+            pos += ln
+        elif field == 5:
+            extent, pos = _read_varint(buf, pos)
+        elif field == 15:
+            version, pos = _read_varint(buf, pos)
+        else:
+            pos = _skip(buf, pos, wire)
+    feats = [_decode_feature(f, keys, values) for f in raw_feats]
+    return {"name": name, "extent": extent, "version": version, "features": feats}
+
+
+def _decode_feature(buf: bytes, keys: list, values: list) -> dict:
+    fid = None
+    ftype = 0
+    tags: dict = {}
+    geom: list = []
+    pos = 0
+    while pos < len(buf):
+        key, pos = _read_varint(buf, pos)
+        field, wire = key >> 3, key & 7
+        if field == 1:
+            fid, pos = _read_varint(buf, pos)
+        elif field == 2:
+            ln, pos = _read_varint(buf, pos)
+            end = pos + ln
+            ts = []
+            while pos < end:
+                v, pos = _read_varint(buf, pos)
+                ts.append(v)
+            for i in range(0, len(ts) - 1, 2):
+                tags[keys[ts[i]]] = values[ts[i + 1]]
+        elif field == 3:
+            ftype, pos = _read_varint(buf, pos)
+        elif field == 4:
+            ln, pos = _read_varint(buf, pos)
+            end = pos + ln
+            vals = []
+            while pos < end:
+                v, pos = _read_varint(buf, pos)
+                vals.append(v)
+            geom = _decode_geometry(vals)
+        else:
+            pos = _skip(buf, pos, wire)
+    return {"id": fid, "type": ftype, "tags": tags, "geometry": geom}
+
+
+def _decode_geometry(vals: list[int]) -> list:
+    out = []
+    x = y = 0
+    i = 0
+    while i < len(vals):
+        cmd = vals[i] & 7
+        count = vals[i] >> 3
+        i += 1
+        if cmd == CLOSEPATH:
+            out.append((cmd, []))
+            continue
+        pts = []
+        for _ in range(count):
+            dx = (vals[i] >> 1) ^ -(vals[i] & 1)
+            dy = (vals[i + 1] >> 1) ^ -(vals[i + 1] & 1)
+            i += 2
+            x += dx
+            y += dy
+            pts.append((x, y))
+        out.append((cmd, pts))
+    return out

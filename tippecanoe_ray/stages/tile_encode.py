@@ -1,0 +1,140 @@
+"""Vectorized assembly of point MVT tiles for a whole bucket at once.
+
+The engine's hot path: a zoom-B bucket holds every feature of its
+subtree, sorted by (index, seq); a zoom-z tile (z ≥ B) is a contiguous
+index range because the tile key is a prefix of the quadkey index. This
+module encodes ALL tiles of a bucket at one zoom with numpy buffer
+fills — per-feature protobuf bytes are laid out via cumsum offsets, per
+tile assembly is two slices — no per-feature Python.
+
+Wire layout per feature (no id/attrs fast path):
+  [0x12][body_len][0x18][type=1][0x22][geom_len][cmd=9][zz(x)][zz(y)]
+with zigzag varints ≤ 3 bytes for tile-local coordinates (extent 4096 +
+buffer). Reference semantics: tile.cpp:2614-2684 (encoding), tile-local
+rebase tile.cpp:443-483.
+"""
+
+from __future__ import annotations
+
+import zlib
+
+import numpy as np
+
+from .mvt import DEFAULT_EXTENT, _len_delim, _tag_varint
+
+WORLD_BITS = 32
+
+
+def _varint_lens(v: np.ndarray) -> np.ndarray:
+    """Byte length of LEB128 for values < 2^21 (1..3 bytes)."""
+    return np.where(v < 128, 1, np.where(v < 1 << 14, 2, 3)).astype(np.int64)
+
+
+def _fill_varints(buf: np.ndarray, offs: np.ndarray, v: np.ndarray, lens: np.ndarray):
+    """Write ≤3-byte varints of v at byte offsets offs into buf."""
+    b0 = (v & 0x7F).astype(np.uint8)
+    m2 = lens >= 2
+    buf[offs[m2]] = b0[m2] | 0x80
+    buf[offs[~m2]] = b0[~m2]
+    if m2.any():
+        v2 = (v[m2] >> 7) & 0x7F
+        l3 = lens[m2] >= 3
+        o2 = offs[m2] + 1
+        buf[o2[l3]] = (v2[l3] | 0x80).astype(np.uint8)
+        buf[o2[~l3]] = v2[~l3].astype(np.uint8)
+        if l3.any():
+            buf[o2[l3] + 1] = ((v[m2][l3] >> 14) & 0x7F).astype(np.uint8)
+
+
+def encode_point_features(local_x: np.ndarray, local_y: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Encode n point features into one uint8 buffer.
+
+    Returns (buffer, per-feature byte lengths); feature f occupies
+    [cum[f-1], cum[f]) of the buffer.
+    """
+    lx = np.asarray(local_x, dtype=np.int64)
+    ly = np.asarray(local_y, dtype=np.int64)
+    zx = ((lx << 1) ^ (lx >> 63)).astype(np.int64)
+    zy = ((ly << 1) ^ (ly >> 63)).astype(np.int64)
+    lzx = _varint_lens(zx)
+    lzy = _varint_lens(zy)
+    glen = 1 + lzx + lzy  # cmd byte + coords
+    body = 4 + glen  # 0x18 0x01 0x22 glen-varint(1B: glen<=7) + geom
+    total = 2 + body  # 0x12 bodylen(1B: body<=11)
+    n = len(lx)
+    ends = np.cumsum(total)
+    starts = ends - total
+    buf = np.empty(int(ends[-1]) if n else 0, dtype=np.uint8)
+    buf[starts] = 0x12
+    buf[starts + 1] = body.astype(np.uint8)
+    buf[starts + 2] = 0x18
+    buf[starts + 3] = 0x01
+    buf[starts + 4] = 0x22
+    buf[starts + 5] = glen.astype(np.uint8)
+    buf[starts + 6] = 0x09
+    _fill_varints(buf, starts + 7, zx, lzx)
+    _fill_varints(buf, starts + 7 + lzx, zy, lzy)
+    return buf, total
+
+
+def layer_wrap(feature_bytes: bytes, name: str, extent: int = DEFAULT_EXTENT) -> bytes:
+    header = _tag_varint(15, 2) + _len_delim(1, name.encode("utf-8"))
+    layer = header + feature_bytes + _tag_varint(5, extent)
+    return _len_delim(3, layer)
+
+
+def encode_point_tiles(
+    wx: np.ndarray,
+    wy: np.ndarray,
+    run_starts: np.ndarray,
+    run_ends: np.ndarray,
+    tx: np.ndarray,
+    ty: np.ndarray,
+    z: int,
+    layer_name: str = "points",
+    detail: int = 12,
+    compress: bool = True,
+) -> list[bytes]:
+    """Encode one MVT per tile run.
+
+    wx/wy: world coords of KEPT features (sorted by index so each tile's
+    features are the contiguous run [run_starts[t], run_ends[t])).
+    tx/ty: per-run tile keys. Tile-local coords are rebased by
+    subtracting tx << (32-z) then scaled to the 2^detail extent
+    (tile.cpp:443-483; extent 2^detail, mvt.hpp default detail 12).
+    """
+    extent = 1 << detail
+    shift = WORLD_BITS - z - detail  # world units per extent unit, log2
+    n_runs = len(run_starts)
+    out: list[bytes] = []
+    if len(wx) == 0:
+        return [b""] * n_runs
+    # tile-local coords for every feature (vectorized across all runs)
+    span_shift = WORLD_BITS - z
+    run_of = np.repeat(np.arange(n_runs), run_ends - run_starts)
+    ox = tx[run_of].astype(np.int64) << span_shift
+    oy = ty[run_of].astype(np.int64) << span_shift
+    if shift >= 0:
+        lx = (np.asarray(wx, dtype=np.int64) - ox) >> shift
+        ly = (np.asarray(wy, dtype=np.int64) - oy) >> shift
+    else:
+        lx = (np.asarray(wx, dtype=np.int64) - ox) << -shift
+        ly = (np.asarray(wy, dtype=np.int64) - oy) << -shift
+    buf, per_feat = encode_point_features(lx, ly)
+    fe = np.cumsum(per_feat)
+    fs = fe - per_feat
+    header = _tag_varint(15, 2) + _len_delim(1, layer_name.encode("utf-8"))
+    trailer = _tag_varint(5, extent)
+    mv = buf.tobytes()
+    for t in range(n_runs):
+        a, b = run_starts[t], run_ends[t]
+        if a == b:
+            out.append(b"")
+            continue
+        body = header + mv[fs[a] : fe[b - 1]] + trailer
+        tile = _len_delim(3, body)
+        if compress:
+            co = zlib.compressobj(6, zlib.DEFLATED, 16 + zlib.MAX_WBITS)
+            tile = co.compress(tile) + co.flush()
+        out.append(tile)
+    return out
