@@ -1,0 +1,139 @@
+"""End-to-end pyramid tests: exact-match vs the reference binary
+(FIXTURES.md §4 corpora) and engine invariants."""
+
+import numpy as np
+import pytest
+
+from tests.conftest import has_reference
+from tippecanoe_ray.pipelines.pyramid import PyramidConfig, build_pyramid
+from tippecanoe_ray.sources.image_table import synthesize_image_table
+from tippecanoe_ray.stages.geotag import fnv_world
+
+
+def _build(ds, cfg, n):
+    return build_pyramid(ds, cfg, n_rows=n)
+
+
+@pytest.fixture(scope="module")
+def uniform_ids():
+    n = 1500
+    ids = [f"img-{i:012d}" for i in range(n)]
+    wx, wy = fnv_world(ids)
+    return n, ids, wx, wy
+
+
+@pytest.mark.skipif(not has_reference(), reason="reference binary not built")
+@pytest.mark.parametrize("droprate,maxzoom", [(1, 6), (2.5, 7)])
+def test_exact_match_uniform(ray_session, uniform_ids, droprate, maxzoom):
+    from tests.util_reference import diff_counts, run_reference, tile_counts_from_ds
+
+    n, ids, wx, wy = uniform_ids
+    ref = run_reference(wx, wy, maxzoom=maxzoom, droprate=droprate)
+    ds = synthesize_image_table(n, with_payload=False)
+    tiles = _build(ds, PyramidConfig(maxzoom=maxzoom, droprate=float(droprate)), n)
+    ours = tile_counts_from_ds(tiles)
+    d = diff_counts(ours, ref)
+    assert not d, d
+
+
+@pytest.mark.skipif(not has_reference(), reason="reference binary not built")
+def test_exact_match_hotspot(ray_session):
+    """50% of rows in city hotspots — skew path (FIXTURES.md §4.2)."""
+    from tests.util_reference import diff_counts, run_reference, tile_counts_from_ds
+
+    n = 1500
+    ids = [f"img-{i:012d}" for i in range(n)]
+    wx, wy = fnv_world(ids, hotspot_frac=0.5, n_hotspots=2)
+    ref = run_reference(wx, wy, maxzoom=7, droprate=2.5)
+    ds = synthesize_image_table(n, with_payload=False)
+    cfg = PyramidConfig(maxzoom=7, droprate=2.5, hotspot_frac=0.5, n_hotspots=2)
+    # wire the same hotspot config through the geotag stage
+    from tippecanoe_ray.stages.geotag import Geotag
+
+    tiles = _build(ds, cfg, n)
+    ours = tile_counts_from_ds(tiles)
+    d = diff_counts(ours, ref)
+    assert not d, d
+
+
+@pytest.mark.skipif(not has_reference(), reason="reference binary not built")
+def test_exact_match_coincident(ray_session):
+    """500 features at one snapped location (reference radix
+    'onelocation' analogue, Makefile:198-210): duplicate-index
+    determinism + tie-breaking by seq."""
+    from tests.util_reference import diff_counts, run_reference, tile_counts_from_ds
+    import pyarrow as pa
+    import ray
+
+    n = 500
+    wx = np.full(n, 1_234_567_936, dtype=np.int64)  # multiple of 2^10
+    wy = np.full(n, 2_345_678_848, dtype=np.int64)
+    ref = run_reference(wx, wy, maxzoom=6, droprate=2.5)
+    t = pa.table(
+        {
+            "image_id": [f"img-{i:012d}" for i in range(n)],
+            "seq": np.arange(n),
+            "wx": wx,
+            "wy": wy,
+        }
+    )
+    ds = ray.data.from_arrow(t)
+    # bypass geotag: positions given directly
+    from tippecanoe_ray.pipelines.pyramid import (
+        add_bucket,
+        bucket_offsets,
+    )
+    from tippecanoe_ray.functions.spatial import encode_quadkey
+
+    def add_index(tb: pa.Table) -> pa.Table:
+        ix = tb["wx"].to_numpy() & ~np.int64(1)
+        iy = tb["wy"].to_numpy() & ~np.int64(1)
+        return tb.append_column("index", pa.array(encode_quadkey(ix, iy), pa.uint64()))
+
+    cfg = PyramidConfig(maxzoom=6, droprate=2.5, rule="precomputed")
+    narrow = ds.map_batches(add_index, batch_format="pyarrow").select_columns(
+        ["wx", "wy", "index", "seq"]
+    )
+    from tippecanoe_ray.pipelines.pyramid import build_pyramid_from_narrow
+
+    tiles = build_pyramid_from_narrow(narrow, cfg, n_rows=n)
+    ours = tile_counts_from_ds(tiles)
+    d = diff_counts(ours, ref)
+    assert not d, d
+
+
+def test_parallelism_invariance(ray_session, uniform_ids):
+    """Same output regardless of block structure / bucket zoom
+    (mirror of the reference parallel-test, Makefile:220-245)."""
+    from tests.util_reference import tile_counts_from_ds
+
+    n, ids, wx, wy = uniform_ids
+    results = []
+    for blocks, bz in [(2, 2), (16, 4)]:
+        ds = synthesize_image_table(n, with_payload=False, override_num_blocks=blocks)
+        cfg = PyramidConfig(maxzoom=6, droprate=2.5, bucket_zoom=bz)
+        results.append(tile_counts_from_ds(_build(ds, cfg, n)))
+    assert results[0] == results[1]
+
+
+def test_resume_skips_done_buckets(ray_session, uniform_ids, tmp_path):
+    n, ids, wx, wy = uniform_ids
+    out = str(tmp_path / "tiles")
+    ds = synthesize_image_table(n, with_payload=False)
+    cfg = PyramidConfig(maxzoom=5, droprate=2.5, bucket_zoom=2)
+    t1 = _build_write(ds, cfg, n, out)
+    first = sorted(
+        (r["z"], r["x"], r["y"], r["n_features"])
+        for r in t1.select_columns(["z", "x", "y", "n_features"]).take_all()
+    )
+    # resume over a complete run: nothing recomputed, output readable
+    t2 = build_pyramid(ds, cfg, n_rows=n, out_dir=out, resume=True)
+    second = sorted(
+        (r["z"], r["x"], r["y"], r["n_features"])
+        for r in t2.select_columns(["z", "x", "y", "n_features"]).take_all()
+    )
+    assert first == second
+
+
+def _build_write(ds, cfg, n, out):
+    return build_pyramid(ds, cfg, n_rows=n, out_dir=out)

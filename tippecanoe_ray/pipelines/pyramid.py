@@ -86,6 +86,7 @@ class PyramidConfig:
     compress: bool = True
     emit_ids: bool = False  # carry kept feature seqs per tile (fixtures)
     hotspot_frac: float = 0.0
+    n_hotspots: int = 4
     id_col: str = "image_id"
     rule: str = "fnv"
     seq_col: str | None = "seq"
@@ -130,7 +131,8 @@ def geotag_narrow(ds: ray.data.Dataset, cfg: PyramidConfig) -> ray.data.Dataset:
     """Geotag then project to the narrow tiling columns — shuffles move
     ids and coordinates, never image payloads."""
     tag = Geotag(id_col=cfg.id_col, rule=cfg.rule, curve="quadkey",
-                 hotspot_frac=cfg.hotspot_frac, seq_col=cfg.seq_col)
+                 hotspot_frac=cfg.hotspot_frac, n_hotspots=cfg.n_hotspots,
+                 seq_col=cfg.seq_col)
     return ds.map_batches(tag, batch_format="pyarrow").select_columns(
         ["wx", "wy", "index", "seq"]
     )
@@ -659,50 +661,66 @@ def _encode_ghost_tile(ghosts: list[dict], z: int, cfg: PyramidConfig) -> bytes:
 # ------------------------------------------------------------ entry point
 
 
-def build_pyramid(
-    ds: ray.data.Dataset,
-    cfg: PyramidConfig | None = None,
+def build_pyramid_from_narrow(
+    narrow: ray.data.Dataset,
+    cfg: PyramidConfig,
     n_rows: int | None = None,
     out_dir: str | None = None,
     resume: bool = False,
 ) -> ray.data.Dataset:
-    """Run the full pyramid; returns the tile dataset (kind==0 rows).
+    """Pyramid over a pre-geotagged narrow dataset (wx, wy, index, seq).
 
-    With out_dir set, tile rows are written as parquet partitioned by
-    bucket; resume=True skips buckets whose partition already exists
-    (per-partition lineage — north_rule checkpoint/resume)."""
-    cfg = cfg or PyramidConfig()
-    narrow = geotag_narrow(ds, cfg).materialize()  # narrow columns only; reused twice
+    With out_dir set, the heavy per-bucket output (all kinds) is
+    persisted under out_dir/raw partitioned by bucket — the resumable
+    unit of work with per-partition lineage (north_rule). The low-zoom
+    pass and boundary-copy merge are small derived passes recomputed
+    from the persisted rows, so a partial resume stays correct."""
     if n_rows is None:
         n_rows = narrow.count()
     b = cfg.bucket_zoom if cfg.bucket_zoom is not None else auto_bucket_zoom(n_rows, cfg.maxzoom)
     b = max(cfg.minzoom, min(b, cfg.maxzoom))
     narrow = add_bucket(narrow, b)
     offsets = bucket_offsets(narrow)
-    if resume and out_dir and os.path.isdir(out_dir):
+    raw_dir = os.path.join(out_dir, "raw") if out_dir else None
+    done: set[int] = set()
+    if resume and raw_dir and os.path.isdir(raw_dir):
         done = {
             int(name.split("=", 1)[1])
-            for name in os.listdir(out_dir)
+            for name in os.listdir(raw_dir)
             if name.startswith("bucket=")
         }
-        if done:
-            done_ref = ray.put(done)
+    if done:
+        done_ref = ray.put(done)
 
-            def not_done(t: pa.Table) -> pa.Table:
-                d = ray.get(done_ref)
-                bs = t["bucket"].to_numpy(zero_copy_only=False)
-                return t.filter(pa.array(~np.isin(bs, list(d))))
+        def not_done(t: pa.Table) -> pa.Table:
+            d = ray.get(done_ref)
+            bs = t["bucket"].to_numpy(zero_copy_only=False)
+            return t.filter(pa.array(~np.isin(bs, list(d))))
 
-            narrow = narrow.map_batches(not_done, batch_format="pyarrow")
+        narrow = narrow.map_batches(not_done, batch_format="pyarrow")
     worker = BucketWorker(cfg, b, ray.put(offsets))
 
     def bucket_worker(group: pa.Table) -> pa.Table:
         return worker(group)
 
-    tiles = narrow.groupby("bucket").map_groups(bucket_worker, batch_format="pyarrow")
+    new_rows = narrow.groupby("bucket").map_groups(bucket_worker, batch_format="pyarrow")
+    if raw_dir:
+        if narrow.count() > 0:
+            new_rows.write_parquet(raw_dir, partition_cols=["bucket"])
+
+        def _cast_bucket(t: pa.Table) -> pa.Table:
+            # hive partition values come back as strings
+            i = t.column_names.index("bucket")
+            return t.set_column(i, "bucket", t["bucket"].cast(pa.int64()))
+
+        tiles = ray.data.read_parquet(raw_dir).map_batches(
+            _cast_bucket, batch_format="pyarrow"
+        )
+    else:
+        tiles = new_rows
     tiles = tiles.materialize()  # tile rows ≪ input; consumed multiple times
     surv_rows = tiles.filter(expr="kind == 1").take_all()
-    side_rows = tiles.filter(expr="kind == 2").take_all()
+    side_rows = [r for r in tiles.filter(expr="kind == 2").take_all()]
     tile_tbl_ds = tiles.filter(expr="kind == 0")
     low = lowzoom_tiles(surv_rows, cfg, b)
     if low is not None:
@@ -715,10 +733,21 @@ def build_pyramid(
             pa.Table.from_pandas(tile_tbl_ds.to_pandas()), side_rows, cfg
         )
         tile_tbl_ds = ray.data.from_arrow(merged)
-    if out_dir:
-        tile_tbl_ds.write_parquet(out_dir, partition_cols=["bucket"])
-        tile_tbl_ds = ray.data.read_parquet(out_dir)
     return tile_tbl_ds
+
+
+def build_pyramid(
+    ds: ray.data.Dataset,
+    cfg: PyramidConfig | None = None,
+    n_rows: int | None = None,
+    out_dir: str | None = None,
+    resume: bool = False,
+) -> ray.data.Dataset:
+    """Geotag the image table and run the full pyramid; returns the tile
+    dataset (kind==0 rows plus low-zoom and boundary-merged tiles)."""
+    cfg = cfg or PyramidConfig()
+    narrow = geotag_narrow(ds, cfg).materialize()  # narrow columns only; reused twice
+    return build_pyramid_from_narrow(narrow, cfg, n_rows=n_rows, out_dir=out_dir, resume=resume)
 
 
 def pyramid_counts(tile_ds: ray.data.Dataset) -> pa.Table:
