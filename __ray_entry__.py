@@ -1,16 +1,17 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+The driver calls ``ray.init`` itself before importing this module:
+nothing here (or in the library code it uses) initializes or shuts
+down Ray.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+- ``entry()``: flagship pipeline — the full drop-ladder tile pyramid
+  over a deterministic image table derived from sf0.001 documents.
+- ``queries()``: one entry per implemented operator/pipeline
+  (SURVEY.md §2 + the training-data ops); each takes ``sf_dir``.
+- ``oracle_sql()``: DuckDB-runnable SQL equivalents for the relational/
+  SQL-expressible subset. Non-SQL pipelines (minhash/simhash LSH,
+  embedding near-dup, language-ID, fingerprints, the image pyramid)
+  are rows-only by design.
 """
 
 from __future__ import annotations
@@ -20,25 +21,39 @@ from typing import Any
 
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: build a z0–z8 drop-ladder pyramid over an image table
+    derived from the sf0.001 documents rows (image ids/captions come
+    from the docs; positions from the deterministic geotag rule)."""
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from tippecanoe_ray.pipelines.pyramid import PyramidConfig, build_pyramid
+
+    docs = pq.read_table(
+        "/root/testdata/sf0.001/documents.parquet", columns=["doc_id", "text"]
+    )
+    import pyarrow as pa
+
+    tbl = pa.table(
+        {
+            "image_id": pa.array([f"img-{i:012d}" for i in docs["doc_id"].to_pylist()]),
+            "caption": docs["text"],
+            "seq": docs["doc_id"].cast(pa.int64()),
+        }
+    )
+    ds = ray.data.from_arrow(tbl)
+    cfg = PyramidConfig(maxzoom=8, droprate=2.5, hotspot_frac=0.2)
+    tiles = build_pyramid(ds, cfg, n_rows=len(tbl))
+    return tiles.select_columns(["z", "x", "y", "n_features"])
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from tippecanoe_ray.pipelines.queries import all_queries
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return all_queries()
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from tippecanoe_ray.pipelines.queries import all_oracle_sql
+
+    return all_oracle_sql()

@@ -100,7 +100,10 @@ class PyramidConfig:
         return max(0, WORLD_BITS - (self.detail + self.maxzoom))
 
 
-def auto_bucket_zoom(n_rows: int, maxzoom: int, target_rows: int = 65536) -> int:
+def auto_bucket_zoom(n_rows: int, maxzoom: int, target_rows: int = 16384) -> int:
+    """Bucket granularity: ~target_rows per zoom-B subtree. Small enough
+    for load balance (4^B ≫ cores), big enough that per-bucket fixed
+    costs (15 zoom passes of numpy setup) amortize."""
     b = 0
     while (4 ** (b + 1)) * target_rows <= n_rows and b + 1 <= maxzoom:
         b += 1
@@ -460,6 +463,22 @@ class BucketWorker:
         return pa.concat_tables(outs)
 
 
+_TILE_TYPES = {
+    "z": pa.int32(), "x": pa.int32(), "y": pa.int32(),
+    "n_features": pa.int64(), "tile": pa.large_binary(), "bucket": pa.int64(),
+    "kind": pa.int8(), "min_index": pa.uint64(), "min_seq": pa.int64(),
+    "first_minzoom": pa.int16(), "cx": pa.int64(), "cy": pa.int64(),
+}
+
+
+def _cast_tile_schema(t: pa.Table) -> pa.Table:
+    for i, name in enumerate(t.column_names):
+        want = _TILE_TYPES.get(name)
+        if want is not None and t.schema.field(i).type != want:
+            t = t.set_column(i, name, t[name].cast(want))
+    return t
+
+
 def _align_tables(tables: list[pa.Table]) -> list[pa.Table]:
     all_cols: list[str] = []
     for t in tables:
@@ -675,8 +694,15 @@ def build_pyramid_from_narrow(
     unit of work with per-partition lineage (north_rule). The low-zoom
     pass and boundary-copy merge are small derived passes recomputed
     from the persisted rows, so a partial resume stays correct."""
+    narrow = narrow.materialize()  # narrow projection; read 3× below
     if n_rows is None:
         n_rows = narrow.count()
+    # task parallelism of the grouped stage == block count after the
+    # shuffle == input block count: split single-file reads into enough
+    # blocks that every core gets work
+    n_blocks = max(2, min(512, n_rows // 8192 + 1))
+    if narrow.num_blocks() < n_blocks:
+        narrow = narrow.repartition(n_blocks)
     b = cfg.bucket_zoom if cfg.bucket_zoom is not None else auto_bucket_zoom(n_rows, cfg.maxzoom)
     b = max(cfg.minzoom, min(b, cfg.maxzoom))
     narrow = add_bucket(narrow, b)
@@ -726,13 +752,39 @@ def build_pyramid_from_narrow(
     if low is not None:
         tile_tbl_ds = tile_tbl_ds.union(ray.data.from_arrow(_align_tables([low])[0]))
     if side_rows:
-        # rare path: materialize the tile rows driver-side and splice.
-        # (Tile rows ≪ input; at larger scale this would be a broadcast
-        # map_batches keyed by (z,x,y) instead — side rows are tiny.)
-        merged = merge_side_copies(
-            pa.Table.from_pandas(tile_tbl_ds.to_pandas()), side_rows, cfg
+        # rare path: only the tiles named by a side row move to the
+        # driver for splicing; the rest stream through untouched.
+        keys = np.unique(
+            np.array(
+                [
+                    (int(r["z"]) << 56) | (int(r["x"]) << 28) | int(r["y"])
+                    for r in side_rows
+                ],
+                dtype=np.int64,
+            )
         )
-        tile_tbl_ds = ray.data.from_arrow(merged)
+        keys_ref = ray.put(keys)
+
+        def _affected_mask(t: pa.Table) -> np.ndarray:
+            ks = ray.get(keys_ref)
+            z = t["z"].to_numpy(zero_copy_only=False).astype(np.int64)
+            x = t["x"].to_numpy(zero_copy_only=False).astype(np.int64)
+            y = t["y"].to_numpy(zero_copy_only=False).astype(np.int64)
+            return np.isin((z << 56) | (x << 28) | y, ks)
+
+        def unaffected(t: pa.Table) -> pa.Table:
+            return t.filter(pa.array(~_affected_mask(t)))
+
+        def affected(t: pa.Table) -> pa.Table:
+            return t.filter(pa.array(_affected_mask(t)))
+
+        hit = pa.Table.from_pandas(
+            tile_tbl_ds.map_batches(affected, batch_format="pyarrow").to_pandas()
+        )
+        merged = _cast_tile_schema(merge_side_copies(hit, side_rows, cfg))
+        tile_tbl_ds = tile_tbl_ds.map_batches(unaffected, batch_format="pyarrow").union(
+            ray.data.from_arrow(_align_tables([merged])[0])
+        )
     return tile_tbl_ds
 
 
@@ -746,7 +798,7 @@ def build_pyramid(
     """Geotag the image table and run the full pyramid; returns the tile
     dataset (kind==0 rows plus low-zoom and boundary-merged tiles)."""
     cfg = cfg or PyramidConfig()
-    narrow = geotag_narrow(ds, cfg).materialize()  # narrow columns only; reused twice
+    narrow = geotag_narrow(ds, cfg)  # materialized inside from_narrow
     return build_pyramid_from_narrow(narrow, cfg, n_rows=n_rows, out_dir=out_dir, resume=resume)
 
 

@@ -1,0 +1,677 @@
+"""The oracle-checked query battery: every entry returns a result whose
+columns and values are reproducible 1:1 by the ANSI-SQL string in
+ORACLE_SQL (run by the driver against the same parquet tables in
+DuckDB). Entries without SQL (non-relational pipelines) are checked
+rows-only.
+
+Conventions for hash parity with the oracle:
+- every aggregate/computed column is explicitly named, identically in
+  both the Ray pipeline and the SQL (AS ...);
+- float aggregates are rounded (2 decimals for money sums, 6 for
+  ratios) on BOTH sides;
+- tie-breaks are fully specified so top-k sets are deterministic.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data
+
+from ..relational.ops import broadcast_join, partial_groupby, round_half_away, top_k
+from ..stages.geotag import LCG_A_X, LCG_A_Y, LCG_C_Y, lcg_world_sql
+
+WORLD_MOD = 1 << 32
+
+
+def _read(sf_dir: str, table: str, columns: list[str] | None = None) -> ray.data.Dataset:
+    return ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+def _read_small(sf_dir: str, table: str, columns: list[str] | None = None) -> pa.Table:
+    import pyarrow.parquet as pq
+
+    return pq.read_table(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+# ===================================================== spatial / tiling
+
+
+def _doc_points_narrow(sf_dir: str) -> ray.data.Dataset:
+    """documents geotagged with the SQL-expressible LCG rule."""
+    from ..pipelines.pyramid import geotag_narrow, PyramidConfig
+
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+    cfg = PyramidConfig(rule="lcg", id_col="doc_id", seq_col=None)
+    return geotag_narrow(ds, cfg)
+
+
+def pyramid_counts_keepall(sf_dir: str, maxzoom: int = 8) -> pd.DataFrame:
+    """Full keep-all pyramid over LCG-geotagged documents through the
+    REAL tiling pipeline (droprate=1, no snapping ⇒ pure floor
+    assignment, SQL-reproducible)."""
+    from ..pipelines.pyramid import PyramidConfig, build_pyramid_from_narrow
+
+    cfg = PyramidConfig(
+        maxzoom=maxzoom, droprate=1.0, geometry_scale=0, encode_tiles=False,
+        rule="lcg", id_col="doc_id", seq_col=None,
+    )
+    narrow = _doc_points_narrow(sf_dir)
+    tiles = build_pyramid_from_narrow(narrow, cfg)
+    df = tiles.select_columns(["z", "x", "y", "n_features"]).to_pandas()
+    return df.sort_values(["z", "x", "y"]).reset_index(drop=True)
+
+
+def _pyramid_sql(maxzoom: int = 8, z_filter: str = "") -> str:
+    wx, wy = lcg_world_sql("doc_id")
+    return f"""
+WITH pts AS (SELECT {wx} AS wx, {wy} AS wy FROM documents),
+zs AS (SELECT unnest(range(0, {maxzoom + 1})) AS z)
+SELECT CAST(z AS INT) AS z,
+       CAST(wx >> (32 - z) AS INT) AS x,
+       CAST(wy >> (32 - z) AS INT) AS y,
+       COUNT(*) AS n_features
+FROM pts CROSS JOIN zs {z_filter}
+GROUP BY 1, 2, 3
+"""
+
+
+def tile_counts_z8(sf_dir: str) -> pd.DataFrame:
+    df = pyramid_counts_keepall(sf_dir, maxzoom=8)
+    return df[df["z"] == 8].reset_index(drop=True)
+
+
+def hot_tiles_z6(sf_dir: str, k: int = 20) -> pd.DataFrame:
+    """Densest zoom-6 tiles — the skew-detection primitive that feeds
+    salting / split-of-heavy-keys decisions."""
+    df = pyramid_counts_keepall(sf_dir, maxzoom=6)
+    df = df[df["z"] == 6]
+    df = df.sort_values(["n_features", "x", "y"], ascending=[False, True, True]).head(k)
+    return df.reset_index(drop=True)
+
+
+def cell_counts_l6(sf_dir: str) -> pd.DataFrame:
+    """Docs per level-6 quadkey cell (the engine's native DGG cell id —
+    SURVEY.md §2.4; the morton interleave is reproduced bit-for-bit in
+    SQL as a sum of shifted bit terms)."""
+    from ..functions.spatial import encode_quadkey
+    from ..stages.geotag import lcg_world
+
+    def fn(t: pa.Table) -> pa.Table:
+        key = t["doc_id"].to_numpy(zero_copy_only=False)
+        wx, wy = lcg_world(key)
+        cell = (encode_quadkey(wx, wy) >> np.uint64(64 - 12)).astype(np.int64)
+        return pa.table({"cell": cell})
+
+    ds = _read(sf_dir, "documents", columns=["doc_id"]).map_batches(fn, batch_format="pyarrow")
+    out = partial_groupby(ds, by=["cell"], aggs={"n_docs": ("cell", "count")})
+    return out.sort_values("cell").reset_index(drop=True)
+
+
+def _cell_sql_l6() -> str:
+    wx, wy = lcg_world_sql("doc_id")
+    # morton interleave of the top 6 bits of each axis:
+    # bit i (0..5, MSB-first) of x goes to out bit 11-2i, of y to 10-2i
+    terms = []
+    for i in range(6):
+        xbit = f"((wx >> {31 - i}) & 1)"
+        ybit = f"((wy >> {31 - i}) & 1)"
+        terms.append(f"({xbit} << {11 - 2 * i})")
+        terms.append(f"({ybit} << {10 - 2 * i})")
+    cell = " + ".join(terms)
+    return f"""
+WITH pts AS (SELECT {wx} AS wx, {wy} AS wy FROM documents)
+SELECT CAST({cell} AS BIGINT) AS cell, COUNT(*) AS n_docs
+FROM pts GROUP BY 1
+"""
+
+
+BBOX_REGIONS = [
+    ("r0", 0, 0, 1 << 31, 1 << 31),
+    ("r1", 1 << 31, 0, 1 << 32, 1 << 31),
+    ("r2", 0, 1 << 31, 1 << 31, 1 << 32),
+    ("r3", 1 << 31, 1 << 31, 1 << 32, 1 << 32),
+    ("hot", 3 << 29, 3 << 29, 5 << 29, 5 << 29),
+]
+
+
+def bbox_join_counts(sf_dir: str) -> pd.DataFrame:
+    """Point-in-bbox spatial join: regions broadcast once, vectorized
+    containment per batch (clip.cpp:84-104 point-in-rect semantics:
+    inclusive min, exclusive max). A point can match several regions."""
+    from ..stages.geotag import lcg_world
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        wx, wy = lcg_world(df["doc_id"].to_numpy())
+        rows = {"region": [], "n_docs": []}
+        for name, x0, y0, x1, y1 in BBOX_REGIONS:
+            m = (wx >= x0) & (wx < x1) & (wy >= y0) & (wy < y1)
+            rows["region"].append(name)
+            rows["n_docs"].append(int(m.sum()))
+        return pd.DataFrame(rows)
+
+    ds = _read(sf_dir, "documents", columns=["doc_id"]).map_batches(fn, batch_format="pandas")
+    out = ds.to_pandas().groupby("region", as_index=False)["n_docs"].sum()
+    return out.sort_values("region").reset_index(drop=True)
+
+
+def _bbox_sql() -> str:
+    wx, wy = lcg_world_sql("doc_id")
+    selects = []
+    for name, x0, y0, x1, y1 in BBOX_REGIONS:
+        selects.append(
+            f"SELECT '{name}' AS region, COUNT(*) AS n_docs FROM pts "
+            f"WHERE wx >= {x0} AND wx < {x1} AND wy >= {y0} AND wy < {y1}"
+        )
+    return (
+        f"WITH pts AS (SELECT {wx} AS wx, {wy} AS wy FROM documents)\n"
+        + "\nUNION ALL\n".join(selects)
+    )
+
+
+# ========================================================== relational
+
+
+def q1_pricing(sf_dir: str) -> pd.DataFrame:
+    ds = _read(
+        sf_dir, "lineitem",
+        columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+
+    def derive(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        disc = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        return t.append_column("disc_price", disc)
+
+    ds = ds.map_batches(derive, batch_format="pyarrow")
+    out = partial_groupby(
+        ds,
+        by=["l_returnflag", "l_linestatus"],
+        aggs={
+            "sum_qty": ("l_quantity", "sum"),
+            "sum_base_price": ("l_extendedprice", "sum"),
+            "sum_disc_price": ("disc_price", "sum"),
+            "avg_qty": ("l_quantity", "mean"),
+            "n_rows": ("l_quantity", "count"),
+        },
+    )
+    out["sum_qty"] = out["sum_qty"].round(2)
+    out["sum_base_price"] = out["sum_base_price"].round(2)
+    out["sum_disc_price"] = out["sum_disc_price"].round(2)
+    out["avg_qty"] = round_half_away(out["avg_qty"], 6)
+    return out.sort_values(["l_returnflag", "l_linestatus"]).reset_index(drop=True)
+
+
+Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+       ROUND(SUM(l_quantity), 2) AS sum_qty,
+       ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       ROUND(AVG(l_quantity), 6) AS avg_qty,
+       COUNT(*) AS n_rows
+FROM lineitem GROUP BY 1, 2
+"""
+
+
+def q3_top_orders(sf_dir: str, segment: str = "BUILDING", k: int = 10) -> pd.DataFrame:
+    """customer ⋈ orders ⋈ lineitem, revenue per order, top k.
+    Small sides broadcast; no all-to-all shuffle."""
+    cust = _read_small(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    cust = cust.filter(pa.compute.equal(cust["c_mktsegment"], segment)).select(["c_custkey"])
+    orders = _read_small(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    orders = orders.join(cust, keys=["o_custkey"], right_keys=["c_custkey"], join_type="left semi")
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice", "l_discount"])
+    joined = broadcast_join(li, orders.select(["o_orderkey"]), keys=["l_orderkey"],
+                            right_keys=["o_orderkey"], join_type="left semi")
+
+    def rev(df: pd.DataFrame) -> pd.DataFrame:
+        df["revenue"] = df["l_extendedprice"] * (1 - df["l_discount"])
+        return df[["l_orderkey", "revenue"]]
+
+    per_order = partial_groupby(
+        joined.map_batches(rev, batch_format="pandas"),
+        by=["l_orderkey"],
+        aggs={"revenue": ("revenue", "sum")},
+    )
+    per_order["revenue"] = per_order["revenue"].round(2)
+    out = per_order.sort_values(["revenue", "l_orderkey"], ascending=[False, True]).head(k)
+    return out[["l_orderkey", "revenue"]].reset_index(drop=True)
+
+
+Q3_SQL = """
+SELECT l_orderkey, ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+WHERE l_orderkey IN (
+  SELECT o_orderkey FROM orders
+  WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'))
+GROUP BY 1
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+"""
+
+
+def q5_region_revenue(sf_dir: str, region: str = "ASIA") -> pd.DataFrame:
+    """Revenue per nation for suppliers in one region — the multi-way
+    broadcast-join chain (dimensions resolved driver-side, fact table
+    streamed once)."""
+    nation = _read_small(sf_dir, "nation")
+    reg = _read_small(sf_dir, "region")
+    nr = nation.join(reg, keys=["n_regionkey"], right_keys=["r_regionkey"], join_type="inner")
+    nr = nr.filter(pa.compute.equal(nr["r_name"], region))
+    supp = _read_small(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
+    supp = supp.join(nr.select(["n_nationkey", "n_name"]), keys=["s_nationkey"],
+                     right_keys=["n_nationkey"], join_type="inner")
+    li = _read(sf_dir, "lineitem", columns=["l_suppkey", "l_extendedprice", "l_discount"])
+    joined = broadcast_join(li, supp.select(["s_suppkey", "n_name"]),
+                            keys=["l_suppkey"], right_keys=["s_suppkey"])
+
+    def rev(df: pd.DataFrame) -> pd.DataFrame:
+        df["revenue"] = df["l_extendedprice"] * (1 - df["l_discount"])
+        return df[["n_name", "revenue"]]
+
+    out = partial_groupby(
+        joined.map_batches(rev, batch_format="pandas"),
+        by=["n_name"], aggs={"revenue": ("revenue", "sum")},
+    )
+    out["revenue"] = out["revenue"].round(2)
+    return out.sort_values("n_name").reset_index(drop=True)
+
+
+Q5_SQL = """
+SELECT n_name, ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+GROUP BY 1
+"""
+
+
+def semi_join_parts(sf_dir: str) -> pd.DataFrame:
+    """Parts referenced by at least one lineitem (tile-join `-i`
+    semi-join semantics, tile-join.cpp:223-273)."""
+    li_keys = partial_groupby(
+        _read(sf_dir, "lineitem", columns=["l_partkey"]),
+        by=["l_partkey"], aggs={"n": ("l_partkey", "count")},
+    )
+    parts = _read(sf_dir, "part", columns=["p_partkey", "p_name"])
+    small = pa.Table.from_pandas(li_keys[["l_partkey"]])
+    out = broadcast_join(parts, small, keys=["p_partkey"], right_keys=["l_partkey"],
+                         join_type="left semi").to_pandas()
+    return out.sort_values("p_partkey").reset_index(drop=True)
+
+
+SEMI_SQL = """
+SELECT p_partkey, p_name FROM part
+WHERE p_partkey IN (SELECT l_partkey FROM lineitem)
+"""
+
+
+def anti_join_parts(sf_dir: str) -> pd.DataFrame:
+    li_keys = partial_groupby(
+        _read(sf_dir, "lineitem", columns=["l_partkey"]),
+        by=["l_partkey"], aggs={"n": ("l_partkey", "count")},
+    )
+    parts = _read(sf_dir, "part", columns=["p_partkey", "p_name"])
+    small = pa.Table.from_pandas(li_keys[["l_partkey"]])
+    out = broadcast_join(parts, small, keys=["p_partkey"], right_keys=["l_partkey"],
+                         join_type="left anti").to_pandas()
+    if len(out) == 0:
+        out = pd.DataFrame({"p_partkey": pd.Series([], dtype="int64"),
+                            "p_name": pd.Series([], dtype=str)})
+    return out.sort_values("p_partkey").reset_index(drop=True)
+
+
+ANTI_SQL = """
+SELECT p_partkey, p_name FROM part
+WHERE p_partkey NOT IN (SELECT l_partkey FROM lineitem)
+"""
+
+
+def orders_by_month(sf_dir: str) -> pd.DataFrame:
+    ds = _read(sf_dir, "orders", columns=["o_orderdate", "o_totalprice"])
+
+    def derive(df: pd.DataFrame) -> pd.DataFrame:
+        df["month"] = df["o_orderdate"].dt.strftime("%Y-%m")
+        return df[["month", "o_totalprice"]]
+
+    out = partial_groupby(
+        ds.map_batches(derive, batch_format="pandas"),
+        by=["month"],
+        aggs={"n_orders": ("o_totalprice", "count"), "total": ("o_totalprice", "sum")},
+    )
+    out["total"] = out["total"].round(2)
+    return out.sort_values("month").reset_index(drop=True)
+
+
+MONTH_SQL = """
+SELECT strftime(o_orderdate, '%Y-%m') AS month,
+       COUNT(*) AS n_orders,
+       ROUND(SUM(o_totalprice), 2) AS total
+FROM orders GROUP BY 1
+"""
+
+
+def top_orders_by_price(sf_dir: str, k: int = 100) -> pd.DataFrame:
+    ds = _read(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
+    out = top_k(ds, by="o_totalprice", k=k, keep=["o_orderkey", "o_totalprice"])
+    return out.sort_values(["o_totalprice", "o_orderkey"], ascending=[False, True]).reset_index(drop=True)
+
+
+TOPK_SQL = """
+SELECT o_orderkey, o_totalprice FROM orders
+ORDER BY o_totalprice DESC, o_orderkey LIMIT 100
+"""
+
+
+# ============================================================== events
+
+
+def events_tumbling_1h(sf_dir: str) -> pd.DataFrame:
+    ds = _read(sf_dir, "events", columns=["ts", "event_type", "value"])
+
+    def derive(df: pd.DataFrame) -> pd.DataFrame:
+        df["hour"] = df["ts"].dt.strftime("%Y-%m-%d %H:00:00")
+        return df[["hour", "event_type", "value"]]
+
+    out = partial_groupby(
+        ds.map_batches(derive, batch_format="pandas"),
+        by=["hour", "event_type"],
+        aggs={"n_events": ("value", "count"), "sum_value": ("value", "sum")},
+    )
+    out["sum_value"] = out["sum_value"].round(2)
+    return out.sort_values(["hour", "event_type"]).reset_index(drop=True)
+
+
+TUMBLING_SQL = """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS hour, event_type,
+       COUNT(*) AS n_events, ROUND(SUM(value), 2) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
+def sessions_30m(sf_dir: str) -> pd.DataFrame:
+    """Sessionization: a >30-minute gap starts a new session. Grouped
+    stateful scan per user (map_groups ordered by ts) — the engine's
+    ordered-scan primitive (SURVEY.md §2.11)."""
+    ds = _read(sf_dir, "events", columns=["user_id", "ts"])
+
+    def per_user(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values("ts")
+        gaps = df["ts"].diff().dt.total_seconds() > 1800
+        return pd.DataFrame(
+            {
+                "user_id": [df["user_id"].iloc[0]],
+                "n_sessions": [int(gaps.sum()) + 1],
+                "n_events": [len(df)],
+            }
+        )
+
+    out = ds.groupby("user_id").map_groups(per_user, batch_format="pandas").to_pandas()
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+SESSIONS_SQL = """
+WITH g AS (
+  SELECT user_id,
+         CASE WHEN epoch(ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)) > 1800
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events)
+SELECT user_id, CAST(SUM(new_sess) + 1 AS BIGINT) AS n_sessions,
+       COUNT(*) AS n_events
+FROM g GROUP BY 1
+"""
+
+
+# ======================================================== dedup / text
+
+
+def dedup_exact_union(sf_dir: str) -> pd.DataFrame:
+    """Exact dedup over documents ∪ documents(+100000 ids) — every text
+    appears twice; keep the min id (hash-partition + first)."""
+    from .dedup import exact_dedup
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def shifted(t: pa.Table) -> pa.Table:
+        ids = pa.compute.add(t["doc_id"], 100000)
+        return pa.table({"doc_id": ids, "text": t["text"]})
+
+    both = ds.union(_read(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(shifted, batch_format="pyarrow"))
+    return exact_dedup(both, "text", "doc_id")
+
+
+DEDUP_SQL = """
+WITH u AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id, text FROM documents)
+SELECT MIN(doc_id) AS keep_id, COUNT(doc_id) AS n_dups
+FROM u GROUP BY text
+"""
+
+
+def token_stats_q(sf_dir: str) -> pd.DataFrame:
+    from .textpipe import token_stats
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return token_stats(ds).to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
+TOKEN_SQL = """
+SELECT doc_id,
+       LENGTH(text) AS n_chars,
+       CASE WHEN TRIM(text) = '' THEN 0
+            ELSE LEN(regexp_split_to_array(TRIM(text), '\\s+')) END AS n_tokens,
+       ROUND(LENGTH(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1.0
+             / GREATEST(LENGTH(text), 1), 6) AS alpha_ratio,
+       ROUND(LENGTH(regexp_replace(text, '[^0-9]', '', 'g')) * 1.0
+             / GREATEST(LENGTH(text), 1), 6) AS digit_ratio,
+       ROUND((LENGTH(text) - LENGTH(regexp_replace(text, '\\s', '', 'g'))) * 1.0
+             / GREATEST(LENGTH(text), 1), 6) AS space_ratio
+FROM documents
+"""
+
+
+def ann_top10(sf_dir: str) -> pd.DataFrame:
+    """Exact cosine top-10 to the vec_id=0 embedding (brute-force
+    baseline; the scale path is lsh_topk)."""
+    from .ann import brute_force_topk
+
+    q = _read_small(sf_dir, "embeddings")
+    qvec = np.asarray(q.filter(pa.compute.equal(q["vec_id"], 0))["embedding"][0].as_py())
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    out = brute_force_topk(ds, qvec[None, :], k=10)
+    out = out[["vec_id", "cosine"]].copy()
+    out["cosine"] = round_half_away(out["cosine"], 4)
+    return out.sort_values(["vec_id"]).reset_index(drop=True)
+
+
+ANN_SQL = """
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+SELECT vec_id,
+       ROUND(list_cosine_similarity(CAST(embedding AS DOUBLE[]), CAST((SELECT qv FROM q) AS DOUBLE[])), 4) AS cosine
+FROM embeddings
+ORDER BY list_cosine_similarity(CAST(embedding AS DOUBLE[]), CAST((SELECT qv FROM q) AS DOUBLE[])) DESC, vec_id
+LIMIT 10
+"""
+
+
+def embedding_norms(sf_dir: str) -> pd.DataFrame:
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    def norms(df: pd.DataFrame) -> pd.DataFrame:
+        mat = np.stack([np.asarray(v, dtype=np.float64) for v in df["embedding"]])
+        return pd.DataFrame(
+            {"vec_id": df["vec_id"], "norm": round_half_away(np.linalg.norm(mat, axis=1), 4)}
+        )
+
+    return ds.map_batches(norms, batch_format="pandas").to_pandas().sort_values("vec_id").reset_index(drop=True)
+
+
+NORMS_SQL = """
+SELECT vec_id,
+       ROUND(sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * x))), 4) AS norm
+FROM embeddings
+"""
+
+
+# ================================================== rows-only pipelines
+
+
+def minhash_pairs_q(sf_dir: str) -> pd.DataFrame:
+    from .dedup import minhash_lsh_pairs
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def shifted(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"doc_id": pa.compute.add(t["doc_id"], 100000), "text": t["text"]}
+        )
+
+    both = ds.union(_read(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(shifted, batch_format="pyarrow"))
+    return minhash_lsh_pairs(both, "text", "doc_id", threshold=0.8)
+
+
+def simhash_pairs_q(sf_dir: str) -> pd.DataFrame:
+    from .dedup import simhash_pairs
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def shifted(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"doc_id": pa.compute.add(t["doc_id"], 100000), "text": t["text"]}
+        )
+
+    both = ds.union(_read(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(shifted, batch_format="pyarrow"))
+    return simhash_pairs(both, "text", "doc_id", max_hamming=3)
+
+
+def embedding_near_dup_q(sf_dir: str) -> pd.DataFrame:
+    from .dedup import embedding_near_dup_pairs
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    def jittered(t: pa.Table) -> pa.Table:
+        vecs = [np.asarray(v, dtype=np.float32) * np.float32(1.0001) for v in t["embedding"].to_pylist()]
+        ids = pa.compute.add(t["vec_id"], 100000)
+        return pa.table({"vec_id": ids, "embedding": pa.array([v.tolist() for v in vecs])})
+
+    both = ds.union(_read(sf_dir, "embeddings", columns=["vec_id", "embedding"]).map_batches(jittered, batch_format="pyarrow"))
+    return embedding_near_dup_pairs(both, "embedding", "vec_id", threshold=0.999)
+
+
+def lang_id_q(sf_dir: str) -> pd.DataFrame:
+    from .textpipe import lang_id
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+    preds = lang_id(ds.select_columns(["doc_id", "text"])).to_pandas()
+    truth = _read_small(sf_dir, "documents", ["doc_id", "lang"]).to_pandas()
+    m = preds.merge(truth, on="doc_id")
+    out = (
+        m.assign(correct=(m["pred_lang"] == m["lang"]).astype(int))
+        .groupby("lang", as_index=False)
+        .agg(n_docs=("doc_id", "count"), n_correct=("correct", "sum"))
+    )
+    return out.sort_values("lang").reset_index(drop=True)
+
+
+def fingerprints_q(sf_dir: str) -> pd.DataFrame:
+    from .textpipe import Fingerprint
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = ds.map_batches(Fingerprint(), batch_format="pandas").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def quality_q(sf_dir: str) -> pd.DataFrame:
+    from .textpipe import QualityScore
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = ds.map_batches(QualityScore(), batch_format="pandas").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def lsh_ann_q(sf_dir: str) -> pd.DataFrame:
+    from .ann import lsh_topk
+
+    q = _read_small(sf_dir, "embeddings")
+    qvec = np.asarray(q.filter(pa.compute.equal(q["vec_id"], 0))["embedding"][0].as_py())
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return lsh_topk(ds, qvec[None, :], k=10)
+
+
+def image_pyramid_q(sf_dir: str) -> pd.DataFrame:
+    """Flagship: full drop-ladder pyramid over a synthetic image table
+    sized to the sf (fnv geotag, hotspots on, MVT encoding on)."""
+    from ..sources.image_table import synthesize_image_table
+    from .pyramid import PyramidConfig, build_pyramid, pyramid_counts
+
+    n = 20000
+    ds = synthesize_image_table(n, with_payload=False)
+    cfg = PyramidConfig(maxzoom=10, droprate=2.5, hotspot_frac=0.2)
+    tiles = build_pyramid(ds, cfg, n_rows=n)
+    return pyramid_counts(tiles).to_pandas()
+
+
+# ============================================================ registry
+
+
+def all_queries() -> dict:
+    return {
+        "pyramid_counts_keepall": pyramid_counts_keepall,
+        "tile_counts_z8": tile_counts_z8,
+        "hot_tiles_z6": hot_tiles_z6,
+        "cell_counts_l6": cell_counts_l6,
+        "bbox_join_counts": bbox_join_counts,
+        "q1_pricing": q1_pricing,
+        "q3_top_orders": q3_top_orders,
+        "q5_region_revenue": q5_region_revenue,
+        "semi_join_parts": semi_join_parts,
+        "anti_join_parts": anti_join_parts,
+        "orders_by_month": orders_by_month,
+        "top_orders_by_price": top_orders_by_price,
+        "events_tumbling_1h": events_tumbling_1h,
+        "sessions_30m": sessions_30m,
+        "dedup_exact_union": dedup_exact_union,
+        "token_stats": token_stats_q,
+        "ann_top10": ann_top10,
+        "embedding_norms": embedding_norms,
+        "minhash_lsh_pairs": minhash_pairs_q,
+        "simhash_pairs": simhash_pairs_q,
+        "embedding_near_dup": embedding_near_dup_q,
+        "lang_id_accuracy": lang_id_q,
+        "doc_fingerprints": fingerprints_q,
+        "quality_scores": quality_q,
+        "lsh_ann_top10": lsh_ann_q,
+        "image_pyramid": image_pyramid_q,
+    }
+
+
+def all_oracle_sql() -> dict:
+    return {
+        "pyramid_counts_keepall": _pyramid_sql(8),
+        "tile_counts_z8": _pyramid_sql(8, z_filter="WHERE z = 8"),
+        "hot_tiles_z6": (
+            _pyramid_sql(6, z_filter="WHERE z = 6")
+            + " ORDER BY n_features DESC, x, y LIMIT 20"
+        ),
+        "cell_counts_l6": _cell_sql_l6(),
+        "bbox_join_counts": _bbox_sql(),
+        "q1_pricing": Q1_SQL,
+        "q3_top_orders": Q3_SQL,
+        "q5_region_revenue": Q5_SQL,
+        "semi_join_parts": SEMI_SQL,
+        "anti_join_parts": ANTI_SQL,
+        "orders_by_month": MONTH_SQL,
+        "top_orders_by_price": TOPK_SQL,
+        "events_tumbling_1h": TUMBLING_SQL,
+        "sessions_30m": SESSIONS_SQL,
+        "dedup_exact_union": DEDUP_SQL,
+        "token_stats": TOKEN_SQL,
+        "ann_top10": ANN_SQL,
+        "embedding_norms": NORMS_SQL,
+    }
