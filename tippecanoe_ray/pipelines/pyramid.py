@@ -270,74 +270,213 @@ class ZoomEmitter:
 
     # ---------------------------------------------------------- slow path
     def _emit_slow(self, z, index, seq, swx, swy, bzx, bzy, minzoom, bucket, route):
+        """Hybrid: the (large) non-boundary core keeps the contiguous-run
+        fast path; the handful of boundary features contribute self +
+        ghost copies merged per affected tile — O(core) + O(copies²/tile)
+        instead of an all-rows lexsort per zoom."""
+        from ..functions.spatial import _spread_bits32
+
         cfg = self.cfg
         shift = WORLD_BITS - z
         nmax = 1 << z
-        tx0 = swx >> shift
-        ty0 = swy >> shift
-        mx = bzx <= z
-        my = bzy <= z
+        bmask = (bzx <= z) | (bzy <= z)
+        core_m = ~bmask
+        ci, cs = index[core_m], seq[core_m]
+        cwx, cwy, cmz = swx[core_m], swy[core_m], minzoom[core_m]
+        n_core = len(ci)
+        if n_core:
+            tkey = ci >> np.uint64(64 - 2 * z) if z > 0 else np.zeros(n_core, np.uint64)
+            change = np.flatnonzero(tkey[1:] != tkey[:-1]) + 1
+            starts = np.concatenate(([0], change))
+            ends = np.concatenate((change, [n_core]))
+            kept = cmz <= z
+            kept[starts] = True
+            run_keys = tkey[starts]
+        else:
+            starts = ends = np.empty(0, np.int64)
+            kept = np.empty(0, bool)
+            run_keys = np.empty(0, np.uint64)
+
+        # boundary copies: self + up to 3 ghosts per boundary feature
+        bsel = np.flatnonzero(bmask)
+        parts = [(bsel, 0, 0)]
+        mx = bzx[bsel] <= z
+        my = bzy[bsel] <= z
         mxy = mx & my
-        base = np.arange(len(index))
-        parts = [(base, 0, 0)]
         if mx.any():
-            parts.append((np.flatnonzero(mx), 1, 0))
+            parts.append((bsel[mx], 1, 0))
         if my.any():
-            parts.append((np.flatnonzero(my), 0, 1))
+            parts.append((bsel[my], 0, 1))
         if mxy.any():
-            parts.append((np.flatnonzero(mxy), 1, 1))
+            parts.append((bsel[mxy], 1, 1))
         sel = np.concatenate([p[0] for p in parts])
-        dx = np.concatenate([np.full(len(p[0]), p[1], dtype=np.int64) for p in parts])
-        dy = np.concatenate([np.full(len(p[0]), p[2], dtype=np.int64) for p in parts])
-        ctx = tx0[sel] - dx
-        cty = ty0[sel] - dy
-        valid = (ctx >= 0) & (ctx < nmax) & (cty >= 0) & (cty < nmax)
-        sel, ctx, cty = sel[valid], ctx[valid], cty[valid]
-        cidx, cseq, cmz = index[sel], seq[sel], minzoom[sel]
-        cswx, cswy = swx[sel], swy[sel]
+        dx = np.concatenate([np.full(len(p[0]), p[1], np.int64) for p in parts])
+        dy = np.concatenate([np.full(len(p[0]), p[2], np.int64) for p in parts])
+        gtx = (swx[sel] >> shift) - dx
+        gty = (swy[sel] >> shift) - dy
+        valid = (gtx >= 0) & (gtx < nmax) & (gty >= 0) & (gty < nmax)
+        sel, gtx, gty = sel[valid], gtx[valid], gty[valid]
+        gidx, gseq, gmz = index[sel], seq[sel], minzoom[sel]
+        gwx, gwy = swx[sel], swy[sel]
         side_tbl = None
-        if route is not None:
+        if route is not None and len(sel):
             b_zoom, bx, by = route
             sh = z - b_zoom
-            local = ((ctx >> sh) == bx) & ((cty >> sh) == by) if sh >= 0 else np.ones(len(ctx), bool)
+            local = ((gtx >> sh) == bx) & ((gty >> sh) == by) if sh >= 0 else np.ones(len(gtx), bool)
             if not local.all():
                 sm = ~local
                 side_tbl = pa.table(
                     {
                         "z": pa.array(np.full(sm.sum(), z, dtype=np.int32)),
-                        "x": pa.array(ctx[sm].astype(np.int32)),
-                        "y": pa.array(cty[sm].astype(np.int32)),
+                        "x": pa.array(gtx[sm].astype(np.int32)),
+                        "y": pa.array(gty[sm].astype(np.int32)),
                         "n_features": pa.array(np.zeros(sm.sum(), dtype=np.int64)),
                         "tile": pa.array([b""] * int(sm.sum()), pa.large_binary()),
                         "bucket": pa.array(np.full(sm.sum(), -1, dtype=np.int64)),
                         "kind": pa.array(np.full(sm.sum(), 2, dtype=np.int8)),
-                        "min_index": pa.array(cidx[sm].astype(np.uint64)),
-                        "min_seq": pa.array(cseq[sm].astype(np.int64)),
-                        "first_minzoom": pa.array(cmz[sm].astype(np.int16)),
+                        "min_index": pa.array(gidx[sm].astype(np.uint64)),
+                        "min_seq": pa.array(gseq[sm].astype(np.int64)),
+                        "first_minzoom": pa.array(gmz[sm].astype(np.int16)),
                     }
                 )
-                # stash copy positions in dedicated columns
-                side_tbl = side_tbl.append_column("cx", pa.array(cswx[sm].astype(np.int64)))
-                side_tbl = side_tbl.append_column("cy", pa.array(cswy[sm].astype(np.int64)))
-            sel, ctx, cty = sel[local], ctx[local], cty[local]
-            cidx, cseq, cmz = cidx[local], cseq[local], cmz[local]
-            cswx, cswy = cswx[local], cswy[local]
-        key = (ctx << z) | cty if z > 0 else np.zeros(len(ctx), dtype=np.int64)
-        order = np.lexsort((cseq, cidx, key))
-        key, ctx, cty = key[order], ctx[order], cty[order]
-        cidx, cseq, cmz = cidx[order], cseq[order], cmz[order]
-        cswx, cswy = cswx[order], cswy[order]
-        if len(key) == 0:
+                side_tbl = side_tbl.append_column("cx", pa.array(gwx[sm].astype(np.int64)))
+                side_tbl = side_tbl.append_column("cy", pa.array(gwy[sm].astype(np.int64)))
+            sel, gtx, gty = sel[local], gtx[local], gty[local]
+            gidx, gseq, gmz = gidx[local], gseq[local], gmz[local]
+            gwx, gwy = gwx[local], gwy[local]
+        if n_core == 0 and len(gtx) == 0:
             return None, side_tbl
-        change = np.flatnonzero(key[1:] != key[:-1]) + 1
-        starts = np.concatenate(([0], change))
-        ends = np.concatenate((change, [len(key)]))
-        kept = cmz <= z
-        kept[starts] = True
-        counts = np.add.reduceat(kept, starts)
-        tile_tbl = self._encode_rows(
-            z, cswx, cswy, cseq, kept, counts, ctx[starts], cty[starts], bucket,
-            cidx[starts], cseq[starts], cmz[starts],
+        # morton key comparable with tkey/run_keys
+        gkey = (_spread_bits32(gtx) << np.uint64(1)) | _spread_bits32(gty)
+        gorder = np.lexsort((gseq, gidx, gkey))
+        gkey, gtx, gty = gkey[gorder], gtx[gorder], gty[gorder]
+        gidx, gseq, gmz = gidx[gorder], gseq[gorder], gmz[gorder]
+        gwx, gwy = gwx[gorder], gwy[gorder]
+        gpos = np.searchsorted(run_keys, gkey)
+        gmatched = (gpos < len(run_keys)) & (
+            run_keys[np.minimum(gpos, max(len(run_keys) - 1, 0))] == gkey
+        ) if len(run_keys) else np.zeros(len(gkey), bool)
+        affected_runs = np.unique(gpos[gmatched]) if gmatched.any() else np.empty(0, np.int64)
+        aff_set = set(int(r) for r in affected_runs)
+
+        # adjust kept[first] of affected runs where a copy precedes the
+        # core first (the copy takes the always-keep slot)
+        for rid in affected_runs:
+            s = starts[rid]
+            cps = np.flatnonzero(gmatched & (gpos == rid))
+            g0 = cps[0]
+            if (int(gidx[g0]), int(gseq[g0])) < (int(ci[s]), int(cs[s])):
+                kept[s] = cmz[s] <= z
+
+        counts = np.add.reduceat(kept, starts) if n_core else np.empty(0, np.int64)
+        kends = np.cumsum(counts)
+        kstarts = kends - counts
+        kwx, kwy, kseq = cwx[kept], cwy[kept], cs[kept]
+        run_tx = _compact_bits64(run_keys >> np.uint64(1)).astype(np.int64)
+        run_ty = _compact_bits64(run_keys).astype(np.int64)
+
+        out_tx: list = []
+        out_ty: list = []
+        out_counts: list = []
+        out_tiles: list = []
+        out_minidx: list = []
+        out_minseq: list = []
+        out_firstmz: list = []
+        out_fids: list = []
+
+        # 1) unaffected runs: vectorized encode
+        if n_core:
+            un_mask = np.ones(len(starts), bool)
+            if len(affected_runs):
+                un_mask[affected_runs] = False
+            if un_mask.any():
+                if cfg.encode_tiles:
+                    tiles = encode_point_tiles(
+                        kwx, kwy, kstarts[un_mask], kends[un_mask],
+                        run_tx[un_mask], run_ty[un_mask], z,
+                        layer_name=cfg.layer_name, detail=cfg.detail,
+                        compress=cfg.compress,
+                    )
+                else:
+                    tiles = [b""] * int(un_mask.sum())
+                out_tx.append(run_tx[un_mask])
+                out_ty.append(run_ty[un_mask])
+                out_counts.append(counts[un_mask])
+                out_tiles.extend(tiles)
+                out_minidx.append(ci[starts[un_mask]])
+                out_minseq.append(cs[starts[un_mask]])
+                out_firstmz.append(cmz[starts[un_mask]])
+                if cfg.emit_ids:
+                    for a, b_ in zip(kstarts[un_mask], kends[un_mask]):
+                        out_fids.append(kseq[a:b_])
+
+        # 2) affected + ghost-only tiles: per-tile merge (few)
+        def _one_merged(rid: int | None, cps: np.ndarray):
+            if rid is not None:
+                s, e = starts[rid], ends[rid]
+                sl = slice(s, e)
+                mwx = np.concatenate((cwx[sl], gwx[cps]))
+                mwy = np.concatenate((cwy[sl], gwy[cps]))
+                midx = np.concatenate((ci[sl], gidx[cps]))
+                mseq = np.concatenate((cs[sl], gseq[cps]))
+                mmz = np.concatenate((cmz[sl], gmz[cps]))
+                ttx, tty = int(run_tx[rid]), int(run_ty[rid])
+            else:
+                mwx, mwy = gwx[cps], gwy[cps]
+                midx, mseq, mmz = gidx[cps], gseq[cps], gmz[cps]
+                ttx = int(gtx[cps[0]])
+                tty = int(gty[cps[0]])
+            o = np.lexsort((mseq, midx))
+            mwx, mwy = mwx[o], mwy[o]
+            midx, mseq, mmz = midx[o], mseq[o], mmz[o]
+            k = mmz <= z
+            k[0] = True
+            n_kept = int(k.sum())
+            if cfg.encode_tiles:
+                tb = encode_point_tiles(
+                    mwx[k], mwy[k], np.array([0]), np.array([n_kept]),
+                    np.array([ttx]), np.array([tty]), z,
+                    layer_name=cfg.layer_name, detail=cfg.detail,
+                    compress=cfg.compress,
+                )[0]
+            else:
+                tb = b""
+            out_tx.append(np.array([ttx]))
+            out_ty.append(np.array([tty]))
+            out_counts.append(np.array([n_kept]))
+            out_tiles.append(tb)
+            out_minidx.append(midx[:1])
+            out_minseq.append(mseq[:1])
+            out_firstmz.append(mmz[:1])
+            if cfg.emit_ids:
+                out_fids.append(mseq[k])
+
+        for rid in affected_runs:
+            _one_merged(int(rid), np.flatnonzero(gmatched & (gpos == rid)))
+        unmatched = np.flatnonzero(~gmatched)
+        if len(unmatched):
+            uk = gkey[unmatched]
+            cuts = np.flatnonzero(uk[1:] != uk[:-1]) + 1
+            for grp in np.split(unmatched, cuts):
+                _one_merged(None, grp)
+
+        if not out_tx:
+            return None, side_tbl
+        tx_all = np.concatenate(out_tx).astype(np.int64)
+        ty_all = np.concatenate(out_ty).astype(np.int64)
+        counts_all = np.concatenate(out_counts).astype(np.int64)
+        minidx_all = np.concatenate(out_minidx).astype(np.uint64)
+        minseq_all = np.concatenate(out_minseq).astype(np.int64)
+        firstmz_all = np.concatenate(out_firstmz).astype(np.int16)
+        fids = None
+        if cfg.emit_ids:
+            offs = np.zeros(len(out_fids) + 1, dtype=np.int32)
+            offs[1:] = np.cumsum([len(f) for f in out_fids])
+            vals = np.concatenate(out_fids) if out_fids else np.empty(0, np.int64)
+            fids = pa.ListArray.from_arrays(pa.array(offs), pa.array(vals.astype(np.int64)))
+        tile_tbl = _tile_rows(
+            z, tx_all, ty_all, counts_all, out_tiles, bucket,
+            minidx_all, minseq_all, firstmz_all, fids,
         )
         return tile_tbl, side_tbl
 
@@ -365,10 +504,18 @@ class BucketWorker:
     """map_groups callable for one zoom-B bucket: sort → ranks → ladder
     minzoom → per-zoom tile emission + side channels."""
 
-    def __init__(self, cfg: PyramidConfig, bucket_zoom: int, offsets_ref):
+    def __init__(self, cfg: PyramidConfig, bucket_zoom: int, offsets_ref,
+                 raw_dir: str | None = None, contiguous_ranks: bool = False):
         self.cfg = cfg
         self.bucket_zoom = bucket_zoom
         self.offsets_ref = offsets_ref
+        self.raw_dir = raw_dir  # write-through sink: tile rows go straight
+        # to per-bucket parquet inside the task; only tiny side channels
+        # (+ a per-zoom summary) travel back through the object store
+        # contiguous_ranks: the block holds a CONTIGUOUS bucket range →
+        # one drop-ladder evaluation per task (the rank apron, ~4·r^bz
+        # ranks, amortizes over the whole task instead of per bucket)
+        self.contiguous_ranks = contiguous_ranks
         self._offsets = None
 
     def offsets(self) -> dict[int, int]:
@@ -381,18 +528,47 @@ class BucketWorker:
         return self._offsets
 
     def __call__(self, group: pa.Table) -> pa.Table:
+        """Process a block holding one or more COMPLETE buckets (hash
+        repartition by bucket guarantees completeness)."""
+        if len(group) == 0:
+            return _empty_tiles()
+        buckets = group["bucket"].to_numpy(zero_copy_only=False)
+        index_a = group["index"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        seq_a = group["seq"].to_numpy(zero_copy_only=False)
+        wx_a = group["wx"].to_numpy(zero_copy_only=False)
+        wy_a = group["wy"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((seq_a, index_a, buckets))
+        buckets = buckets[order]
+        index_a, seq_a = index_a[order], seq_a[order]
+        wx_a, wy_a = wx_a[order], wy_a[order]
+        cuts = np.flatnonzero(buckets[1:] != buckets[:-1]) + 1
+        starts = np.concatenate(([0], cuts))
+        ends = np.concatenate((cuts, [len(buckets)]))
+        task_mz = None
+        if self.contiguous_ranks:
+            cfgl = self.cfg
+            r0 = self.offsets()[int(buckets[0])]
+            task_mz = minzoom_for_rank_range(
+                r0, r0 + len(buckets), cfgl.maxzoom,
+                cfgl.resolved_basezoom(), cfgl.droprate,
+            ).astype(np.int16)
+        outs = []
+        for s, e in zip(starts, ends):
+            outs.append(
+                self._one_bucket(
+                    int(buckets[s]), index_a[s:e], seq_a[s:e], wx_a[s:e], wy_a[s:e],
+                    minzoom=None if task_mz is None else task_mz[s:e],
+                )
+            )
+        return pa.concat_tables(_align_tables(outs))
+
+    def _one_bucket(self, bucket, index, seq, wx, wy, minzoom=None) -> pa.Table:
         cfg = self.cfg
-        bucket = int(group["bucket"][0].as_py())
-        index = group["index"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        seq = group["seq"].to_numpy(zero_copy_only=False)
-        wx = group["wx"].to_numpy(zero_copy_only=False)
-        wy = group["wy"].to_numpy(zero_copy_only=False)
-        order = np.lexsort((seq, index))
-        index, seq, wx, wy = index[order], seq[order], wx[order], wy[order]
-        r0 = self.offsets()[bucket]
-        minzoom = minzoom_for_rank_range(
-            r0, r0 + len(index), cfg.maxzoom, cfg.resolved_basezoom(), cfg.droprate
-        ).astype(np.int16)
+        if minzoom is None:
+            r0 = self.offsets()[bucket]
+            minzoom = minzoom_for_rank_range(
+                r0, r0 + len(index), cfg.maxzoom, cfg.resolved_basezoom(), cfg.droprate
+            ).astype(np.int16)
         g = cfg.resolved_gscale()
         swx = snap_coords(wx, g)
         swy = snap_coords(wy, g)
@@ -456,8 +632,44 @@ class BucketWorker:
                     pa.ListArray.from_arrays(pa.array([0, 0], pa.int32()), pa.array([], pa.int64())),
                 )
             outs.append(row)
+        if self.raw_dir is not None:
+            # split: persist tile rows here; return summary + channels
+            tile_tbls = [t for t in outs if t.num_rows and int(t["kind"][0].as_py()) == 0]
+            channel_tbls = [t for t in outs if not t.num_rows or int(t["kind"][0].as_py()) != 0]
+            outs = channel_tbls
+            if tile_tbls:
+                import pyarrow.parquet as pq
+
+                full = pa.concat_tables(_align_tables(tile_tbls))
+                path = os.path.join(self.raw_dir, f"bucket={bucket}")
+                os.makedirs(path, exist_ok=True)
+                tmp = os.path.join(path, "part-0.parquet.inprogress")
+                pq.write_table(full.drop_columns(["bucket"]), tmp)
+                os.replace(tmp, os.path.join(path, "part-0.parquet"))
+                # per-zoom summary rows (kind=3): x carries n_tiles
+                zs = full["z"].to_numpy(zero_copy_only=False)
+                nf = full["n_features"].to_numpy(zero_copy_only=False)
+                uz, inv = np.unique(zs, return_inverse=True)
+                n_tiles = np.bincount(inv)
+                n_feats = np.bincount(inv, weights=nf).astype(np.int64)
+                outs.append(
+                    pa.table(
+                        {
+                            "z": pa.array(uz.astype(np.int32)),
+                            "x": pa.array(n_tiles.astype(np.int32)),
+                            "y": pa.array(np.zeros(len(uz), np.int32)),
+                            "n_features": pa.array(n_feats),
+                            "tile": pa.array([b""] * len(uz), pa.large_binary()),
+                            "bucket": pa.array(np.full(len(uz), bucket, np.int64)),
+                            "kind": pa.array(np.full(len(uz), 3, np.int8)),
+                            "min_index": pa.array(np.zeros(len(uz), np.uint64)),
+                            "min_seq": pa.array(np.zeros(len(uz), np.int64)),
+                            "first_minzoom": pa.array(np.zeros(len(uz), np.int16)),
+                        }
+                    )
+                )
         if not outs:
-            return pa.table({c: [] for c in TILE_COLS})
+            return _empty_tiles()
         # side rows lack cx/cy in tile rows and vice versa: align schemas
         outs = _align_tables(outs)
         return pa.concat_tables(outs)
@@ -477,6 +689,48 @@ def _cast_tile_schema(t: pa.Table) -> pa.Table:
         if want is not None and t.schema.field(i).type != want:
             t = t.set_column(i, name, t[name].cast(want))
     return t
+
+
+_NORM_COLS = (
+    "z", "x", "y", "n_features", "tile", "bucket", "kind",
+    "min_index", "min_seq", "first_minzoom",
+)
+
+
+def _empty_tiles() -> pa.Table:
+    return pa.table(
+        {c: pa.array([], type=_TILE_TYPES[c]) for c in _NORM_COLS}
+    )
+
+
+def _norm_tiles(t: pa.Table, emit_ids: bool = False) -> pa.Table:
+    """Fixed column set/order + types so unions across raw-parquet,
+    low-zoom and patch tables always line up."""
+    cols = list(_NORM_COLS) + (["feature_ids"] if emit_ids else [])
+    n = len(t)
+    for c in cols:
+        if c not in t.column_names:
+            if c == "bucket":
+                t = t.append_column(c, pa.array(np.full(n, -1, np.int64)))
+            elif c == "kind":
+                t = t.append_column(c, pa.array(np.zeros(n, np.int8)))
+            elif c == "feature_ids":
+                t = t.append_column(
+                    c,
+                    pa.ListArray.from_arrays(
+                        pa.array(np.zeros(n + 1, dtype=np.int32)), pa.array([], pa.int64())
+                    ),
+                )
+            else:
+                raise KeyError(f"tile table missing column {c}")
+    return _cast_tile_schema(t.select(cols))
+
+
+def _norm_tiles_fn(emit_ids: bool):
+    def fn(t: pa.Table) -> pa.Table:
+        return _norm_tiles(t, emit_ids)
+
+    return fn
 
 
 def _align_tables(tables: list[pa.Table]) -> list[pa.Table]:
@@ -694,19 +948,32 @@ def build_pyramid_from_narrow(
     unit of work with per-partition lineage (north_rule). The low-zoom
     pass and boundary-copy merge are small derived passes recomputed
     from the persisted rows, so a partial resume stays correct."""
-    narrow = narrow.materialize()  # narrow projection; read 3× below
+    import time as _time
+
+    _dbg = os.environ.get("TIPPECANOE_RAY_DEBUG")
+    _t0 = _time.time()
+
+    def _mark(label):
+        nonlocal _t0
+        if _dbg:
+            print(f"[pyramid] {label}: {_time.time() - _t0:.2f}s", flush=True)
+        _t0 = _time.time()
+
+    n_cpus_early = int(ray.cluster_resources().get("CPU", 8))
     if n_rows is None:
+        # count requires one execution; materialize so the pass is reused
+        narrow = narrow.materialize()
         n_rows = narrow.count()
-    # task parallelism of the grouped stage == block count after the
-    # shuffle == input block count: split single-file reads into enough
-    # blocks that every core gets work
-    n_blocks = max(2, min(512, n_rows // 8192 + 1))
-    if narrow.num_blocks() < n_blocks:
-        narrow = narrow.repartition(n_blocks)
+    _mark("count")
+    # block count ≈ 2/CPU: enough for balance, few enough that the
+    # exchange's blocks × partitions object count stays small
+    n_blocks = int(max(2, min(2 * n_cpus_early, max(1, n_rows // 50_000))))
     b = cfg.bucket_zoom if cfg.bucket_zoom is not None else auto_bucket_zoom(n_rows, cfg.maxzoom)
     b = max(cfg.minzoom, min(b, cfg.maxzoom))
-    narrow = add_bucket(narrow, b)
+    narrow = add_bucket(narrow, b).repartition(n_blocks).materialize()
+    _mark("materialize narrow")
     offsets = bucket_offsets(narrow)
+    _mark("offsets")
     raw_dir = os.path.join(out_dir, "raw") if out_dir else None
     done: set[int] = set()
     if resume and raw_dir and os.path.isdir(raw_dir):
@@ -724,33 +991,123 @@ def build_pyramid_from_narrow(
             return t.filter(pa.array(~np.isin(bs, list(d))))
 
         narrow = narrow.map_batches(not_done, batch_format="pyarrow")
-    worker = BucketWorker(cfg, b, ray.put(offsets))
-
-    def bucket_worker(group: pa.Table) -> pa.Table:
-        return worker(group)
-
-    new_rows = narrow.groupby("bucket").map_groups(bucket_worker, batch_format="pyarrow")
     if raw_dir:
-        if narrow.count() > 0:
-            new_rows.write_parquet(raw_dir, partition_cols=["bucket"])
+        os.makedirs(raw_dir, exist_ok=True)
 
-        def _cast_bucket(t: pa.Table) -> pa.Table:
-            # hive partition values come back as strings
-            i = t.column_names.index("bucket")
-            return t.set_column(i, "bucket", t["bucket"].cast(pa.int64()))
+    # ---- the ONE wide exchange: range-partition complete buckets to
+    # P reduce tasks. Ranges are cut on cumulative ROW counts (the
+    # offsets know every bucket's weight), so hot subtrees are balanced
+    # explicitly — the north_rule's skew handling. Contiguity lets each
+    # reduce task run the drop ladder once over one global-rank range.
+    # Expressed with raw Ray tasks: the Dataset API's shuffles (sort- or
+    # hash-based) cannot express "range partition by known boundaries
+    # with per-partition state", and measured 10-20× slower here.
+    import math
 
-        tiles = ray.data.read_parquet(raw_dir).map_batches(
-            _cast_bucket, batch_format="pyarrow"
+    n_cpus = int(ray.cluster_resources().get("CPU", 8))
+    p_parts = int(max(4, min(256, math.ceil(n_rows / 50_000), 4 * n_cpus)))
+    sorted_buckets = sorted(offsets)
+    total_rows = n_rows
+    boundaries: list[int] = []
+    next_cut = total_rows / p_parts
+    for bk in sorted_buckets:
+        if offsets[bk] >= next_cut and len(boundaries) < p_parts - 1:
+            boundaries.append(bk)
+            next_cut = (len(boundaries) + 1) * total_rows / p_parts
+    bound_arr = np.array(boundaries, dtype=np.int64)
+    worker = BucketWorker(cfg, b, ray.put(offsets), raw_dir=raw_dir,
+                          contiguous_ranks=True)
+
+    @ray.remote
+    def _partition(tbl: pa.Table, bounds: np.ndarray, np_: int):
+        bs = tbl["bucket"].to_numpy(zero_copy_only=False)
+        pid = np.searchsorted(bounds, bs, side="right")
+        order = np.argsort(pid, kind="stable")
+        ps = pid[order]
+        cuts = np.searchsorted(ps, np.arange(np_ + 1))
+        t2 = tbl.take(pa.array(order)).combine_chunks()
+        return tuple(t2.slice(cuts[j], cuts[j + 1] - cuts[j]) for j in range(np_))
+
+    @ray.remote
+    def _reduce(worker_ser, *pieces):
+        tbls = [p for p in pieces if p.num_rows]
+        if not tbls:
+            return _empty_tiles()
+        return worker_ser(pa.concat_tables(tbls))
+
+    def _run_exchange() -> list[pa.Table]:
+        mat_narrow = narrow if not done else narrow.materialize()
+        if mat_narrow.count() == 0:
+            return []
+        refs = mat_narrow.to_arrow_refs()
+        part = _partition.options(num_returns=p_parts) if p_parts > 1 else _partition
+        cols = [part.remote(r, bound_arr, p_parts) for r in refs]
+        if p_parts == 1:
+            cols = [(c,) for c in cols]
+        outs = [
+            _reduce.remote(worker, *[cols[i][j] for i in range(len(cols))])
+            for j in range(p_parts)
+        ]
+        return ray.get(outs)
+
+    if raw_dir:
+        # write-through sink: per-bucket parquet written inside tasks;
+        # the returned rows are the tiny channels (surv/side/summary)
+        channels = []
+        for t in _run_exchange():
+            channels.extend(t.to_pylist())
+        _mark("exchange")
+        # resume: previously-done buckets contributed no channel rows
+        # this run — recover their surv/side channels from disk
+        chan_path = os.path.join(out_dir, "channels.parquet")
+        prev: list[dict] = []
+        if resume and os.path.exists(chan_path):
+            import pyarrow.parquet as pq
+
+            prev_tbl = pq.read_table(chan_path)
+            new_buckets = {int(r["bucket"]) for r in channels}
+            prev = [
+                r for r in prev_tbl.to_pylist() if int(r["bucket"]) not in new_buckets
+            ]
+        all_rows = prev + channels
+        if all_rows:
+            import pyarrow.parquet as pq
+
+            chan_schema = pa.schema(
+                [
+                    ("z", pa.int32()), ("x", pa.int32()), ("y", pa.int32()),
+                    ("n_features", pa.int64()), ("tile", pa.large_binary()),
+                    ("bucket", pa.int64()), ("kind", pa.int8()),
+                    ("min_index", pa.uint64()), ("min_seq", pa.int64()),
+                    ("first_minzoom", pa.int16()),
+                    ("cx", pa.int64()), ("cy", pa.int64()),
+                ]
+            )
+            pq.write_table(pa.Table.from_pylist(all_rows, schema=chan_schema), chan_path)
+        surv_rows = [r for r in all_rows if int(r["kind"]) == 1]
+        side_rows = [r for r in all_rows if int(r["kind"]) == 2]
+
+        tile_tbl_ds = ray.data.read_parquet(raw_dir).map_batches(
+            _norm_tiles_fn(cfg.emit_ids), batch_format="pyarrow"
         )
     else:
-        tiles = new_rows
-    tiles = tiles.materialize()  # tile rows ≪ input; consumed multiple times
-    surv_rows = tiles.filter(expr="kind == 1").take_all()
-    side_rows = [r for r in tiles.filter(expr="kind == 2").take_all()]
-    tile_tbl_ds = tiles.filter(expr="kind == 0")
+        tbls = _run_exchange()
+        tbls = _align_tables([t for t in tbls if len(t)])
+        full = pa.concat_tables(tbls) if tbls else _empty_tiles()
+        kind = full["kind"].to_numpy(zero_copy_only=False) if len(full) else np.empty(0, np.int8)
+        surv_rows = full.filter(pa.array(kind == 1)).to_pylist()
+        side_rows = full.filter(pa.array(kind == 2)).to_pylist()
+        tile_tbl = _norm_tiles(full.filter(pa.array(kind == 0)), cfg.emit_ids)
+        tile_tbl_ds = ray.data.from_arrow(tile_tbl)
+    _mark("channel bookkeeping")
     low = lowzoom_tiles(surv_rows, cfg, b)
     if low is not None:
-        tile_tbl_ds = tile_tbl_ds.union(ray.data.from_arrow(_align_tables([low])[0]))
+        low = _norm_tiles(low, cfg.emit_ids)
+        if raw_dir:
+            import pyarrow.parquet as pq
+
+            pq.write_table(low, os.path.join(out_dir, "lowzoom.parquet"))
+        tile_tbl_ds = tile_tbl_ds.union(ray.data.from_arrow(low))
     if side_rows:
         # rare path: only the tiles named by a side row move to the
         # driver for splicing; the rest stream through untouched.
@@ -778,14 +1135,86 @@ def build_pyramid_from_narrow(
         def affected(t: pa.Table) -> pa.Table:
             return t.filter(pa.array(_affected_mask(t)))
 
-        hit = pa.Table.from_pandas(
-            tile_tbl_ds.map_batches(affected, batch_format="pyarrow").to_pandas()
-        )
-        merged = _cast_tile_schema(merge_side_copies(hit, side_rows, cfg))
+        if raw_dir:
+            # targeted read: affected tiles live in known bucket files
+            # (tile's zoom-B Morton ancestor) — no full tileset scan
+            from ..functions.spatial import _spread_bits32
+            import pyarrow.parquet as pq
+
+            aff_buckets = set()
+            for r in side_rows:
+                zz, xx, yy = int(r["z"]), int(r["x"]), int(r["y"])
+                sh = zz - b
+                bx_ = xx >> sh if sh >= 0 else 0
+                by_ = yy >> sh if sh >= 0 else 0
+                mk = int(
+                    (_spread_bits32(np.array([bx_], np.int64))[0] << np.uint64(1))
+                    | _spread_bits32(np.array([by_], np.int64))[0]
+                )
+                aff_buckets.add(mk)
+            hit_parts = []
+            for bk in sorted(aff_buckets):
+                f = os.path.join(raw_dir, f"bucket={bk}", "part-0.parquet")
+                if os.path.exists(f):
+                    t = _norm_tiles(
+                        pq.read_table(f).append_column(
+                            "bucket", pa.array(np.full(pq.read_metadata(f).num_rows, bk, np.int64))
+                        ),
+                        cfg.emit_ids,
+                    )
+                    hit_parts.append(t.filter(pa.array(_affected_mask(t))))
+            hit = pa.concat_tables(hit_parts) if hit_parts else _empty_tiles()
+            hit = pa.Table.from_pandas(hit.to_pandas())
+        else:
+            hit = pa.Table.from_pandas(
+                tile_tbl_ds.map_batches(affected, batch_format="pyarrow").to_pandas()
+            )
+        merged = _norm_tiles(merge_side_copies(hit, side_rows, cfg), cfg.emit_ids)
+        if raw_dir:
+            import pyarrow.parquet as pq
+
+            pq.write_table(merged, os.path.join(out_dir, "patch.parquet"))
+            pq.write_table(  # pre-patch counts, for summary adjustment
+                hit.select(["z", "x", "y", "n_features"]),
+                os.path.join(out_dir, "patch_old.parquet"),
+            )
         tile_tbl_ds = tile_tbl_ds.map_batches(unaffected, batch_format="pyarrow").union(
-            ray.data.from_arrow(_align_tables([merged])[0])
+            ray.data.from_arrow(merged)
         )
     return tile_tbl_ds
+
+
+def read_tileset(out_dir: str, emit_ids: bool = False) -> ray.data.Dataset:
+    """Reassemble a persisted tileset: raw per-bucket tiles, minus
+    boundary-patched keys, plus low-zoom and patch tables."""
+    import pyarrow.parquet as pq
+
+    ds = ray.data.read_parquet(os.path.join(out_dir, "raw")).map_batches(
+        _norm_tiles_fn(emit_ids), batch_format="pyarrow"
+    )
+    patch_path = os.path.join(out_dir, "patch.parquet")
+    if os.path.exists(patch_path):
+        patch = _norm_tiles(pq.read_table(patch_path), emit_ids)
+        z = patch["z"].to_numpy(zero_copy_only=False).astype(np.int64)
+        x = patch["x"].to_numpy(zero_copy_only=False).astype(np.int64)
+        y = patch["y"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keys = np.unique((z << 56) | (x << 28) | y)
+        keys_ref = ray.put(keys)
+
+        def drop_patched(t: pa.Table) -> pa.Table:
+            ks = ray.get(keys_ref)
+            tz = t["z"].to_numpy(zero_copy_only=False).astype(np.int64)
+            tx = t["x"].to_numpy(zero_copy_only=False).astype(np.int64)
+            ty = t["y"].to_numpy(zero_copy_only=False).astype(np.int64)
+            return t.filter(pa.array(~np.isin((tz << 56) | (tx << 28) | ty, ks)))
+
+        ds = ds.map_batches(drop_patched, batch_format="pyarrow").union(
+            ray.data.from_arrow(patch)
+        )
+    low_path = os.path.join(out_dir, "lowzoom.parquet")
+    if os.path.exists(low_path):
+        ds = ds.union(ray.data.from_arrow(_norm_tiles(pq.read_table(low_path), emit_ids)))
+    return ds
 
 
 def build_pyramid(
@@ -800,6 +1229,42 @@ def build_pyramid(
     cfg = cfg or PyramidConfig()
     narrow = geotag_narrow(ds, cfg)  # materialized inside from_narrow
     return build_pyramid_from_narrow(narrow, cfg, n_rows=n_rows, out_dir=out_dir, resume=resume)
+
+
+def pyramid_summary(out_dir: str) -> "pd.DataFrame":
+    """Per-zoom (n_tiles, n_features) of a persisted tileset, computed
+    from the tiny channel/patch tables — no scan of the raw tiles."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    chan = pq.read_table(os.path.join(out_dir, "channels.parquet")).to_pandas()
+    summ = chan[chan["kind"] == 3]
+    df = (
+        summ.groupby("z")
+        .agg(n_tiles=("x", "sum"), n_features=("n_features", "sum"))
+        .reset_index()
+    )
+    adjust = []
+    low_path = os.path.join(out_dir, "lowzoom.parquet")
+    if os.path.exists(low_path):
+        low = pq.read_table(low_path, columns=["z", "n_features"]).to_pandas()
+        adjust.append(low.groupby("z").agg(n_tiles=("z", "size"), n_features=("n_features", "sum")).reset_index())
+    patch_path = os.path.join(out_dir, "patch.parquet")
+    if os.path.exists(patch_path):
+        newp = pq.read_table(patch_path, columns=["z", "n_features"]).to_pandas()
+        oldp = pq.read_table(os.path.join(out_dir, "patch_old.parquet"), columns=["z", "n_features"]).to_pandas()
+        d_new = newp.groupby("z").agg(n_tiles=("z", "size"), n_features=("n_features", "sum")).reset_index()
+        d_old = oldp.groupby("z").agg(n_tiles=("z", "size"), n_features=("n_features", "sum")).reset_index()
+        d_old[["n_tiles", "n_features"]] *= -1
+        adjust += [d_new, d_old]
+    if adjust:
+        df = (
+            pd.concat([df] + adjust, ignore_index=True)
+            .groupby("z")
+            .agg(n_tiles=("n_tiles", "sum"), n_features=("n_features", "sum"))
+            .reset_index()
+        )
+    return df.sort_values("z").reset_index(drop=True)
 
 
 def pyramid_counts(tile_ds: ray.data.Dataset) -> pa.Table:

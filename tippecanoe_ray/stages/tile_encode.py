@@ -107,27 +107,38 @@ def encode_point_tiles(
     shift = WORLD_BITS - z - detail  # world units per extent unit, log2
     n_runs = len(run_starts)
     out: list[bytes] = []
-    if len(wx) == 0:
+    if len(wx) == 0 or n_runs == 0:
         return [b""] * n_runs
-    # tile-local coords for every feature (vectorized across all runs)
+    # gather features covered by the runs (runs need not tile the whole
+    # array — the hybrid boundary path encodes run subsets)
+    run_starts = np.asarray(run_starts, dtype=np.int64)
+    run_ends = np.asarray(run_ends, dtype=np.int64)
+    lengths = run_ends - run_starts
+    total = int(lengths.sum())
+    run_of = np.repeat(np.arange(n_runs), lengths)
+    off = np.repeat(np.cumsum(lengths) - lengths, lengths)
+    sel = np.repeat(run_starts, lengths) + (np.arange(total) - off)
+    wx = np.asarray(wx, dtype=np.int64)[sel]
+    wy = np.asarray(wy, dtype=np.int64)[sel]
     span_shift = WORLD_BITS - z
-    run_of = np.repeat(np.arange(n_runs), run_ends - run_starts)
     ox = tx[run_of].astype(np.int64) << span_shift
     oy = ty[run_of].astype(np.int64) << span_shift
     if shift >= 0:
-        lx = (np.asarray(wx, dtype=np.int64) - ox) >> shift
-        ly = (np.asarray(wy, dtype=np.int64) - oy) >> shift
+        lx = (wx - ox) >> shift
+        ly = (wy - oy) >> shift
     else:
-        lx = (np.asarray(wx, dtype=np.int64) - ox) << -shift
-        ly = (np.asarray(wy, dtype=np.int64) - oy) << -shift
+        lx = (wx - ox) << -shift
+        ly = (wy - oy) << -shift
     buf, per_feat = encode_point_features(lx, ly)
     fe = np.cumsum(per_feat)
     fs = fe - per_feat
+    gends = np.cumsum(lengths)
+    gstarts = gends - lengths
     header = _tag_varint(15, 2) + _len_delim(1, layer_name.encode("utf-8"))
     trailer = _tag_varint(5, extent)
     mv = buf.tobytes()
     for t in range(n_runs):
-        a, b = run_starts[t], run_ends[t]
+        a, b = gstarts[t], gends[t]
         if a == b:
             out.append(b"")
             continue
