@@ -1,0 +1,90 @@
+"""Per-tile strategy exact-match tests vs the reference binary."""
+
+import numpy as np
+import pytest
+
+from tests.conftest import has_reference
+from tippecanoe_ray.pipelines.pyramid import PyramidConfig, build_pyramid
+from tippecanoe_ray.sources.image_table import synthesize_image_table
+from tippecanoe_ray.stages.geotag import fnv_world
+from tippecanoe_ray.stages.strategies import (
+    StrategyConfig,
+    accumulate_fold,
+    choose_mingap,
+    compute_gaps,
+    drop_sequence,
+)
+
+
+@pytest.fixture(scope="module")
+def hotspot_input():
+    n = 1200
+    ids = [f"img-{i:012d}" for i in range(n)]
+    wx, wy = fnv_world(ids, hotspot_frac=0.6, n_hotspots=1)
+    return n, wx, wy
+
+
+@pytest.mark.skipif(not has_reference(), reason="reference binary not built")
+@pytest.mark.parametrize(
+    "flags,scfg",
+    [
+        (["-g2"], StrategyConfig(gamma=2.0)),
+        (["-K50"], StrategyConfig(cluster_distance=50)),
+    ],
+)
+def test_gamma_cluster_exact(ray_session, hotspot_input, flags, scfg):
+    from tests.util_reference import diff_counts, run_reference, tile_counts_from_ds
+
+    n, wx, wy = hotspot_input
+    ref = run_reference(wx, wy, maxzoom=6, droprate=2.5, extra_flags=flags)
+    ds = synthesize_image_table(n, with_payload=False)
+    cfg = PyramidConfig(maxzoom=6, droprate=2.5, hotspot_frac=0.6, n_hotspots=1,
+                        strategies=scfg, bucket_zoom=0)
+    tiles = build_pyramid(ds, cfg, n_rows=n)
+    d = diff_counts(tile_counts_from_ds(tiles), ref)
+    assert not d, d
+
+
+@pytest.mark.skipif(not has_reference(), reason="reference binary not built")
+def test_drop_densest_near_exact(ray_session, hotspot_input):
+    """Zoom-global threshold retry: ≥99.5% of tiles exact; the residual
+    few differ by a handful of features (per-tile ladder ordering)."""
+    from tests.util_reference import run_reference, tile_counts_from_ds
+
+    n, wx, wy = hotspot_input
+    ref = run_reference(wx, wy, maxzoom=6, droprate=1,
+                        extra_flags=["--drop-densest-as-needed", "-O200"])
+    ds = synthesize_image_table(n, with_payload=False)
+    scfg = StrategyConfig(drop_densest=True, max_tile_features=200)
+    cfg = PyramidConfig(maxzoom=6, droprate=1.0, hotspot_frac=0.6, n_hotspots=1,
+                        strategies=scfg, bucket_zoom=0)
+    tiles = build_pyramid(ds, cfg, n_rows=n)
+    ours = tile_counts_from_ds(tiles)
+    assert set(ours) == set(ref)
+    exact = sum(ours[k] == ref[k] for k in ref)
+    assert exact / len(ref) >= 0.995, f"{exact}/{len(ref)} tiles exact"
+    # no tile exceeds the limit on either side
+    assert max(ours.values()) <= 200
+
+
+def test_limit_tile_feature_count(ray_session):
+    n = 2000
+    ds = synthesize_image_table(n, with_payload=False)
+    scfg = StrategyConfig(limit_tile_feature_count=5)
+    cfg = PyramidConfig(maxzoom=4, droprate=1.0, strategies=scfg, bucket_zoom=0)
+    tiles = build_pyramid(ds, cfg, n_rows=n)
+    counts = [r["n_features"] for r in tiles.select_columns(["n_features"]).take_all()]
+    assert max(counts) <= 5
+
+
+def test_kernels():
+    g = compute_gaps(np.array([10, 10, 50], dtype=np.uint64))
+    assert g[1] == 0  # duplicate index
+    assert choose_mingap(np.array([1, 5, 9, 14]), 0.5, 0) in (5, 9)
+    s = drop_sequence(np.array([0, 5]), np.array([123, 123], dtype=np.uint64))
+    assert s[0] != s[1]  # minzoom in the top bits
+    assert accumulate_fold([1, 2, 3], "sum") == 6
+    assert accumulate_fold([2, 3], "product") == 6
+    assert accumulate_fold([1, 2], "mean") == 1.5
+    assert accumulate_fold(["a", "b"], "comma") == "a,b"
+    assert accumulate_fold([5, 1], "count") == 2

@@ -90,6 +90,7 @@ class PyramidConfig:
     id_col: str = "image_id"
     rule: str = "fnv"
     seq_col: str | None = "seq"
+    strategies: "object | None" = None  # stages.strategies.StrategyConfig
 
     def resolved_basezoom(self) -> int:
         return self.maxzoom if self.basezoom is None else self.basezoom
@@ -218,8 +219,16 @@ class ZoomEmitter:
     """Per-zoom tile emission over (index, seq)-sorted feature arrays
     with snapped coordinates + boundary-ghost duplication."""
 
-    def __init__(self, cfg: PyramidConfig):
+    def __init__(self, cfg: PyramidConfig, overrides: dict | None = None):
         self.cfg = cfg
+        self.overrides = overrides or {}  # z -> {threshold: value}
+        self.reports: dict = {}  # z -> {threshold: max value}
+
+    def _note(self, z: int, report: dict):
+        if report:
+            cur = self.reports.setdefault(z, {})
+            for k, v in report.items():
+                cur[k] = max(cur.get(k, 0), v)
 
     def emit(
         self,
@@ -233,6 +242,7 @@ class ZoomEmitter:
         minzoom: np.ndarray,
         bucket: int,
         route: tuple[int, int, int] | None = None,
+        gaps: np.ndarray | None = None,
     ) -> tuple[pa.Table | None, pa.Table | None]:
         """Returns (tile_rows, side_rows). route=(B, bx, by) activates
         cross-bucket routing of copies whose tile is outside this
@@ -247,11 +257,11 @@ class ZoomEmitter:
             else bool((swx == 1 << 32).any())
         )
         if not has_boundary and z > 0:
-            return self._emit_fast(z, index, seq, swx, swy, minzoom, bucket), None
-        return self._emit_slow(z, index, seq, swx, swy, bzx, bzy, minzoom, bucket, route)
+            return self._emit_fast(z, index, seq, swx, swy, minzoom, bucket, gaps), None
+        return self._emit_slow(z, index, seq, swx, swy, bzx, bzy, minzoom, bucket, route, gaps)
 
     # ---------------------------------------------------------- fast path
-    def _emit_fast(self, z, index, seq, swx, swy, minzoom, bucket):
+    def _emit_fast(self, z, index, seq, swx, swy, minzoom, bucket, gaps=None):
         cfg = self.cfg
         tkey = index >> np.uint64(64 - 2 * z)
         change = np.flatnonzero(tkey[1:] != tkey[:-1]) + 1
@@ -259,30 +269,55 @@ class ZoomEmitter:
         ends = np.concatenate((change, [len(index)]))
         kept = minzoom <= z
         kept[starts] = True
+        scfg = getattr(cfg, "strategies", None)
+        out_x, out_y = swx, swy
+        if scfg is not None and scfg.any_active() and gaps is not None:
+            from ..stages.strategies import apply_strategies
+
+            out_x = swx.astype(np.float64)
+            out_y = swy.astype(np.float64)
+            for s, e in zip(starts, ends):
+                sel = np.flatnonzero(kept[s:e]) + s
+                if len(sel) == 0:
+                    continue
+                k2, cx2, cy2, _cnt, rep = apply_strategies(
+                    index[sel], swx[sel], swy[sel], minzoom[sel], gaps[sel], z, scfg,
+                    overrides=self.overrides.get(z),
+                )
+                self._note(z, rep)
+                kept[sel[~k2]] = False
+                out_x[sel] = cx2
+                out_y[sel] = cy2
+            out_x = out_x.astype(np.int64)
+            out_y = out_y.astype(np.int64)
         counts = np.add.reduceat(kept, starts)
         rk = tkey[starts]
         tx = _compact_bits64(rk >> np.uint64(1)).astype(np.int64)
         ty = _compact_bits64(rk).astype(np.int64)
         return self._encode_rows(
-            z, swx, swy, seq, kept, counts, tx, ty, bucket,
+            z, out_x, out_y, seq, kept, counts, tx, ty, bucket,
             index[starts], seq[starts], minzoom[starts],
         )
 
     # ---------------------------------------------------------- slow path
-    def _emit_slow(self, z, index, seq, swx, swy, bzx, bzy, minzoom, bucket, route):
+    def _emit_slow(self, z, index, seq, swx, swy, bzx, bzy, minzoom, bucket, route, gaps=None):
         """Hybrid: the (large) non-boundary core keeps the contiguous-run
         fast path; the handful of boundary features contribute self +
         ghost copies merged per affected tile — O(core) + O(copies²/tile)
-        instead of an all-rows lexsort per zoom."""
+        instead of an all-rows lexsort per zoom. With per-tile strategies
+        active, every tile takes the merged path (scan semantics)."""
         from ..functions.spatial import _spread_bits32
 
         cfg = self.cfg
+        scfg = getattr(cfg, "strategies", None)
+        strat = scfg is not None and scfg.any_active()
         shift = WORLD_BITS - z
         nmax = 1 << z
         bmask = (bzx <= z) | (bzy <= z)
         core_m = ~bmask
         ci, cs = index[core_m], seq[core_m]
         cwx, cwy, cmz = swx[core_m], swy[core_m], minzoom[core_m]
+        cgap = gaps[core_m] if gaps is not None else None
         n_core = len(ci)
         if n_core:
             tkey = ci >> np.uint64(64 - 2 * z) if z > 0 else np.zeros(n_core, np.uint64)
@@ -352,11 +387,16 @@ class ZoomEmitter:
         gkey, gtx, gty = gkey[gorder], gtx[gorder], gty[gorder]
         gidx, gseq, gmz = gidx[gorder], gseq[gorder], gmz[gorder]
         gwx, gwy = gwx[gorder], gwy[gorder]
+        ggap = gaps[sel][gorder] if gaps is not None else None
         gpos = np.searchsorted(run_keys, gkey)
         gmatched = (gpos < len(run_keys)) & (
             run_keys[np.minimum(gpos, max(len(run_keys) - 1, 0))] == gkey
         ) if len(run_keys) else np.zeros(len(gkey), bool)
         affected_runs = np.unique(gpos[gmatched]) if gmatched.any() else np.empty(0, np.int64)
+        if strat and n_core:
+            # strategies are ordered scans: every tile takes the merged
+            # per-tile path so the scan semantics apply uniformly
+            affected_runs = np.arange(len(starts), dtype=np.int64)
         aff_set = set(int(r) for r in affected_runs)
 
         # adjust kept[first] of affected runs where a copy precedes the
@@ -364,6 +404,8 @@ class ZoomEmitter:
         for rid in affected_runs:
             s = starts[rid]
             cps = np.flatnonzero(gmatched & (gpos == rid))
+            if len(cps) == 0:
+                continue
             g0 = cps[0]
             if (int(gidx[g0]), int(gseq[g0])) < (int(ci[s]), int(cs[s])):
                 kept[s] = cmz[s] <= z
@@ -412,6 +454,7 @@ class ZoomEmitter:
 
         # 2) affected + ghost-only tiles: per-tile merge (few)
         def _one_merged(rid: int | None, cps: np.ndarray):
+            mgap = None
             if rid is not None:
                 s, e = starts[rid], ends[rid]
                 sl = slice(s, e)
@@ -420,17 +463,41 @@ class ZoomEmitter:
                 midx = np.concatenate((ci[sl], gidx[cps]))
                 mseq = np.concatenate((cs[sl], gseq[cps]))
                 mmz = np.concatenate((cmz[sl], gmz[cps]))
+                if cgap is not None:
+                    mgap = np.concatenate((cgap[sl], ggap[cps]))
                 ttx, tty = int(run_tx[rid]), int(run_ty[rid])
             else:
                 mwx, mwy = gwx[cps], gwy[cps]
                 midx, mseq, mmz = gidx[cps], gseq[cps], gmz[cps]
+                if ggap is not None:
+                    mgap = ggap[cps]
                 ttx = int(gtx[cps[0]])
                 tty = int(gty[cps[0]])
             o = np.lexsort((mseq, midx))
             mwx, mwy = mwx[o], mwy[o]
             midx, mseq, mmz = midx[o], mseq[o], mmz[o]
+            if mgap is not None:
+                mgap = mgap[o]
             k = mmz <= z
             k[0] = True
+            if strat:
+                from ..stages.strategies import apply_strategies
+
+                ksel = np.flatnonzero(k)
+                if len(ksel):
+                    gk = mgap[ksel] if mgap is not None else np.zeros(len(ksel), np.uint64)
+                    k2, cx2, cy2, _cnt, rep = apply_strategies(
+                        midx[ksel], mwx[ksel], mwy[ksel], mmz[ksel], gk, z, scfg,
+                        overrides=self.overrides.get(z),
+                    )
+                    self._note(z, rep)
+                    k[ksel[~k2]] = False
+                    mwx = mwx.astype(np.float64)
+                    mwy = mwy.astype(np.float64)
+                    mwx[ksel] = cx2
+                    mwy[ksel] = cy2
+                    mwx = mwx.astype(np.int64)
+                    mwy = mwy.astype(np.int64)
             n_kept = int(k.sum())
             if cfg.encode_tiles:
                 tb = encode_point_tiles(
@@ -505,7 +572,8 @@ class BucketWorker:
     minzoom → per-zoom tile emission + side channels."""
 
     def __init__(self, cfg: PyramidConfig, bucket_zoom: int, offsets_ref,
-                 raw_dir: str | None = None, contiguous_ranks: bool = False):
+                 raw_dir: str | None = None, contiguous_ranks: bool = False,
+                 strategy_overrides: dict | None = None):
         self.cfg = cfg
         self.bucket_zoom = bucket_zoom
         self.offsets_ref = offsets_ref
@@ -516,6 +584,7 @@ class BucketWorker:
         # one drop-ladder evaluation per task (the rank apron, ~4·r^bz
         # ranks, amortizes over the whole task instead of per bucket)
         self.contiguous_ranks = contiguous_ranks
+        self.strategy_overrides = strategy_overrides or {}
         self._offsets = None
 
     def offsets(self) -> dict[int, int]:
@@ -545,6 +614,12 @@ class BucketWorker:
         starts = np.concatenate(([0], cuts))
         ends = np.concatenate((cuts, [len(buckets)]))
         task_mz = None
+        task_gaps = None
+        scfg = getattr(self.cfg, "strategies", None)
+        if scfg is not None and scfg.any_active():
+            from ..stages.strategies import compute_gaps
+
+            task_gaps = compute_gaps(index_a)
         if self.contiguous_ranks:
             cfgl = self.cfg
             r0 = self.offsets()[int(buckets[0])]
@@ -558,12 +633,17 @@ class BucketWorker:
                 self._one_bucket(
                     int(buckets[s]), index_a[s:e], seq_a[s:e], wx_a[s:e], wy_a[s:e],
                     minzoom=None if task_mz is None else task_mz[s:e],
+                    gaps=None if task_gaps is None else task_gaps[s:e],
                 )
             )
         return pa.concat_tables(_align_tables(outs))
 
-    def _one_bucket(self, bucket, index, seq, wx, wy, minzoom=None) -> pa.Table:
+    def _one_bucket(self, bucket, index, seq, wx, wy, minzoom=None, gaps=None) -> pa.Table:
         cfg = self.cfg
+        if gaps is None and getattr(cfg, "strategies", None) is not None and cfg.strategies.any_active():
+            from ..stages.strategies import compute_gaps
+
+            gaps = compute_gaps(index)
         if minzoom is None:
             r0 = self.offsets()[bucket]
             minzoom = minzoom_for_rank_range(
@@ -577,12 +657,12 @@ class BucketWorker:
         b_zoom = self.bucket_zoom
         bx = int(_compact_bits64(np.array([bucket], np.uint64) >> np.uint64(1))[0])
         by = int(_compact_bits64(np.array([bucket], np.uint64))[0])
-        em = ZoomEmitter(cfg)
+        em = ZoomEmitter(cfg, self.strategy_overrides)
         outs = []
         for z in range(max(b_zoom, cfg.minzoom), cfg.maxzoom + 1):
             tile_tbl, side_tbl = em.emit(
                 z, index, seq, swx, swy, bzx, bzy, minzoom, bucket,
-                route=(b_zoom, bx, by),
+                route=(b_zoom, bx, by), gaps=gaps,
             )
             if tile_tbl is not None:
                 outs.append(tile_tbl)
@@ -632,6 +712,33 @@ class BucketWorker:
                     pa.ListArray.from_arrays(pa.array([0, 0], pa.int32()), pa.array([], pa.int64())),
                 )
             outs.append(row)
+        if em.reports:
+            codes = {"mingap": 0, "minextent": 1, "mindrop_sequence": 2}
+            rz, rcode, rval = [], [], []
+            for z_, rep in em.reports.items():
+                for kname, v in rep.items():
+                    rz.append(z_)
+                    rcode.append(codes[kname])
+                    if kname == "minextent":
+                        rval.append(np.float64(v).view(np.uint64))
+                    else:
+                        rval.append(np.uint64(v))
+            outs.append(
+                pa.table(
+                    {
+                        "z": pa.array(np.array(rz, np.int32)),
+                        "x": pa.array(np.zeros(len(rz), np.int32)),
+                        "y": pa.array(np.zeros(len(rz), np.int32)),
+                        "n_features": pa.array(np.zeros(len(rz), np.int64)),
+                        "tile": pa.array([b""] * len(rz), pa.large_binary()),
+                        "bucket": pa.array(np.full(len(rz), bucket, np.int64)),
+                        "kind": pa.array(np.full(len(rz), 4, np.int8)),
+                        "min_index": pa.array(np.array(rval, np.uint64)),
+                        "min_seq": pa.array(np.array(rcode, np.int64)),
+                        "first_minzoom": pa.array(np.zeros(len(rz), np.int16)),
+                    }
+                )
+            )
         if self.raw_dir is not None:
             # split: persist tile rows here; return summary + channels
             tile_tbls = [t for t in outs if t.num_rows and int(t["kind"][0].as_py()) == 0]
@@ -1015,8 +1122,7 @@ def build_pyramid_from_narrow(
             boundaries.append(bk)
             next_cut = (len(boundaries) + 1) * total_rows / p_parts
     bound_arr = np.array(boundaries, dtype=np.int64)
-    worker = BucketWorker(cfg, b, ray.put(offsets), raw_dir=raw_dir,
-                          contiguous_ranks=True)
+    offsets_ref = ray.put(offsets)
 
     @ray.remote
     def _partition(tbl: pa.Table, bounds: np.ndarray, np_: int):
@@ -1035,7 +1141,7 @@ def build_pyramid_from_narrow(
             return _empty_tiles()
         return worker_ser(pa.concat_tables(tbls))
 
-    def _run_exchange() -> list[pa.Table]:
+    def _run_exchange_once(worker) -> list[pa.Table]:
         mat_narrow = narrow if not done else narrow.materialize()
         if mat_narrow.count() == 0:
             return []
@@ -1049,6 +1155,50 @@ def build_pyramid_from_narrow(
             for j in range(p_parts)
         ]
         return ray.get(outs)
+
+    def _threshold_reports(tbls: list[pa.Table]) -> dict:
+        codes = {0: "mingap", 1: "minextent", 2: "mindrop_sequence"}
+        out: dict = {}
+        for t in tbls:
+            if len(t) == 0:
+                continue
+            kindc = t["kind"].to_numpy(zero_copy_only=False)
+            m = kindc == 4
+            if not m.any():
+                continue
+            zs = t["z"].to_numpy(zero_copy_only=False)[m]
+            code = t["min_seq"].to_numpy(zero_copy_only=False)[m]
+            raw = t["min_index"].to_numpy(zero_copy_only=False).astype(np.uint64)[m]
+            for z_, c_, v_ in zip(zs, code, raw):
+                name = codes[int(c_)]
+                val = float(np.uint64(v_).view(np.float64)) if name == "minextent" else int(v_)
+                cur = out.setdefault(int(z_), {})
+                cur[name] = max(cur.get(name, 0), val)
+        return out
+
+    def _run_exchange() -> list[pa.Table]:
+        """The zoom-global threshold consensus: run the exchange; if any
+        tile raised an as-needed threshold (kind=4 report rows), re-run
+        with the per-zoom maxima broadcast — the reference's whole-zoom
+        retry with monotone thresholds (tile.cpp:3392-3572)."""
+        overrides: dict = {}
+        for _ in range(5):
+            worker = BucketWorker(
+                cfg, b, offsets_ref, raw_dir=raw_dir, contiguous_ranks=True,
+                strategy_overrides=overrides,
+            )
+            tbls = _run_exchange_once(worker)
+            reports = _threshold_reports(tbls)
+            changed = False
+            for z_, rep in reports.items():
+                cur = overrides.setdefault(z_, {})
+                for k_, v_ in rep.items():
+                    if v_ > cur.get(k_, 0):
+                        cur[k_] = v_
+                        changed = True
+            if not changed:
+                return tbls
+        return tbls
 
     if raw_dir:
         # write-through sink: per-bucket parquet written inside tasks;

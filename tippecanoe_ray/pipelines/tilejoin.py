@@ -1,0 +1,298 @@
+"""tile-join / tileset-merge / overzoom / decode / enumerate — the
+reference's tileset post-processing tools (tile-join.cpp, overzoom.cpp,
+decode.cpp, enumerate.cpp) re-expressed over the tile dataset
+(z, x, y, n_features, tile) produced by the pyramid.
+
+All operators are per-tile pure functions → plain ``map_batches``
+stages; the CSV join is a broadcast hash join (tile-join.cpp:101-300:
+CSV loaded into a map, matched per feature; `-i` = semi-join keeps only
+matched features).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data
+
+from ..stages.mvt import (
+    DEFAULT_EXTENT,
+    decode_tile,
+    encode_layer,
+    encode_point_geometries,
+    encode_tile,
+)
+
+WORLD_BITS = 32
+
+
+def _feature_points(layers) -> list[tuple]:
+    """Flatten decoded layers → [(layer, fid, px, py, tags)] (points)."""
+    out = []
+    for lay in layers:
+        for f in lay["features"]:
+            if f["type"] != 1 or not f["geometry"]:
+                continue
+            for cmd, pts in f["geometry"]:
+                for px, py in pts:
+                    out.append((lay["name"], f["id"], px, py, f["tags"]))
+    return out
+
+
+# ------------------------------------------------------------- CSV join
+
+
+def join_csv(
+    tile_ds: ray.data.Dataset,
+    csv_table: pa.Table,
+    key: str,
+    semi: bool = False,
+    compress: bool = True,
+) -> ray.data.Dataset:
+    """Join CSV attributes onto tile features by matching the CSV's
+    first column against the feature attribute (or feature id when
+    key == 'id'). semi=True reproduces `tile-join -i`: only features
+    with a CSV match are kept (tile-join.cpp:223-273)."""
+    cols = csv_table.column_names
+    key_col = cols[0]
+    mapping: dict = {}
+    rows = csv_table.to_pylist()
+    for r in rows:
+        mapping[r[key_col]] = {c: r[c] for c in cols[1:]}
+    map_ref = ray.put(mapping)
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        m = ray.get(map_ref)
+        out_tiles = []
+        out_counts = []
+        for data, nf in zip(df["tile"], df["n_features"]):
+            if len(data) == 0:
+                out_tiles.append(b"")
+                out_counts.append(0)
+                continue
+            layers = decode_tile(bytes(data))
+            new_layers = []
+            total = 0
+            for lay in layers:
+                feats = []
+                for f in lay["features"]:
+                    k = f["id"] if key == "id" else f["tags"].get(key)
+                    extra = m.get(k)
+                    if extra is None and semi:
+                        continue
+                    tags = dict(f["tags"])
+                    if extra:
+                        tags.update(extra)
+                    feats.append(
+                        {
+                            "geom": _reencode_geom(f),
+                            "type": f["type"],
+                            "id": f["id"],
+                            "attrs": tags,
+                        }
+                    )
+                total += len(feats)
+                new_layers.append(encode_layer(lay["name"], feats, lay["extent"]))
+            out_tiles.append(encode_tile(new_layers, compress=compress))
+            out_counts.append(total)
+        df = df.copy()
+        df["tile"] = out_tiles
+        df["n_features"] = out_counts
+        return df[df["n_features"] > 0]
+
+    return tile_ds.map_batches(fn, batch_format="pandas")
+
+
+def _reencode_geom(f: dict) -> bytes:
+    """Re-encode a decoded feature's geometry commands."""
+    from ..stages.mvt import CLOSEPATH, LINETO, MOVETO, varint_array, zigzag
+
+    vals: list[int] = []
+    px = py = 0
+    for cmd, pts in f["geometry"]:
+        if cmd == CLOSEPATH:
+            vals.append((1 << 3) | CLOSEPATH)
+            continue
+        vals.append((len(pts) << 3) | cmd)
+        for x, y in pts:
+            d = zigzag(np.array([x - px, y - py]))
+            vals += [int(d[0]), int(d[1])]
+            px, py = x, y
+    return varint_array(np.array(vals, dtype=np.uint64))
+
+
+# --------------------------------------------------------- tileset merge
+
+
+def merge_tilesets(*tile_dss: ray.data.Dataset, compress: bool = True) -> ray.data.Dataset:
+    """N tilesets → one: tiles with the same (z,x,y) merged layer-wise;
+    same-name layers concatenate their features (tile-join.cpp:118-165).
+    union → groupby(z,x,y) → per-group merge."""
+    ds = tile_dss[0]
+    for other in tile_dss[1:]:
+        ds = ds.union(other)
+
+    def merge_group(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 1:
+            return df[["z", "x", "y", "n_features", "tile"]]
+        by_name: dict[str, dict] = {}
+        order: list[str] = []
+        total = 0
+        for data in df["tile"]:
+            if len(data) == 0:
+                continue
+            for lay in decode_tile(bytes(data)):
+                if lay["name"] not in by_name:
+                    by_name[lay["name"]] = {"extent": lay["extent"], "features": []}
+                    order.append(lay["name"])
+                by_name[lay["name"]]["features"].extend(lay["features"])
+        layers = []
+        for name in order:
+            lay = by_name[name]
+            feats = [
+                {"geom": _reencode_geom(f), "type": f["type"], "id": f["id"],
+                 "attrs": f["tags"]}
+                for f in lay["features"]
+            ]
+            total += len(feats)
+            layers.append(encode_layer(name, feats, lay["extent"]))
+        return pd.DataFrame(
+            {
+                "z": [df["z"].iloc[0]],
+                "x": [df["x"].iloc[0]],
+                "y": [df["y"].iloc[0]],
+                "n_features": [total],
+                "tile": [encode_tile(layers, compress=compress)],
+            }
+        )
+
+    return (
+        ds.select_columns(["z", "x", "y", "n_features", "tile"])
+        .groupby(["z", "x", "y"])
+        .map_groups(merge_group, batch_format="pandas")
+    )
+
+
+# -------------------------------------------------------------- overzoom
+
+
+def overzoom_tiles(
+    tile_ds: ray.data.Dataset,
+    compress: bool = True,
+    dedup_by_id: bool = False,
+) -> ray.data.Dataset:
+    """Each zoom-z tile → up to 4 zoom-(z+1) children: clip features to
+    the child's bounds (inclusive max edge, clip.cpp:84-104 via
+    overzoom() clip.cpp:1453+), rescale ×2 into the child extent.
+    dedup_by_id keeps the first feature per (layer, id)
+    (clip.cpp:1470-1509)."""
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        rows = {"z": [], "x": [], "y": [], "n_features": [], "tile": []}
+        for z, x, y, data in zip(df["z"], df["x"], df["y"], df["tile"]):
+            if len(data) == 0:
+                continue
+            layers = decode_tile(bytes(data))
+            extent = layers[0]["extent"] if layers else DEFAULT_EXTENT
+            for dx in (0, 1):
+                for dy in (0, 1):
+                    cx0 = dx * extent // 2
+                    cy0 = dy * extent // 2
+                    cx1 = cx0 + extent // 2
+                    cy1 = cy0 + extent // 2
+                    out_layers = []
+                    total = 0
+                    seen: set = set()
+                    for lay in layers:
+                        feats = []
+                        for f in lay["features"]:
+                            pts = [
+                                p
+                                for cmd, ps in f["geometry"]
+                                for p in ps
+                                if cmd == 1
+                            ]
+                            kept = [
+                                (px, py)
+                                for px, py in pts
+                                if cx0 <= px <= cx1 and cy0 <= py <= cy1
+                            ]
+                            if not kept:
+                                continue
+                            if dedup_by_id and f["id"] is not None:
+                                k = (lay["name"], f["id"])
+                                if k in seen:
+                                    continue
+                                seen.add(k)
+                            # rescale into child extent
+                            lx = np.array([p[0] * 2 - dx * extent for p in kept])
+                            ly = np.array([p[1] * 2 - dy * extent for p in kept])
+                            geoms = encode_point_geometries(lx, ly)
+                            for g in geoms:
+                                feats.append(
+                                    {"geom": g, "type": 1, "id": f["id"], "attrs": f["tags"]}
+                                )
+                        if feats:
+                            total += len(feats)
+                            out_layers.append(encode_layer(lay["name"], feats, lay["extent"]))
+                    if total:
+                        rows["z"].append(z + 1)
+                        rows["x"].append(2 * x + dx)
+                        rows["y"].append(2 * y + dy)
+                        rows["n_features"].append(total)
+                        rows["tile"].append(encode_tile(out_layers, compress=compress))
+        return pd.DataFrame(rows)
+
+    return tile_ds.select_columns(["z", "x", "y", "tile"]).map_batches(
+        fn, batch_format="pandas"
+    )
+
+
+# ------------------------------------------------------ decode/enumerate
+
+
+def enumerate_tiles(tile_ds: ray.data.Dataset) -> pd.DataFrame:
+    """`tippecanoe-enumerate` (enumerate.cpp): the (z, x, y) listing."""
+    return (
+        tile_ds.select_columns(["z", "x", "y", "n_features"])
+        .to_pandas()
+        .sort_values(["z", "x", "y"])
+        .reset_index(drop=True)
+    )
+
+
+def decode_tileset(tile_ds: ray.data.Dataset) -> ray.data.Dataset:
+    """`tippecanoe-decode` (decode.cpp): tiles → one row per feature
+    with tile-local and world coordinates."""
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        rows = {"z": [], "x": [], "y": [], "layer": [], "fid": [], "px": [], "py": [],
+                "lon": [], "lat": []}
+        from ..functions.spatial import world_to_lonlat
+
+        for z, x, y, data in zip(df["z"], df["x"], df["y"], df["tile"]):
+            if len(data) == 0:
+                continue
+            for lay in decode_tile(bytes(data)):
+                ext = lay["extent"]
+                for name, fid, px, py, tags in _feature_points([lay]):
+                    rows["z"].append(z)
+                    rows["x"].append(x)
+                    rows["y"].append(y)
+                    rows["layer"].append(name)
+                    rows["fid"].append(fid if fid is not None else -1)
+                    rows["px"].append(px)
+                    rows["py"].append(py)
+                    span = 1 << (WORLD_BITS - z)
+                    wx = x * span + px * span // ext
+                    wy = y * span + py * span // ext
+                    lon, lat = world_to_lonlat(np.array([wx]), np.array([wy]))
+                    rows["lon"].append(round(float(lon[0]), 7))
+                    rows["lat"].append(round(float(lat[0]), 7))
+        return pd.DataFrame(rows)
+
+    return tile_ds.select_columns(["z", "x", "y", "tile"]).map_batches(
+        fn, batch_format="pandas"
+    )

@@ -1,0 +1,340 @@
+"""Per-tile feature-reduction strategies — the ordered scans of the
+reference's write_tile (tile.cpp:1665-3079), applied to a tile's kept
+features in (index, seq) order.
+
+Implemented (semantics cited to the reference):
+
+- gap computation: per-feature squared distance to the previous feature
+  in global index order (next_feature, tile.cpp:1180-1199; the previous
+  position is the DECODED INDEX of the previous feature).
+- gamma dot-thinning: manage_gap (tile.cpp:720-753), scale =
+  2^(64-2(z+8)) (tile.cpp:1729).
+- cluster (-K): merge a point into the previous kept feature when the
+  1-D index distance < cluster_mingap = ((2^(32-z))/256 · distance)²
+  (tile.cpp:1696, 1993-2019); position averaging over the cluster,
+  point_count accounting (tile.cpp:2420-2451).
+- drop-densest-as-needed: drop features with gap < mingap; on
+  overflow, re-run with mingap from choose_mingap — the (1-f) quantile
+  of the stable-sorted gap samples, monotonically increasing
+  (tile.cpp:753-763, 2755-2770: fraction ×= limit/count × 0.80,
+  capped at 0.80).
+- drop-smallest-as-needed: extent ≤ minextent; point pseudo-extent
+  π(√Δindex/4)² per the per-tile scan (tile.cpp:1896-1908).
+- drop-fraction-as-needed: deterministic drop_sequence =
+  ~(minzoom:5bits ‖ bit_reverse(index) masked) (tile.cpp:859-864);
+  drop when sequence ≤ mindrop_sequence.
+- limit-tile-feature-count: hard truncation (tile.cpp:2595-2611).
+- accumulate-attribute folds: sum, product, mean, max, min, concat,
+  comma, count onto the surviving feature (attribute.cpp:92-180; mean
+  and count carry (value, count) partial state — serial.hpp:74-86).
+
+The retry ladder here is per-tile (the reference's `-pd` dynamic-drop
+variant); the reference default makes thresholds zoom-global by
+re-running the whole zoom (tile.cpp:3392-3572) — at engine level that
+corresponds to re-running the zoom's grouped pass with the broadcast
+max threshold, which build_pyramid exposes through the channel rows.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+
+import numpy as np
+
+from ..functions.spatial import decode_quadkey
+
+MAX_TILE_FEATURES = 200_000  # main.cpp:86
+U64 = np.uint64
+
+
+@dataclasses.dataclass
+class StrategyConfig:
+    gamma: float = 0.0
+    cluster_distance: int = 0  # -K, in 256ths of a tile
+    cluster_maxzoom: int = 24
+    drop_densest: bool = False
+    drop_smallest: bool = False
+    drop_fraction: bool = False
+    max_tile_features: int = MAX_TILE_FEATURES
+    limit_tile_feature_count: int = 0
+    accumulate: dict[str, str] | None = None  # attr -> op
+
+    def any_active(self) -> bool:
+        return bool(
+            self.gamma > 0
+            or self.cluster_distance
+            or self.drop_densest
+            or self.drop_smallest
+            or self.drop_fraction
+            or self.limit_tile_feature_count
+        )
+
+
+def compute_gaps(index: np.ndarray) -> np.ndarray:
+    """Squared planar distance from each feature to the PREVIOUS
+    feature's decoded-index position, in global (index, seq) order;
+    0 for duplicates of the previous index (tile.cpp:1180-1199)."""
+    idx = np.asarray(index, dtype=np.uint64)
+    px, py = decode_quadkey(idx)
+    prevx = np.empty_like(px)
+    prevy = np.empty_like(py)
+    prevx[0] = 0
+    prevy[0] = 0
+    prevx[1:] = px[:-1]
+    prevy[1:] = py[:-1]
+    with np.errstate(over="ignore"):
+        dx = (prevx.astype(np.int64) - px.astype(np.int64)).astype(np.uint64)
+        dy = (prevy.astype(np.int64) - py.astype(np.int64)).astype(np.uint64)
+        gap = dx * dx + dy * dy  # unsigned long long wrap, tile.cpp:1193
+    same = np.zeros(len(idx), dtype=bool)
+    same[1:] = idx[1:] == idx[:-1]
+    gap[same] = 0
+    return gap
+
+
+def bit_reverse(v: np.ndarray) -> np.ndarray:
+    x = np.asarray(v, dtype=np.uint64)
+    m1 = U64(0x5555555555555555)
+    m2 = U64(0x3333333333333333)
+    m4 = U64(0x0F0F0F0F0F0F0F0F)
+    x = ((x >> U64(1)) & m1) | ((x & m1) << U64(1))
+    x = ((x >> U64(2)) & m2) | ((x & m2) << U64(2))
+    x = ((x >> U64(4)) & m4) | ((x & m4) << U64(4))
+    x = x.byteswap()
+    return x
+
+
+def drop_sequence(minzoom: np.ndarray, index: np.ndarray) -> np.ndarray:
+    """calculate_drop_sequence (tile.cpp:859-864)."""
+    zoom = np.clip(np.asarray(minzoom, dtype=np.uint64), 0, 31)
+    out = zoom << U64(64 - 5)
+    out |= bit_reverse(index) & ~(U64(31) << U64(64 - 5))
+    return ~out
+
+
+def choose_mingap(gaps: np.ndarray, f: float, existing) -> int:
+    """(1-f) quantile of the sorted gaps, strictly past the existing
+    threshold (tile.cpp:753-763)."""
+    g = np.sort(np.asarray(gaps))
+    ix = int((len(g) - 1) * (1 - f))
+    while ix + 1 < len(g) and g[ix] <= existing:
+        ix += 1
+    return int(g[ix])
+
+
+def gamma_keep_mask(index: np.ndarray, z: int, gamma: float) -> np.ndarray:
+    """manage_gap scan (tile.cpp:720-753): True = keep."""
+    scale = float(1 << (64 - 2 * (z + 8)))
+    keep = np.ones(len(index), dtype=bool)
+    previndex = 0
+    gap = 0.0
+    for i in range(len(index)):
+        ix = int(index[i])
+        drop = False
+        if gap > 0:
+            if ix == previndex:
+                drop = True
+            elif ix < previndex or math.exp(math.log((ix - previndex) / scale) * gamma) >= gap:
+                gap = 0.0
+            else:
+                drop = True
+        elif ix >= previndex:
+            g = (ix - previndex) / scale
+            if g == 0:
+                drop = True
+            elif g < 1:
+                gap = g
+                drop = True
+            else:
+                gap = 0.0
+        if drop:
+            keep[i] = False
+        else:
+            previndex = ix
+    return keep
+
+
+def cluster_scan(
+    index: np.ndarray, wx: np.ndarray, wy: np.ndarray, z: int, cluster_distance: int
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """-K clustering (tile.cpp:1993-2019): merge into the previous kept
+    feature when index distance < cluster_mingap; average positions.
+    Returns (keep mask, cx, cy, point_count per kept feature)."""
+    span = 1 << (32 - z)
+    mingap = (span // 256 * cluster_distance) ** 2
+    n = len(index)
+    keep = np.ones(n, dtype=bool)
+    cx = wx.astype(np.float64).copy()
+    cy = wy.astype(np.float64).copy()
+    count = np.ones(n, dtype=np.int64)
+    last_kept = -1
+    merge_previndex = 0
+    for i in range(n):
+        ix = int(index[i])
+        if last_kept >= 0 and (ix < merge_previndex or ix - merge_previndex < mingap):
+            j = last_kept
+            # running average (tile.cpp:2001-2012 semantics)
+            c = count[j]
+            cx[j] = (cx[j] * c + wx[i]) / (c + 1)
+            cy[j] = (cy[j] * c + wy[i]) / (c + 1)
+            count[j] = c + 1
+            keep[i] = False
+        else:
+            last_kept = i
+        merge_previndex = ix
+    return keep, cx, cy, count
+
+
+def point_extents(index: np.ndarray) -> np.ndarray:
+    """Per-tile point pseudo-extent from index spacing
+    (tile.cpp:1896-1908)."""
+    n = len(index)
+    out = np.ones(n, dtype=np.float64)
+    prev = 0
+    for i in range(n):
+        ix = int(index[i])
+        if prev >= ix:
+            out[i] = 1.0
+        else:
+            radius = math.sqrt(ix - prev) / 4.0
+            out[i] = max(math.pi * radius * radius, 1.0)
+        prev = ix
+    return out
+
+
+def apply_strategies(
+    index: np.ndarray,
+    wx: np.ndarray,
+    wy: np.ndarray,
+    minzoom: np.ndarray,
+    gaps: np.ndarray,
+    z: int,
+    scfg: StrategyConfig,
+    overrides: dict | None = None,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, dict]:
+    """Run the enabled strategies over one tile's kept features (sorted
+    by index,seq). `overrides` carries the zoom-global thresholds from a
+    previous iteration (the reference's whole-zoom retry with monotone
+    thresholds, tile.cpp:3392-3572 / mingap_out 2762-2770). Returns
+    (keep, out_x, out_y, point_count, report) where report holds the
+    tile's final thresholds for the zoom-global consensus."""
+    n = len(index)
+    keep = np.ones(n, dtype=bool)
+    cx = wx.astype(np.float64)
+    cy = wy.astype(np.float64)
+    count = np.ones(n, dtype=np.int64)
+    report: dict = {}
+    ov = overrides or {}
+    if scfg.gamma > 0:
+        keep &= gamma_keep_mask(index, z, scfg.gamma)
+    if scfg.cluster_distance and z <= scfg.cluster_maxzoom:
+        sel = np.flatnonzero(keep)
+        k2, cx2, cy2, cnt2 = cluster_scan(index[sel], wx[sel], wy[sel], z, scfg.cluster_distance)
+        keep[sel[~k2]] = False
+        cx[sel] = cx2
+        cy[sel] = cy2
+        count[sel] = cnt2
+    # as-needed ladders (monotone thresholds; zoom-global via overrides)
+    limit = scfg.max_tile_features
+    if scfg.drop_densest:
+        mingap = int(ov.get("mingap", 0))
+        if mingap:
+            keep &= ~(gaps < mingap)
+        fraction = 1.0
+        while keep.sum() > limit:
+            fraction = min(fraction * limit / keep.sum() * 0.80, 0.80)
+            m = choose_mingap(gaps, fraction, mingap)
+            if m <= mingap:
+                break
+            mingap = m
+            keep &= ~(gaps < mingap)
+        if mingap > int(ov.get("mingap", 0)):
+            report["mingap"] = mingap
+    if scfg.drop_smallest:
+        extents = point_extents(index)
+        minextent = float(ov.get("minextent", 0.0))
+        if minextent:
+            keep &= ~(extents <= minextent)
+        fraction = 1.0
+        while keep.sum() > limit:
+            fraction = min(fraction * limit / keep.sum() * 0.80, 0.80)
+            m = choose_mingap(extents, fraction, minextent)
+            if m <= minextent:
+                break
+            minextent = m
+            keep &= ~(extents <= minextent)
+        if minextent > float(ov.get("minextent", 0.0)):
+            report["minextent"] = minextent
+    if scfg.drop_fraction:
+        seqs = drop_sequence(minzoom, index)
+        minseq = int(ov.get("mindrop_sequence", 0))
+        if minseq:
+            keep &= ~(seqs <= np.uint64(minseq))
+        fraction = 1.0
+        while keep.sum() > limit:
+            fraction = min(fraction * limit / keep.sum() * 0.80, 0.80)
+            m = choose_mingap(seqs, fraction, minseq)
+            if m <= minseq:
+                break
+            minseq = m
+            keep &= ~(seqs <= np.uint64(minseq))
+        if minseq > int(ov.get("mindrop_sequence", 0)):
+            report["mindrop_sequence"] = minseq
+    if scfg.limit_tile_feature_count and keep.sum() > scfg.limit_tile_feature_count:
+        kept_pos = np.flatnonzero(keep)
+        keep[kept_pos[scfg.limit_tile_feature_count:]] = False
+    return keep, cx, cy, count, report
+
+
+# ------------------------------------------------- accumulate-attribute
+
+
+def accumulate_fold(values: list, op: str):
+    """The 8 accumulate-attribute ops (attribute.cpp:9-188). `values`
+    is the survivor's value first, then the dropped features' values in
+    scan order. mean carries (sum, count) partial state — exactly the
+    reference's "value\\0count" accumulator."""
+    if op == "sum":
+        return sum(values)
+    if op == "product":
+        out = 1
+        for v in values:
+            out *= v
+        return out
+    if op == "mean":
+        return sum(values) / len(values)
+    if op == "max":
+        return max(values)
+    if op == "min":
+        return min(values)
+    if op == "count":
+        return len(values)
+    if op == "concat":
+        return "".join(str(v) for v in values)
+    if op == "comma":
+        return ",".join(str(v) for v in values)
+    raise ValueError(f"unknown accumulate op {op}")
+
+
+class MeanState:
+    """Mergeable partial state for mean/count accumulation — the
+    explicit (sum, count) the reference piggybacks on its accumulator
+    strings (serial.hpp:74-86); usable as a Ray AggregateFn kernel."""
+
+    __slots__ = ("total", "count")
+
+    def __init__(self, total: float = 0.0, count: int = 0):
+        self.total = total
+        self.count = count
+
+    def add(self, v: float):
+        self.total += v
+        self.count += 1
+
+    def merge(self, other: "MeanState"):
+        self.total += other.total
+        self.count += other.count
+
+    def finalize(self) -> float:
+        return self.total / self.count if self.count else float("nan")
