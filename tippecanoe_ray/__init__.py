@@ -23,15 +23,3 @@ Layout:
 """
 
 __version__ = "0.1.0"
-
-# The engine's wide steps are hash-partitioned by design (bucket / hash
-# keys, never range order), so default Ray Data's shuffle to hash — it
-# also enables key-based `repartition(keys=...)`, the primitive behind
-# the tiling shuffle. Datasets capture the context at creation, so this
-# must happen before any Dataset is built from this library.
-try:  # pragma: no cover - depends on ray version
-    from ray.data.context import DataContext, ShuffleStrategy
-
-    DataContext.get_current().shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
-except Exception:  # noqa: BLE001
-    pass
