@@ -1,0 +1,95 @@
+"""tile-join / merge / overzoom / decode / enumerate tests."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from tippecanoe_ray.pipelines.pyramid import PyramidConfig, build_pyramid
+from tippecanoe_ray.pipelines.tilejoin import (
+    decode_tileset,
+    enumerate_tiles,
+    join_csv,
+    merge_tilesets,
+    overzoom_tiles,
+)
+from tippecanoe_ray.sources.image_table import synthesize_image_table
+from tippecanoe_ray.stages.mvt import decode_tile
+
+
+@pytest.fixture(scope="module")
+def small_tiles(ray_session):
+    ds = synthesize_image_table(400, with_payload=False)
+    cfg = PyramidConfig(maxzoom=3, droprate=1.0, emit_ids=True, bucket_zoom=0)
+    return build_pyramid(ds, cfg, n_rows=400)
+
+
+def test_enumerate_and_decode(small_tiles):
+    enum = enumerate_tiles(small_tiles)
+    assert (enum["z"] <= 3).all() and len(enum) > 4
+    dec = decode_tileset(small_tiles).to_pandas()
+    # keep-all: every zoom holds every feature once (plus boundary dups)
+    z3 = dec[dec["z"] == 3]
+    assert len(z3) >= 400
+    assert (dec["lon"].abs() <= 180.0).all()
+
+
+def test_join_csv_and_semi(ray_session, small_tiles):
+    # CSV keyed by feature id (seq): attach a category to even ids
+    ids = list(range(0, 400, 2))
+    csv = pa.table({"fid": ids, "cat": [f"c{i % 3}" for i in ids]})
+    joined = join_csv(small_tiles, csv, key="id").take_all()
+    lay = decode_tile(bytes(next(r["tile"] for r in joined if r["z"] == 0)))
+    feats = lay[0]["features"]
+    assert len(feats) == 400
+    tagged = [f for f in feats if "cat" in f["tags"]]
+    assert len(tagged) == 200
+    # semi-join (-i): only matched features survive
+    semi = join_csv(small_tiles, csv, key="id", semi=True).take_all()
+    lay = decode_tile(bytes(next(r["tile"] for r in semi if r["z"] == 0)))
+    assert len(lay[0]["features"]) == 200
+    for r in semi:
+        assert r["n_features"] > 0
+
+
+def test_merge_tilesets(ray_session):
+    a = build_pyramid(synthesize_image_table(100, with_payload=False),
+                      PyramidConfig(maxzoom=2, droprate=1.0, bucket_zoom=0), n_rows=100)
+    import pyarrow.compute as pc
+    import ray.data
+
+    def shift_ids(t: pa.Table) -> pa.Table:
+        return t
+
+    b = build_pyramid(synthesize_image_table(150, with_payload=False),
+                      PyramidConfig(maxzoom=2, droprate=1.0, bucket_zoom=0,
+                                    layer_name="points2"), n_rows=150)
+    merged = merge_tilesets(a, b)
+    rows = merged.take_all()
+    z0 = next(r for r in rows if r["z"] == 0)
+    assert z0["n_features"] == 250
+    layers = decode_tile(bytes(z0["tile"]))
+    names = {l["name"] for l in layers}
+    assert names == {"points", "points2"}
+
+
+def test_overzoom_matches_direct(ray_session):
+    """Overzooming z2 keep-all tiles reproduces the directly-built z3
+    feature counts (modulo quantization-edge duplicates)."""
+    ds = synthesize_image_table(300, with_payload=False)
+    cfg = PyramidConfig(maxzoom=3, droprate=1.0, bucket_zoom=0)
+    tiles = build_pyramid(ds, cfg, n_rows=300)
+    import pandas as pd
+
+    direct = {
+        (r["z"], r["x"], r["y"]): r["n_features"]
+        for r in tiles.take_all()
+        if r["z"] == 3
+    }
+    parents = tiles.filter(expr="z == 2")
+    over = {
+        (r["z"], r["x"], r["y"]): r["n_features"]
+        for r in overzoom_tiles(parents).take_all()
+    }
+    assert set(direct) == set(over)
+    same = sum(direct[k] == over[k] for k in direct)
+    assert same >= 0.95 * len(direct), f"{same}/{len(direct)}"

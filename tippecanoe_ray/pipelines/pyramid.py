@@ -438,6 +438,7 @@ class ZoomEmitter:
                         run_tx[un_mask], run_ty[un_mask], z,
                         layer_name=cfg.layer_name, detail=cfg.detail,
                         compress=cfg.compress,
+                        ids=kseq if cfg.emit_ids else None,
                     )
                 else:
                     tiles = [b""] * int(un_mask.sum())
@@ -505,6 +506,7 @@ class ZoomEmitter:
                     np.array([ttx]), np.array([tty]), z,
                     layer_name=cfg.layer_name, detail=cfg.detail,
                     compress=cfg.compress,
+                    ids=mseq[k] if cfg.emit_ids else None,
                 )[0]
             else:
                 tb = b""
@@ -556,6 +558,7 @@ class ZoomEmitter:
             tiles = encode_point_tiles(
                 cswx[kept], cswy[kept], kstarts, kends, tx, ty, z,
                 layer_name=cfg.layer_name, detail=cfg.detail, compress=cfg.compress,
+                ids=cseq[kept] if cfg.emit_ids else None,
             )
         else:
             tiles = [b""] * len(tx)

@@ -46,12 +46,40 @@ def _fill_varints(buf: np.ndarray, offs: np.ndarray, v: np.ndarray, lens: np.nda
             buf[o2[l3] + 1] = ((v[m2][l3] >> 14) & 0x7F).astype(np.uint8)
 
 
-def encode_point_features(local_x: np.ndarray, local_y: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
-    """Encode n point features into one uint8 buffer.
+def _scatter_varints(buf: np.ndarray, offs: np.ndarray, blob: bytes, lens: np.ndarray):
+    """Scatter concatenated varints (blob, one per feature with byte
+    lengths `lens`) to per-feature offsets `offs`."""
+    total = int(lens.sum())
+    if total == 0:
+        return
+    cum = np.cumsum(lens) - lens
+    pos = np.repeat(offs, lens) + (np.arange(total) - np.repeat(cum, lens))
+    buf[pos] = np.frombuffer(blob, dtype=np.uint8)
+
+
+def _varint_lens_any(v: np.ndarray) -> np.ndarray:
+    lens = np.ones(len(v), dtype=np.int64)
+    tmp = np.asarray(v, dtype=np.uint64).copy()
+    while True:
+        tmp = tmp >> np.uint64(7)
+        more = tmp != 0
+        if not more.any():
+            break
+        lens += more
+    return lens
+
+
+def encode_point_features(
+    local_x: np.ndarray, local_y: np.ndarray, ids: np.ndarray | None = None
+) -> tuple[np.ndarray, np.ndarray]:
+    """Encode n point features into one uint8 buffer, optionally with
+    per-feature ids (MVT Feature.id, field 1).
 
     Returns (buffer, per-feature byte lengths); feature f occupies
     [cum[f-1], cum[f]) of the buffer.
     """
+    from .mvt import varint_array
+
     lx = np.asarray(local_x, dtype=np.int64)
     ly = np.asarray(local_y, dtype=np.int64)
     zx = ((lx << 1) ^ (lx >> 63)).astype(np.int64)
@@ -59,21 +87,37 @@ def encode_point_features(local_x: np.ndarray, local_y: np.ndarray) -> tuple[np.
     lzx = _varint_lens(zx)
     lzy = _varint_lens(zy)
     glen = 1 + lzx + lzy  # cmd byte + coords
-    body = 4 + glen  # 0x18 0x01 0x22 glen-varint(1B: glen<=7) + geom
-    total = 2 + body  # 0x12 bodylen(1B: body<=11)
     n = len(lx)
-    ends = np.cumsum(total)
-    starts = ends - total
-    buf = np.empty(int(ends[-1]) if n else 0, dtype=np.uint8)
-    buf[starts] = 0x12
-    buf[starts + 1] = body.astype(np.uint8)
-    buf[starts + 2] = 0x18
-    buf[starts + 3] = 0x01
-    buf[starts + 4] = 0x22
-    buf[starts + 5] = glen.astype(np.uint8)
-    buf[starts + 6] = 0x09
-    _fill_varints(buf, starts + 7, zx, lzx)
-    _fill_varints(buf, starts + 7 + lzx, zy, lzy)
+    if ids is None:
+        body = 4 + glen  # 0x18 0x01 0x22 glen-varint(1B: glen<=7) + geom
+        total = 2 + body  # 0x12 bodylen(1B: body<=11)
+        ends = np.cumsum(total)
+        starts = ends - total
+        buf = np.empty(int(ends[-1]) if n else 0, dtype=np.uint8)
+        buf[starts] = 0x12
+        buf[starts + 1] = body.astype(np.uint8)
+        base = starts + 2
+    else:
+        idv = np.asarray(ids, dtype=np.uint64)
+        id_lens = _varint_lens_any(idv)
+        id_blob = varint_array(idv)
+        body = 1 + id_lens + 4 + glen  # 0x08 id … ≤ 22 < 128 ⇒ 1-byte len
+        total = 2 + body
+        ends = np.cumsum(total)
+        starts = ends - total
+        buf = np.empty(int(ends[-1]) if n else 0, dtype=np.uint8)
+        buf[starts] = 0x12
+        buf[starts + 1] = body.astype(np.uint8)
+        buf[starts + 2] = 0x08
+        _scatter_varints(buf, starts + 3, id_blob, id_lens)
+        base = starts + 3 + id_lens
+    buf[base] = 0x18
+    buf[base + 1] = 0x01
+    buf[base + 2] = 0x22
+    buf[base + 3] = glen.astype(np.uint8)
+    buf[base + 4] = 0x09
+    _fill_varints(buf, base + 5, zx, lzx)
+    _fill_varints(buf, base + 5 + lzx, zy, lzy)
     return buf, total
 
 
@@ -94,6 +138,7 @@ def encode_point_tiles(
     layer_name: str = "points",
     detail: int = 12,
     compress: bool = True,
+    ids: np.ndarray | None = None,
 ) -> list[bytes]:
     """Encode one MVT per tile run.
 
@@ -120,6 +165,8 @@ def encode_point_tiles(
     sel = np.repeat(run_starts, lengths) + (np.arange(total) - off)
     wx = np.asarray(wx, dtype=np.int64)[sel]
     wy = np.asarray(wy, dtype=np.int64)[sel]
+    if ids is not None:
+        ids = np.asarray(ids, dtype=np.int64)[sel]
     span_shift = WORLD_BITS - z
     ox = tx[run_of].astype(np.int64) << span_shift
     oy = ty[run_of].astype(np.int64) << span_shift
@@ -129,7 +176,7 @@ def encode_point_tiles(
     else:
         lx = (wx - ox) << -shift
         ly = (wy - oy) << -shift
-    buf, per_feat = encode_point_features(lx, ly)
+    buf, per_feat = encode_point_features(lx, ly, ids=ids)
     fe = np.cumsum(per_feat)
     fs = fe - per_feat
     gends = np.cumsum(lengths)
