@@ -1,0 +1,224 @@
+"""Dataset-level statistics: maxzoom / basezoom / droprate guessing and
+tilestats — the reference's global passes (main.cpp:2279-2670,
+mbtiles.cpp:206-370) as mergeable distributed aggregates.
+
+- guess_maxzoom: Welford mean/M2 of log(index deltas) over the sorted
+  feature stream (main.cpp:2313-2320). Per-bucket partial states carry
+  (count, mean, M2, dupes, first_ix, last_ix); the driver merges with
+  Chan's parallel-Welford combination and splices the bucket-boundary
+  deltas — a textbook mergeable aggregate instead of a global scan.
+- guess_basezoom_droprate: per-zoom densest-tile feature counts
+  (max 50k target, main.cpp:2566) from per-bucket partial (z, tile,
+  count) maxima; droprate fitted per main.cpp:2618-2634.
+- tilestats: per-attribute type/min/max/≤100 sample values with the
+  reference's caps (1000 attributes, 100 values)."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data
+
+MAX_FEATURES_BASEZOOM = 50_000  # -Bg densest-tile target, main.cpp:2566
+MAX_GUESS_ZOOM = 32
+
+
+def _welford_merge(a, b):
+    """Chan's combination of (count, mean, M2) partials."""
+    (na, ma, m2a), (nb, mb, m2b) = a, b
+    if na == 0:
+        return b
+    if nb == 0:
+        return a
+    n = na + nb
+    delta = mb - ma
+    mean = ma + delta * nb / n
+    m2 = m2a + m2b + delta * delta * na * nb / n
+    return (n, mean, m2)
+
+
+def _bucket_partials(group: pd.DataFrame, max_zoom_hist: int) -> pd.DataFrame:
+    idx = np.sort(group["index"].to_numpy().astype(np.uint64))
+    diffs = (idx[1:] - idx[:-1]).astype(np.float64)
+    nz = diffs[diffs > 0]
+    dupes = int((diffs == 0).sum())
+    logs = np.log(nz) if len(nz) else np.empty(0)
+    n = len(logs)
+    mean = float(logs.mean()) if n else 0.0
+    m2 = float(((logs - mean) ** 2).sum()) if n else 0.0
+    # per-zoom tile histogram partials: (z, tile_key, count)
+    zs, keys, counts = [], [], []
+    for z in range(0, max_zoom_hist + 1):
+        tk = idx >> np.uint64(64 - 2 * z) if z > 0 else np.zeros(len(idx), np.uint64)
+        u, c = np.unique(tk, return_counts=True)
+        zs.append(np.full(len(u), z))
+        keys.append(u)
+        counts.append(c)
+    hist = pd.DataFrame(
+        {
+            "z": np.concatenate(zs),
+            "tile": np.concatenate(keys).astype(np.uint64).astype(np.int64),
+            "cnt": np.concatenate(counts),
+        }
+    )
+    head = pd.DataFrame(
+        {
+            "z": [-1],
+            "tile": [0],
+            "cnt": [0],
+            "n": [n],
+            "mean": [mean],
+            "m2": [m2],
+            "dupes": [dupes],
+            "first_ix": [np.int64(np.uint64(idx[0]).astype(np.int64)) if len(idx) else 0],
+            "last_ix": [np.int64(np.uint64(idx[-1]).astype(np.int64)) if len(idx) else 0],
+            "bucket": [int(group["bucket"].iloc[0])],
+        }
+    )
+    for c in ("n", "mean", "m2", "dupes", "first_ix", "last_ix", "bucket"):
+        hist[c] = 0
+    return pd.concat([head, hist], ignore_index=True)
+
+
+def index_statistics(narrow_bucketed: ray.data.Dataset, max_zoom_hist: int = 14) -> dict:
+    """One grouped pass → merged Welford state + per-zoom densest-tile
+    counts. Returns {count, mean, m2, dupes, max_count_per_zoom}."""
+    parts = (
+        narrow_bucketed.groupby("bucket")
+        .map_groups(lambda g: _bucket_partials(g, max_zoom_hist), batch_format="pandas")
+        .to_pandas()
+    )
+    heads = parts[parts["z"] == -1].sort_values("bucket")
+    state = (0, 0.0, 0.0)
+    dupes = 0
+    prev_last = None
+    for _, r in heads.iterrows():
+        state = _welford_merge(state, (int(r["n"]), float(r["mean"]), float(r["m2"])))
+        dupes += int(r["dupes"])
+        if prev_last is not None:
+            d = np.uint64(np.int64(r["first_ix"])) - np.uint64(prev_last)
+            if d == 0:
+                dupes += 1
+            else:
+                state = _welford_merge(state, (1, math.log(float(d)), 0.0))
+        prev_last = np.int64(r["last_ix"])
+    hist = parts[parts["z"] >= 0]
+    per_tile = hist.groupby(["z", "tile"], as_index=False)["cnt"].sum()
+    max_per_zoom = per_tile.groupby("z")["cnt"].max().to_dict()
+    return {
+        "count": state[0],
+        "mean": state[1],
+        "m2": state[2],
+        "dupes": dupes,
+        "max_count_per_zoom": {int(k): int(v) for k, v in max_per_zoom.items()},
+    }
+
+
+def guess_maxzoom(stats: dict, full_detail: int = 12) -> int:
+    """main.cpp:2340-2364: maxzoom for features typically
+    exp(mean−1.5σ) apart (geometric mean; lognormal spacing)."""
+    n, mean, m2 = stats["count"], stats["mean"], stats["m2"]
+    if n == 0:
+        return 0
+    stddev = math.sqrt(m2 / n)
+    nearby = math.exp(mean - 1.5 * stddev)
+    nearby_ft = math.sqrt(nearby) / 33  # tile units → pseudo-feet
+    want = nearby_ft / 2
+    mz = math.ceil(math.log(360 / (0.00000274 * want)) / math.log(2) - full_detail)
+    return max(0, min(mz, 32 - full_detail))
+
+
+def guess_droprate_from_spread(stats: dict) -> float:
+    """main.cpp:2390-2398: droprate from the spacing stddev fit."""
+    n, m2 = stats["count"], stats["m2"]
+    if n == 0:
+        return 2.5
+    stddev = math.sqrt(m2 / n)
+    if stddev <= 0:
+        return 2.5
+    return max(0.0, math.exp(-0.7681 * math.log(stddev) + 1.582))
+
+
+def guess_basezoom_droprate(
+    stats: dict,
+    maxzoom: int,
+    max_features: int = MAX_FEATURES_BASEZOOM,
+) -> tuple[int, float]:
+    """main.cpp:2560-2634: basezoom = lowest zoom whose densest tile
+    holds ≤ max_features; droprate fitted so lower zooms hit the target."""
+    maxes = stats["max_count_per_zoom"]
+    basezoom = 0
+    for z in range(maxzoom, -1, -1):
+        if maxes.get(z, 0) > max_features:
+            basezoom = z + 1
+            break
+    basezoom = min(basezoom, maxzoom)
+    droprate = 1.0
+    for z in range(basezoom - 1, -1, -1):
+        interval = math.exp(math.log(droprate) * (basezoom - z)) if droprate > 0 else 1
+        cnt = maxes.get(z, 0)
+        if interval > 0 and cnt / interval >= max_features:
+            interval = cnt / max_features
+            droprate = math.exp(math.log(interval) / (basezoom - z))
+    if droprate == 1.0:
+        droprate = 2.5 if basezoom > 0 else 1.0
+    return basezoom, droprate
+
+
+# ------------------------------------------------------------- tilestats
+
+
+MAX_TILESTATS_ATTRIBUTES = 1000  # mbtiles.cpp caps
+MAX_TILESTATS_VALUES = 100
+
+
+def tilestats(ds: ray.data.Dataset, attr_cols: list[str], layer: str = "points") -> dict:
+    """Per-attribute type/min/max/sample values with the reference's
+    caps — partial per batch, merged on the driver (mergeable sets)."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        recs = []
+        for c in attr_cols[:MAX_TILESTATS_ATTRIBUTES]:
+            s = df[c].dropna()
+            if len(s) == 0:
+                continue
+            is_num = pd.api.types.is_numeric_dtype(s)
+            vals = s.unique()[:MAX_TILESTATS_VALUES]
+            recs.append(
+                {
+                    "attribute": c,
+                    "type": "number" if is_num else "string",
+                    "min": float(s.min()) if is_num else None,
+                    "max": float(s.max()) if is_num else None,
+                    "values": [v.item() if hasattr(v, "item") else v for v in vals],
+                    "count": len(s),
+                }
+            )
+        return pd.DataFrame(recs)
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    out: dict = {"layer": layer, "attributes": []}
+    for attr, g in parts.groupby("attribute"):
+        vals: list = []
+        seen = set()
+        for vs in g["values"]:
+            for v in vs:
+                if v not in seen and len(vals) < MAX_TILESTATS_VALUES:
+                    seen.add(v)
+                    vals.append(v)
+        entry = {
+            "attribute": attr,
+            "type": g["type"].iloc[0],
+            "count": int(g["count"].sum()),
+            "values": sorted(vals, key=str),
+        }
+        if g["type"].iloc[0] == "number":
+            entry["min"] = float(g["min"].min())
+            entry["max"] = float(g["max"].max())
+        out["attributes"].append(entry)
+    out["attributes"].sort(key=lambda e: e["attribute"])
+    out["attributeCount"] = len(out["attributes"])
+    return out
