@@ -617,6 +617,148 @@ def image_pyramid_q(sf_dir: str) -> pd.DataFrame:
     return pyramid_counts(tiles).to_pandas()
 
 
+
+
+# ============================================== operator demo queries
+
+
+def tilestats_documents(sf_dir: str) -> pd.DataFrame:
+    """tilestats aggregate (capped type/min/max/count) over the
+    documents attributes — SQL-reproducible summary columns."""
+    from ..stages.stats import tilestats
+
+    ds = _read(sf_dir, "documents", columns=["lang", "source", "n_chars"])
+    st = tilestats(ds, ["lang", "source", "n_chars"])
+    rows = []
+    for a in st["attributes"]:
+        rows.append(
+            {
+                "attribute": a["attribute"],
+                "att_type": a["type"],
+                "att_count": a["count"],
+                "att_min": a.get("min", None),
+                "att_max": a.get("max", None),
+            }
+        )
+    out = pd.DataFrame(rows).sort_values("attribute").reset_index(drop=True)
+    return out
+
+
+TILESTATS_SQL = """
+SELECT 'lang' AS attribute, 'string' AS att_type, COUNT(lang) AS att_count,
+       CAST(NULL AS DOUBLE) AS att_min, CAST(NULL AS DOUBLE) AS att_max FROM documents
+UNION ALL
+SELECT 'n_chars', 'number', COUNT(n_chars), CAST(MIN(n_chars) AS DOUBLE),
+       CAST(MAX(n_chars) AS DOUBLE) FROM documents
+UNION ALL
+SELECT 'source', 'string', COUNT(source), NULL, NULL FROM documents
+"""
+
+
+def filter_events_q(sf_dir: str) -> pd.DataFrame:
+    """-j filter expression applied to the events table, then a grouped
+    count — the filter language is the engine's declarative predicate
+    surface (evaluator.cpp); SQL oracle reproduces the same predicate."""
+    from ..functions.filters import filter_dataset
+
+    ds = _read(sf_dir, "events", columns=["event_type", "value"])
+    expr = ["all", ["in", "event_type", "click", "view"], [">=", "value", 10.0]]
+    out = partial_groupby(
+        filter_dataset(ds, expr),
+        by=["event_type"],
+        aggs={"n_events": ("value", "count"), "sum_value": ("value", "sum")},
+    )
+    out["sum_value"] = out["sum_value"].round(2)
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+FILTER_SQL = """
+SELECT event_type, COUNT(*) AS n_events, ROUND(SUM(value), 2) AS sum_value
+FROM events
+WHERE event_type IN ('click', 'view') AND value >= 10.0
+GROUP BY 1
+"""
+
+
+def vector_tiles_q(sf_dir: str) -> pd.DataFrame:
+    from .vector import build_vector_tiles, synth_lines_polys
+
+    ds = synth_lines_polys(16, 8)
+    tiles = build_vector_tiles(ds, z=3, detail=10)
+    df = tiles.to_pandas()[["z", "x", "y", "n_features"]]
+    return df.sort_values(["x", "y"]).reset_index(drop=True)
+
+
+def overzoom_q(sf_dir: str) -> pd.DataFrame:
+    from ..sources.image_table import synthesize_image_table
+    from .pyramid import PyramidConfig, build_pyramid
+    from .tilejoin import overzoom_tiles
+
+    ds = synthesize_image_table(2000, with_payload=False)
+    cfg = PyramidConfig(maxzoom=2, droprate=1.0, bucket_zoom=0)
+    tiles = build_pyramid(ds, cfg, n_rows=2000)
+    over = overzoom_tiles(tiles.filter(expr="z == 2")).to_pandas()
+    return over[["z", "x", "y", "n_features"]].sort_values(["x", "y"]).reset_index(drop=True)
+
+
+def cluster_tiles_q(sf_dir: str) -> pd.DataFrame:
+    from ..stages.strategies import StrategyConfig
+    from .pyramid import PyramidConfig, build_pyramid_from_narrow
+
+    cfg = PyramidConfig(
+        maxzoom=5, droprate=1.0, geometry_scale=0, encode_tiles=False,
+        rule="lcg", id_col="doc_id", seq_col=None,
+        strategies=StrategyConfig(cluster_distance=40), bucket_zoom=0,
+    )
+    narrow = _doc_points_narrow(sf_dir)
+    tiles = build_pyramid_from_narrow(narrow, cfg)
+    df = tiles.select_columns(["z", "x", "y", "n_features"]).to_pandas()
+    return df.sort_values(["z", "x", "y"]).reset_index(drop=True)
+
+
+def guessing_q(sf_dir: str) -> pd.DataFrame:
+    from ..stages.stats import (
+        guess_basezoom_droprate,
+        guess_maxzoom,
+        index_statistics,
+    )
+    from .pyramid import PyramidConfig, add_bucket
+
+    narrow = add_bucket(_doc_points_narrow(sf_dir), 3)
+    stats = index_statistics(narrow, max_zoom_hist=10)
+    mz = guess_maxzoom(stats)
+    bz, dr = guess_basezoom_droprate(stats, maxzoom=mz, max_features=100)
+    return pd.DataFrame(
+        {"maxzoom": [mz], "basezoom": [bz], "droprate": [round(dr, 4)],
+         "n_deltas": [stats["count"]], "dupes": [stats["dupes"]]}
+    )
+
+
+def raster_tiles_q(sf_dir: str) -> pd.DataFrame:
+    from ..sources.image_table import synthesize_image_table
+    from ..stages.thumbnails import compose_raster_tiles
+
+    ds = synthesize_image_table(400, with_payload=True)
+    tiles = compose_raster_tiles(ds, z=2, thumb_px=8, tile_px=64, concurrency=2)
+    df = tiles.to_pandas()[["z", "x", "y", "n_images"]]
+    return df.sort_values(["x", "y"]).reset_index(drop=True)
+
+
+def payload_psnr_q(sf_dir: str) -> pd.DataFrame:
+    from ..sources.image_table import synthesize_image_table
+    from ..stages.thumbnails import verify_payloads
+
+    ds = synthesize_image_table(300, with_payload=True)
+    out = verify_payloads(ds, concurrency=2)
+    return (
+        out.groupby("fmt", as_index=False)
+        .agg(n=("image_id", "count"), min_psnr=("roundtrip_psnr", "min"),
+             caption_ok=("caption_ok", "all"))
+        .sort_values("fmt")
+        .reset_index(drop=True)
+    )
+
+
 # ============================================================ registry
 
 
@@ -648,6 +790,14 @@ def all_queries() -> dict:
         "quality_scores": quality_q,
         "lsh_ann_top10": lsh_ann_q,
         "image_pyramid": image_pyramid_q,
+        "tilestats_documents": tilestats_documents,
+        "filter_events": filter_events_q,
+        "vector_tiles_z3": vector_tiles_q,
+        "overzoom_z3": overzoom_q,
+        "cluster_tiles": cluster_tiles_q,
+        "guess_zoom_params": guessing_q,
+        "raster_tiles_z2": raster_tiles_q,
+        "payload_psnr": payload_psnr_q,
     }
 
 
@@ -674,4 +824,6 @@ def all_oracle_sql() -> dict:
         "token_stats": TOKEN_SQL,
         "ann_top10": ANN_SQL,
         "embedding_norms": NORMS_SQL,
+        "tilestats_documents": TILESTATS_SQL,
+        "filter_events": FILTER_SQL,
     }
