@@ -1,0 +1,41 @@
+"""CLI entrypoint + mbtiles packaging round trip."""
+
+import json
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from tippecanoe_ray.sources.mbtiles import read_mbtiles, write_mbtiles
+
+
+def test_cli_build_and_mbtiles(ray_session, tmp_path, capsys):
+    # small input table
+    n = 300
+    tbl = pa.table({"image_id": [f"img-{i:012d}" for i in range(n)]})
+    inp = str(tmp_path / "in.parquet")
+    pq.write_table(tbl, inp)
+    out = str(tmp_path / "tiles")
+    mb = str(tmp_path / "out.mbtiles")
+
+    from tippecanoe_ray.__main__ import main
+
+    rc = main(["--input", inp, "--out", out, "--maxzoom", "4", "--mbtiles", mb])
+    assert rc == 0
+    res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert res["n_tiles"] > 0
+    assert res["metrics"]["n_partitions"] >= 1
+    assert os.path.exists(os.path.join(out, "raw"))
+    # read the mbtiles back; counts agree with the report
+    back = read_mbtiles(mb)
+    assert back.count() == res["mbtiles_tiles"] == res["n_tiles"]
+    row = back.take(1)[0]
+    from tippecanoe_ray.stages.mvt import decode_tile
+
+    assert decode_tile(bytes(row["tile"]))[0]["name"] == "points"
+
+    # resume: rerun is a no-op on completed partitions
+    rc = main(["--input", inp, "--out", out, "--maxzoom", "4", "--resume"])
+    assert rc == 0
+    res2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert res2["n_tiles"] == res["n_tiles"]

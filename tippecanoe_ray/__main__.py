@@ -1,0 +1,94 @@
+"""CLI / `ray job submit` entrypoint.
+
+    python -m tippecanoe_ray --input /path/table.parquet \
+        --out /tmp/tiles --maxzoom 14 --droprate 2.5 [--resume] \
+        [--id-col image_id] [--rule fnv|lcg] [--mbtiles out.mbtiles]
+
+Runs the full drop-ladder pyramid as a streaming Ray workload with the
+resumable parquet sink; optionally packages to mbtiles. On a cluster:
+    ray job submit -- python -m tippecanoe_ray --input ... --out ...
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(prog="tippecanoe_ray")
+    ap.add_argument("--input", required=True, help="parquet/lance table of feature rows")
+    ap.add_argument("--out", required=True, help="output tileset directory")
+    ap.add_argument("--id-col", default="image_id")
+    ap.add_argument("--rule", default="fnv", choices=["fnv", "lcg"])
+    ap.add_argument("--minzoom", type=int, default=0)
+    ap.add_argument("--maxzoom", type=int, default=14)
+    ap.add_argument("--basezoom", type=int, default=None)
+    ap.add_argument("--droprate", type=float, default=2.5)
+    ap.add_argument("--gamma", type=float, default=0.0)
+    ap.add_argument("--cluster-distance", type=int, default=0)
+    ap.add_argument("--drop-densest", action="store_true")
+    ap.add_argument("--resume", action="store_true")
+    ap.add_argument("--num-cpus", type=int, default=None)
+    ap.add_argument("--mbtiles", default=None, help="also package to this mbtiles file")
+    args = ap.parse_args(argv)
+
+    import ray
+
+    started_here = False
+    if not ray.is_initialized():
+        kw = {"address": "local", "include_dashboard": False, "ignore_reinit_error": True}
+        if args.num_cpus:
+            kw["num_cpus"] = args.num_cpus
+        ray.init(**kw)
+        started_here = True
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    from tippecanoe_ray.pipelines.pyramid import PyramidConfig, build_pyramid
+    from tippecanoe_ray.sources.image_table import read_image_table
+    from tippecanoe_ray.stages.strategies import StrategyConfig
+    from tippecanoe_ray.state.lineage import run_metrics
+
+    scfg = None
+    if args.gamma or args.cluster_distance or args.drop_densest:
+        scfg = StrategyConfig(
+            gamma=args.gamma,
+            cluster_distance=args.cluster_distance,
+            drop_densest=args.drop_densest,
+        )
+    cfg = PyramidConfig(
+        minzoom=args.minzoom,
+        maxzoom=args.maxzoom,
+        basezoom=args.basezoom,
+        droprate=args.droprate,
+        id_col=args.id_col,
+        rule=args.rule,
+        seq_col=None,  # derive a deterministic sequence from the id
+        strategies=scfg,
+    )
+    ds = read_image_table(args.input)
+    t0 = time.time()
+    tiles = build_pyramid(ds, cfg, out_dir=args.out, resume=args.resume)
+    n_tiles = tiles.count()
+    out = {
+        "out_dir": args.out,
+        "n_tiles": n_tiles,
+        "elapsed_sec": round(time.time() - t0, 2),
+        "metrics": run_metrics(args.out),
+    }
+    if args.mbtiles:
+        from tippecanoe_ray.sources.mbtiles import write_mbtiles
+
+        out["mbtiles_tiles"] = write_mbtiles(tiles, args.mbtiles)
+    print(json.dumps(out))
+    if started_here:
+        ray.shutdown()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -124,11 +124,18 @@ def minhash_lsh_pairs(
     def candidates(g: pd.DataFrame) -> pd.DataFrame:
         g = g.drop_duplicates(subset=[id_col]).sort_values(id_col)
         ids = g[id_col].tolist()
-        texts = g[text_col].tolist()
+        shs = _shingle_hashes(g[text_col].tolist(), k)  # once per doc
         out_a, out_b, out_j = [], [], []
         for i in range(len(ids)):
+            si = shs[i]
+            if len(si) == 0:
+                continue
             for j in range(i + 1, len(ids)):
-                jac = jaccard(texts[i], texts[j], k)
+                sj = shs[j]
+                if len(sj) == 0:
+                    continue
+                inter = np.intersect1d(si, sj, assume_unique=True).size
+                jac = inter / (len(si) + len(sj) - inter)
                 if jac >= threshold:
                     out_a.append(ids[i])
                     out_b.append(ids[j])
