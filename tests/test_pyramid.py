@@ -23,7 +23,7 @@ def uniform_ids():
 
 
 @pytest.mark.skipif(not has_reference(), reason="reference binary not built")
-@pytest.mark.parametrize("droprate,maxzoom", [(1, 6), (2.5, 7)])
+@pytest.mark.parametrize("droprate,maxzoom", [(1, 6), (2.5, 7), (2.5, 12)])
 def test_exact_match_uniform(ray_session, uniform_ids, droprate, maxzoom):
     from tests.util_reference import diff_counts, run_reference, tile_counts_from_ds
 

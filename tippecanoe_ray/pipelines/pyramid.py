@@ -101,7 +101,7 @@ class PyramidConfig:
         return max(0, WORLD_BITS - (self.detail + self.maxzoom))
 
 
-def auto_bucket_zoom(n_rows: int, maxzoom: int, target_rows: int = 16384) -> int:
+def auto_bucket_zoom(n_rows: int, maxzoom: int, target_rows: int = 65536) -> int:
     """Bucket granularity: ~target_rows per zoom-B subtree. Small enough
     for load balance (4^B ≫ cores), big enough that per-bucket fixed
     costs (15 zoom passes of numpy setup) amortize."""
@@ -801,6 +801,22 @@ def _cast_tile_schema(t: pa.Table) -> pa.Table:
     return t
 
 
+_CHAN_SCHEMA = None
+
+
+def _chan_norm(t: "pa.Table") -> "pa.Table":
+    """Channel-row canonical schema (tables all the way; no pylist)."""
+    cols = list(_NORM_COLS) + ["cx", "cy"]
+    n = len(t)
+    for c in cols:
+        if c not in t.column_names:
+            if c in ("cx", "cy"):
+                t = t.append_column(c, pa.array(np.zeros(n, np.int64)))
+            else:
+                raise KeyError(c)
+    return _cast_tile_schema(t.select(cols))
+
+
 _NORM_COLS = (
     "z", "x", "y", "n_features", "tile", "bucket", "kind",
     "min_index", "min_seq", "first_minzoom",
@@ -1205,40 +1221,35 @@ def build_pyramid_from_narrow(
 
     if raw_dir:
         # write-through sink: per-bucket parquet written inside tasks;
-        # the returned rows are the tiny channels (surv/side/summary)
-        channels = []
-        for t in _run_exchange():
-            channels.extend(t.to_pylist())
+        # the returned rows are the tiny channels (surv/side/summary) —
+        # kept as Arrow tables end to end (no python row conversion)
+        tbls = [t for t in _run_exchange() if len(t)]
+        chan_tbl = (
+            pa.concat_tables(
+                [_chan_norm(t) for t in tbls]
+            )
+            if tbls
+            else _chan_norm(_empty_tiles())
+        )
         _mark("exchange")
         # resume: previously-done buckets contributed no channel rows
         # this run — recover their surv/side channels from disk
         chan_path = os.path.join(out_dir, "channels.parquet")
-        prev: list[dict] = []
         if resume and os.path.exists(chan_path):
             import pyarrow.parquet as pq
 
-            prev_tbl = pq.read_table(chan_path)
-            new_buckets = {int(r["bucket"]) for r in channels}
-            prev = [
-                r for r in prev_tbl.to_pylist() if int(r["bucket"]) not in new_buckets
-            ]
-        all_rows = prev + channels
-        if all_rows:
+            prev_tbl = _chan_norm(pq.read_table(chan_path))
+            new_buckets = np.unique(chan_tbl["bucket"].to_numpy(zero_copy_only=False))
+            pb = prev_tbl["bucket"].to_numpy(zero_copy_only=False)
+            prev_tbl = prev_tbl.filter(pa.array(~np.isin(pb, new_buckets)))
+            chan_tbl = pa.concat_tables([prev_tbl, chan_tbl])
+        if len(chan_tbl):
             import pyarrow.parquet as pq
 
-            chan_schema = pa.schema(
-                [
-                    ("z", pa.int32()), ("x", pa.int32()), ("y", pa.int32()),
-                    ("n_features", pa.int64()), ("tile", pa.large_binary()),
-                    ("bucket", pa.int64()), ("kind", pa.int8()),
-                    ("min_index", pa.uint64()), ("min_seq", pa.int64()),
-                    ("first_minzoom", pa.int16()),
-                    ("cx", pa.int64()), ("cy", pa.int64()),
-                ]
-            )
-            pq.write_table(pa.Table.from_pylist(all_rows, schema=chan_schema), chan_path)
-        surv_rows = [r for r in all_rows if int(r["kind"]) == 1]
-        side_rows = [r for r in all_rows if int(r["kind"]) == 2]
+            pq.write_table(chan_tbl, chan_path)
+        kindc = chan_tbl["kind"].to_numpy(zero_copy_only=False)
+        surv_rows = chan_tbl.filter(pa.array(kindc == 1)).to_pylist()
+        side_rows = chan_tbl.filter(pa.array(kindc == 2)).to_pylist()
 
         tile_tbl_ds = ray.data.read_parquet(raw_dir).map_batches(
             _norm_tiles_fn(cfg.emit_ids), batch_format="pyarrow"
