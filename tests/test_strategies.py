@@ -88,3 +88,21 @@ def test_kernels():
     assert accumulate_fold([1, 2], "mean") == 1.5
     assert accumulate_fold(["a", "b"], "comma") == "a,b"
     assert accumulate_fold([5, 1], "count") == 2
+
+
+@pytest.mark.skipif(not has_reference(), reason="reference binary not built")
+@pytest.mark.parametrize("mult", [2, 3])
+def test_retain_points_multiplier_exact(ray_session, hotspot_input, mult):
+    """--retain-points-multiplier N: cluster secondaries retained via
+    the fractional minzoom + extra-zooms rule (tile.cpp:1123-1319)."""
+    from tests.util_reference import diff_counts, run_reference, tile_counts_from_ds
+
+    n, wx, wy = hotspot_input
+    ref = run_reference(wx, wy, maxzoom=6, droprate=2.5,
+                        extra_flags=[f"--retain-points-multiplier={mult}"])
+    ds = synthesize_image_table(n, with_payload=False)
+    cfg = PyramidConfig(maxzoom=6, droprate=2.5, hotspot_frac=0.6, n_hotspots=1,
+                        retain_points_multiplier=mult, bucket_zoom=0)
+    tiles = build_pyramid(ds, cfg, n_rows=n)
+    d = diff_counts(tile_counts_from_ds(tiles), ref)
+    assert not d, d

@@ -91,6 +91,7 @@ class PyramidConfig:
     rule: str = "fnv"
     seq_col: str | None = "seq"
     strategies: "object | None" = None  # stages.strategies.StrategyConfig
+    retain_points_multiplier: int = 1  # --retain-points-multiplier
 
     def resolved_basezoom(self) -> int:
         return self.maxzoom if self.basezoom is None else self.basezoom
@@ -269,6 +270,15 @@ class ZoomEmitter:
         ends = np.concatenate((change, [len(index)]))
         kept = minzoom <= z
         kept[starts] = True
+        if cfg.retain_points_multiplier > 1:
+            from ..stages.strategies import multiplier_keep
+
+            for s_, e_ in zip(starts, ends):
+                k_, _lead = multiplier_keep(
+                    index[s_:e_], minzoom[s_:e_], z,
+                    cfg.retain_points_multiplier, cfg.droprate,
+                )
+                kept[s_:e_] = k_
         scfg = getattr(cfg, "strategies", None)
         out_x, out_y = swx, swy
         if scfg is not None and scfg.any_active() and gaps is not None:
@@ -326,6 +336,15 @@ class ZoomEmitter:
             ends = np.concatenate((change, [n_core]))
             kept = cmz <= z
             kept[starts] = True
+            if cfg.retain_points_multiplier > 1:
+                from ..stages.strategies import multiplier_keep
+
+                for s_, e_ in zip(starts, ends):
+                    k_, _lead = multiplier_keep(
+                        ci[s_:e_], cmz[s_:e_], z,
+                        cfg.retain_points_multiplier, cfg.droprate,
+                    )
+                    kept[s_:e_] = k_
             run_keys = tkey[starts]
         else:
             starts = ends = np.empty(0, np.int64)
@@ -481,6 +500,12 @@ class ZoomEmitter:
                 mgap = mgap[o]
             k = mmz <= z
             k[0] = True
+            if cfg.retain_points_multiplier > 1:
+                from ..stages.strategies import multiplier_keep
+
+                k, _lead = multiplier_keep(
+                    midx, mmz, z, cfg.retain_points_multiplier, cfg.droprate
+                )
             if strat:
                 from ..stages.strategies import apply_strategies
 

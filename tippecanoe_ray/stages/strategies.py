@@ -338,3 +338,35 @@ class MeanState:
 
     def finalize(self) -> float:
         return self.total / self.count if self.count else float("nan")
+
+
+def multiplier_keep(
+    index: np.ndarray,
+    minzoom: np.ndarray,
+    z: int,
+    multiplier: int,
+    droprate: float,
+) -> tuple[np.ndarray, np.ndarray]:
+    """--retain-points-multiplier N (tile.cpp:1290-1319 + the
+    fractional feature_minzoom of next_feature, tile.cpp:1163):
+    per tile scan in index order; a feature whose fractional minzoom
+    clears z is a KEPT lead (resets the cluster counter); otherwise up
+    to N-1 features with z + log(N)/log(droprate) >= fractional minzoom
+    are retained as cluster secondaries. The first feature of the tile
+    is always kept. Returns (keep mask, is_lead mask)."""
+    frac = bit_reverse(np.asarray(index, dtype=np.uint64) >> U64(2)).astype(np.float64) / float(2**64)
+    fmz = np.asarray(minzoom, dtype=np.float64) - frac
+    extra = math.log(multiplier) / math.log(droprate) if droprate > 1 else float("inf")
+    n = len(index)
+    keep = np.zeros(n, dtype=bool)
+    lead = np.zeros(n, dtype=bool)
+    count = 0
+    for i in range(n):
+        if i == 0 or z >= fmz[i]:
+            keep[i] = True
+            lead[i] = True
+            count = 0
+        elif z + extra >= fmz[i] and count + 1 < multiplier:
+            count += 1
+            keep[i] = True
+    return keep, lead
