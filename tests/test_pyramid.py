@@ -23,6 +23,21 @@ def uniform_ids():
 
 
 @pytest.mark.skipif(not has_reference(), reason="reference binary not built")
+@pytest.mark.parametrize("basezoom", [4, 8])
+def test_exact_match_basezoom(ray_session, uniform_ids, basezoom):
+    """Explicit -B basezoom (above and below maxzoom)."""
+    from tests.util_reference import diff_counts, run_reference, tile_counts_from_ds
+
+    n, ids, wx, wy = uniform_ids
+    ref = run_reference(wx, wy, maxzoom=6, droprate=2.5, extra_flags=[f"-B{basezoom}"])
+    ds = synthesize_image_table(n, with_payload=False)
+    cfg = PyramidConfig(maxzoom=6, droprate=2.5, basezoom=basezoom)
+    tiles = build_pyramid(ds, cfg, n_rows=n)
+    d = diff_counts(tile_counts_from_ds(tiles), ref)
+    assert not d, d
+
+
+@pytest.mark.skipif(not has_reference(), reason="reference binary not built")
 @pytest.mark.parametrize("droprate,maxzoom", [(1, 6), (2.5, 7), (2.5, 12)])
 def test_exact_match_uniform(ray_session, uniform_ids, droprate, maxzoom):
     from tests.util_reference import diff_counts, run_reference, tile_counts_from_ds
