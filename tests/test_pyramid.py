@@ -152,3 +152,41 @@ def test_resume_skips_done_buckets(ray_session, uniform_ids, tmp_path):
 
 def _build_write(ds, cfg, n, out):
     return build_pyramid(ds, cfg, n_rows=n, out_dir=out)
+
+
+@pytest.mark.skipif(not has_reference(), reason="reference binary not built")
+def test_per_feature_zoom_ranges_exact(ray_session):
+    """GeoJSON tippecanoe extension minzoom/maxzoom (geojson.cpp:81-100):
+    explicit-minzoom features bypass the ladder and stay out of the
+    multiplier count map; the always-keep slot goes to the first PLAIN
+    feature (tile.cpp:1293-1302)."""
+    import pyarrow as pa
+    import ray.data
+
+    from tests.util_reference import diff_counts, run_reference, tile_counts_from_ds
+    from tippecanoe_ray.functions.spatial import encode_quadkey
+    from tippecanoe_ray.pipelines.pyramid import build_pyramid_from_narrow
+
+    n = 1200
+    ids = [f"img-{i:012d}" for i in range(n)]
+    wx, wy = fnv_world(ids, hotspot_frac=0.4, n_hotspots=2)
+    rs = np.random.RandomState(3)
+    fmin = np.where(rs.rand(n) < 0.3, rs.randint(0, 7, n), -1).astype(np.int16)
+    fmax = np.where(rs.rand(n) < 0.3, rs.randint(2, 7, n), -1).astype(np.int16)
+    both = (fmin >= 0) & (fmax >= 0) & (fmax < fmin)
+    fmax[both] = fmin[both]
+    ref = run_reference(wx, wy, maxzoom=6, droprate=2.5, fmin=fmin, fmax=fmax)
+    index = encode_quadkey(wx & ~1, wy & ~1)
+    narrow = ray.data.from_arrow(
+        pa.table(
+            {
+                "wx": wx, "wy": wy, "index": pa.array(index, pa.uint64()),
+                "seq": np.arange(n), "fmin": fmin, "fmax": fmax,
+            }
+        )
+    )
+    cfg = PyramidConfig(maxzoom=6, droprate=2.5, bucket_zoom=0,
+                        fmin_col="fmin", fmax_col="fmax")
+    tiles = build_pyramid_from_narrow(narrow, cfg, n_rows=n)
+    d = diff_counts(tile_counts_from_ds(tiles), ref)
+    assert not d, d

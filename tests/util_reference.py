@@ -22,23 +22,27 @@ from tippecanoe_ray.stages.mvt import decode_tile
 TIPPECANOE = "/tmp/refbuild/tippecanoe"
 
 
-def write_geojson(path: str, wx: np.ndarray, wy: np.ndarray):
+def write_geojson(path: str, wx: np.ndarray, wy: np.ndarray,
+                  fmin: np.ndarray | None = None, fmax: np.ndarray | None = None):
     """One point feature per row, full-precision coordinates, in seq
-    order (tippecanoe's seq = input order)."""
+    order (tippecanoe's seq = input order); optional per-feature
+    tippecanoe extension minzoom/maxzoom (geojson.cpp:81-100)."""
     lon, lat = world_to_lonlat(wx, wy)
     with open(path, "w") as f:
         for i in range(len(wx)):
-            f.write(
-                json.dumps(
-                    {
-                        "type": "Feature",
-                        "properties": {},
-                        "geometry": {"type": "Point", "coordinates": [float(lon[i]), float(lat[i])]},
-                    },
-                    separators=(",", ":"),
-                )
-                + "\n"
-            )
+            feat = {
+                "type": "Feature",
+                "properties": {},
+                "geometry": {"type": "Point", "coordinates": [float(lon[i]), float(lat[i])]},
+            }
+            tc = {}
+            if fmin is not None and fmin[i] >= 0:
+                tc["minzoom"] = int(fmin[i])
+            if fmax is not None and fmax[i] >= 0:
+                tc["maxzoom"] = int(fmax[i])
+            if tc:
+                feat["tippecanoe"] = tc
+            f.write(json.dumps(feat, separators=(",", ":")) + "\n")
 
 
 def run_reference(
@@ -48,12 +52,14 @@ def run_reference(
     minzoom: int = 0,
     droprate: float | None = None,
     extra_flags: list[str] | None = None,
+    fmin: np.ndarray | None = None,
+    fmax: np.ndarray | None = None,
 ) -> dict[tuple[int, int, int], int]:
     """Run the reference binary; return {(z, x, y): n_features}."""
     with tempfile.TemporaryDirectory() as td:
         gj = os.path.join(td, "in.json")
         mb = os.path.join(td, "out.mbtiles")
-        write_geojson(gj, wx, wy)
+        write_geojson(gj, wx, wy, fmin=fmin, fmax=fmax)
         cmd = [
             TIPPECANOE,
             "-o", mb,

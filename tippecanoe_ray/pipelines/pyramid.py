@@ -92,6 +92,8 @@ class PyramidConfig:
     seq_col: str | None = "seq"
     strategies: "object | None" = None  # stages.strategies.StrategyConfig
     retain_points_multiplier: int = 1  # --retain-points-multiplier
+    fmin_col: str | None = None  # per-feature tippecanoe minzoom column
+    fmax_col: str | None = None  # per-feature tippecanoe maxzoom column
 
     def resolved_basezoom(self) -> int:
         return self.maxzoom if self.basezoom is None else self.basezoom
@@ -138,9 +140,12 @@ def geotag_narrow(ds: ray.data.Dataset, cfg: PyramidConfig) -> ray.data.Dataset:
     tag = Geotag(id_col=cfg.id_col, rule=cfg.rule, curve="quadkey",
                  hotspot_frac=cfg.hotspot_frac, n_hotspots=cfg.n_hotspots,
                  seq_col=cfg.seq_col)
-    return ds.map_batches(tag, batch_format="pyarrow").select_columns(
-        ["wx", "wy", "index", "seq"]
-    )
+    cols = ["wx", "wy", "index", "seq"]
+    if cfg.fmin_col:
+        cols.append(cfg.fmin_col)
+    if cfg.fmax_col:
+        cols.append(cfg.fmax_col)
+    return ds.map_batches(tag, batch_format="pyarrow").select_columns(cols)
 
 
 def point_index(wx: np.ndarray, wy: np.ndarray) -> np.ndarray:
@@ -216,6 +221,18 @@ def _tile_rows(
     return t
 
 
+def _force_first_plain(kept: np.ndarray, eff_mz: np.ndarray,
+                       starts: np.ndarray, ends: np.ndarray):
+    """Always-keep the first PLAIN (non-explicit-minzoom) feature of
+    each tile (tile.cpp:1293-1302); reduces to kept[starts]=True when
+    no explicit features exist (eff_mz >= 0 everywhere)."""
+    n = len(eff_mz)
+    plain_pos = np.where(eff_mz >= 0, np.arange(n), n)
+    firstp = np.minimum.reduceat(plain_pos, starts) if len(starts) else starts
+    valid = firstp < ends
+    kept[firstp[valid]] = True
+
+
 class ZoomEmitter:
     """Per-zoom tile emission over (index, seq)-sorted feature arrays
     with snapped coordinates + boundary-ghost duplication."""
@@ -269,7 +286,7 @@ class ZoomEmitter:
         starts = np.concatenate(([0], change))
         ends = np.concatenate((change, [len(index)]))
         kept = minzoom <= z
-        kept[starts] = True
+        _force_first_plain(kept, minzoom, starts, ends)
         if cfg.retain_points_multiplier > 1:
             from ..stages.strategies import multiplier_keep
 
@@ -335,7 +352,7 @@ class ZoomEmitter:
             starts = np.concatenate(([0], change))
             ends = np.concatenate((change, [n_core]))
             kept = cmz <= z
-            kept[starts] = True
+            _force_first_plain(kept, cmz, starts, ends)
             if cfg.retain_points_multiplier > 1:
                 from ..stages.strategies import multiplier_keep
 
@@ -499,7 +516,7 @@ class ZoomEmitter:
             if mgap is not None:
                 mgap = mgap[o]
             k = mmz <= z
-            k[0] = True
+            _force_first_plain(k, mmz, np.array([0]), np.array([len(mmz)]))
             if cfg.retain_points_multiplier > 1:
                 from ..stages.strategies import multiplier_keep
 
@@ -634,10 +651,25 @@ class BucketWorker:
         seq_a = group["seq"].to_numpy(zero_copy_only=False)
         wx_a = group["wx"].to_numpy(zero_copy_only=False)
         wy_a = group["wy"].to_numpy(zero_copy_only=False)
+        cfg0 = self.cfg
+        fmin_a = (
+            group[cfg0.fmin_col].to_numpy(zero_copy_only=False).astype(np.int16)
+            if cfg0.fmin_col
+            else None
+        )
+        fmax_a = (
+            group[cfg0.fmax_col].to_numpy(zero_copy_only=False).astype(np.int16)
+            if cfg0.fmax_col
+            else None
+        )
         order = np.lexsort((seq_a, index_a, buckets))
         buckets = buckets[order]
         index_a, seq_a = index_a[order], seq_a[order]
         wx_a, wy_a = wx_a[order], wy_a[order]
+        if fmin_a is not None:
+            fmin_a = fmin_a[order]
+        if fmax_a is not None:
+            fmax_a = fmax_a[order]
         cuts = np.flatnonzero(buckets[1:] != buckets[:-1]) + 1
         starts = np.concatenate(([0], cuts))
         ends = np.concatenate((cuts, [len(buckets)]))
@@ -662,11 +694,14 @@ class BucketWorker:
                     int(buckets[s]), index_a[s:e], seq_a[s:e], wx_a[s:e], wy_a[s:e],
                     minzoom=None if task_mz is None else task_mz[s:e],
                     gaps=None if task_gaps is None else task_gaps[s:e],
+                    fmin=None if fmin_a is None else fmin_a[s:e],
+                    fmax=None if fmax_a is None else fmax_a[s:e],
                 )
             )
         return pa.concat_tables(_align_tables(outs))
 
-    def _one_bucket(self, bucket, index, seq, wx, wy, minzoom=None, gaps=None) -> pa.Table:
+    def _one_bucket(self, bucket, index, seq, wx, wy, minzoom=None, gaps=None,
+                    fmin=None, fmax=None) -> pa.Table:
         cfg = self.cfg
         if gaps is None and getattr(cfg, "strategies", None) is not None and cfg.strategies.any_active():
             from ..stages.strategies import compute_gaps
@@ -687,11 +722,34 @@ class BucketWorker:
         by = int(_compact_bits64(np.array([bucket], np.uint64))[0])
         em = ZoomEmitter(cfg, self.strategy_overrides)
         outs = []
+        eff_minzoom = minzoom
+        if fmin is not None:
+            # an explicit per-feature MINZOOM bypasses the rate ladder
+            # (tile.cpp:1314-1316: tippecanoe_minzoom set ⇒ FEATURE_KEPT;
+            # maxzoom-only features still ride the ladder). Sentinel -1:
+            # always kept, and NOT part of the multiplier count map — the
+            # always-keep-first slot goes to the first PLAIN feature
+            # (the count entry is only created in the == -1 branch,
+            # tile.cpp:1293-1299).
+            eff_minzoom = np.where(fmin >= 0, np.int16(-1), minzoom).astype(np.int16)
         for z in range(max(b_zoom, cfg.minzoom), cfg.maxzoom + 1):
-            tile_tbl, side_tbl = em.emit(
-                z, index, seq, swx, swy, bzx, bzy, minzoom, bucket,
-                route=(b_zoom, bx, by), gaps=gaps,
-            )
+            if fmin is not None or fmax is not None:
+                act = np.ones(len(index), dtype=bool)
+                if fmin is not None:
+                    act &= (fmin < 0) | (z >= fmin)
+                if fmax is not None:
+                    act &= (fmax < 0) | (z <= fmax)
+                tile_tbl, side_tbl = em.emit(
+                    z, index[act], seq[act], swx[act], swy[act], bzx[act],
+                    bzy[act], eff_minzoom[act], bucket,
+                    route=(b_zoom, bx, by),
+                    gaps=None if gaps is None else gaps[act],
+                )
+            else:
+                tile_tbl, side_tbl = em.emit(
+                    z, index, seq, swx, swy, bzx, bzy, eff_minzoom, bucket,
+                    route=(b_zoom, bx, by), gaps=gaps,
+                )
             if tile_tbl is not None:
                 outs.append(tile_tbl)
             if side_tbl is not None:
@@ -707,19 +765,25 @@ class BucketWorker:
         # low-zoom side channel: ladder low-zoom features + this bucket's
         # first feature + any feature that is boundary at z < B
         if b_zoom > cfg.minzoom:
-            surv = (minzoom < b_zoom) | (bzx < b_zoom) | (bzy < b_zoom)
+            surv = (eff_minzoom < b_zoom) | (bzx < b_zoom) | (bzy < b_zoom)
             surv[0] = True
-            blob = _feature_blob(
-                {
-                    "index": index[surv],
-                    "seq": seq[surv],
-                    "swx": swx[surv],
-                    "swy": swy[surv],
-                    "bzx": bzx[surv],
-                    "bzy": bzy[surv],
-                    "minzoom": minzoom[surv],
-                }
-            )
+            blob_cols = {
+                "index": index[surv],
+                "seq": seq[surv],
+                "swx": swx[surv],
+                "swy": swy[surv],
+                "bzx": bzx[surv],
+                "bzy": bzy[surv],
+                "minzoom": eff_minzoom[surv],
+            }
+            if fmin is not None or fmax is not None:
+                blob_cols["fmin"] = (
+                    fmin[surv] if fmin is not None else np.full(int(surv.sum()), -1, np.int16)
+                )
+                blob_cols["fmax"] = (
+                    fmax[surv] if fmax is not None else np.full(int(surv.sum()), -1, np.int16)
+                )
+            blob = _feature_blob(blob_cols)
             row = pa.table(
                 {
                     "z": pa.array([-1], pa.int32()),
@@ -921,13 +985,28 @@ def lowzoom_tiles(survivor_rows: list[dict], cfg: PyramidConfig, bucket_zoom: in
     bzx = t["bzx"].to_numpy(zero_copy_only=False)
     bzy = t["bzy"].to_numpy(zero_copy_only=False)
     minzoom = t["minzoom"].to_numpy(zero_copy_only=False)
+    fmin = t["fmin"].to_numpy(zero_copy_only=False) if "fmin" in t.column_names else None
+    fmax = t["fmax"].to_numpy(zero_copy_only=False) if "fmax" in t.column_names else None
     order = np.lexsort((seq, index))
     index, seq, swx, swy = index[order], seq[order], swx[order], swy[order]
     bzx, bzy, minzoom = bzx[order], bzy[order], minzoom[order]
+    if fmin is not None:
+        fmin = fmin[order]
+    if fmax is not None:
+        fmax = fmax[order]
     em = ZoomEmitter(cfg)
     outs = []
     for z in range(cfg.minzoom, bucket_zoom):
-        tt, _ = em.emit(z, index, seq, swx, swy, bzx, bzy, minzoom, bucket=-1, route=None)
+        if fmin is not None or fmax is not None:
+            act = np.ones(len(index), dtype=bool)
+            if fmin is not None:
+                act &= (fmin < 0) | (z >= fmin)
+            if fmax is not None:
+                act &= (fmax < 0) | (z <= fmax)
+            tt, _ = em.emit(z, index[act], seq[act], swx[act], swy[act],
+                            bzx[act], bzy[act], minzoom[act], bucket=-1, route=None)
+        else:
+            tt, _ = em.emit(z, index, seq, swx, swy, bzx, bzy, minzoom, bucket=-1, route=None)
         if tt is not None:
             outs.append(tt)
     if not outs:
