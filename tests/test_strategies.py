@@ -106,3 +106,21 @@ def test_retain_points_multiplier_exact(ray_session, hotspot_input, mult):
     tiles = build_pyramid(ds, cfg, n_rows=n)
     d = diff_counts(tile_counts_from_ds(tiles), ref)
     assert not d, d
+
+
+@pytest.mark.skipif(not has_reference(), reason="reference binary not built")
+def test_drop_fraction_exact(ray_session, hotspot_input):
+    """--drop-fraction-as-needed: deterministic drop_sequence ladder with
+    the ×0.95 fraction factor and first-candidate protection — exact."""
+    from tests.util_reference import diff_counts, run_reference, tile_counts_from_ds
+
+    n, wx, wy = hotspot_input
+    ref = run_reference(wx, wy, maxzoom=6, droprate=1,
+                        extra_flags=["--drop-fraction-as-needed", "-O200"])
+    ds = synthesize_image_table(n, with_payload=False)
+    scfg = StrategyConfig(drop_fraction=True, max_tile_features=200)
+    cfg = PyramidConfig(maxzoom=6, droprate=1.0, hotspot_frac=0.6, n_hotspots=1,
+                        strategies=scfg, bucket_zoom=0)
+    tiles = build_pyramid(ds, cfg, n_rows=n)
+    d = diff_counts(tile_counts_from_ds(tiles), ref)
+    assert not d, d

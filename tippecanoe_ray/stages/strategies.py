@@ -242,13 +242,16 @@ def apply_strategies(
         if mingap:
             keep &= ~(gaps < mingap)
         fraction = 1.0
+        samples = gaps.copy()  # the sample vector accumulates across
+        # retries (add_sample_to is never cleared between scans)
         while keep.sum() > limit:
             fraction = min(fraction * limit / keep.sum() * 0.80, 0.80)
-            m = choose_mingap(gaps, fraction, mingap)
+            m = choose_mingap(samples, fraction, mingap)
             if m <= mingap:
                 break
             mingap = m
             keep &= ~(gaps < mingap)
+            samples = np.concatenate((samples, gaps))
         if mingap > int(ov.get("mingap", 0)):
             report["mingap"] = mingap
     if scfg.drop_smallest:
@@ -257,13 +260,15 @@ def apply_strategies(
         if minextent:
             keep &= ~(extents <= minextent)
         fraction = 1.0
+        samples = extents.copy()
         while keep.sum() > limit:
             fraction = min(fraction * limit / keep.sum() * 0.80, 0.80)
-            m = choose_mingap(extents, fraction, minextent)
+            m = choose_mingap(samples, fraction, minextent)
             if m <= minextent:
                 break
             minextent = m
             keep &= ~(extents <= minextent)
+            samples = np.concatenate((samples, extents))
         if minextent > float(ov.get("minextent", 0.0)):
             report["minextent"] = minextent
     if scfg.drop_fraction:
@@ -272,15 +277,25 @@ def apply_strategies(
         if minseq:
             keep &= ~(seqs <= np.uint64(minseq))
         fraction = 1.0
+        samples = seqs.copy()
         while keep.sum() > limit:
-            fraction = min(fraction * limit / keep.sum() * 0.80, 0.80)
-            m = choose_mingap(seqs, fraction, minseq)
+            # fraction update uses ×0.95 for the sequence ladder
+            # (tile.cpp:2845), still capped at 0.80
+            fraction = min(fraction * limit / keep.sum() * 0.95, 0.80)
+            m = choose_mingap(samples, fraction, minseq)  # uint64 quantile
             if m <= minseq:
                 break
             minseq = m
             keep &= ~(seqs <= np.uint64(minseq))
+            samples = np.concatenate((samples, seqs))
         if minseq > int(ov.get("mindrop_sequence", 0)):
             report["mindrop_sequence"] = minseq
+    if n > 0:
+        # the first candidate can never be dropped by gamma/cluster/
+        # as-needed ladders: every drop path requires a previous feature
+        # to accumulate onto (find_feature_to_accumulate_onto fails on an
+        # empty layer — tile.cpp:1576-1590, 1639-1657)
+        keep[0] = True
     if scfg.limit_tile_feature_count and keep.sum() > scfg.limit_tile_feature_count:
         kept_pos = np.flatnonzero(keep)
         keep[kept_pos[scfg.limit_tile_feature_count:]] = False
