@@ -124,3 +124,88 @@ def test_drop_fraction_exact(ray_session, hotspot_input):
     tiles = build_pyramid(ds, cfg, n_rows=n)
     d = diff_counts(tile_counts_from_ds(tiles), ref)
     assert not d, d
+
+
+@pytest.mark.skipif(not has_reference(), reason="reference binary not built")
+def test_drop_densest_lowzoom_bucket(ray_session, hotspot_input):
+    """Strategies must also run for z < bucket_zoom (the biggest tiles):
+    with bucket_zoom=2 the z0/z1 tiles go through lowzoom_tiles, which
+    previously skipped every strategy (ADVICE r1 high)."""
+    from tests.util_reference import run_reference, tile_counts_from_ds
+
+    n, wx, wy = hotspot_input
+    ref = run_reference(wx, wy, maxzoom=6, droprate=1,
+                        extra_flags=["--drop-densest-as-needed", "-O200"])
+    ds = synthesize_image_table(n, with_payload=False)
+    scfg = StrategyConfig(drop_densest=True, max_tile_features=200)
+    cfg = PyramidConfig(maxzoom=6, droprate=1.0, hotspot_frac=0.6, n_hotspots=1,
+                        strategies=scfg, bucket_zoom=2)
+    tiles = build_pyramid(ds, cfg, n_rows=n)
+    ours = tile_counts_from_ds(tiles)
+    # the limit binds everywhere, including z0/z1
+    assert max(ours.values()) <= 200
+    assert set(ours) == set(ref)
+    exact = sum(ours[k] == ref[k] for k in ref)
+    assert exact / len(ref) >= 0.995, f"{exact}/{len(ref)} tiles exact"
+
+
+@pytest.mark.skipif(not has_reference(), reason="reference binary not built")
+@pytest.mark.parametrize(
+    "flags,scfg",
+    [
+        (["-g2"], StrategyConfig(gamma=2.0)),
+        (["-K50"], StrategyConfig(cluster_distance=50)),
+    ],
+)
+def test_gamma_cluster_lowzoom_bucket(ray_session, hotspot_input, flags, scfg):
+    """gamma/cluster exact-match with bucket_zoom=2 (z0/z1 through the
+    lowzoom pass with carried gaps)."""
+    from tests.util_reference import diff_counts, run_reference, tile_counts_from_ds
+
+    n, wx, wy = hotspot_input
+    ref = run_reference(wx, wy, maxzoom=6, droprate=2.5, extra_flags=flags)
+    ds = synthesize_image_table(n, with_payload=False)
+    cfg = PyramidConfig(maxzoom=6, droprate=2.5, hotspot_frac=0.6, n_hotspots=1,
+                        strategies=scfg, bucket_zoom=2)
+    tiles = build_pyramid(ds, cfg, n_rows=n)
+    d = diff_counts(tile_counts_from_ds(tiles), ref)
+    assert not d, d
+
+
+@pytest.mark.skipif(not has_reference(), reason="reference binary not built")
+def test_retain_multiplier_lowzoom_bucket(ray_session, hotspot_input):
+    """multiplier secondaries whose integer minzoom is in
+    [bucket_zoom, bucket_zoom + log(N)/log(r)) must still reach the
+    lowzoom pass (ADVICE r1 medium)."""
+    from tests.util_reference import diff_counts, run_reference, tile_counts_from_ds
+
+    n, wx, wy = hotspot_input
+    ref = run_reference(wx, wy, maxzoom=6, droprate=2.5,
+                        extra_flags=["--retain-points-multiplier=3"])
+    ds = synthesize_image_table(n, with_payload=False)
+    cfg = PyramidConfig(maxzoom=6, droprate=2.5, hotspot_frac=0.6, n_hotspots=1,
+                        retain_points_multiplier=3, bucket_zoom=2)
+    tiles = build_pyramid(ds, cfg, n_rows=n)
+    d = diff_counts(tile_counts_from_ds(tiles), ref)
+    assert not d, d
+
+
+@pytest.mark.skipif(not has_reference(), reason="reference binary not built")
+def test_drop_smallest_near_exact(ray_session, hotspot_input):
+    """--drop-smallest-as-needed: int64-truncated point pseudo-extents
+    and the ×0.75 retry factor (tile.cpp:2779)."""
+    from tests.util_reference import run_reference, tile_counts_from_ds
+
+    n, wx, wy = hotspot_input
+    ref = run_reference(wx, wy, maxzoom=6, droprate=1,
+                        extra_flags=["--drop-smallest-as-needed", "-O200"])
+    ds = synthesize_image_table(n, with_payload=False)
+    scfg = StrategyConfig(drop_smallest=True, max_tile_features=200)
+    cfg = PyramidConfig(maxzoom=6, droprate=1.0, hotspot_frac=0.6, n_hotspots=1,
+                        strategies=scfg, bucket_zoom=0)
+    tiles = build_pyramid(ds, cfg, n_rows=n)
+    ours = tile_counts_from_ds(tiles)
+    assert set(ours) == set(ref)
+    exact = sum(ours[k] == ref[k] for k in ref)
+    assert exact / len(ref) >= 0.99, f"{exact}/{len(ref)} tiles exact"
+    assert max(ours.values()) <= 200

@@ -30,6 +30,8 @@ def main(argv=None):
     ap.add_argument("--gamma", type=float, default=0.0)
     ap.add_argument("--cluster-distance", type=int, default=0)
     ap.add_argument("--drop-densest", action="store_true")
+    ap.add_argument("--max-tile-features", type=int, default=None,
+                    help="as-needed drop limit per tile (reference -O, default 200000)")
     ap.add_argument("--resume", action="store_true")
     ap.add_argument("--num-cpus", type=int, default=None)
     ap.add_argument("--mbtiles", default=None, help="also package to this mbtiles file")
@@ -55,11 +57,14 @@ def main(argv=None):
 
     scfg = None
     if args.gamma or args.cluster_distance or args.drop_densest:
-        scfg = StrategyConfig(
+        kw = dict(
             gamma=args.gamma,
             cluster_distance=args.cluster_distance,
             drop_densest=args.drop_densest,
         )
+        if args.max_tile_features:
+            kw["max_tile_features"] = args.max_tile_features
+        scfg = StrategyConfig(**kw)
     cfg = PyramidConfig(
         minzoom=args.minzoom,
         maxzoom=args.maxzoom,
@@ -83,7 +88,10 @@ def main(argv=None):
     if args.mbtiles:
         from tippecanoe_ray.sources.mbtiles import write_mbtiles
 
-        out["mbtiles_tiles"] = write_mbtiles(tiles, args.mbtiles)
+        out["mbtiles_tiles"] = write_mbtiles(
+            tiles, args.mbtiles, minzoom=cfg.minzoom, maxzoom=cfg.maxzoom,
+            layer_name=cfg.layer_name,
+        )
     print(json.dumps(out))
     if started_here:
         ray.shutdown()

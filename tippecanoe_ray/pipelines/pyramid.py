@@ -765,7 +765,17 @@ class BucketWorker:
         # low-zoom side channel: ladder low-zoom features + this bucket's
         # first feature + any feature that is boundary at z < B
         if b_zoom > cfg.minzoom:
-            surv = (eff_minzoom < b_zoom) | (bzx < b_zoom) | (bzy < b_zoom)
+            surv_zoom = b_zoom
+            if cfg.retain_points_multiplier > 1 and cfg.droprate > 1:
+                # multiplier secondaries at z < B have integer minzoom up
+                # to B + log(N)/log(droprate) (fractional-minzoom rule,
+                # tile.cpp:1290-1319) — widen so they reach lowzoom_tiles
+                import math as _math
+
+                surv_zoom = b_zoom + int(
+                    _math.ceil(_math.log(cfg.retain_points_multiplier) / _math.log(cfg.droprate))
+                )
+            surv = (eff_minzoom < surv_zoom) | (bzx < b_zoom) | (bzy < b_zoom)
             surv[0] = True
             blob_cols = {
                 "index": index[surv],
@@ -776,6 +786,11 @@ class BucketWorker:
                 "bzy": bzy[surv],
                 "minzoom": eff_minzoom[surv],
             }
+            if gaps is not None:
+                # carry the z0-scan gap (tile.cpp:1180-1199 fills it once
+                # over the FULL stream) so low-zoom strategies see the
+                # same values the bucket zooms did
+                blob_cols["gap"] = gaps[surv]
             if fmin is not None or fmax is not None:
                 blob_cols["fmin"] = (
                     fmin[surv] if fmin is not None else np.full(int(surv.sum()), -1, np.int16)
@@ -811,10 +826,7 @@ class BucketWorker:
                 for kname, v in rep.items():
                     rz.append(z_)
                     rcode.append(codes[kname])
-                    if kname == "minextent":
-                        rval.append(np.float64(v).view(np.uint64))
-                    else:
-                        rval.append(np.uint64(v))
+                    rval.append(np.uint64(v))
             outs.append(
                 pa.table(
                     {
@@ -974,7 +986,15 @@ def _align_tables(tables: list[pa.Table]) -> list[pa.Table]:
 
 def lowzoom_tiles(survivor_rows: list[dict], cfg: PyramidConfig, bucket_zoom: int) -> pa.Table | None:
     """Second (tiny) pass: tiles for z in [minzoom, B). Input is the
-    per-bucket survivor blobs; |input| ≈ n_buckets + n/droprate^(bz-B)."""
+    per-bucket survivor blobs; |input| ≈ n_buckets + n/droprate^(bz-B).
+
+    Per-tile strategies run here too (gamma/cluster/as-needed ladders at
+    z < B act on the biggest tiles): gaps are the z0-scan values carried
+    in the blob, and the as-needed thresholds get their own zoom-global
+    consensus loop (zooms here are disjoint from the bucket zooms, so
+    the two consensus domains never interact)."""
+    import warnings
+
     if bucket_zoom <= cfg.minzoom or not survivor_rows:
         return None
     t = pa.concat_tables([_blob_to_table(r["tile"]) for r in survivor_rows])
@@ -987,6 +1007,7 @@ def lowzoom_tiles(survivor_rows: list[dict], cfg: PyramidConfig, bucket_zoom: in
     minzoom = t["minzoom"].to_numpy(zero_copy_only=False)
     fmin = t["fmin"].to_numpy(zero_copy_only=False) if "fmin" in t.column_names else None
     fmax = t["fmax"].to_numpy(zero_copy_only=False) if "fmax" in t.column_names else None
+    gaps = t["gap"].to_numpy(zero_copy_only=False).astype(np.uint64) if "gap" in t.column_names else None
     order = np.lexsort((seq, index))
     index, seq, swx, swy = index[order], seq[order], swx[order], swy[order]
     bzx, bzy, minzoom = bzx[order], bzy[order], minzoom[order]
@@ -994,21 +1015,52 @@ def lowzoom_tiles(survivor_rows: list[dict], cfg: PyramidConfig, bucket_zoom: in
         fmin = fmin[order]
     if fmax is not None:
         fmax = fmax[order]
-    em = ZoomEmitter(cfg)
-    outs = []
-    for z in range(cfg.minzoom, bucket_zoom):
-        if fmin is not None or fmax is not None:
-            act = np.ones(len(index), dtype=bool)
-            if fmin is not None:
-                act &= (fmin < 0) | (z >= fmin)
-            if fmax is not None:
-                act &= (fmax < 0) | (z <= fmax)
-            tt, _ = em.emit(z, index[act], seq[act], swx[act], swy[act],
-                            bzx[act], bzy[act], minzoom[act], bucket=-1, route=None)
-        else:
-            tt, _ = em.emit(z, index, seq, swx, swy, bzx, bzy, minzoom, bucket=-1, route=None)
-        if tt is not None:
-            outs.append(tt)
+    scfg = getattr(cfg, "strategies", None)
+    strat = scfg is not None and scfg.any_active()
+    if gaps is not None:
+        gaps = gaps[order]
+    elif strat:
+        # fallback for blobs persisted before gaps were carried:
+        # recompute over the survivor set (approximate)
+        from ..stages.strategies import compute_gaps
+
+        gaps = compute_gaps(index)
+
+    overrides: dict = {}
+    outs: list = []
+    for attempt in range(5):
+        em = ZoomEmitter(cfg, overrides)
+        outs = []
+        for z in range(cfg.minzoom, bucket_zoom):
+            if fmin is not None or fmax is not None:
+                act = np.ones(len(index), dtype=bool)
+                if fmin is not None:
+                    act &= (fmin < 0) | (z >= fmin)
+                if fmax is not None:
+                    act &= (fmax < 0) | (z <= fmax)
+                tt, _ = em.emit(z, index[act], seq[act], swx[act], swy[act],
+                                bzx[act], bzy[act], minzoom[act], bucket=-1, route=None,
+                                gaps=None if gaps is None else gaps[act])
+            else:
+                tt, _ = em.emit(z, index, seq, swx, swy, bzx, bzy, minzoom,
+                                bucket=-1, route=None, gaps=gaps)
+            if tt is not None:
+                outs.append(tt)
+        changed = False
+        for z_, rep in em.reports.items():
+            cur = overrides.setdefault(z_, {})
+            for k_, v_ in rep.items():
+                if v_ > cur.get(k_, 0):
+                    cur[k_] = v_
+                    changed = True
+        if not changed:
+            break
+    else:
+        warnings.warn(
+            "lowzoom threshold consensus did not converge in 5 iterations; "
+            "tiles may exceed max_tile_features (reference retries until fit, "
+            "tile.cpp:3392-3572)"
+        )
     if not outs:
         return None
     return pa.concat_tables(_align_tables(outs))
@@ -1294,9 +1346,8 @@ def build_pyramid_from_narrow(
             raw = t["min_index"].to_numpy(zero_copy_only=False).astype(np.uint64)[m]
             for z_, c_, v_ in zip(zs, code, raw):
                 name = codes[int(c_)]
-                val = float(np.uint64(v_).view(np.float64)) if name == "minextent" else int(v_)
                 cur = out.setdefault(int(z_), {})
-                cur[name] = max(cur.get(name, 0), val)
+                cur[name] = max(cur.get(name, 0), int(v_))
         return out
 
     def _run_exchange() -> list[pa.Table]:
@@ -1321,6 +1372,13 @@ def build_pyramid_from_narrow(
                         changed = True
             if not changed:
                 return tbls
+        import warnings
+
+        warnings.warn(
+            "zoom-global threshold consensus still changing after 5 "
+            "iterations; tiles may exceed max_tile_features (reference "
+            "retries until fit or exits, tile.cpp:3392-3572)"
+        )
         return tbls
 
     if raw_dir:

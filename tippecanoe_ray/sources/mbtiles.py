@@ -19,9 +19,13 @@ import ray.data
 
 
 def write_mbtiles(tile_ds: ray.data.Dataset, path: str, name: str = "tiles",
-                  minzoom: int | None = None, maxzoom: int | None = None):
+                  minzoom: int | None = None, maxzoom: int | None = None,
+                  layer_name: str = "points",
+                  bounds: tuple[float, float, float, float] | None = None):
     """Package a tile dataset (z, x, y, tile) into an mbtiles file with
-    content-hash dedup (mbtiles.cpp:66-149)."""
+    content-hash dedup (mbtiles.cpp:66-149). `layer_name` must match the
+    layer id actually encoded in the tiles (PyramidConfig.layer_name);
+    bounds/center follow mbtiles.cpp:468-651."""
     con = sqlite3.connect(path)
     cur = con.cursor()
     cur.execute("PRAGMA journal_mode = OFF")
@@ -66,8 +70,12 @@ def write_mbtiles(tile_ds: ray.data.Dataset, path: str, name: str = "tiles",
         "version": "2",
         "minzoom": str(minzoom if minzoom is not None else zmin),
         "maxzoom": str(maxzoom if maxzoom is not None else zmax),
-        "json": json.dumps({"vector_layers": [{"id": "points", "fields": {}}]}),
+        "json": json.dumps({"vector_layers": [{"id": layer_name, "fields": {}}]}),
     }
+    if bounds is not None:
+        w, s, e, nb = bounds
+        meta["bounds"] = f"{w:f},{s:f},{e:f},{nb:f}"
+        meta["center"] = f"{(w + e) / 2:f},{(s + nb) / 2:f},{max(zmin, 0)}"
     cur.executemany("INSERT INTO metadata VALUES (?, ?)", list(meta.items()))
     cur.execute(
         "CREATE UNIQUE INDEX IF NOT EXISTS map_index ON map (zoom_level, tile_column, tile_row)"

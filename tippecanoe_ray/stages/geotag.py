@@ -149,9 +149,17 @@ class Geotag:
             index = encode_hilbert(ix, iy)
         else:
             raise ValueError(f"unknown curve {self.curve!r}")
-        out = batch.append_column("wx", pa.array(wx, type=pa.int64()))
-        out = out.append_column("wy", pa.array(wy, type=pa.int64()))
-        out = out.append_column("index", pa.array(index, type=pa.uint64()))
+        def _set(t: pa.Table, name: str, arr: pa.Array) -> pa.Table:
+            # overwrite rather than duplicate when the input already
+            # carries a column of the same name (e.g. a persisted table
+            # that was geotagged before)
+            if name in t.column_names:
+                return t.set_column(t.column_names.index(name), name, arr)
+            return t.append_column(name, arr)
+
+        out = _set(batch, "wx", pa.array(wx, type=pa.int64()))
+        out = _set(out, "wy", pa.array(wy, type=pa.int64()))
+        out = _set(out, "index", pa.array(index, type=pa.uint64()))
         if self.seq_col is not None and self.seq_col == "seq" and "seq" in batch.column_names:
             return out  # input already carries the sequence column
         if self.seq_col is not None:
@@ -161,5 +169,4 @@ class Geotag:
             # ties on `index` break identically at any parallelism level
             seq = fnv1a64_strings(batch[self.id_col].to_numpy(zero_copy_only=False)).astype(np.int64) \
                 if self.rule == "fnv" else key.astype(np.int64)
-        out = out.append_column("seq", pa.array(seq, type=pa.int64()))
-        return out
+        return _set(out, "seq", pa.array(seq, type=pa.int64()))

@@ -188,18 +188,24 @@ def cluster_scan(
 
 def point_extents(index: np.ndarray) -> np.ndarray:
     """Per-tile point pseudo-extent from index spacing
-    (tile.cpp:1896-1908)."""
-    n = len(index)
-    out = np.ones(n, dtype=np.float64)
-    prev = 0
-    for i in range(n):
-        ix = int(index[i])
-        if prev >= ix:
-            out[i] = 1.0
-        else:
-            radius = math.sqrt(ix - prev) / 4.0
-            out[i] = max(math.pi * radius * radius, 1.0)
-        prev = ix
+    (tile.cpp:1896-1908). sf.extent is a long long (serial.hpp:123):
+    M_PI*r*r is TRUNCATED to int64 before both the `extent <= minextent`
+    comparison and choose_minextent's stable sort."""
+    idx = np.asarray(index, dtype=np.uint64)
+    n = len(idx)
+    out = np.ones(n, dtype=np.int64)
+    if n == 0:
+        return out
+    prev = np.empty_like(idx)
+    prev[0] = 0
+    prev[1:] = idx[:-1]
+    grow = idx > prev
+    # double radius = sqrt(d) / 4.0; extent = (M_PI * radius) * radius
+    # — left-to-right float evaluation order preserved for bit parity
+    d = (idx - prev).astype(np.float64)
+    radius = np.sqrt(d) / 4.0
+    ext = ((math.pi * radius) * radius).astype(np.int64)
+    out[grow] = np.maximum(ext[grow], 1)
     return out
 
 
@@ -256,20 +262,21 @@ def apply_strategies(
             report["mingap"] = mingap
     if scfg.drop_smallest:
         extents = point_extents(index)
-        minextent = float(ov.get("minextent", 0.0))
+        minextent = int(ov.get("minextent", 0))
         if minextent:
             keep &= ~(extents <= minextent)
         fraction = 1.0
         samples = extents.copy()
         while keep.sum() > limit:
-            fraction = min(fraction * limit / keep.sum() * 0.80, 0.80)
+            # minextent retry fraction uses ×0.75 (tile.cpp:2779)
+            fraction = min(fraction * limit / keep.sum() * 0.75, 0.80)
             m = choose_mingap(samples, fraction, minextent)
             if m <= minextent:
                 break
             minextent = m
             keep &= ~(extents <= minextent)
             samples = np.concatenate((samples, extents))
-        if minextent > float(ov.get("minextent", 0.0)):
+        if minextent > int(ov.get("minextent", 0)):
             report["minextent"] = minextent
     if scfg.drop_fraction:
         seqs = drop_sequence(minzoom, index)
