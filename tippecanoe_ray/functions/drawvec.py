@@ -1,0 +1,729 @@
+"""Exact drawvec geometry kernels for the line/polygon tile pipeline.
+
+A geometry ("drawvec", reference geometry.hpp:26-67) is represented as
+(ops: np.uint8[n], xy: np.int64[n,2]) — an opcode list of MOVETO=1 /
+LINETO=2 / CLOSEPATH=7 entries. All functions below re-derive the
+reference's semantics bit-for-bit where feasible (integer truncating
+division, std::round half-away-from-zero, double evaluation order),
+because the per-tile exact-match depends on them:
+
+- clip_lines / clip (Cohen–Sutherland)        clip.cpp:106-229
+- simple_clip_poly / clip_poly1 (S–H, doubles) clip.cpp:24-82, 742-905
+- remove_noop                                  clip.cpp:532-605
+- to_tile_scale                                clip.cpp:507-519
+- line_is_too_small                            clip.cpp:1903-1925
+- get_area / get_mp_area                       clip.cpp:642-711
+- fix_polygon (winding + ring rotation)        clip.cpp:1755-1901
+- distance_from_line / douglas_peucker         geometry.cpp ? clip.cpp:909-1002
+- impose_tile_boundaries / simplify_lines      geometry.cpp:188-313
+- reduce_tiny_poly (accum_area diffusion)      clip.cpp:1048+
+- revive_polygon                               tile.cpp:551-590
+
+NOT replicated: clean_or_clip_poly (Clipper2/wagyu polygon union,
+clip.cpp:260-388) — `clean_poly_tile_scale` below is a documented
+stand-in that drops zero-area rings at tile scale, which matches the
+union result for valid input rings.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+MOVETO = 1
+LINETO = 2
+CLOSEPATH = 7
+
+U64MASK = (1 << 64) - 1
+
+
+def _round_half_away(v: float) -> float:
+    """std::round: halfway cases away from zero."""
+    return math.floor(v + 0.5) if v >= 0 else math.ceil(v - 0.5)
+
+
+def round_half_away_arr(v: np.ndarray) -> np.ndarray:
+    v = np.asarray(v, dtype=np.float64)
+    return np.where(v >= 0, np.floor(v + 0.5), np.ceil(v - 0.5))
+
+
+def _tdiv(a: int, b: int) -> int:
+    """C truncating integer division (toward zero)."""
+    q = abs(a) // abs(b)
+    return q if (a < 0) == (b < 0) else -q
+
+
+def _wrap64(a: int) -> int:
+    """Two's-complement 64-bit wrap (C++ long long overflow in practice)."""
+    a &= U64MASK
+    return a - (1 << 64) if a >= (1 << 63) else a
+
+
+def geom(ops, xy) -> tuple[np.ndarray, np.ndarray]:
+    return np.asarray(ops, dtype=np.uint8), np.asarray(xy, dtype=np.int64).reshape(-1, 2)
+
+
+def empty_geom() -> tuple[np.ndarray, np.ndarray]:
+    return np.empty(0, np.uint8), np.empty((0, 2), np.int64)
+
+
+def rings(ops: np.ndarray):
+    """Yield (i, j) for each MOVETO + LINETO* run."""
+    n = len(ops)
+    i = 0
+    while i < n:
+        if ops[i] == MOVETO:
+            j = i + 1
+            while j < n and ops[j] == LINETO:
+                j += 1
+            yield i, j
+            i = j
+        else:
+            i += 1
+
+
+def geom_bbox(xy: np.ndarray, ops: np.ndarray | None = None):
+    """min/max over moveto/lineto coords (decode_geometry, geometry.cpp:22)."""
+    if ops is not None:
+        m = ops != CLOSEPATH
+        xy = xy[m]
+    if len(xy) == 0:
+        return None
+    return (
+        int(xy[:, 0].min()), int(xy[:, 1].min()),
+        int(xy[:, 0].max()), int(xy[:, 1].max()),
+    )
+
+
+# ------------------------------------------------------------------- area
+
+
+def get_area(xy: np.ndarray, i: int, j: int) -> float:
+    """Shoelace with the reference's base-point offset (clip.cpp:642-689).
+    Vectorized double sum; the reference accumulates sequentially — only
+    near-zero areas could differ in the last ulp."""
+    if j - i < 3:
+        return 0.0
+    bx = float(xy[i, 0])
+    by = float(xy[i, 1])
+    x = xy[i:j, 0].astype(np.float64) - bx
+    y = xy[i:j, 1].astype(np.float64) - by
+    xn = np.roll(x, -1)
+    yn = np.roll(y, -1)
+    return float(np.sum(x * yn) - np.sum(y * xn)) / 2.0
+
+
+def get_mp_area(ops: np.ndarray, xy: np.ndarray) -> float:
+    return sum(get_area(xy, i, j) for i, j in rings(ops))
+
+
+# ----------------------------------------------------------------- snapping
+
+
+def snap_world(xy: np.ndarray, gscale: int) -> np.ndarray:
+    """SHIFT_LEFT(SHIFT_RIGHT(w)): round(w / 2^G) * 2^G half-away
+    (serial.cpp:29-31; COORD_OFFSET is a multiple of 2^G so SHIFT_LEFT
+    is an exact shift)."""
+    if gscale == 0:
+        return np.asarray(xy, dtype=np.int64)
+    s = round_half_away_arr(np.asarray(xy, dtype=np.float64) / (1 << gscale))
+    return (s.astype(np.int64)) << gscale
+
+
+def shift_right(xy: np.ndarray, gscale: int) -> np.ndarray:
+    if gscale == 0:
+        return np.asarray(xy, dtype=np.int64)
+    return round_half_away_arr(np.asarray(xy, dtype=np.float64) / (1 << gscale)).astype(np.int64)
+
+
+# ------------------------------------------------------------- line clipping
+
+
+def _computeOutCode(x, y, xmin, ymin, xmax, ymax) -> int:
+    code = 0
+    if x < xmin:
+        code |= 1  # LEFT
+    elif x > xmax:
+        code |= 2  # RIGHT
+    if y < ymin:
+        code |= 4  # BOTTOM
+    elif y > ymax:
+        code |= 8  # TOP
+    return code
+
+
+def cs_clip_segment(x0, y0, x1, y1, xmin, ymin, xmax, ymax):
+    """The reference's `clip` (clip.cpp:166-229): Cohen–Sutherland with
+    TRUNCATING long long division at intersections. Returns
+    (code, x0, y0, x1, y1): code 0 = rejected, 1 = unchanged,
+    2 = clipped."""
+    outcode0 = _computeOutCode(x0, y0, xmin, ymin, xmax, ymax)
+    outcode1 = _computeOutCode(x1, y1, xmin, ymin, xmax, ymax)
+    changed = 0
+    while True:
+        if not (outcode0 | outcode1):
+            return changed + 1, x0, y0, x1, y1
+        if outcode0 & outcode1:
+            return 0, x0, y0, x1, y1
+        out = outcode0 if outcode0 else outcode1
+        if out & 8:  # TOP
+            x = _wrap64(x0 + _tdiv(_wrap64((x1 - x0) * (ymax - y0)), (y1 - y0)))
+            y = ymax
+        elif out & 4:  # BOTTOM
+            x = _wrap64(x0 + _tdiv(_wrap64((x1 - x0) * (ymin - y0)), (y1 - y0)))
+            y = ymin
+        elif out & 2:  # RIGHT
+            y = _wrap64(y0 + _tdiv(_wrap64((y1 - y0) * (xmax - x0)), (x1 - x0)))
+            x = xmax
+        else:  # LEFT
+            y = _wrap64(y0 + _tdiv(_wrap64((y1 - y0) * (xmin - x0)), (x1 - x0)))
+            x = xmin
+        if out == outcode0:
+            x0, y0 = x, y
+            outcode0 = _computeOutCode(x0, y0, xmin, ymin, xmax, ymax)
+            changed = 1
+        else:
+            x1, y1 = x, y
+            outcode1 = _computeOutCode(x1, y1, xmin, ymin, xmax, ymax)
+            changed = 1
+
+
+def clip_lines(ops: np.ndarray, xy: np.ndarray, minx, miny, maxx, maxy):
+    """clip.cpp:115-141 — per-segment clip preserving the reference's
+    exact opcode-stream structure (stray MOVETOs cleaned by
+    remove_noop)."""
+    out_ops: list[int] = []
+    out_xy: list[tuple[int, int]] = []
+    n = len(ops)
+    for i in range(n):
+        if (
+            i > 0
+            and ops[i] == LINETO
+            and (ops[i - 1] == MOVETO or ops[i - 1] == LINETO)
+        ):
+            c, x1, y1, x2, y2 = cs_clip_segment(
+                int(xy[i - 1, 0]), int(xy[i - 1, 1]),
+                int(xy[i, 0]), int(xy[i, 1]),
+                minx, miny, maxx, maxy,
+            )
+            if c > 1:
+                out_ops += [MOVETO, LINETO, MOVETO]
+                out_xy += [(x1, y1), (x2, y2), (int(xy[i, 0]), int(xy[i, 1]))]
+            elif c == 1:
+                out_ops.append(int(ops[i]))
+                out_xy.append((int(xy[i, 0]), int(xy[i, 1])))
+            else:
+                out_ops.append(MOVETO)
+                out_xy.append((int(xy[i, 0]), int(xy[i, 1])))
+        else:
+            out_ops.append(int(ops[i]))
+            out_xy.append((int(xy[i, 0]), int(xy[i, 1])))
+    return (
+        np.array(out_ops, np.uint8),
+        np.array(out_xy, np.int64).reshape(-1, 2),
+    )
+
+
+# ---------------------------------------------------------- polygon clipping
+
+
+def _inside(px: float, py: float, edge: int, minx, miny, maxx, maxy) -> bool:
+    if edge == 0:
+        return py > miny
+    if edge == 1:
+        return px < maxx
+    if edge == 2:
+        return py < maxy
+    return px > minx
+
+
+def _intersect(ax, ay, bx, by, edge, minx, miny, maxx, maxy):
+    if edge == 0:
+        return (ax + (bx - ax) * (miny - ay) / (by - ay), float(miny))
+    if edge == 1:
+        return (float(maxx), ay + (by - ay) * (maxx - ax) / (bx - ax))
+    if edge == 2:
+        return (ax + (bx - ax) * (maxy - ay) / (by - ay), float(maxy))
+    return (float(minx), ay + (by - ay) * (minx - ax) / (bx - ax))
+
+
+def clip_poly1(pts: list[tuple[float, float]], minx, miny, maxx, maxy):
+    """Sutherland–Hodgman over doubles (clip.cpp:781-905), without the
+    shared-node branches (prevent_simplify_shared_nodes=false ⇒ only
+    the buffer-edge intersections are emitted)."""
+    out = list(pts)
+    for edge in range(4):
+        if out:
+            src = out
+            out = []
+            S = src[-1]
+            for E in src:
+                s_in = _inside(S[0], S[1], edge, minx, miny, maxx, maxy)
+                e_in = _inside(E[0], E[1], edge, minx, miny, maxx, maxy)
+                if not s_in:
+                    if e_in:
+                        out.append(_intersect(S[0], S[1], E[0], E[1], edge, minx, miny, maxx, maxy))
+                        out.append(E)
+                else:
+                    if not e_in:
+                        out.append(_intersect(S[0], S[1], E[0], E[1], edge, minx, miny, maxx, maxy))
+                    else:
+                        out.append(E)
+                S = E
+    if out:
+        if out[0][0] != out[-1][0] or out[0][1] != out[-1][1]:
+            out.append(out[0])
+        if len(out) < 3:
+            return []
+    return out
+
+
+def simple_clip_poly(ops: np.ndarray, xy: np.ndarray, minx, miny, maxx, maxy):
+    """clip.cpp:24-69: per-ring S–H clip, output rounded half-away."""
+    out_ops: list[int] = []
+    out_xy: list[tuple[int, int]] = []
+    for i, j in rings(ops):
+        tmp = [(float(xy[k, 0]), float(xy[k, 1])) for k in range(i, j)]
+        tmp = clip_poly1(tmp, minx, miny, maxx, maxy)
+        for k, (px, py) in enumerate(tmp):
+            out_ops.append(MOVETO if k == 0 else LINETO)
+            out_xy.append((int(_round_half_away(px)), int(_round_half_away(py))))
+    return (
+        np.array(out_ops, np.uint8),
+        np.array(out_xy, np.int64).reshape(-1, 2),
+    )
+
+
+# -------------------------------------------------------------- remove_noop
+
+
+def remove_noop(ops: np.ndarray, xy: np.ndarray, vt_type: int, shift: int):
+    """clip.cpp:532-605 — three passes: empty linetos, unused movetos,
+    (lines) empty movetos. `shift` compares coordinates rounded to the
+    shifted grid."""
+
+    def r(v: int) -> int:
+        if shift == 0:
+            return v
+        return int(_round_half_away(v / (1 << shift)))
+
+    n = len(ops)
+    o1: list[int] = []
+    p1: list[tuple[int, int]] = []
+    ox = oy = 0
+    for i in range(n):
+        nx = r(int(xy[i, 0]))
+        ny = r(int(xy[i, 1]))
+        if ops[i] == LINETO and nx == ox and ny == oy:
+            continue
+        if ops[i] == CLOSEPATH:
+            o1.append(CLOSEPATH)
+            p1.append((int(xy[i, 0]), int(xy[i, 1])))
+        else:
+            o1.append(int(ops[i]))
+            p1.append((int(xy[i, 0]), int(xy[i, 1])))
+            ox, oy = nx, ny
+
+    if vt_type != 1:  # not VT_POINT: remove unused movetos
+        o2: list[int] = []
+        p2: list[tuple[int, int]] = []
+        m = len(o1)
+        i = 0
+        while i < m:
+            if o1[i] == MOVETO:
+                if i + 1 >= m:
+                    i += 1
+                    continue
+                if o1[i + 1] == MOVETO:
+                    i += 1
+                    continue
+                if o1[i + 1] == CLOSEPATH:
+                    i += 2
+                    continue
+            o2.append(o1[i])
+            p2.append(p1[i])
+            i += 1
+        o1, p1 = o2, p2
+
+    if vt_type == 2:  # VT_LINE: remove empty movetos
+        o3: list[int] = []
+        p3: list[tuple[int, int]] = []
+        for i in range(len(o1)):
+            if i > 1 and o1[i] == MOVETO:
+                if (
+                    o1[i - 1] == LINETO
+                    and r(p1[i - 1][0]) == r(p1[i][0])
+                    and r(p1[i - 1][1]) == r(p1[i][1])
+                ):
+                    continue
+            o3.append(o1[i])
+            p3.append(p1[i])
+        o1, p1 = o3, p3
+
+    return np.array(o1, np.uint8), np.array(p1, np.int64).reshape(-1, 2)
+
+
+# ------------------------------------------------------------- tile scaling
+
+
+def to_tile_scale(xy: np.ndarray, z: int, detail: int) -> np.ndarray:
+    """clip.cpp:507-519 — std::round(x / 2^(32-detail-z)) half-away."""
+    s = 32 - detail - z
+    f = np.asarray(xy, dtype=np.float64)
+    if s < 0:
+        return round_half_away_arr(f * (1 << (-s))).astype(np.int64)
+    return round_half_away_arr(f / (1 << s)).astype(np.int64)
+
+
+def line_is_too_small(ops: np.ndarray, xy: np.ndarray, z: int, detail: int) -> bool:
+    """clip.cpp:1903-1925: every vertex rounds to the same pixel."""
+    if len(ops) == 0:
+        return True
+    div = 1 << (32 - detail - z)
+    r = round_half_away_arr(xy.astype(np.float64) / div).astype(np.int64)
+    x = y = 0
+    for i in range(len(ops)):
+        if ops[i] == MOVETO:
+            x, y = int(r[i, 0]), int(r[i, 1])
+        else:
+            if int(r[i, 0]) != x or int(r[i, 1]) != y:
+                return False
+    return True
+
+
+# ------------------------------------------------------------ quick_check
+
+
+def quick_check(bbox, z: int, buffer: int) -> int:
+    """geometry.cpp:147-174."""
+    mn = 0
+    area = 1 << (32 - z)
+    if bbox[0] > mn and bbox[1] > mn and bbox[2] < area and bbox[3] < area:
+        return 1
+    mn -= buffer * area // 256
+    area += buffer * (1 << (32 - z)) // 256
+    if bbox[0] > mn and bbox[1] > mn and bbox[2] < area and bbox[3] < area:
+        return 3
+    if bbox[0] > area or bbox[1] > area:
+        return 0
+    if bbox[2] < mn or bbox[3] < mn:
+        return 0
+    return 2
+
+
+# ----------------------------------------------------------- winding repair
+
+
+def fix_polygon(ops: np.ndarray, xy: np.ndarray):
+    """clip.cpp:1755-1901 (use_winding=false, reverse_winding=false):
+    close rings, orient by sign of area vs inner/outer expectation,
+    rotate each ring so the centroid-remote vertex is the seam."""
+    out_ops: list[int] = []
+    out_xy: list[tuple[int, int]] = []
+    outer = 1
+    n = len(ops)
+    i = 0
+    while i < n:
+        if ops[i] == CLOSEPATH:
+            outer = 1
+            i += 1
+            continue
+        if ops[i] != MOVETO:
+            i += 1
+            continue
+        j = i + 1
+        while j < n and ops[j] == LINETO:
+            j += 1
+        if j - i < 1:
+            i = j
+            outer = 0
+            continue
+        ring = [(int(xy[a, 0]), int(xy[a, 1])) for a in range(i, j)]
+        if ring[0] != ring[-1]:
+            ring.append(ring[0])
+        while len(ring) < 4:
+            ring.append(ring[0])
+        area = get_area(np.array(ring, np.int64), 0, len(ring))
+        if (area > 0) != bool(outer):
+            ring = ring[::-1]
+        # rotate: centroid → furthest vertex → vertex furthest from that
+        cnt = len(ring) - 1
+        xt = _tdiv(sum(p[0] for p in ring[:cnt]), cnt) if cnt else 0
+        yt = _tdiv(sum(p[1] for p in ring[:cnt]), cnt) if cnt else 0
+        dist2 = 0
+        furthest = 0
+        for a in range(cnt):
+            xd = _tdiv(ring[a][0] - xt, 16)
+            yd = _tdiv(ring[a][1] - yt, 16)
+            d2 = xd * xd + yd * yd
+            if d2 > dist2 or (d2 == dist2 and _draw_less(ring[a], ring[furthest])):
+                dist2 = d2
+                furthest = a
+        dist2b = 0
+        furthestb = 0
+        for a in range(cnt):
+            xd = _tdiv(ring[a][0] - ring[furthest][0], 16)
+            yd = _tdiv(ring[a][1] - ring[furthest][1], 16)
+            d2 = xd * xd + yd * yd
+            if d2 > dist2b or (d2 == dist2b and _draw_less(ring[a], ring[furthestb])):
+                dist2b = d2
+                furthestb = a
+        for a in range(len(ring)):
+            a2 = (a + furthestb) % (len(ring) - 1)
+            out_ops.append(MOVETO if a == 0 else LINETO)
+            out_xy.append(ring[a2])
+        i = j
+        outer = 0
+    return np.array(out_ops, np.uint8), np.array(out_xy, np.int64).reshape(-1, 2)
+
+
+def _draw_less(a, b) -> bool:
+    """draw::operator< — y first, then x (geometry.hpp:46-52)."""
+    return a[1] < b[1] or (a[1] == b[1] and a[0] < b[0])
+
+
+# ------------------------------------------------------------ simplification
+
+
+def distance_from_line(px, py, ax, ay, bx, by) -> float:
+    """geometry.cpp distance_from_line: integer downshifts + 1/16
+    quantization for cross-platform determinism."""
+    p2x = bx - ax
+    p2y = by - ay
+    something = (_tdiv(p2x, 4) * _tdiv(p2x, 8) + _tdiv(p2y, 4) * _tdiv(p2y, 8)) * 32.0
+    if something == 0:
+        u = 0.0
+    else:
+        u = (_tdiv(px - ax, 4) * _tdiv(p2x, 8) + _tdiv(py - ay, 4) * _tdiv(p2y, 8)) * 32.0 / something
+    if u >= 1:
+        u = 1.0
+    elif u <= 0:
+        u = 0.0
+    x = ax + u * p2x
+    y = ay + u * p2y
+    dx = x - px
+    dy = y - py
+    return _round_half_away(math.sqrt(dx * dx + dy * dy) * 16.0) / 16.0
+
+
+def douglas_peucker(xy: np.ndarray, necessary: np.ndarray, start: int, n: int,
+                    e: float, kept: int, retain: int):
+    """clip.cpp:909-1002 — stack traversal scanning each sub-segment
+    from its draw-less endpoint; ties break toward the draw-less point."""
+    stack: list[int] = []
+    prev = 0
+    for here in range(1, n):
+        if necessary[start + here]:
+            stack.append(prev)
+            stack.append(here)
+            prev = here
+    while stack:
+        second = stack.pop()
+        first = stack.pop()
+        max_distance = -1.0
+        a = (int(xy[start + first, 0]), int(xy[start + first, 1]))
+        b = (int(xy[start + second, 0]), int(xy[start + second, 1]))
+        if _draw_less(a, b):
+            farthest = first
+            rng = range(first + 1, second)
+            sx, sy, ex, ey = a[0], a[1], b[0], b[1]
+        else:
+            farthest = second
+            rng = range(second - 1, first, -1)
+            sx, sy, ex, ey = b[0], b[1], a[0], a[1]
+        for i in rng:
+            d = abs(distance_from_line(int(xy[start + i, 0]), int(xy[start + i, 1]), sx, sy, ex, ey))
+            if (d > e or kept < retain) and (
+                d > max_distance
+                or (
+                    d == max_distance
+                    and _draw_less(
+                        (int(xy[start + i, 0]), int(xy[start + i, 1])),
+                        (int(xy[start + farthest, 0]), int(xy[start + farthest, 1])),
+                    )
+                )
+            ):
+                farthest = i
+                max_distance = d
+        if max_distance >= 0:
+            necessary[start + farthest] = True
+            kept += 1
+            if _draw_less(a, b):
+                if 1 < farthest - first:
+                    stack.append(first)
+                    stack.append(farthest)
+                if 1 < second - farthest:
+                    stack.append(farthest)
+                    stack.append(second)
+            else:
+                if 1 < second - farthest:
+                    stack.append(farthest)
+                    stack.append(second)
+                if 1 < farthest - first:
+                    stack.append(first)
+                    stack.append(farthest)
+    return kept
+
+
+def impose_tile_boundaries(ops, xy, necessary, extent: int):
+    """geometry.cpp:188-217: insert necessary vertices where segments
+    cross the tile-proper boundary."""
+    o: list[int] = []
+    p: list[tuple[int, int]] = []
+    nec: list[bool] = []
+    n = len(ops)
+    for i in range(n):
+        if i > 0 and ops[i] == LINETO and (ops[i - 1] == MOVETO or ops[i - 1] == LINETO):
+            c, x1, y1, x2, y2 = cs_clip_segment(
+                int(xy[i - 1, 0]), int(xy[i - 1, 1]),
+                int(xy[i, 0]), int(xy[i, 1]),
+                0, 0, extent, extent,
+            )
+            if c > 1:
+                if x1 != int(xy[i - 1, 0]) or y1 != int(xy[i - 1, 1]):
+                    o.append(LINETO)
+                    p.append((x1, y1))
+                    nec.append(True)
+                if x2 != int(xy[i, 0]) or y2 != int(xy[i, 1]):
+                    o.append(LINETO)
+                    p.append((x2, y2))
+                    nec.append(True)
+        o.append(int(ops[i]))
+        p.append((int(xy[i, 0]), int(xy[i, 1])))
+        nec.append(bool(necessary[i]))
+    return (
+        np.array(o, np.uint8),
+        np.array(p, np.int64).reshape(-1, 2),
+        np.array(nec, bool),
+    )
+
+
+def simplify_lines(ops, xy, z: int, detail: int, mark_tile_bounds: bool,
+                   simplification: float, retain: int):
+    """geometry.cpp:219-313 without shared-node preservation."""
+    res = 1 << (32 - detail - z)
+    area = 1 << (32 - z)
+    necessary = ops != LINETO  # MOVETO/CLOSEPATH necessary
+    necessary = necessary.copy()
+    if mark_tile_bounds:
+        ops, xy, necessary = impose_tile_boundaries(ops, xy, necessary, area)
+    n = len(ops)
+    i = 0
+    while i < n:
+        if ops[i] == MOVETO:
+            j = i + 1
+            while j < n and ops[j] == LINETO:
+                j += 1
+            necessary[i] = True
+            necessary[j - 1] = True
+            if j - i > 1:
+                douglas_peucker(xy, necessary, i, j - i, res * simplification, 2, retain)
+            i = j
+        else:
+            i += 1
+    return ops[necessary], xy[necessary]
+
+
+# ------------------------------------------------------- tiny-poly reduction
+
+
+def reduce_tiny_poly(ops, xy, z: int, detail: int, accum_area: float,
+                     tiny_polygon_size: float = 2.0):
+    """clip.cpp:1048+ — returns (ops', xy', still_needs_simplification,
+    reduced_away, accum_area')."""
+    pixel = (1 << (32 - detail - z)) * float(tiny_polygon_size)
+    out_ops: list[int] = []
+    out_xy: list[tuple[int, int]] = []
+    included_last_outer = False
+    still = False
+    reduced_away = False
+    for i, j in rings(ops):
+        area = get_area(xy, i, j)
+        if area != 0:
+            if (area > 0 and area <= pixel * pixel) or (area < 0 and not included_last_outer):
+                accum_area += area
+                reduced_away = True
+                if area > 0 and accum_area > pixel * pixel:
+                    gx = float(xy[i, 0])
+                    gy = float(xy[i, 1])
+                    half = pixel / 2
+                    pts = [
+                        (MOVETO, gx - half, gy - half),
+                        (LINETO, gx - half + pixel, gy - half),
+                        (LINETO, gx - half + pixel, gy - half + pixel),
+                        (LINETO, gx - half, gy - half + pixel),
+                        (LINETO, gx - half, gy - half),
+                    ]
+                    for op, px, py in pts:
+                        out_ops.append(op)
+                        out_xy.append((int(px), int(py)))
+                    accum_area -= pixel * pixel
+                if area > 0:
+                    included_last_outer = False
+            else:
+                for k in range(i, j):
+                    out_ops.append(int(ops[k]))
+                    out_xy.append((int(xy[k, 0]), int(xy[k, 1])))
+                still = True
+                if area > 0:
+                    included_last_outer = True
+        # area == 0: neither reduced nor needing simplification
+    return (
+        np.array(out_ops, np.uint8),
+        np.array(out_xy, np.int64).reshape(-1, 2),
+        still,
+        reduced_away,
+        accum_area,
+    )
+
+
+# --------------------------------------------------------------- revive
+
+
+def revive_polygon(ops, xy, area: float, z: int, detail: int):
+    """tile.cpp:551-590 — area-preserving placeholder rectangle."""
+    divisor = 1 << (32 - detail - z)
+    area = area / (divisor * divisor)
+    if area == 0:
+        return empty_geom()
+    height = math.ceil(math.sqrt(area))
+    width = int(_round_half_away(area / height)) if height else 0
+    if width == 0:
+        width = 1
+    m = (ops == MOVETO) | (ops == LINETO)
+    n = int(m.sum())
+    if n == 0:
+        return empty_geom()
+    sx = _tdiv(int(xy[m, 0].sum()), n)
+    sy = _tdiv(int(xy[m, 1].sum()), n)
+    hw = width // 2
+    hh = height // 2
+    o = [MOVETO, LINETO, LINETO, LINETO, LINETO]
+    p = [
+        (sx - hw, sy - hh),
+        (sx - hw + width, sy - hh),
+        (sx - hw + width, sy - hh + height),
+        (sx - hw, sy - hh + height),
+        (sx - hw, sy - hh),
+    ]
+    return np.array(o, np.uint8), np.array(p, np.int64).reshape(-1, 2)
+
+
+# ------------------------------------------------- polygon cleaning stand-in
+
+
+def clean_poly_tile_scale(ops, xy):
+    """Stand-in for coalesce_polygon/clean_or_clip_poly at tile scale
+    (clip.cpp:1925+, wagyu): keep rings whose shoelace area is nonzero,
+    drop collapsed ones. Matches the union result for valid (non-self-
+    intersecting) rings; self-intersection repair is NOT performed
+    (documented deviation)."""
+    out_ops: list[int] = []
+    out_xy: list[tuple[int, int]] = []
+    for i, j in rings(ops):
+        if get_area(xy, i, j) != 0:
+            for k in range(i, j):
+                out_ops.append(int(ops[k]))
+                out_xy.append((int(xy[k, 0]), int(xy[k, 1])))
+    return np.array(out_ops, np.uint8), np.array(out_xy, np.int64).reshape(-1, 2)

@@ -1,0 +1,331 @@
+"""Line/polygon pyramid — the reference's per-zoom rewrite → clip →
+simplify → encode loop (tile.cpp:443-533, 974-1057, 595-665,
+traverse_zooms 3272-3623), re-expressed as a zoom cascade:
+
+  ingest: world coords → geometry_scale snap → winding fix (polygons)
+   → phase L (z in [0, B)): per-tile Ray tasks; each task clips its
+     features, encodes the tile, and fans the clipped geometry out to
+     the 4 children its PRE-CLIP bbox touches (rewrite semantics,
+     including the buffer+1 top/left widening) — a tile at z+1 has
+     exactly one parent, so no merge step exists
+   → phase H (z >= B): one Ray task per zoom-B subtree runs the whole
+     remaining cascade depth-first with no further shuffles.
+
+Why a cascade instead of direct per-zoom bbox fan-out: the reference
+assigns a feature to a child only from the geometry ALREADY CLIPPED to
+the parent (+buffer), so child coverage at z is a function of the whole
+ancestor chain — a diagonal line reaches O(length/span) tiles, not
+O(bbox area). Replicating the cascade is both the exact-match semantics
+and the scale win.
+
+Scale notes: phase-L tasks ray.put their child tables so the driver
+holds only ObjectRefs; phase-H subtree tasks are the wide, embarrassing
+parallelism (4^B ≫ cores) and write tile rows straight back as Arrow.
+Per-tile feature order is input order (seq) — the reference's sort key
+(index, seq) has index == 0 for lines/polygons unless a drop strategy
+is active (serial.cpp:753-762).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+import pyarrow as pa
+import ray
+import ray.data
+
+from ..functions import drawvec as dv
+from ..stages.mvt import encode_layer, encode_linestring, encode_polygon, encode_tile
+
+WORLD_BITS = 32
+
+
+@dataclasses.dataclass
+class VectorConfig:
+    minzoom: int = 0
+    maxzoom: int = 14
+    detail: int = 12
+    buffer: int = 5  # tile buffer in 256ths (main.cpp:3200)
+    simplification: float = 1.0
+    tiny_polygon_size: float = 2.0  # main.cpp:88
+    layer_name: str = "geoms"
+    bucket_zoom: int | None = None
+    geometry_scale: int | None = None
+    encode_tiles: bool = True
+    compress: bool = True
+
+    def resolved_gscale(self) -> int:
+        if self.geometry_scale is not None:
+            return self.geometry_scale
+        return max(0, WORLD_BITS - (self.detail + self.maxzoom))
+
+
+FEATURE_SCHEMA = pa.schema(
+    [
+        ("seq", pa.int64()),
+        ("t", pa.int8()),
+        ("ops", pa.large_binary()),
+        ("xy", pa.large_binary()),
+    ]
+)
+
+
+def features_table(rows: list[tuple[int, int, np.ndarray, np.ndarray]]) -> pa.Table:
+    """rows: (seq, t, ops uint8 array, xy (n,2) int64 array)."""
+    return pa.table(
+        {
+            "seq": pa.array([r[0] for r in rows], pa.int64()),
+            "t": pa.array([r[1] for r in rows], pa.int8()),
+            "ops": pa.array([r[2].astype(np.uint8).tobytes() for r in rows], pa.large_binary()),
+            "xy": pa.array(
+                [np.ascontiguousarray(r[3], dtype=np.int64).tobytes() for r in rows],
+                pa.large_binary(),
+            ),
+        }
+    )
+
+
+def _unpack(tbl: pa.Table, i: int):
+    ops = np.frombuffer(tbl["ops"][i].as_py(), dtype=np.uint8)
+    xy = np.frombuffer(tbl["xy"][i].as_py(), dtype=np.int64).reshape(-1, 2)
+    return ops, xy
+
+
+def ingest_features(tbl: pa.Table, cfg: VectorConfig) -> pa.Table:
+    """serialize_feature ingest semantics (serial.cpp:455-510): snap to
+    the geometry_scale grid (round half away), then fix polygon winding
+    ON THE SCALED coordinates (fix_polygon runs after scale_geometry,
+    serial.cpp:459-465); features whose geometry vanishes are dropped."""
+    g = cfg.resolved_gscale()
+    out = []
+    for i in range(len(tbl)):
+        seq = int(tbl["seq"][i].as_py())
+        t = int(tbl["t"][i].as_py())
+        ops, xy = _unpack(tbl, i)
+        scaled = dv.shift_right(xy, g)
+        if t == 3:
+            ops, scaled = dv.fix_polygon(ops, scaled)
+        if len(ops) == 0:
+            continue
+        world = scaled << g if g else scaled
+        out.append((seq, t, ops, world))
+    return features_table(out)
+
+
+def process_tile(cfg: VectorConfig, z: int, tx: int, ty: int, tbl: pa.Table):
+    """One write_tile (keep-all path): returns (tile_row | None,
+    children: dict[(cx, cy) -> row list])."""
+    span_shift = WORLD_BITS - z
+    span = 1 << span_shift
+    buf = cfg.buffer * span // 256
+    origin = np.array([tx << span_shift, ty << span_shift], dtype=np.int64) if z else np.zeros(2, np.int64)
+    g_scale = cfg.resolved_gscale()
+    children: dict[tuple[int, int], list] = {}
+    survivors: list = []  # (seq, t, ops, local_xy, reduced)
+    accum_area = 0.0
+    child_div = 1 << (WORLD_BITS - (z + 1) - 8)
+    cspan = 2  # nextzoom - z == 1
+
+    for i in range(len(tbl)):
+        seq = int(tbl["seq"][i].as_py())
+        t = int(tbl["t"][i].as_py())
+        ops, xy = _unpack(tbl, i)
+        local = xy - origin
+        bbox = dv.geom_bbox(local, ops)
+        if bbox is None:
+            continue
+        quick = dv.quick_check(bbox, z, cfg.buffer)
+        if quick == 0:
+            continue
+        if quick != 1:
+            if t == 2:
+                cops, cxy = dv.clip_lines(ops, local, -buf, -buf, span + buf, span + buf)
+            elif t == 3:
+                cops, cxy = dv.simple_clip_poly(ops, local, -buf, -buf, span + buf, span + buf)
+            else:
+                keep = (
+                    (local[:, 0] >= -buf) & (local[:, 1] >= -buf)
+                    & (local[:, 0] <= span + buf) & (local[:, 1] <= span + buf)
+                )
+                cops, cxy = ops[keep], local[keep]
+            cops, cxy = dv.remove_noop(cops, cxy, t, 0)
+        else:
+            cops, cxy = ops, local
+
+        # rewrite to children (tile.cpp:443-533): coverage from the
+        # PRE-CLIP bbox, geometry from the POST-CLIP result, snapped
+        if len(cops) > 0 and z + 1 <= cfg.maxzoom:
+            b2 = [dv._tdiv(bbox[k], child_div) for k in range(4)]
+            b2[0] -= cfg.buffer + 1
+            b2[1] -= cfg.buffer + 1
+            b2[2] += cfg.buffer
+            b2[3] += cfg.buffer
+            for k in range(4):
+                if b2[k] < 0:
+                    b2[k] = 0
+                if b2[k] >= 256 * cspan:
+                    b2[k] = 256 * (cspan - 1)
+                b2[k] //= 256
+            world = cxy + origin
+            snapped = dv.snap_world(world, g_scale)
+            blob = None
+            for xo in range(b2[0], b2[2] + 1):
+                for yo in range(b2[1], b2[3] + 1):
+                    if blob is None:
+                        blob = (seq, t, cops, snapped)
+                    children.setdefault((tx * 2 + xo, ty * 2 + yo), []).append(blob)
+
+        if z < cfg.minzoom:
+            continue
+        reduced = False
+        if t == 3:
+            cops, cxy, still, _red, accum_area = dv.reduce_tiny_poly(
+                cops, cxy, z, cfg.detail, accum_area, cfg.tiny_polygon_size
+            )
+            if len(cops) == 0:
+                continue
+            reduced = not still
+        if t in (2, 3) and dv.line_is_too_small(cops, cxy, z, cfg.detail):
+            continue
+        survivors.append((seq, t, cops, cxy, reduced))
+
+    # simplification + scale + encode (simplify_feature tile.cpp:595-665
+    # and simplification_worker 669-714)
+    feats = []
+    for seq, t, ops, xy, reduced in survivors:
+        area = dv.get_mp_area(ops, xy) if t == 3 else 0.0
+        if not reduced:
+            if t == 2:
+                ops, xy = dv.remove_noop(ops, xy, t, WORLD_BITS - z - cfg.detail)
+            nops, nxy = dv.simplify_lines(
+                ops, xy, z, cfg.detail, True, cfg.simplification, 4 if t == 3 else 0
+            )
+            if t != 3 or len(nops) >= 3:
+                ops, xy = nops, nxy
+        xy = dv.to_tile_scale(xy, z, cfg.detail)
+        if t == 3:
+            b_ops, b_xy = ops, xy
+            ops, xy = dv.clean_poly_tile_scale(ops, xy)
+            if len(ops) < 3:
+                if area > 0:
+                    ops, xy = dv.revive_polygon(b_ops, b_xy, area, z, cfg.detail)
+                else:
+                    ops, xy = dv.empty_geom()
+        ops, xy = dv.remove_noop(ops, xy, t, 0)
+        if len(ops) == 0:
+            continue
+        parts = [xy[i:j] for i, j in dv.rings(ops)]
+        if not parts:
+            continue
+        if t == 3:
+            geom_bytes = encode_polygon(parts)
+            ftype = 3
+        else:
+            geom_bytes = encode_linestring(parts)
+            ftype = 2
+        feats.append({"geom": geom_bytes, "type": ftype, "id": seq})
+
+    tile_row = None
+    if z >= cfg.minzoom and feats:
+        tile_bytes = b""
+        if cfg.encode_tiles:
+            layer = encode_layer(cfg.layer_name, feats, 1 << cfg.detail)
+            tile_bytes = encode_tile([layer], compress=cfg.compress)
+        tile_row = {
+            "z": z, "x": tx, "y": ty, "n_features": len(feats), "tile": tile_bytes,
+        }
+    return tile_row, children
+
+
+def _rows_table(rows: list) -> pa.Table:
+    return features_table(rows)
+
+
+def _tile_rows_table(rows: list[dict]) -> pa.Table:
+    return pa.table(
+        {
+            "z": pa.array([r["z"] for r in rows], pa.int32()),
+            "x": pa.array([r["x"] for r in rows], pa.int32()),
+            "y": pa.array([r["y"] for r in rows], pa.int32()),
+            "n_features": pa.array([r["n_features"] for r in rows], pa.int64()),
+            "tile": pa.array([r["tile"] for r in rows], pa.large_binary()),
+        }
+    )
+
+
+@ray.remote
+def _tile_task(cfg: VectorConfig, z: int, tx: int, ty: int, tbl: pa.Table):
+    tile_row, children = process_tile(cfg, z, tx, ty, tbl)
+    child_refs = [
+        (key, ray.put(_rows_table(rows))) for key, rows in children.items()
+    ]
+    return tile_row, child_refs
+
+
+@ray.remote
+def _subtree_task(cfg: VectorConfig, z0: int, tx0: int, ty0: int, tbl: pa.Table) -> pa.Table:
+    """Depth-first cascade over one zoom-B subtree; no shuffles."""
+    out_rows: list[dict] = []
+    stack = [(z0, tx0, ty0, tbl)]
+    while stack:
+        z, tx, ty, t = stack.pop()
+        tile_row, children = process_tile(cfg, z, tx, ty, t)
+        if tile_row is not None:
+            out_rows.append(tile_row)
+        if z + 1 <= cfg.maxzoom:
+            for (cx, cy), rows in children.items():
+                stack.append((z + 1, cx, cy, _rows_table(rows)))
+    return _tile_rows_table(out_rows)
+
+
+def auto_vector_bucket_zoom(n_rows: int, maxzoom: int) -> int:
+    b = 0
+    while (4 ** (b + 1)) * 1024 <= n_rows and b + 1 <= maxzoom:
+        b += 1
+    return max(1, min(b + 2, maxzoom, 6))
+
+
+def build_vector_pyramid(
+    feat_tbl: pa.Table, cfg: VectorConfig | None = None
+) -> ray.data.Dataset:
+    """Full pyramid over an ingested feature table (see ingest_features).
+    Returns a Dataset of (z, x, y, n_features, tile)."""
+    cfg = cfg or VectorConfig()
+    b = cfg.bucket_zoom
+    if b is None:
+        b = auto_vector_bucket_zoom(len(feat_tbl), cfg.maxzoom)
+    b = max(0, min(b, cfg.maxzoom))
+
+    tile_tables: list[pa.Table] = []
+    current: dict[tuple[int, int], object] = {(0, 0): feat_tbl}
+    for z in range(0, b):
+        futs = {
+            key: _tile_task.remote(cfg, z, key[0], key[1], t)
+            for key, t in current.items()
+        }
+        nxt: dict[tuple[int, int], object] = {}
+        rows = []
+        for key, f in futs.items():
+            tile_row, child_refs = ray.get(f)
+            if tile_row is not None:
+                rows.append(tile_row)
+            for ckey, ref in child_refs:
+                # one parent per child tile — no merge needed
+                nxt[ckey] = ref
+        if rows:
+            tile_tables.append(_tile_rows_table(rows))
+        current = nxt
+        if not current:
+            break
+
+    if current and b <= cfg.maxzoom:
+        futs = [
+            _subtree_task.remote(cfg, b, key[0], key[1], t)
+            for key, t in current.items()
+        ]
+        tile_tables.extend(t for t in ray.get(futs) if t.num_rows)
+
+    if not tile_tables:
+        return ray.data.from_arrow(_tile_rows_table([]))
+    return ray.data.from_arrow(pa.concat_tables(tile_tables))
