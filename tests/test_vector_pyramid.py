@@ -66,3 +66,55 @@ def test_hard_corpus_z9_exact(ray_session):
     ours = _build_ours(feats, maxzoom=9)
     d = diff_counts(ours, ref)
     assert not d, d
+
+
+@pytest.mark.skipif(not has_reference(), reason="reference binary not built")
+def test_byte_limit_detail_ladder(ray_session):
+    """-M byte cap triggers the detail-reduction ladder
+    (tile.cpp:2717-3036 no-strategy path): tiles re-encode at
+    line_detail-1 … min_detail until they fit."""
+    import os, sqlite3, subprocess, tempfile
+    from tests.util_reference import (
+        read_mbtiles_counts, synth_vector_corpus, write_geojson_geoms,
+    )
+    from tests.util_reference import TIPPECANOE
+
+    feats = synth_vector_corpus(n_lines=40, n_polys=0, seed=3)
+    with tempfile.TemporaryDirectory() as td:
+        gj = os.path.join(td, "in.json")
+        mb = os.path.join(td, "out.mbtiles")
+        write_geojson_geoms(gj, feats)
+        subprocess.run(
+            [TIPPECANOE, "-o", mb, "-z5", "-M", "3000", "-q", gj],
+            check=True, capture_output=True,
+        )
+        ref = read_mbtiles_counts(mb)
+        # reference tile sizes for the boundary check
+        con = sqlite3.connect(mb)
+        ref_sizes = {
+            (z, x, (1 << z) - 1 - r): len(d)
+            for z, x, r, d in con.execute(
+                "select zoom_level, tile_column, tile_row, tile_data from tiles"
+            )
+        }
+    from tests.util_reference import geoms_to_table
+    from tippecanoe_ray.pipelines.vector_pyramid import (
+        VectorConfig, build_vector_pyramid, ingest_features,
+    )
+
+    cfg = VectorConfig(maxzoom=5, max_tile_size=3000)
+    tbl = ingest_features(geoms_to_table(feats), cfg)
+    tiles = build_vector_pyramid(tbl, cfg)
+    ours = {}
+    sizes = {}
+    for r in tiles.take_all():
+        key = (int(r["z"]), int(r["x"]), int(r["y"]))
+        ours[key] = int(r["n_features"])
+        sizes[key] = len(r["tile"])
+    from tests.util_reference import diff_counts
+
+    d = diff_counts(ours, ref)
+    assert not d, d
+    # every tile fits the cap on both sides
+    assert max(sizes.values()) <= 3000
+    assert max(ref_sizes.values()) <= 3000

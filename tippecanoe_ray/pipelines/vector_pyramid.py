@@ -54,6 +54,11 @@ class VectorConfig:
     geometry_scale: int | None = None
     encode_tiles: bool = True
     compress: bool = True
+    # 500 KB compressed byte cap + detail-reduction ladder
+    # (main.cpp:85, tile.cpp:2717-3036). None = --no-tile-size-limit.
+    max_tile_size: int | None = None
+    min_detail: int = 7
+    max_tile_features: int | None = None  # reference default 200000 (-O)
 
     def resolved_gscale(self) -> int:
         if self.geometry_scale is not None:
@@ -178,64 +183,90 @@ def process_tile(cfg: VectorConfig, z: int, tx: int, ty: int, tbl: pa.Table):
 
         if z < cfg.minzoom:
             continue
-        reduced = False
-        if t == 3:
-            cops, cxy, still, _red, accum_area = dv.reduce_tiny_poly(
-                cops, cxy, z, cfg.detail, accum_area, cfg.tiny_polygon_size
-            )
-            if len(cops) == 0:
+        survivors.append((seq, t, cops, cxy))
+
+    tile_row = _encode_with_detail_ladder(cfg, z, tx, ty, survivors)
+    return tile_row, children
+
+
+def _encode_with_detail_ladder(cfg: VectorConfig, z, tx, ty, survivors):
+    """The write_tile detail loop (tile.cpp:1719-3079, no-strategy path):
+    run reduce/simplify/scale/encode at line_detail = detail, and on
+    byte overflow retry at line_detail-1 … min_detail (detail_reduced
+    ladder). Feature overflow has no detail recourse in the reference
+    (it exits suggesting a drop strategy) — we emit the over-limit tile
+    with a warning instead of dying."""
+    import warnings
+
+    if z < cfg.minzoom or not survivors:
+        return None
+    details = [cfg.detail]
+    if cfg.max_tile_size is not None:
+        details += list(range(cfg.detail - 1, cfg.min_detail - 1, -1))
+    feats: list = []
+    for line_detail in details:
+        feats = []
+        accum_area = 0.0
+        for seq, t, ops, xy in survivors:
+            reduced = False
+            if t == 3:
+                ops, xy, still, _red, accum_area = dv.reduce_tiny_poly(
+                    ops, xy, z, line_detail, accum_area, cfg.tiny_polygon_size
+                )
+                if len(ops) == 0:
+                    continue
+                reduced = not still
+            if t in (2, 3) and dv.line_is_too_small(ops, xy, z, line_detail):
                 continue
-            reduced = not still
-        if t in (2, 3) and dv.line_is_too_small(cops, cxy, z, cfg.detail):
-            continue
-        survivors.append((seq, t, cops, cxy, reduced))
-
-    # simplification + scale + encode (simplify_feature tile.cpp:595-665
-    # and simplification_worker 669-714)
-    feats = []
-    for seq, t, ops, xy, reduced in survivors:
-        area = dv.get_mp_area(ops, xy) if t == 3 else 0.0
-        if not reduced:
-            if t == 2:
-                ops, xy = dv.remove_noop(ops, xy, t, WORLD_BITS - z - cfg.detail)
-            nops, nxy = dv.simplify_lines(
-                ops, xy, z, cfg.detail, True, cfg.simplification, 4 if t == 3 else 0
-            )
-            if t != 3 or len(nops) >= 3:
-                ops, xy = nops, nxy
-        xy = dv.to_tile_scale(xy, z, cfg.detail)
-        if t == 3:
-            b_ops, b_xy = ops, xy
-            ops, xy = dv.clean_poly_tile_scale(ops, xy)
-            if len(ops) < 3:
-                if area > 0:
-                    ops, xy = dv.revive_polygon(b_ops, b_xy, area, z, cfg.detail)
-                else:
-                    ops, xy = dv.empty_geom()
-        ops, xy = dv.remove_noop(ops, xy, t, 0)
-        if len(ops) == 0:
-            continue
-        parts = [xy[i:j] for i, j in dv.rings(ops)]
-        if not parts:
-            continue
-        if t == 3:
-            geom_bytes = encode_polygon(parts)
-            ftype = 3
-        else:
-            geom_bytes = encode_linestring(parts)
-            ftype = 2
-        feats.append({"geom": geom_bytes, "type": ftype, "id": seq})
-
-    tile_row = None
-    if z >= cfg.minzoom and feats:
+            # simplify_feature (tile.cpp:595-665) + simplification_worker
+            area = dv.get_mp_area(ops, xy) if t == 3 else 0.0
+            if not reduced:
+                if t == 2:
+                    ops, xy = dv.remove_noop(ops, xy, t, WORLD_BITS - z - line_detail)
+                nops, nxy = dv.simplify_lines(
+                    ops, xy, z, line_detail, True, cfg.simplification, 4 if t == 3 else 0
+                )
+                if t != 3 or len(nops) >= 3:
+                    ops, xy = nops, nxy
+            xy = dv.to_tile_scale(xy, z, line_detail)
+            if t == 3:
+                b_ops, b_xy = ops, xy
+                ops, xy = dv.clean_poly_tile_scale(ops, xy)
+                if len(ops) < 3:
+                    if area > 0:
+                        ops, xy = dv.revive_polygon(b_ops, b_xy, area, z, line_detail)
+                    else:
+                        ops, xy = dv.empty_geom()
+            ops, xy = dv.remove_noop(ops, xy, t, 0)
+            if len(ops) == 0:
+                continue
+            parts = [xy[i:j] for i, j in dv.rings(ops)]
+            if not parts:
+                continue
+            if t == 3:
+                feats.append({"geom": encode_polygon(parts), "type": 3, "id": seq})
+            else:
+                feats.append({"geom": encode_linestring(parts), "type": 2, "id": seq})
+        if not feats:
+            return None
         tile_bytes = b""
         if cfg.encode_tiles:
-            layer = encode_layer(cfg.layer_name, feats, 1 << cfg.detail)
+            layer = encode_layer(cfg.layer_name, feats, 1 << line_detail)
             tile_bytes = encode_tile([layer], compress=cfg.compress)
-        tile_row = {
-            "z": z, "x": tx, "y": ty, "n_features": len(feats), "tile": tile_bytes,
-        }
-    return tile_row, children
+        if cfg.max_tile_features is not None and len(feats) > cfg.max_tile_features:
+            warnings.warn(
+                f"tile {z}/{tx}/{ty} has {len(feats)} features, >"
+                f"{cfg.max_tile_features}; use a drop strategy (reference "
+                "exits here, tile.cpp:2723-2730)"
+            )
+        if cfg.max_tile_size is None or len(tile_bytes) <= cfg.max_tile_size:
+            return {"z": z, "x": tx, "y": ty, "n_features": len(feats), "tile": tile_bytes}
+    warnings.warn(
+        f"could not make tile {z}/{tx}/{ty} smaller than "
+        f"{cfg.max_tile_size} B even at detail {cfg.min_detail} "
+        "(reference fails the tile here, tile.cpp:3075-3078)"
+    )
+    return {"z": z, "x": tx, "y": ty, "n_features": len(feats), "tile": tile_bytes}
 
 
 def _rows_table(rows: list) -> pa.Table:
