@@ -83,3 +83,15 @@ def splitmix64(x: np.ndarray) -> np.ndarray:
         z = (z ^ (z >> U64(27))) * U64(0x94D049BB133111EB)
         z = z ^ (z >> U64(31))
     return z
+
+
+def popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized 64-bit popcount (SWAR bit tricks) — replaces per-row
+    Python bin(x).count('1') loops in Hamming-distance verifies."""
+    v = np.asarray(x, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        v = v - ((v >> U64(1)) & U64(0x5555555555555555))
+        v = (v & U64(0x3333333333333333)) + ((v >> U64(2)) & U64(0x3333333333333333))
+        v = (v + (v >> U64(4))) & U64(0x0F0F0F0F0F0F0F0F)
+        v = (v * U64(0x0101010101010101)) >> U64(56)
+    return v.astype(np.int64)

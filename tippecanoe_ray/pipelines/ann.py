@@ -103,8 +103,10 @@ def lsh_topk(
         matn = mat / np.maximum(np.linalg.norm(mat, axis=1), 1e-12)[:, None]
         ids = df[id_col].to_numpy()
         outs = []
+        from ..functions.hashing import popcount64
+
         for qi in range(qm.shape[0]):
-            ham = np.array([bin(int(b) ^ int(qb[qi])).count("1") for b in vb])
+            ham = popcount64(vb.astype(np.uint64) ^ np.uint64(qb[qi]))
             cand = np.flatnonzero(ham <= 1)
             if len(cand) == 0:
                 continue
@@ -129,3 +131,79 @@ def lsh_topk(
     out = pd.concat(outs, ignore_index=True) if outs else parts
     out["cosine"] = out["cosine"].round(6)
     return out.reset_index(drop=True)
+
+
+# ------------------------------------------------------ persisted LSH index
+
+
+def _bucket_of(mat: np.ndarray, planes: np.ndarray) -> np.ndarray:
+    signs = (mat @ planes > 0).astype(np.int64)
+    key = np.zeros(len(mat), dtype=np.int64)
+    for j in range(planes.shape[1]):
+        key = (key << 1) | signs[:, j]
+    return key
+
+
+def build_lsh_index(
+    ds: ray.data.Dataset,
+    out_dir: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_planes: int = 6,
+    seed: int = 42,
+) -> str:
+    """Persist the embedding table as parquet PARTITIONED BY its
+    sign-LSH bucket — one directory per bucket, so a query reads only
+    its Hamming-neighborhood partitions (real pruned read, not a full
+    scan). At 10^12 rows this is the difference between touching
+    ~n/2^planes rows and touching n."""
+
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        mat = _as_matrix(df[vec_col].to_numpy())
+        planes = np.random.RandomState(seed).randn(mat.shape[1], n_planes)
+        out = df[[id_col, vec_col]].copy()
+        out["bucket"] = _bucket_of(mat, planes)
+        return out
+
+    ds.map_batches(add_bucket, batch_format="pandas").write_parquet(
+        out_dir, partition_cols=["bucket"]
+    )
+    return out_dir
+
+
+def lsh_topk_indexed(
+    index_dir: str,
+    queries: np.ndarray,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_planes: int = 6,
+    seed: int = 42,
+    query_ids: list | None = None,
+    dim: int | None = None,
+) -> pd.DataFrame:
+    """Approximate top-k over a build_lsh_index output: compute the
+    query buckets, enumerate their Hamming≤1 neighbors, and
+    read_parquet ONLY those bucket partitions."""
+    import os
+
+    q = np.atleast_2d(np.asarray(queries, dtype=np.float64))
+    qn = q / np.maximum(np.linalg.norm(q, axis=1), 1e-12)[:, None]
+    planes = np.random.RandomState(seed).randn(dim or q.shape[1], n_planes)
+    qb = _bucket_of(qn, planes)
+    want: set[int] = set()
+    for b in qb:
+        want.add(int(b))
+        for j in range(n_planes):
+            want.add(int(b) ^ (1 << j))
+    import glob as _glob
+
+    paths = []
+    for b in sorted(want):
+        d = os.path.join(index_dir, f"bucket={b}")
+        if os.path.isdir(d):
+            paths.extend(sorted(_glob.glob(os.path.join(d, "*.parquet"))))
+    if not paths:
+        return pd.DataFrame({"query_id": [], id_col: [], "cosine": []})
+    pruned = ray.data.read_parquet(paths)
+    return brute_force_topk(pruned, q, k, vec_col=vec_col, id_col=id_col, query_ids=query_ids)

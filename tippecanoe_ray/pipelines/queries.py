@@ -596,12 +596,22 @@ def quality_q(sf_dir: str) -> pd.DataFrame:
 
 
 def lsh_ann_q(sf_dir: str) -> pd.DataFrame:
-    from .ann import lsh_topk
+    """Pruned-read ANN: build (or reuse) a bucket-partitioned parquet
+    index, then read only the query's Hamming-neighborhood partitions
+    (pipelines/ann.py build_lsh_index / lsh_topk_indexed)."""
+    import hashlib
+    import os
+
+    from .ann import build_lsh_index, lsh_topk_indexed
 
     q = _read_small(sf_dir, "embeddings")
     qvec = np.asarray(q.filter(pa.compute.equal(q["vec_id"], 0))["embedding"][0].as_py())
-    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    return lsh_topk(ds, qvec[None, :], k=10)
+    tag = hashlib.sha1(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    index_dir = os.path.join("/tmp", f"tippecanoe_ray_lsh_{tag}")
+    if not os.path.isdir(index_dir) or not os.listdir(index_dir):
+        ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+        build_lsh_index(ds, index_dir)
+    return lsh_topk_indexed(index_dir, qvec[None, :], k=10, dim=len(qvec))
 
 
 def image_pyramid_q(sf_dir: str) -> pd.DataFrame:
