@@ -679,7 +679,10 @@ class BucketWorker:
         if scfg is not None and scfg.any_active():
             from ..stages.strategies import compute_gaps
 
-            task_gaps = compute_gaps(index_a)
+            g0 = self.cfg.resolved_gscale()
+            task_gaps = compute_gaps(
+                index_a, snap_coords(wx_a, g0), snap_coords(wy_a, g0)
+            )
         if self.contiguous_ranks:
             cfgl = self.cfg
             r0 = self.offsets()[int(buckets[0])]
@@ -706,7 +709,8 @@ class BucketWorker:
         if gaps is None and getattr(cfg, "strategies", None) is not None and cfg.strategies.any_active():
             from ..stages.strategies import compute_gaps
 
-            gaps = compute_gaps(index)
+            g1 = cfg.resolved_gscale()
+            gaps = compute_gaps(index, snap_coords(wx, g1), snap_coords(wy, g1))
         if minzoom is None:
             r0 = self.offsets()[bucket]
             minzoom = minzoom_for_rank_range(
@@ -1024,7 +1028,7 @@ def lowzoom_tiles(survivor_rows: list[dict], cfg: PyramidConfig, bucket_zoom: in
         # recompute over the survivor set (approximate)
         from ..stages.strategies import compute_gaps
 
-        gaps = compute_gaps(index)
+        gaps = compute_gaps(index, swx, swy)
 
     overrides: dict = {}
     outs: list = []

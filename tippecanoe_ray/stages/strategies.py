@@ -71,12 +71,22 @@ class StrategyConfig:
         )
 
 
-def compute_gaps(index: np.ndarray) -> np.ndarray:
-    """Squared planar distance from each feature to the PREVIOUS
-    feature's decoded-index position, in global (index, seq) order;
-    0 for duplicates of the previous index (tile.cpp:1180-1199)."""
+def compute_gaps(index: np.ndarray, swx: np.ndarray | None = None,
+                 swy: np.ndarray | None = None) -> np.ndarray:
+    """Squared planar distance from each feature's SNAPPED GEOMETRY
+    position to the PREVIOUS feature's decoded-index position, in
+    global (index, seq) order; 0 for duplicates of the previous index
+    (tile.cpp:1180-1199: dx = decode_index(previndex) - g.x — the
+    current side is the geometry coordinate, the previous side is the
+    bit-dropped index decode). Falls back to index-decode for the
+    current side when snapped coords are not provided."""
     idx = np.asarray(index, dtype=np.uint64)
     px, py = decode_quadkey(idx)
+    if swx is None:
+        swx, swy = px.astype(np.int64), py.astype(np.int64)
+    else:
+        swx = np.asarray(swx, dtype=np.int64)
+        swy = np.asarray(swy, dtype=np.int64)
     prevx = np.empty_like(px)
     prevy = np.empty_like(py)
     prevx[0] = 0
@@ -84,8 +94,8 @@ def compute_gaps(index: np.ndarray) -> np.ndarray:
     prevx[1:] = px[:-1]
     prevy[1:] = py[:-1]
     with np.errstate(over="ignore"):
-        dx = (prevx.astype(np.int64) - px.astype(np.int64)).astype(np.uint64)
-        dy = (prevy.astype(np.int64) - py.astype(np.int64)).astype(np.uint64)
+        dx = (prevx.astype(np.int64) - swx).astype(np.uint64)
+        dy = (prevy.astype(np.int64) - swy).astype(np.uint64)
         gap = dx * dx + dy * dy  # unsigned long long wrap, tile.cpp:1193
     same = np.zeros(len(idx), dtype=bool)
     same[1:] = idx[1:] == idx[:-1]
