@@ -1,0 +1,100 @@
+"""--accumulate-attribute + -K cluster stats wired into the drop paths:
+exact-match of per-tile decoded attribute multisets vs the reference."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from tests.conftest import has_reference
+from tippecanoe_ray.pipelines.pyramid import PyramidConfig, build_pyramid
+from tippecanoe_ray.sources.image_table import synthesize_image_table
+from tippecanoe_ray.stages.geotag import fnv_world
+from tippecanoe_ray.stages.strategies import StrategyConfig
+
+
+def _with_vals(n):
+    ds = synthesize_image_table(n, with_payload=False)
+
+    def add_val(t: pa.Table) -> pa.Table:
+        return t.append_column("val", t["seq"].cast(pa.float64()))
+
+    return ds.map_batches(add_val, batch_format="pyarrow")
+
+
+def _diff(ours, ref, limit=8):
+    msgs = []
+    for k in sorted(set(ours) | set(ref)):
+        if ours.get(k) != ref.get(k):
+            msgs.append(f"{k}: ours={ours.get(k)} ref={ref.get(k)}")
+            if len(msgs) >= limit:
+                break
+    return msgs
+
+
+@pytest.mark.skipif(not has_reference(), reason="reference binary not built")
+@pytest.mark.parametrize("op", ["sum", "mean", "max"])
+def test_accumulate_rate_ladder(ray_session, op):
+    """Rate-ladder drops fold the attribute onto the survivor
+    (tile.cpp:1970-1977 + attribute.cpp:92-180)."""
+    from tests.util_reference import run_reference_attrs, tile_attrs_from_ds
+
+    n = 800
+    ids = [f"img-{i:012d}" for i in range(n)]
+    wx, wy = fnv_world(ids, hotspot_frac=0.6, n_hotspots=1)
+    vals = np.arange(n)
+    ref = run_reference_attrs(wx, wy, vals, maxzoom=5, droprate=2.5,
+                              extra_flags=[f"--accumulate-attribute=val:{op}"])
+    ds = _with_vals(n)
+    cfg = PyramidConfig(maxzoom=5, droprate=2.5, hotspot_frac=0.6, n_hotspots=1,
+                        attr_accum=("val", op), bucket_zoom=0)
+    tiles = build_pyramid(ds, cfg, n_rows=n)
+    ours = tile_attrs_from_ds(tiles, ("val",))
+    d = _diff(ours, ref)
+    assert not d, d
+
+
+@pytest.mark.skipif(not has_reference(), reason="reference binary not built")
+def test_accumulate_with_bucket_zoom(ray_session):
+    """Folds hold when the bucket exchange + lowzoom side channel are in
+    play (full-stream survivor blob)."""
+    from tests.util_reference import run_reference_attrs, tile_attrs_from_ds
+
+    n = 800
+    ids = [f"img-{i:012d}" for i in range(n)]
+    wx, wy = fnv_world(ids, hotspot_frac=0.6, n_hotspots=1)
+    vals = np.arange(n)
+    ref = run_reference_attrs(wx, wy, vals, maxzoom=5, droprate=2.5,
+                              extra_flags=["--accumulate-attribute=val:sum"])
+    ds = _with_vals(n)
+    cfg = PyramidConfig(maxzoom=5, droprate=2.5, hotspot_frac=0.6, n_hotspots=1,
+                        attr_accum=("val", "sum"), bucket_zoom=2)
+    tiles = build_pyramid(ds, cfg, n_rows=n)
+    ours = tile_attrs_from_ds(tiles, ("val",))
+    d = _diff(ours, ref)
+    assert not d, d
+
+
+@pytest.mark.skipif(not has_reference(), reason="reference binary not built")
+def test_cluster_stats_attrs(ray_session):
+    """-K cluster stats: clustered/point_count/sqrt_point_count/
+    point_count_abbreviated (tile.cpp:2420-2451)."""
+    from tests.util_reference import run_reference_attrs, tile_attrs_from_ds
+
+    n = 800
+    ids = [f"img-{i:012d}" for i in range(n)]
+    wx, wy = fnv_world(ids, hotspot_frac=0.6, n_hotspots=1)
+    vals = np.arange(n)
+    ref = run_reference_attrs(
+        wx, wy, vals, maxzoom=5, droprate=2.5, extra_flags=["-K50"],
+        attrs=("point_count", "sqrt_point_count", "point_count_abbreviated"),
+    )
+    ds = _with_vals(n)
+    cfg = PyramidConfig(maxzoom=5, droprate=2.5, hotspot_frac=0.6, n_hotspots=1,
+                        strategies=StrategyConfig(cluster_distance=50),
+                        cluster_stats=True, bucket_zoom=0)
+    tiles = build_pyramid(ds, cfg, n_rows=n)
+    ours = tile_attrs_from_ds(
+        tiles, ("point_count", "sqrt_point_count", "point_count_abbreviated")
+    )
+    d = _diff(ours, ref)
+    assert not d, d

@@ -261,3 +261,74 @@ def synth_vector_hard(seed: int = 11):
             parts.append(pts.astype(np.int64))
         feats.append(("line", parts))
     return feats
+
+
+def run_reference_attrs(
+    wx, wy, vals, maxzoom: int, droprate: float | None = None,
+    extra_flags: list[str] | None = None, attrs: tuple[str, ...] = ("val",),
+) -> dict[tuple[int, int, int], dict]:
+    """Reference run with a numeric `val` property per feature; returns
+    {(z,x,y): {"n": count, attr: sorted value list, ...}} from decoded
+    tiles."""
+    with tempfile.TemporaryDirectory() as td:
+        gj = os.path.join(td, "in.json")
+        mb = os.path.join(td, "out.mbtiles")
+        lon, lat = world_to_lonlat(wx, wy)
+        with open(gj, "w") as f:
+            for i in range(len(wx)):
+                feat = {
+                    "type": "Feature",
+                    "properties": {"val": int(vals[i])},
+                    "geometry": {"type": "Point",
+                                 "coordinates": [float(lon[i]), float(lat[i])]},
+                }
+                f.write(json.dumps(feat, separators=(",", ":")) + "\n")
+        cmd = [TIPPECANOE, "-o", mb, f"-z{maxzoom}", "-Z0", "-b0",
+               "--no-tile-size-limit", "-q"]
+        if droprate is not None:
+            cmd.append(f"-r{droprate}" if droprate != 1 else "-r1")
+        if extra_flags:
+            cmd += extra_flags
+        cmd.append(gj)
+        subprocess.run(cmd, check=True, capture_output=True)
+        return read_mbtiles_attrs(mb, attrs)
+
+
+def read_mbtiles_attrs(path: str, attrs: tuple[str, ...]) -> dict:
+    out = {}
+    con = sqlite3.connect(path)
+    for z, col, row, data in con.execute(
+        "select zoom_level, tile_column, tile_row, tile_data from tiles"
+    ):
+        y = (1 << z) - 1 - row
+        layers = decode_tile(bytes(data))
+        rec = {"n": sum(len(l["features"]) for l in layers)}
+        for a in attrs:
+            vals = []
+            for l in layers:
+                for f in l["features"]:
+                    v = f.get("tags", {}).get(a)
+                    if v is not None:
+                        vals.append(float(v) if not isinstance(v, str) else v)
+            rec[a] = sorted(vals)
+        out[(z, col, y)] = rec
+    con.close()
+    return out
+
+
+def tile_attrs_from_ds(tile_ds, attrs: tuple[str, ...]) -> dict:
+    out = {}
+    for r in tile_ds.select_columns(["z", "x", "y", "n_features", "tile"]).take_all():
+        key = (int(r["z"]), int(r["x"]), int(r["y"]))
+        rec = {"n": int(r["n_features"])}
+        layers = decode_tile(bytes(r["tile"]))
+        for a in attrs:
+            vals = []
+            for l in layers:
+                for f in l["features"]:
+                    v = f.get("tags", {}).get(a)
+                    if v is not None:
+                        vals.append(float(v) if not isinstance(v, str) else v)
+            rec[a] = sorted(vals)
+        out[key] = rec
+    return out

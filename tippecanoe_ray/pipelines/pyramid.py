@@ -94,6 +94,13 @@ class PyramidConfig:
     retain_points_multiplier: int = 1  # --retain-points-multiplier
     fmin_col: str | None = None  # per-feature tippecanoe minzoom column
     fmax_col: str | None = None  # per-feature tippecanoe maxzoom column
+    # --accumulate-attribute: (numeric column, op) — dropped/clustered
+    # features fold their value onto the survivor (preserve_attributes,
+    # tile.cpp:1544-1574 + attribute.cpp:92-180)
+    attr_accum: tuple[str, str] | None = None
+    # -K cluster stats: clustered/point_count/sqrt_point_count/
+    # point_count_abbreviated (tile.cpp:2420-2451)
+    cluster_stats: bool = False
 
     def resolved_basezoom(self) -> int:
         return self.maxzoom if self.basezoom is None else self.basezoom
@@ -145,6 +152,8 @@ def geotag_narrow(ds: ray.data.Dataset, cfg: PyramidConfig) -> ray.data.Dataset:
         cols.append(cfg.fmin_col)
     if cfg.fmax_col:
         cols.append(cfg.fmax_col)
+    if cfg.attr_accum:
+        cols.append(cfg.attr_accum[0])
     return ds.map_batches(tag, batch_format="pyarrow").select_columns(cols)
 
 
@@ -261,6 +270,7 @@ class ZoomEmitter:
         bucket: int,
         route: tuple[int, int, int] | None = None,
         gaps: np.ndarray | None = None,
+        vals: np.ndarray | None = None,
     ) -> tuple[pa.Table | None, pa.Table | None]:
         """Returns (tile_rows, side_rows). route=(B, bx, by) activates
         cross-bucket routing of copies whose tile is outside this
@@ -275,11 +285,11 @@ class ZoomEmitter:
             else bool((swx == 1 << 32).any())
         )
         if not has_boundary and z > 0:
-            return self._emit_fast(z, index, seq, swx, swy, minzoom, bucket, gaps), None
-        return self._emit_slow(z, index, seq, swx, swy, bzx, bzy, minzoom, bucket, route, gaps)
+            return self._emit_fast(z, index, seq, swx, swy, minzoom, bucket, gaps, vals), None
+        return self._emit_slow(z, index, seq, swx, swy, bzx, bzy, minzoom, bucket, route, gaps, vals)
 
     # ---------------------------------------------------------- fast path
-    def _emit_fast(self, z, index, seq, swx, swy, minzoom, bucket, gaps=None):
+    def _emit_fast(self, z, index, seq, swx, swy, minzoom, bucket, gaps=None, vals=None):
         cfg = self.cfg
         tkey = index >> np.uint64(64 - 2 * z)
         change = np.flatnonzero(tkey[1:] != tkey[:-1]) + 1
@@ -298,16 +308,18 @@ class ZoomEmitter:
                 kept[s_:e_] = k_
         scfg = getattr(cfg, "strategies", None)
         out_x, out_y = swx, swy
+        ccounts = None
         if scfg is not None and scfg.any_active() and gaps is not None:
             from ..stages.strategies import apply_strategies
 
             out_x = swx.astype(np.float64)
             out_y = swy.astype(np.float64)
+            ccounts = np.ones(len(index), dtype=np.int64)
             for s, e in zip(starts, ends):
                 sel = np.flatnonzero(kept[s:e]) + s
                 if len(sel) == 0:
                     continue
-                k2, cx2, cy2, _cnt, rep = apply_strategies(
+                k2, cx2, cy2, cnt2, rep = apply_strategies(
                     index[sel], swx[sel], swy[sel], minzoom[sel], gaps[sel], z, scfg,
                     overrides=self.overrides.get(z),
                 )
@@ -315,8 +327,16 @@ class ZoomEmitter:
                 kept[sel[~k2]] = False
                 out_x[sel] = cx2
                 out_y[sel] = cy2
+                ccounts[sel] = cnt2
             out_x = out_x.astype(np.int64)
             out_y = out_y.astype(np.int64)
+        folded = None
+        if vals is not None and cfg.attr_accum:
+            from ..stages.strategies import fold_numeric
+
+            folded = vals.astype(np.float64).copy()
+            for s, e in zip(starts, ends):
+                folded[s:e] = fold_numeric(vals[s:e], kept[s:e], cfg.attr_accum[1])
         counts = np.add.reduceat(kept, starts)
         rk = tkey[starts]
         tx = _compact_bits64(rk >> np.uint64(1)).astype(np.int64)
@@ -324,10 +344,11 @@ class ZoomEmitter:
         return self._encode_rows(
             z, out_x, out_y, seq, kept, counts, tx, ty, bucket,
             index[starts], seq[starts], minzoom[starts],
+            vals=folded, cluster_counts=ccounts,
         )
 
     # ---------------------------------------------------------- slow path
-    def _emit_slow(self, z, index, seq, swx, swy, bzx, bzy, minzoom, bucket, route, gaps=None):
+    def _emit_slow(self, z, index, seq, swx, swy, bzx, bzy, minzoom, bucket, route, gaps=None, vals=None):
         """Hybrid: the (large) non-boundary core keeps the contiguous-run
         fast path; the handful of boundary features contribute self +
         ghost copies merged per affected tile — O(core) + O(copies²/tile)
@@ -345,6 +366,7 @@ class ZoomEmitter:
         ci, cs = index[core_m], seq[core_m]
         cwx, cwy, cmz = swx[core_m], swy[core_m], minzoom[core_m]
         cgap = gaps[core_m] if gaps is not None else None
+        cval = vals[core_m] if vals is not None else None
         n_core = len(ci)
         if n_core:
             tkey = ci >> np.uint64(64 - 2 * z) if z > 0 else np.zeros(n_core, np.uint64)
@@ -412,6 +434,10 @@ class ZoomEmitter:
                 )
                 side_tbl = side_tbl.append_column("cx", pa.array(gwx[sm].astype(np.int64)))
                 side_tbl = side_tbl.append_column("cy", pa.array(gwy[sm].astype(np.int64)))
+                if vals is not None:
+                    side_tbl = side_tbl.append_column(
+                        "val", pa.array(vals[sel][sm].astype(np.float64))
+                    )
             sel, gtx, gty = sel[local], gtx[local], gty[local]
             gidx, gseq, gmz = gidx[local], gseq[local], gmz[local]
             gwx, gwy = gwx[local], gwy[local]
@@ -424,14 +450,16 @@ class ZoomEmitter:
         gidx, gseq, gmz = gidx[gorder], gseq[gorder], gmz[gorder]
         gwx, gwy = gwx[gorder], gwy[gorder]
         ggap = gaps[sel][gorder] if gaps is not None else None
+        gval = vals[sel][gorder] if vals is not None else None
         gpos = np.searchsorted(run_keys, gkey)
         gmatched = (gpos < len(run_keys)) & (
             run_keys[np.minimum(gpos, max(len(run_keys) - 1, 0))] == gkey
         ) if len(run_keys) else np.zeros(len(gkey), bool)
         affected_runs = np.unique(gpos[gmatched]) if gmatched.any() else np.empty(0, np.int64)
-        if strat and n_core:
-            # strategies are ordered scans: every tile takes the merged
-            # per-tile path so the scan semantics apply uniformly
+        if (strat or vals is not None) and n_core:
+            # strategies and attribute folds are ordered scans: every
+            # tile takes the merged per-tile path so the scan semantics
+            # apply uniformly
             affected_runs = np.arange(len(starts), dtype=np.int64)
         aff_set = set(int(r) for r in affected_runs)
 
@@ -492,6 +520,7 @@ class ZoomEmitter:
         # 2) affected + ghost-only tiles: per-tile merge (few)
         def _one_merged(rid: int | None, cps: np.ndarray):
             mgap = None
+            mval = None
             if rid is not None:
                 s, e = starts[rid], ends[rid]
                 sl = slice(s, e)
@@ -502,12 +531,16 @@ class ZoomEmitter:
                 mmz = np.concatenate((cmz[sl], gmz[cps]))
                 if cgap is not None:
                     mgap = np.concatenate((cgap[sl], ggap[cps]))
+                if cval is not None:
+                    mval = np.concatenate((cval[sl], gval[cps]))
                 ttx, tty = int(run_tx[rid]), int(run_ty[rid])
             else:
                 mwx, mwy = gwx[cps], gwy[cps]
                 midx, mseq, mmz = gidx[cps], gseq[cps], gmz[cps]
                 if ggap is not None:
                     mgap = ggap[cps]
+                if gval is not None:
+                    mval = gval[cps]
                 ttx = int(gtx[cps[0]])
                 tty = int(gty[cps[0]])
             o = np.lexsort((mseq, midx))
@@ -515,6 +548,8 @@ class ZoomEmitter:
             midx, mseq, mmz = midx[o], mseq[o], mmz[o]
             if mgap is not None:
                 mgap = mgap[o]
+            if mval is not None:
+                mval = mval[o]
             k = mmz <= z
             _force_first_plain(k, mmz, np.array([0]), np.array([len(mmz)]))
             if cfg.retain_points_multiplier > 1:
@@ -523,13 +558,14 @@ class ZoomEmitter:
                 k, _lead = multiplier_keep(
                     midx, mmz, z, cfg.retain_points_multiplier, cfg.droprate
                 )
+            mcnt = None
             if strat:
                 from ..stages.strategies import apply_strategies
 
                 ksel = np.flatnonzero(k)
                 if len(ksel):
                     gk = mgap[ksel] if mgap is not None else np.zeros(len(ksel), np.uint64)
-                    k2, cx2, cy2, _cnt, rep = apply_strategies(
+                    k2, cx2, cy2, cnt2, rep = apply_strategies(
                         midx[ksel], mwx[ksel], mwy[ksel], mmz[ksel], gk, z, scfg,
                         overrides=self.overrides.get(z),
                     )
@@ -541,8 +577,30 @@ class ZoomEmitter:
                     mwy[ksel] = cy2
                     mwx = mwx.astype(np.int64)
                     mwy = mwy.astype(np.int64)
+                    mcnt = np.ones(len(k), dtype=np.int64)
+                    mcnt[ksel] = cnt2
+            mfold = None
+            if mval is not None and cfg.attr_accum:
+                from ..stages.strategies import fold_numeric
+
+                mfold = fold_numeric(mval, k, cfg.attr_accum[1])
             n_kept = int(k.sum())
-            if cfg.encode_tiles:
+            attr_mode = mfold is not None or (cfg.cluster_stats and mcnt is not None)
+            if cfg.encode_tiles and attr_mode:
+                from ..stages.tile_encode import encode_point_tiles_attrs
+
+                tb = encode_point_tiles_attrs(
+                    mwx[k], mwy[k], np.array([0]), np.array([n_kept]),
+                    np.array([ttx]), np.array([tty]), z,
+                    layer_name=cfg.layer_name, detail=cfg.detail,
+                    compress=cfg.compress,
+                    attr_name=cfg.attr_accum[0] if cfg.attr_accum else None,
+                    attr_vals=mfold[k] if mfold is not None else None,
+                    cluster_counts=mcnt[k] if mcnt is not None else None,
+                    cluster_stats=cfg.cluster_stats,
+                    ids=mseq[k] if cfg.emit_ids else None,
+                )[0]
+            elif cfg.encode_tiles:
                 tb = encode_point_tiles(
                     mwx[k], mwy[k], np.array([0]), np.array([n_kept]),
                     np.array([ttx]), np.array([tty]), z,
@@ -592,11 +650,26 @@ class ZoomEmitter:
         return tile_tbl, side_tbl
 
     def _encode_rows(self, z, cswx, cswy, cseq, kept, counts, tx, ty, bucket,
-                     min_index, min_seq, first_mz):
+                     min_index, min_seq, first_mz, vals=None, cluster_counts=None):
         cfg = self.cfg
         kends = np.cumsum(counts)
         kstarts = kends - counts
-        if cfg.encode_tiles:
+        attr_mode = (vals is not None and cfg.attr_accum) or (
+            cfg.cluster_stats and cluster_counts is not None
+        )
+        if cfg.encode_tiles and attr_mode:
+            from ..stages.tile_encode import encode_point_tiles_attrs
+
+            tiles = encode_point_tiles_attrs(
+                cswx[kept], cswy[kept], kstarts, kends, tx, ty, z,
+                layer_name=cfg.layer_name, detail=cfg.detail, compress=cfg.compress,
+                attr_name=cfg.attr_accum[0] if cfg.attr_accum else None,
+                attr_vals=vals[kept] if vals is not None else None,
+                cluster_counts=cluster_counts[kept] if cluster_counts is not None else None,
+                cluster_stats=cfg.cluster_stats,
+                ids=cseq[kept] if cfg.emit_ids else None,
+            )
+        elif cfg.encode_tiles:
             tiles = encode_point_tiles(
                 cswx[kept], cswy[kept], kstarts, kends, tx, ty, z,
                 layer_name=cfg.layer_name, detail=cfg.detail, compress=cfg.compress,
@@ -662,6 +735,11 @@ class BucketWorker:
             if cfg0.fmax_col
             else None
         )
+        vals_a = (
+            group[cfg0.attr_accum[0]].to_numpy(zero_copy_only=False).astype(np.float64)
+            if cfg0.attr_accum
+            else None
+        )
         order = np.lexsort((seq_a, index_a, buckets))
         buckets = buckets[order]
         index_a, seq_a = index_a[order], seq_a[order]
@@ -670,6 +748,8 @@ class BucketWorker:
             fmin_a = fmin_a[order]
         if fmax_a is not None:
             fmax_a = fmax_a[order]
+        if vals_a is not None:
+            vals_a = vals_a[order]
         cuts = np.flatnonzero(buckets[1:] != buckets[:-1]) + 1
         starts = np.concatenate(([0], cuts))
         ends = np.concatenate((cuts, [len(buckets)]))
@@ -699,12 +779,13 @@ class BucketWorker:
                     gaps=None if task_gaps is None else task_gaps[s:e],
                     fmin=None if fmin_a is None else fmin_a[s:e],
                     fmax=None if fmax_a is None else fmax_a[s:e],
+                    vals=None if vals_a is None else vals_a[s:e],
                 )
             )
         return pa.concat_tables(_align_tables(outs))
 
     def _one_bucket(self, bucket, index, seq, wx, wy, minzoom=None, gaps=None,
-                    fmin=None, fmax=None) -> pa.Table:
+                    fmin=None, fmax=None, vals=None) -> pa.Table:
         cfg = self.cfg
         if gaps is None and getattr(cfg, "strategies", None) is not None and cfg.strategies.any_active():
             from ..stages.strategies import compute_gaps
@@ -748,11 +829,12 @@ class BucketWorker:
                     bzy[act], eff_minzoom[act], bucket,
                     route=(b_zoom, bx, by),
                     gaps=None if gaps is None else gaps[act],
+                    vals=None if vals is None else vals[act],
                 )
             else:
                 tile_tbl, side_tbl = em.emit(
                     z, index, seq, swx, swy, bzx, bzy, eff_minzoom, bucket,
-                    route=(b_zoom, bx, by), gaps=gaps,
+                    route=(b_zoom, bx, by), gaps=gaps, vals=vals,
                 )
             if tile_tbl is not None:
                 outs.append(tile_tbl)
@@ -781,6 +863,11 @@ class BucketWorker:
                 )
             surv = (eff_minzoom < surv_zoom) | (bzx < b_zoom) | (bzy < b_zoom)
             surv[0] = True
+            if vals is not None:
+                # accumulate mode: every feature's value folds into some
+                # low-zoom survivor (the reference scans the full stream
+                # at z0), so the side channel must carry the full stream
+                surv = np.ones(len(index), dtype=bool)
             blob_cols = {
                 "index": index[surv],
                 "seq": seq[surv],
@@ -795,6 +882,8 @@ class BucketWorker:
                 # over the FULL stream) so low-zoom strategies see the
                 # same values the bucket zooms did
                 blob_cols["gap"] = gaps[surv]
+            if vals is not None:
+                blob_cols["val"] = vals[surv]
             if fmin is not None or fmax is not None:
                 blob_cols["fmin"] = (
                     fmin[surv] if fmin is not None else np.full(int(surv.sum()), -1, np.int16)
@@ -911,12 +1000,14 @@ _CHAN_SCHEMA = None
 
 def _chan_norm(t: "pa.Table") -> "pa.Table":
     """Channel-row canonical schema (tables all the way; no pylist)."""
-    cols = list(_NORM_COLS) + ["cx", "cy"]
+    cols = list(_NORM_COLS) + ["cx", "cy", "val"]
     n = len(t)
     for c in cols:
         if c not in t.column_names:
             if c in ("cx", "cy"):
                 t = t.append_column(c, pa.array(np.zeros(n, np.int64)))
+            elif c == "val":
+                t = t.append_column(c, pa.array(np.zeros(n, np.float64)))
             else:
                 raise KeyError(c)
     return _cast_tile_schema(t.select(cols))
@@ -976,6 +1067,8 @@ def _align_tables(tables: list[pa.Table]) -> list[pa.Table]:
             if c not in t.column_names:
                 if c in ("cx", "cy"):
                     t = t.append_column(c, pa.array(np.zeros(len(t), dtype=np.int64)))
+                elif c == "val":
+                    t = t.append_column(c, pa.array(np.zeros(len(t), dtype=np.float64)))
                 elif c == "feature_ids":
                     t = t.append_column(
                         c,
@@ -1012,6 +1105,7 @@ def lowzoom_tiles(survivor_rows: list[dict], cfg: PyramidConfig, bucket_zoom: in
     fmin = t["fmin"].to_numpy(zero_copy_only=False) if "fmin" in t.column_names else None
     fmax = t["fmax"].to_numpy(zero_copy_only=False) if "fmax" in t.column_names else None
     gaps = t["gap"].to_numpy(zero_copy_only=False).astype(np.uint64) if "gap" in t.column_names else None
+    vals = t["val"].to_numpy(zero_copy_only=False).astype(np.float64) if "val" in t.column_names else None
     order = np.lexsort((seq, index))
     index, seq, swx, swy = index[order], seq[order], swx[order], swy[order]
     bzx, bzy, minzoom = bzx[order], bzy[order], minzoom[order]
@@ -1019,6 +1113,8 @@ def lowzoom_tiles(survivor_rows: list[dict], cfg: PyramidConfig, bucket_zoom: in
         fmin = fmin[order]
     if fmax is not None:
         fmax = fmax[order]
+    if vals is not None:
+        vals = vals[order]
     scfg = getattr(cfg, "strategies", None)
     strat = scfg is not None and scfg.any_active()
     if gaps is not None:
@@ -1044,10 +1140,11 @@ def lowzoom_tiles(survivor_rows: list[dict], cfg: PyramidConfig, bucket_zoom: in
                     act &= (fmax < 0) | (z <= fmax)
                 tt, _ = em.emit(z, index[act], seq[act], swx[act], swy[act],
                                 bzx[act], bzy[act], minzoom[act], bucket=-1, route=None,
-                                gaps=None if gaps is None else gaps[act])
+                                gaps=None if gaps is None else gaps[act],
+                                vals=None if vals is None else vals[act])
             else:
                 tt, _ = em.emit(z, index, seq, swx, swy, bzx, bzy, minzoom,
-                                bucket=-1, route=None, gaps=gaps)
+                                bucket=-1, route=None, gaps=gaps, vals=vals)
             if tt is not None:
                 outs.append(tt)
         changed = False
@@ -1098,6 +1195,199 @@ def _remove_first_feature(layer_msg: bytes) -> bytes:
     return _len_delim(3, new_body)
 
 
+def _rebuild_tile_attrs(raw: bytes, ghosts: list[dict], z: int,
+                        cfg: PyramidConfig, remove_first: bool) -> bytes:
+    """Attr-mode tile rebuild: decode the layer, drop/append features,
+    re-encode with encode_layer (byte splicing can't extend the
+    key/value pools)."""
+    from ..stages.mvt import decode_tile, encode_layer, encode_tile, varint_array, zigzag
+
+    layers = decode_tile(raw) if raw else []
+    feats = []
+    attr_name = cfg.attr_accum[0] if cfg.attr_accum else None
+    for lay in layers:
+        for i, f in enumerate(lay["features"]):
+            if remove_first and i == 0:
+                continue
+            cmd, pts = f["geometry"][0]
+            lx, ly = int(pts[0][0]), int(pts[0][1])
+            geom = varint_array(np.array(
+                [(1 << 3) | 1, int(zigzag(np.array([lx]))[0]), int(zigzag(np.array([ly]))[0])],
+                dtype=np.uint64))
+            feats.append({"geom": geom, "type": 1, "attrs": dict(f.get("tags", {}))})
+    shift = WORLD_BITS - z - cfg.detail
+    for g in ghosts:
+        gx, gy = _ghost_local(g, z, cfg)
+        if shift >= 0:
+            gx >>= shift
+            gy >>= shift
+        else:
+            gx <<= -shift
+            gy <<= -shift
+        geom = varint_array(np.array(
+            [(1 << 3) | 1, int(zigzag(np.array([gx]))[0]), int(zigzag(np.array([gy]))[0])],
+            dtype=np.uint64))
+        attrs = {}
+        if attr_name is not None and "val" in g:
+            attrs[attr_name] = float(g["val"])
+        feats.append({"geom": geom, "type": 1, "attrs": attrs})
+    return encode_tile(
+        [encode_layer(cfg.layer_name, feats, 1 << cfg.detail)], compress=False
+    )
+
+
+def rescan_side_tiles(
+    tile_tbl: pa.Table,
+    side_rows: list[dict],
+    cfg: PyramidConfig,
+    narrow: ray.data.Dataset,
+    offsets: dict[int, int],
+    bucket_zoom: int,
+) -> pa.Table:
+    """Attr-mode replacement for merge_side_copies: cross-bucket ghost
+    copies participate in the receiving tile's SCAN (they can receive
+    attribute folds from later-dropped features), so byte splicing is
+    insufficient — re-run the affected tiles' keep+fold from the raw
+    narrow rows of their owner buckets plus the side-row ghosts."""
+    import warnings
+
+    from ..functions.spatial import _spread_bits32
+    from ..stages.strategies import fold_numeric
+    from ..stages.tile_encode import encode_point_tiles_attrs
+
+    if not side_rows:
+        return tile_tbl
+    if cfg.retain_points_multiplier > 1 or (
+        cfg.strategies is not None and cfg.strategies.any_active()
+    ):
+        warnings.warn(
+            "accumulate-attribute with cross-bucket boundary ghosts and "
+            "multiplier/strategies active: ghost-tile rescan uses the "
+            "plain keep rule"
+        )
+    by_tile: dict[tuple[int, int, int], list[dict]] = {}
+    for r in side_rows:
+        by_tile.setdefault((int(r["z"]), int(r["x"]), int(r["y"])), []).append(r)
+
+    # owner buckets of the affected tiles
+    aff_buckets: set[int] = set()
+    for (z, x, y) in by_tile:
+        sh = z - bucket_zoom
+        bx_ = x >> sh if sh >= 0 else 0
+        by_ = y >> sh if sh >= 0 else 0
+        mk = int(
+            (_spread_bits32(np.array([bx_], np.int64))[0] << np.uint64(1))
+            | _spread_bits32(np.array([by_], np.int64))[0]
+        )
+        aff_buckets.add(mk)
+    want = np.array(sorted(aff_buckets), dtype=np.int64)
+    want_ref = ray.put(want)
+
+    def flt(t: pa.Table) -> pa.Table:
+        w = ray.get(want_ref)
+        return t.filter(pa.array(np.isin(t["bucket"].to_numpy(zero_copy_only=False), w)))
+
+    sub = narrow.map_batches(flt, batch_format="pyarrow").to_pandas()
+    g = cfg.resolved_gscale()
+    buckets_data: dict[int, dict] = {}
+    for bk, grp in sub.groupby("bucket"):
+        grp = grp.sort_values(["index", "seq"])
+        index = grp["index"].to_numpy().astype(np.uint64)
+        mz = minzoom_for_rank_range(
+            offsets[int(bk)], offsets[int(bk)] + len(grp), cfg.maxzoom,
+            cfg.resolved_basezoom(), cfg.droprate,
+        ).astype(np.int16)
+        buckets_data[int(bk)] = {
+            "index": index,
+            "seq": grp["seq"].to_numpy(),
+            "swx": snap_coords(grp["wx"].to_numpy(), g),
+            "swy": snap_coords(grp["wy"].to_numpy(), g),
+            "mz": mz,
+            "val": grp[cfg.attr_accum[0]].to_numpy().astype(np.float64)
+            if cfg.attr_accum
+            else np.zeros(len(grp)),
+        }
+
+    df = tile_tbl.to_pandas()
+    keyset = set(zip(df["z"].astype(int), df["x"].astype(int), df["y"].astype(int)))
+    new_rows = []
+    for (z, x, y), ghosts in by_tile.items():
+        sh = z - bucket_zoom
+        bx_ = x >> sh if sh >= 0 else 0
+        by_ = y >> sh if sh >= 0 else 0
+        mk = int(
+            (_spread_bits32(np.array([bx_], np.int64))[0] << np.uint64(1))
+            | _spread_bits32(np.array([by_], np.int64))[0]
+        )
+        bd = buckets_data.get(mk)
+        shift = WORLD_BITS - z
+        cand: list[tuple] = []  # (index, seq, mz, cx, cy, val)
+        if bd is not None:
+            tx_all = (bd["swx"] >> shift).astype(np.int64)
+            ty_all = (bd["swy"] >> shift).astype(np.int64)
+            bzx = boundary_zoom(bd["swx"])
+            bzy = boundary_zoom(bd["swy"])
+            for dx, dy, m in (
+                (0, 0, np.ones(len(tx_all), bool)),
+                (1, 0, bzx <= z),
+                (0, 1, bzy <= z),
+                (1, 1, (bzx <= z) & (bzy <= z)),
+            ):
+                hitm = m & (tx_all - dx == x) & (ty_all - dy == y)
+                for i in np.flatnonzero(hitm):
+                    cand.append(
+                        (int(bd["index"][i]), int(bd["seq"][i]), int(bd["mz"][i]),
+                         int(bd["swx"][i]), int(bd["swy"][i]), float(bd["val"][i]))
+                    )
+        for gr in ghosts:
+            cand.append(
+                (int(gr["min_index"]), int(gr["min_seq"]), int(gr["first_minzoom"]),
+                 int(gr["cx"]), int(gr["cy"]), float(gr.get("val", 0.0)))
+            )
+        cand.sort(key=lambda c: (c[0], c[1]))
+        mzs = np.array([c[2] for c in cand], dtype=np.int16)
+        keep = mzs <= z
+        if len(keep):
+            keep[0] = True  # first feature of the tile is always kept
+        vals_arr = np.array([c[5] for c in cand], dtype=np.float64)
+        folded = (
+            fold_numeric(vals_arr, keep, cfg.attr_accum[1])
+            if cfg.attr_accum
+            else vals_arr
+        )
+        kept_idx = np.flatnonzero(keep)
+        n_kept = len(kept_idx)
+        cx = np.array([c[3] for c in cand], dtype=np.int64)[kept_idx]
+        cy = np.array([c[4] for c in cand], dtype=np.int64)[kept_idx]
+        tile_bytes = b""
+        if cfg.encode_tiles and n_kept:
+            tile_bytes = encode_point_tiles_attrs(
+                cx, cy, np.array([0]), np.array([n_kept]),
+                np.array([x]), np.array([y]), z,
+                layer_name=cfg.layer_name, detail=cfg.detail, compress=cfg.compress,
+                attr_name=cfg.attr_accum[0] if cfg.attr_accum else None,
+                attr_vals=folded[kept_idx] if cfg.attr_accum else None,
+            )[0]
+        row = {
+            "z": z, "x": x, "y": y, "n_features": n_kept, "tile": tile_bytes,
+            "bucket": -1, "kind": 0,
+            "min_index": cand[0][0] if cand else 0,
+            "min_seq": cand[0][1] if cand else 0,
+            "first_minzoom": cand[0][2] if cand else 0,
+        }
+        if (z, x, y) in keyset:
+            i = df.index[(df["z"] == z) & (df["x"] == x) & (df["y"] == y)][0]
+            for k_, v_ in row.items():
+                df.at[i, k_] = v_
+        else:
+            new_rows.append(row)
+    if new_rows:
+        import pandas as pd
+
+        df = pd.concat([df, pd.DataFrame(new_rows)], ignore_index=True)
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
 def merge_side_copies(
     tile_tbl: pa.Table, side_rows: list[dict], cfg: PyramidConfig
 ) -> pa.Table:
@@ -1138,10 +1428,13 @@ def merge_side_copies(
             if cfg.encode_tiles and (g_kept or remove_first):
                 data = row["tile"]
                 raw = _gzip.decompress(data) if bytes(data[:2]) == b"\x1f\x8b" else bytes(data)
-                if remove_first:
-                    raw = _remove_first_feature(raw)
-                if g_kept:
-                    raw = _splice_ghost_features(raw, g_kept, z, cfg)
+                if cfg.attr_accum or cfg.cluster_stats:
+                    raw = _rebuild_tile_attrs(raw, g_kept, z, cfg, remove_first)
+                else:
+                    if remove_first:
+                        raw = _remove_first_feature(raw)
+                    if g_kept:
+                        raw = _splice_ghost_features(raw, g_kept, z, cfg)
                 if cfg.compress:
                     co = _zlib.compressobj(6, _zlib.DEFLATED, 16 + _zlib.MAX_WBITS)
                     raw = co.compress(raw) + co.flush()
@@ -1151,7 +1444,15 @@ def merge_side_copies(
             kept = [ghosts[0]] + [g for g in ghosts[1:] if int(g["first_minzoom"]) <= z]
             tile_bytes = b""
             if cfg.encode_tiles:
-                tile_bytes = _encode_ghost_tile(kept, z, cfg)
+                if cfg.attr_accum or cfg.cluster_stats:
+                    tile_bytes = _rebuild_tile_attrs(b"", kept, z, cfg, False)
+                    if cfg.compress:
+                        import zlib as _z2
+
+                        co = _z2.compressobj(6, _z2.DEFLATED, 16 + _z2.MAX_WBITS)
+                        tile_bytes = co.compress(tile_bytes) + co.flush()
+                else:
+                    tile_bytes = _encode_ghost_tile(kept, z, cfg)
             new_rows.append(
                 {
                     "z": z, "x": key[1], "y": key[2], "n_features": len(kept),
@@ -1499,7 +1800,13 @@ def build_pyramid_from_narrow(
             hit = pa.Table.from_pandas(
                 tile_tbl_ds.map_batches(affected, batch_format="pyarrow").to_pandas()
             )
-        merged = _norm_tiles(merge_side_copies(hit, side_rows, cfg), cfg.emit_ids)
+        if cfg.attr_accum or cfg.cluster_stats:
+            merged = _norm_tiles(
+                rescan_side_tiles(hit, side_rows, cfg, narrow, offsets, b),
+                cfg.emit_ids,
+            )
+        else:
+            merged = _norm_tiles(merge_side_copies(hit, side_rows, cfg), cfg.emit_ids)
         if raw_dir:
             import pyarrow.parquet as pq
 

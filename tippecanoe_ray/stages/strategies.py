@@ -402,3 +402,55 @@ def multiplier_keep(
             count += 1
             keep[i] = True
     return keep, lead
+
+
+def fold_targets(keep: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """find_feature_to_accumulate_onto (tile.cpp:1576-1590): each
+    dropped feature folds onto the most recent KEPT feature before it
+    in scan order. Returns (dropped_positions, target_positions) for
+    dropped features that have a target."""
+    n = len(keep)
+    idx = np.arange(n)
+    last_keep = np.maximum.accumulate(np.where(keep, idx, -1))
+    dropped = np.flatnonzero(~keep)
+    tgt = last_keep[dropped]
+    valid = tgt >= 0
+    return dropped[valid], tgt[valid]
+
+
+def fold_numeric(vals: np.ndarray, keep: np.ndarray, op: str) -> np.ndarray:
+    """Fold dropped features' attribute values onto survivors
+    (preserve_attribute1, attribute.cpp:92-180) in scan order. Returns
+    the folded value per position (meaningful for kept positions).
+
+    mean reproduces the reference's ITERATIVE update — (v+d)/2 at count
+    2, then (v*count+d)/(count+1) — not a plain sum/count, for bit
+    parity with the accumulator-string math."""
+    out = np.asarray(vals, dtype=np.float64).copy()
+    dropped, tgt = fold_targets(keep)
+    if op == "sum":
+        np.add.at(out, tgt, out[dropped])
+    elif op == "product":
+        np.multiply.at(out, tgt, out[dropped])
+    elif op == "max":
+        np.maximum.at(out, tgt, out[dropped])
+    elif op == "min":
+        np.minimum.at(out, tgt, out[dropped])
+    elif op == "count":
+        counts = np.ones(len(out), dtype=np.int64)
+        np.add.at(counts, tgt, 1)
+        out = counts.astype(np.float64)
+    elif op == "mean":
+        counts = np.ones(len(out), dtype=np.int64)
+        for d, t in zip(dropped, tgt):
+            c = counts[t]
+            if c <= 1:
+                out[t] = (out[t] + out[d]) / 2
+                counts[t] = 2
+            else:
+                s = out[t] * c + out[d]
+                counts[t] = c + 1
+                out[t] = s / counts[t]
+    else:
+        raise ValueError(f"unknown accumulate op {op}")
+    return out

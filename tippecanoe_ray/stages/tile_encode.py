@@ -196,3 +196,81 @@ def encode_point_tiles(
             tile = co.compress(tile) + co.flush()
         out.append(tile)
     return out
+
+
+def encode_point_tiles_attrs(
+    wx: np.ndarray,
+    wy: np.ndarray,
+    run_starts: np.ndarray,
+    run_ends: np.ndarray,
+    tx: np.ndarray,
+    ty: np.ndarray,
+    z: int,
+    layer_name: str = "points",
+    detail: int = 12,
+    compress: bool = True,
+    attr_name: str | None = None,
+    attr_vals: np.ndarray | None = None,
+    cluster_counts: np.ndarray | None = None,
+    cluster_stats: bool = False,
+    ids: np.ndarray | None = None,
+) -> list[bytes]:
+    """Attribute-carrying (slow-path) sibling of encode_point_tiles:
+    per-feature accumulate-attribute values (attribute.cpp:92-180
+    folds, already applied upstream) and -K cluster stats
+    (clustered/point_count/sqrt_point_count/point_count_abbreviated,
+    tile.cpp:2420-2451)."""
+    import math as _math
+
+    from .mvt import encode_layer, encode_tile, varint_array, zigzag
+
+    extent = 1 << detail
+    shift = WORLD_BITS - z - detail
+    span_shift = WORLD_BITS - z
+    out: list[bytes] = []
+    for t in range(len(run_starts)):
+        a, b = int(run_starts[t]), int(run_ends[t])
+        if a == b:
+            out.append(b"")
+            continue
+        ox = int(tx[t]) << span_shift
+        oy = int(ty[t]) << span_shift
+        feats = []
+        for i in range(a, b):
+            lx = int(wx[i]) - ox
+            ly = int(wy[i]) - oy
+            if shift >= 0:
+                lx >>= shift
+                ly >>= shift
+            else:
+                lx <<= -shift
+                ly <<= -shift
+            geom = varint_array(
+                np.array(
+                    [(1 << 3) | 1,
+                     int(zigzag(np.array([lx]))[0]),
+                     int(zigzag(np.array([ly]))[0])],
+                    dtype=np.uint64,
+                )
+            )
+            attrs = {}
+            if attr_name is not None and attr_vals is not None:
+                attrs[attr_name] = float(attr_vals[i])
+            if cluster_stats and cluster_counts is not None and cluster_counts[i] > 1:
+                pc = int(cluster_counts[i])
+                attrs["clustered"] = True
+                attrs["point_count"] = float(pc)
+                attrs["sqrt_point_count"] = round(100 * _math.sqrt(pc)) / 100.0
+                if pc >= 10000:
+                    attrs["point_count_abbreviated"] = f"{pc / 1000.0:.0f}k"
+                elif pc >= 1000:
+                    attrs["point_count_abbreviated"] = f"{pc / 1000.0:.1f}k"
+                else:
+                    attrs["point_count_abbreviated"] = str(pc)
+            f = {"geom": geom, "type": 1, "attrs": attrs}
+            if ids is not None:
+                f["id"] = int(ids[i])
+            feats.append(f)
+        layer = encode_layer(layer_name, feats, extent)
+        out.append(encode_tile([layer], compress=compress))
+    return out
