@@ -98,3 +98,95 @@ def test_cluster_stats_attrs(ray_session):
     )
     d = _diff(ours, ref)
     assert not d, d
+
+
+@pytest.mark.skipif(not has_reference(), reason="reference binary not built")
+@pytest.mark.parametrize("desc", [False, True])
+def test_drop_by_attribute_as_needed(ray_session, desc):
+    """--drop-by-attribute-as-needed: as-needed ladder on a numeric
+    attribute (tile.cpp:2110-2144, choose_minattribute 822-857)."""
+    from tests.util_reference import run_reference_attrs, tile_attrs_from_ds
+
+    n = 1200
+    ids = [f"img-{i:012d}" for i in range(n)]
+    wx, wy = fnv_world(ids, hotspot_frac=0.6, n_hotspots=1)
+    vals = (np.arange(n) * 37) % 1009  # spread values
+    flags = ["--drop-by-attribute-as-needed=val", "-O200"]
+    if desc:
+        flags.append("--drop-by-attribute-order=desc")
+    ref = run_reference_attrs(wx, wy, vals, maxzoom=6, droprate=1, extra_flags=flags)
+    ds = synthesize_image_table(n, with_payload=False)
+
+    import pyarrow.compute as pc
+
+    def add_val(t):
+        v = pc.multiply(t["seq"], 37)
+        v = pc.cast(pc.subtract(v, pc.multiply(pc.divide(v, 1009), 1009)), pa.float64())
+        return t.append_column("val", v)
+
+    ds = ds.map_batches(add_val, batch_format="pyarrow")
+    scfg = StrategyConfig(drop_by_attribute=True, drop_by_attribute_descending=desc,
+                          max_tile_features=200)
+    cfg = PyramidConfig(maxzoom=6, droprate=1.0, hotspot_frac=0.6, n_hotspots=1,
+                        strategies=scfg, attr_col="val", bucket_zoom=0)
+    tiles = build_pyramid(ds, cfg, n_rows=n)
+    ours = {k: v["n"] for k, v in tile_attrs_from_ds(tiles, ()).items()}
+    refn = {k: v["n"] for k, v in ref.items()}
+    d = _diff(ours, refn)
+    assert not d, d
+    assert max(ours.values()) <= 200
+
+
+@pytest.mark.skipif(not has_reference(), reason="reference binary not built")
+@pytest.mark.parametrize("desc", [False, True])
+def test_order_by_attribute(ray_session, desc):
+    """--order-by / --order-descending-by: per-tile stable sort of the
+    output features by the attribute (tile.cpp:2583-2593) — compared
+    ORDER-SENSITIVELY on the decoded value sequences."""
+    from tests.util_reference import run_reference_attrs, tile_attrs_from_ds
+
+    n = 800
+    ids = [f"img-{i:012d}" for i in range(n)]
+    wx, wy = fnv_world(ids, hotspot_frac=0.6, n_hotspots=1)
+    vals = (np.arange(n) * 37) % 1009
+    flag = "--order-descending-by=val" if desc else "--order-by=val"
+    ref = run_reference_attrs(wx, wy, vals, maxzoom=5, droprate=2.5,
+                              extra_flags=[flag], keep_order=True)
+    ds = synthesize_image_table(n, with_payload=False)
+
+    import pyarrow.compute as pc
+
+    def add_val(t):
+        v = pc.multiply(t["seq"], 37)
+        v = pc.cast(pc.subtract(v, pc.multiply(pc.divide(v, 1009), 1009)), pa.float64())
+        return t.append_column("val", v)
+
+    ds = ds.map_batches(add_val, batch_format="pyarrow")
+    cfg = PyramidConfig(maxzoom=5, droprate=2.5, hotspot_frac=0.6, n_hotspots=1,
+                        attr_col="val", order_by_attr=True, order_descending=desc,
+                        emit_attr=True, bucket_zoom=0)
+    tiles = build_pyramid(ds, cfg, n_rows=n)
+    ours = tile_attrs_from_ds(tiles, ("val",), keep_order=True)
+    d = _diff(ours, ref)
+    assert not d, d
+
+
+@pytest.mark.skipif(not has_reference(), reason="reference binary not built")
+def test_preserve_input_order(ray_session):
+    """-pi: output features restored to input sequence order."""
+    from tests.util_reference import run_reference_attrs, tile_attrs_from_ds
+
+    n = 800
+    ids = [f"img-{i:012d}" for i in range(n)]
+    wx, wy = fnv_world(ids, hotspot_frac=0.6, n_hotspots=1)
+    vals = np.arange(n)
+    ref = run_reference_attrs(wx, wy, vals, maxzoom=5, droprate=2.5,
+                              extra_flags=["-pi"], keep_order=True)
+    ds = _with_vals(n)
+    cfg = PyramidConfig(maxzoom=5, droprate=2.5, hotspot_frac=0.6, n_hotspots=1,
+                        attr_col="val", preserve_input_order=True, emit_attr=True,
+                        bucket_zoom=0)
+    tiles = build_pyramid(ds, cfg, n_rows=n)
+    ours = tile_attrs_from_ds(tiles, ("val",), keep_order=True)
+    d = _diff(ours, ref)
+    assert not d, d

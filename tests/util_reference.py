@@ -266,6 +266,7 @@ def synth_vector_hard(seed: int = 11):
 def run_reference_attrs(
     wx, wy, vals, maxzoom: int, droprate: float | None = None,
     extra_flags: list[str] | None = None, attrs: tuple[str, ...] = ("val",),
+    keep_order: bool = False,
 ) -> dict[tuple[int, int, int], dict]:
     """Reference run with a numeric `val` property per feature; returns
     {(z,x,y): {"n": count, attr: sorted value list, ...}} from decoded
@@ -291,10 +292,10 @@ def run_reference_attrs(
             cmd += extra_flags
         cmd.append(gj)
         subprocess.run(cmd, check=True, capture_output=True)
-        return read_mbtiles_attrs(mb, attrs)
+        return read_mbtiles_attrs(mb, attrs, keep_order=keep_order)
 
 
-def read_mbtiles_attrs(path: str, attrs: tuple[str, ...]) -> dict:
+def read_mbtiles_attrs(path: str, attrs: tuple[str, ...], keep_order: bool = False) -> dict:
     out = {}
     con = sqlite3.connect(path)
     for z, col, row, data in con.execute(
@@ -310,13 +311,13 @@ def read_mbtiles_attrs(path: str, attrs: tuple[str, ...]) -> dict:
                     v = f.get("tags", {}).get(a)
                     if v is not None:
                         vals.append(float(v) if not isinstance(v, str) else v)
-            rec[a] = sorted(vals)
+            rec[a] = vals if keep_order else sorted(vals)
         out[(z, col, y)] = rec
     con.close()
     return out
 
 
-def tile_attrs_from_ds(tile_ds, attrs: tuple[str, ...]) -> dict:
+def tile_attrs_from_ds(tile_ds, attrs: tuple[str, ...], keep_order: bool = False) -> dict:
     out = {}
     for r in tile_ds.select_columns(["z", "x", "y", "n_features", "tile"]).take_all():
         key = (int(r["z"]), int(r["x"]), int(r["y"]))
@@ -329,6 +330,6 @@ def tile_attrs_from_ds(tile_ds, attrs: tuple[str, ...]) -> dict:
                     v = f.get("tags", {}).get(a)
                     if v is not None:
                         vals.append(float(v) if not isinstance(v, str) else v)
-            rec[a] = sorted(vals)
+            rec[a] = vals if keep_order else sorted(vals)
         out[key] = rec
     return out

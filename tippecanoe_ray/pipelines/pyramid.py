@@ -98,9 +98,25 @@ class PyramidConfig:
     # features fold their value onto the survivor (preserve_attributes,
     # tile.cpp:1544-1574 + attribute.cpp:92-180)
     attr_accum: tuple[str, str] | None = None
+    # numeric attribute column for --drop-by-attribute-as-needed
+    # (threaded like attr_accum but without output folding)
+    attr_col: str | None = None
     # -K cluster stats: clustered/point_count/sqrt_point_count/
     # point_count_abbreviated (tile.cpp:2420-2451)
     cluster_stats: bool = False
+    # per-tile output ordering (tile.cpp:2583-2593): order by the
+    # threaded attribute column (--order-by / --order-descending-by)
+    # or restore input sequence (-pi)
+    order_by_attr: bool = False
+    order_descending: bool = False
+    preserve_input_order: bool = False
+    # emit the raw/folded attribute value on every feature
+    emit_attr: bool = False
+
+    def val_col(self) -> str | None:
+        if self.attr_accum:
+            return self.attr_accum[0]
+        return self.attr_col
 
     def resolved_basezoom(self) -> int:
         return self.maxzoom if self.basezoom is None else self.basezoom
@@ -152,8 +168,8 @@ def geotag_narrow(ds: ray.data.Dataset, cfg: PyramidConfig) -> ray.data.Dataset:
         cols.append(cfg.fmin_col)
     if cfg.fmax_col:
         cols.append(cfg.fmax_col)
-    if cfg.attr_accum:
-        cols.append(cfg.attr_accum[0])
+    if cfg.val_col():
+        cols.append(cfg.val_col())
     return ds.map_batches(tag, batch_format="pyarrow").select_columns(cols)
 
 
@@ -242,6 +258,42 @@ def _force_first_plain(kept: np.ndarray, eff_mz: np.ndarray,
     kept[firstp[valid]] = True
 
 
+def _ordering_on(cfg) -> bool:
+    return bool(cfg.order_by_attr or cfg.preserve_input_order)
+
+
+def _reorder_runs(cfg, cswx, cswy, cseq, kept, kstarts, kends, vals, ccounts):
+    """Per-tile output ordering (tile.cpp:2583-2593): stable sort of a
+    run's KEPT features by the attribute value (asc/desc) or by input
+    seq (-pi). Returns kept-compacted arrays (callers re-index with an
+    all-True kept)."""
+    if not _ordering_on(cfg):
+        return cswx, cswy, cseq, vals, ccounts
+    kwx = cswx[kept].copy()
+    kwy = cswy[kept].copy()
+    kseq = np.asarray(cseq)[kept].copy()
+    kvals = vals[kept].copy() if vals is not None else None
+    kcnt = ccounts[kept].copy() if ccounts is not None else None
+    for a, b in zip(kstarts, kends):
+        if b - a < 2:
+            continue
+        if cfg.preserve_input_order:
+            perm = np.argsort(kseq[a:b], kind="stable")
+        elif cfg.order_descending:
+            perm = np.argsort(-kvals[a:b], kind="stable")
+        else:
+            perm = np.argsort(kvals[a:b], kind="stable")
+        sl = slice(a, b)
+        kwx[sl] = kwx[sl][perm]
+        kwy[sl] = kwy[sl][perm]
+        kseq[sl] = kseq[sl][perm]
+        if kvals is not None:
+            kvals[sl] = kvals[sl][perm]
+        if kcnt is not None:
+            kcnt[sl] = kcnt[sl][perm]
+    return kwx, kwy, kseq, kvals, kcnt
+
+
 class ZoomEmitter:
     """Per-zoom tile emission over (index, seq)-sorted feature arrays
     with snapped coordinates + boundary-ghost duplication."""
@@ -253,9 +305,18 @@ class ZoomEmitter:
 
     def _note(self, z: int, report: dict):
         if report:
+            scfg = getattr(self.cfg, "strategies", None)
+            attr_desc = bool(scfg is not None and getattr(scfg, "drop_by_attribute_descending", False))
             cur = self.reports.setdefault(z, {})
             for k, v in report.items():
-                cur[k] = max(cur.get(k, 0), v)
+                if k == "minattribute":
+                    prev = cur.get(k)
+                    if prev is None:
+                        cur[k] = v
+                    else:
+                        cur[k] = min(prev, v) if attr_desc else max(prev, v)
+                else:
+                    cur[k] = max(cur.get(k, 0), v)
 
     def emit(
         self,
@@ -322,6 +383,7 @@ class ZoomEmitter:
                 k2, cx2, cy2, cnt2, rep = apply_strategies(
                     index[sel], swx[sel], swy[sel], minzoom[sel], gaps[sel], z, scfg,
                     overrides=self.overrides.get(z),
+                    attrs=None if vals is None else vals[sel],
                 )
                 self._note(z, rep)
                 kept[sel[~k2]] = False
@@ -337,6 +399,8 @@ class ZoomEmitter:
             folded = vals.astype(np.float64).copy()
             for s, e in zip(starts, ends):
                 folded[s:e] = fold_numeric(vals[s:e], kept[s:e], cfg.attr_accum[1])
+        elif vals is not None:
+            folded = vals  # raw values (ordering / emit_attr / drop-by-attr)
         counts = np.add.reduceat(kept, starts)
         rk = tkey[starts]
         tx = _compact_bits64(rk >> np.uint64(1)).astype(np.int64)
@@ -568,6 +632,7 @@ class ZoomEmitter:
                     k2, cx2, cy2, cnt2, rep = apply_strategies(
                         midx[ksel], mwx[ksel], mwy[ksel], mmz[ksel], gk, z, scfg,
                         overrides=self.overrides.get(z),
+                        attrs=None if mval is None else mval[ksel],
                     )
                     self._note(z, rep)
                     k[ksel[~k2]] = False
@@ -585,28 +650,42 @@ class ZoomEmitter:
 
                 mfold = fold_numeric(mval, k, cfg.attr_accum[1])
             n_kept = int(k.sum())
-            attr_mode = mfold is not None or (cfg.cluster_stats and mcnt is not None)
+            kidx = np.flatnonzero(k)
+            if _ordering_on(cfg) and n_kept > 1:
+                if cfg.preserve_input_order:
+                    perm = np.argsort(mseq[kidx], kind="stable")
+                elif cfg.order_descending:
+                    perm = np.argsort(-(mval[kidx] if mval is not None else mseq[kidx]), kind="stable")
+                else:
+                    perm = np.argsort(mval[kidx] if mval is not None else mseq[kidx], kind="stable")
+                kidx = kidx[perm]
+            attr_mode = (mfold is not None and (cfg.attr_accum or cfg.emit_attr)) or (
+                cfg.cluster_stats and mcnt is not None
+            )
+            if mval is not None and mfold is None and cfg.emit_attr:
+                mfold = mval
+                attr_mode = True
             if cfg.encode_tiles and attr_mode:
                 from ..stages.tile_encode import encode_point_tiles_attrs
 
                 tb = encode_point_tiles_attrs(
-                    mwx[k], mwy[k], np.array([0]), np.array([n_kept]),
+                    mwx[kidx], mwy[kidx], np.array([0]), np.array([n_kept]),
                     np.array([ttx]), np.array([tty]), z,
                     layer_name=cfg.layer_name, detail=cfg.detail,
                     compress=cfg.compress,
-                    attr_name=cfg.attr_accum[0] if cfg.attr_accum else None,
-                    attr_vals=mfold[k] if mfold is not None else None,
-                    cluster_counts=mcnt[k] if mcnt is not None else None,
+                    attr_name=cfg.val_col() if (cfg.attr_accum or cfg.emit_attr) else None,
+                    attr_vals=mfold[kidx] if mfold is not None else None,
+                    cluster_counts=mcnt[kidx] if mcnt is not None else None,
                     cluster_stats=cfg.cluster_stats,
-                    ids=mseq[k] if cfg.emit_ids else None,
+                    ids=mseq[kidx] if cfg.emit_ids else None,
                 )[0]
             elif cfg.encode_tiles:
                 tb = encode_point_tiles(
-                    mwx[k], mwy[k], np.array([0]), np.array([n_kept]),
+                    mwx[kidx], mwy[kidx], np.array([0]), np.array([n_kept]),
                     np.array([ttx]), np.array([tty]), z,
                     layer_name=cfg.layer_name, detail=cfg.detail,
                     compress=cfg.compress,
-                    ids=mseq[k] if cfg.emit_ids else None,
+                    ids=mseq[kidx] if cfg.emit_ids else None,
                 )[0]
             else:
                 tb = b""
@@ -654,7 +733,11 @@ class ZoomEmitter:
         cfg = self.cfg
         kends = np.cumsum(counts)
         kstarts = kends - counts
-        attr_mode = (vals is not None and cfg.attr_accum) or (
+        cswx, cswy, cseq, vals, cluster_counts = _reorder_runs(
+            cfg, cswx, cswy, cseq, kept, kstarts, kends, vals, cluster_counts
+        )
+        kept = np.ones(int(counts.sum()), dtype=bool) if _ordering_on(cfg) else kept
+        attr_mode = (vals is not None and (cfg.attr_accum or cfg.emit_attr)) or (
             cfg.cluster_stats and cluster_counts is not None
         )
         if cfg.encode_tiles and attr_mode:
@@ -663,7 +746,7 @@ class ZoomEmitter:
             tiles = encode_point_tiles_attrs(
                 cswx[kept], cswy[kept], kstarts, kends, tx, ty, z,
                 layer_name=cfg.layer_name, detail=cfg.detail, compress=cfg.compress,
-                attr_name=cfg.attr_accum[0] if cfg.attr_accum else None,
+                attr_name=cfg.val_col() if (cfg.attr_accum or cfg.emit_attr) else None,
                 attr_vals=vals[kept] if vals is not None else None,
                 cluster_counts=cluster_counts[kept] if cluster_counts is not None else None,
                 cluster_stats=cfg.cluster_stats,
@@ -736,8 +819,8 @@ class BucketWorker:
             else None
         )
         vals_a = (
-            group[cfg0.attr_accum[0]].to_numpy(zero_copy_only=False).astype(np.float64)
-            if cfg0.attr_accum
+            group[cfg0.val_col()].to_numpy(zero_copy_only=False).astype(np.float64)
+            if cfg0.val_col()
             else None
         )
         order = np.lexsort((seq_a, index_a, buckets))
@@ -913,13 +996,17 @@ class BucketWorker:
                 )
             outs.append(row)
         if em.reports:
-            codes = {"mingap": 0, "minextent": 1, "mindrop_sequence": 2}
+            codes = {"mingap": 0, "minextent": 1, "mindrop_sequence": 2,
+                     "minattribute": 3}
             rz, rcode, rval = [], [], []
             for z_, rep in em.reports.items():
                 for kname, v in rep.items():
                     rz.append(z_)
                     rcode.append(codes[kname])
-                    rval.append(np.uint64(v))
+                    if kname == "minattribute":
+                        rval.append(np.float64(v).view(np.uint64))
+                    else:
+                        rval.append(np.uint64(v))
             outs.append(
                 pa.table(
                     {
@@ -1147,11 +1234,19 @@ def lowzoom_tiles(survivor_rows: list[dict], cfg: PyramidConfig, bucket_zoom: in
                                 bucket=-1, route=None, gaps=gaps, vals=vals)
             if tt is not None:
                 outs.append(tt)
+        attr_desc = bool(
+            scfg is not None and getattr(scfg, "drop_by_attribute_descending", False)
+        )
         changed = False
         for z_, rep in em.reports.items():
             cur = overrides.setdefault(z_, {})
             for k_, v_ in rep.items():
-                if v_ > cur.get(k_, 0):
+                if k_ == "minattribute":
+                    prev = cur.get(k_)
+                    if prev is None or (v_ < prev if attr_desc else v_ > prev):
+                        cur[k_] = v_
+                        changed = True
+                elif v_ > cur.get(k_, 0):
                     cur[k_] = v_
                     changed = True
         if not changed:
@@ -1637,7 +1732,12 @@ def build_pyramid_from_narrow(
         return ray.get(outs)
 
     def _threshold_reports(tbls: list[pa.Table]) -> dict:
-        codes = {0: "mingap", 1: "minextent", 2: "mindrop_sequence"}
+        codes = {0: "mingap", 1: "minextent", 2: "mindrop_sequence",
+                 3: "minattribute"}
+        attr_desc = bool(
+            cfg.strategies is not None
+            and getattr(cfg.strategies, "drop_by_attribute_descending", False)
+        )
         out: dict = {}
         for t in tbls:
             if len(t) == 0:
@@ -1652,7 +1752,15 @@ def build_pyramid_from_narrow(
             for z_, c_, v_ in zip(zs, code, raw):
                 name = codes[int(c_)]
                 cur = out.setdefault(int(z_), {})
-                cur[name] = max(cur.get(name, 0), int(v_))
+                if name == "minattribute":
+                    fv = float(np.uint64(v_).view(np.float64))
+                    prev = cur.get(name)
+                    if prev is None:
+                        cur[name] = fv
+                    else:
+                        cur[name] = min(prev, fv) if attr_desc else max(prev, fv)
+                else:
+                    cur[name] = max(cur.get(name, 0), int(v_))
         return out
 
     def _run_exchange() -> list[pa.Table]:
@@ -1660,6 +1768,17 @@ def build_pyramid_from_narrow(
         tile raised an as-needed threshold (kind=4 report rows), re-run
         with the per-zoom maxima broadcast — the reference's whole-zoom
         retry with monotone thresholds (tile.cpp:3392-3572)."""
+        attr_desc = bool(
+            cfg.strategies is not None
+            and getattr(cfg.strategies, "drop_by_attribute_descending", False)
+        )
+
+        def _improves(k_, v_, cur):
+            if k_ == "minattribute":
+                prev = cur.get(k_)
+                return prev is None or (v_ < prev if attr_desc else v_ > prev)
+            return v_ > cur.get(k_, 0)
+
         overrides: dict = {}
         for _ in range(5):
             worker = BucketWorker(
@@ -1672,7 +1791,7 @@ def build_pyramid_from_narrow(
             for z_, rep in reports.items():
                 cur = overrides.setdefault(z_, {})
                 for k_, v_ in rep.items():
-                    if v_ > cur.get(k_, 0):
+                    if _improves(k_, v_, cur):
                         cur[k_] = v_
                         changed = True
             if not changed:

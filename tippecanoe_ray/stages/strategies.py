@@ -56,6 +56,8 @@ class StrategyConfig:
     drop_densest: bool = False
     drop_smallest: bool = False
     drop_fraction: bool = False
+    drop_by_attribute: bool = False  # --drop-by-attribute-as-needed
+    drop_by_attribute_descending: bool = False
     max_tile_features: int = MAX_TILE_FEATURES
     limit_tile_feature_count: int = 0
     accumulate: dict[str, str] | None = None  # attr -> op
@@ -67,6 +69,7 @@ class StrategyConfig:
             or self.drop_densest
             or self.drop_smallest
             or self.drop_fraction
+            or self.drop_by_attribute
             or self.limit_tile_feature_count
         )
 
@@ -131,6 +134,32 @@ def choose_mingap(gaps: np.ndarray, f: float, existing) -> int:
     while ix + 1 < len(g) and g[ix] <= existing:
         ix += 1
     return int(g[ix])
+
+
+def choose_minattribute(values: np.ndarray, f: float, existing: float | None,
+                        descending: bool) -> float | None:
+    """tile.cpp:822-857 — asymmetric quantile for ascending/descending
+    attribute dropping. `existing` None = no threshold yet (the
+    reference's ±HUGE_VAL sentinels)."""
+    if len(values) == 0:
+        return existing
+    v = np.sort(np.asarray(values, dtype=np.float64))
+    n = len(v)
+    if descending:
+        ix = int((n - 1) * f)
+        while ix > 0 and (existing is not None and v[ix] >= existing):
+            ix -= 1
+        if existing is not None and v[ix] >= existing:
+            return existing
+        return float(v[ix])
+    ix = int(math.ceil((n - 1) * (1 - f)))
+    if ix >= n:
+        ix = n - 1
+    while ix + 1 < n and (existing is not None and v[ix] <= existing):
+        ix += 1
+    if existing is not None and v[ix] <= existing:
+        return existing
+    return float(v[ix])
 
 
 def gamma_keep_mask(index: np.ndarray, z: int, gamma: float) -> np.ndarray:
@@ -228,6 +257,7 @@ def apply_strategies(
     z: int,
     scfg: StrategyConfig,
     overrides: dict | None = None,
+    attrs: np.ndarray | None = None,
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, dict]:
     """Run the enabled strategies over one tile's kept features (sorted
     by index,seq). `overrides` carries the zoom-global thresholds from a
@@ -307,6 +337,38 @@ def apply_strategies(
             samples = np.concatenate((samples, seqs))
         if minseq > int(ov.get("mindrop_sequence", 0)):
             report["mindrop_sequence"] = minseq
+    if scfg.drop_by_attribute and attrs is not None:
+        desc = scfg.drop_by_attribute_descending
+        valid = np.isfinite(attrs)
+        minattr = ov.get("minattribute")  # None = no threshold yet
+        if minattr is not None:
+            if desc:
+                keep &= ~(valid & (attrs > minattr))
+            else:
+                keep &= ~(valid & (attrs < minattr))
+        fraction = 1.0
+        samples = attrs[valid].astype(np.float64).copy()
+        while keep.sum() > limit:
+            # feature-overflow retry uses ×0.75 (tile.cpp:2803-2804)
+            fraction = min(fraction * limit / keep.sum() * 0.75, 0.80)
+            m = choose_minattribute(samples, fraction, minattr, desc)
+            better = (
+                m is not None
+                and (minattr is None or (m < minattr if desc else m > minattr))
+            )
+            if not better:
+                break
+            minattr = m
+            if desc:
+                keep &= ~(valid & (attrs > minattr))
+            else:
+                keep &= ~(valid & (attrs < minattr))
+            samples = np.concatenate((samples, attrs[valid]))
+        prev = ov.get("minattribute")
+        if minattr is not None and (
+            prev is None or (minattr < prev if desc else minattr > prev)
+        ):
+            report["minattribute"] = minattr
     if n > 0:
         # the first candidate can never be dropped by gamma/cluster/
         # as-needed ladders: every drop path requires a previous feature
