@@ -190,3 +190,41 @@ def test_preserve_input_order(ray_session):
     ours = tile_attrs_from_ds(tiles, ("val",), keep_order=True)
     d = _diff(ours, ref)
     assert not d, d
+
+
+@pytest.mark.skipif(not has_reference(), reason="reference binary not built")
+def test_drop_denser(ray_session):
+    """--drop-denser=N: global gap-ranked minzoom for N% of features
+    (main.cpp:2692-2727)."""
+    from tests.util_reference import diff_counts, run_reference, tile_counts_from_ds
+
+    n = 1000
+    ids = [f"img-{i:012d}" for i in range(n)]
+    wx, wy = fnv_world(ids, hotspot_frac=0.6, n_hotspots=1)
+    ref = run_reference(wx, wy, maxzoom=6, droprate=2.5,
+                        extra_flags=["--drop-denser=40"])
+    ds = synthesize_image_table(n, with_payload=False)
+    cfg = PyramidConfig(maxzoom=6, droprate=2.5, hotspot_frac=0.6, n_hotspots=1,
+                        drop_denser=40, bucket_zoom=0)
+    tiles = build_pyramid(ds, cfg, n_rows=n)
+    d = diff_counts(tile_counts_from_ds(tiles), ref)
+    assert not d, d
+
+
+@pytest.mark.skipif(not has_reference(), reason="reference binary not built")
+def test_coalesce_points(ray_session):
+    """-ac: consecutive identical-attribute point features merge into
+    multipoints (tile.cpp:2524-2546); with no attributes a whole tile
+    coalesces to one feature."""
+    from tests.util_reference import diff_counts, run_reference, tile_counts_from_ds
+
+    n = 600
+    ids = [f"img-{i:012d}" for i in range(n)]
+    wx, wy = fnv_world(ids, hotspot_frac=0.6, n_hotspots=1)
+    ref = run_reference(wx, wy, maxzoom=5, droprate=2.5, extra_flags=["-ac"])
+    ds = synthesize_image_table(n, with_payload=False)
+    cfg = PyramidConfig(maxzoom=5, droprate=2.5, hotspot_frac=0.6, n_hotspots=1,
+                        coalesce=True, bucket_zoom=0)
+    tiles = build_pyramid(ds, cfg, n_rows=n)
+    d = diff_counts(tile_counts_from_ds(tiles), ref)
+    assert not d, d

@@ -94,6 +94,11 @@ class PyramidConfig:
     retain_points_multiplier: int = 1  # --retain-points-multiplier
     fmin_col: str | None = None  # per-feature tippecanoe minzoom column
     fmax_col: str | None = None  # per-feature tippecanoe maxzoom column
+    # --drop-denser=N: N% of features (ix %% 100 < N) get their minzoom
+    # from a GLOBAL gap ranking instead of the rate ladder
+    # (main.cpp:2692-2727); the rest ride the ladder over the
+    # non-selected subsequence
+    drop_denser: int = 0
     # --accumulate-attribute: (numeric column, op) — dropped/clustered
     # features fold their value onto the survivor (preserve_attributes,
     # tile.cpp:1544-1574 + attribute.cpp:92-180)
@@ -110,6 +115,9 @@ class PyramidConfig:
     order_by_attr: bool = False
     order_descending: bool = False
     preserve_input_order: bool = False
+    # -ac: merge consecutive identical-attribute features into one
+    # multipoint feature (tile.cpp:2524-2546)
+    coalesce: bool = False
     # emit the raw/folded attribute value on every feature
     emit_attr: bool = False
 
@@ -520,7 +528,7 @@ class ZoomEmitter:
             run_keys[np.minimum(gpos, max(len(run_keys) - 1, 0))] == gkey
         ) if len(run_keys) else np.zeros(len(gkey), bool)
         affected_runs = np.unique(gpos[gmatched]) if gmatched.any() else np.empty(0, np.int64)
-        if (strat or vals is not None) and n_core:
+        if (strat or vals is not None or cfg.coalesce or _ordering_on(cfg)) and n_core:
             # strategies and attribute folds are ordered scans: every
             # tile takes the merged per-tile path so the scan semantics
             # apply uniformly
@@ -665,7 +673,20 @@ class ZoomEmitter:
             if mval is not None and mfold is None and cfg.emit_attr:
                 mfold = mval
                 attr_mode = True
-            if cfg.encode_tiles and attr_mode:
+            if cfg.encode_tiles and cfg.coalesce:
+                from ..stages.tile_encode import encode_point_tiles_coalesced
+
+                tbs, ccounts2 = encode_point_tiles_coalesced(
+                    mwx[kidx], mwy[kidx], np.array([0]), np.array([n_kept]),
+                    np.array([ttx]), np.array([tty]), z,
+                    layer_name=cfg.layer_name, detail=cfg.detail,
+                    compress=cfg.compress,
+                    attr_name=cfg.val_col() if attr_mode else None,
+                    attr_vals=mfold[kidx] if (attr_mode and mfold is not None) else None,
+                )
+                tb = tbs[0]
+                n_kept = int(ccounts2[0])
+            elif cfg.encode_tiles and attr_mode:
                 from ..stages.tile_encode import encode_point_tiles_attrs
 
                 tb = encode_point_tiles_attrs(
@@ -740,7 +761,16 @@ class ZoomEmitter:
         attr_mode = (vals is not None and (cfg.attr_accum or cfg.emit_attr)) or (
             cfg.cluster_stats and cluster_counts is not None
         )
-        if cfg.encode_tiles and attr_mode:
+        if cfg.encode_tiles and cfg.coalesce:
+            from ..stages.tile_encode import encode_point_tiles_coalesced
+
+            tiles, counts = encode_point_tiles_coalesced(
+                cswx[kept], cswy[kept], kstarts, kends, tx, ty, z,
+                layer_name=cfg.layer_name, detail=cfg.detail, compress=cfg.compress,
+                attr_name=cfg.val_col() if attr_mode else None,
+                attr_vals=vals[kept] if (attr_mode and vals is not None) else None,
+            )
+        elif cfg.encode_tiles and attr_mode:
             from ..stages.tile_encode import encode_point_tiles_attrs
 
             tiles = encode_point_tiles_attrs(
@@ -774,10 +804,12 @@ class BucketWorker:
 
     def __init__(self, cfg: PyramidConfig, bucket_zoom: int, offsets_ref,
                  raw_dir: str | None = None, contiguous_ranks: bool = False,
-                 strategy_overrides: dict | None = None):
+                 strategy_overrides: dict | None = None, minzoom_ref=None):
         self.cfg = cfg
         self.bucket_zoom = bucket_zoom
         self.offsets_ref = offsets_ref
+        self.minzoom_ref = minzoom_ref  # rank-indexed minzoom override
+        # (drop-denser global pass)
         self.raw_dir = raw_dir  # write-through sink: tile rows go straight
         # to per-bucket parquet inside the task; only tiny side channels
         # (+ a per-zoom summary) travel back through the object store
@@ -849,10 +881,18 @@ class BucketWorker:
         if self.contiguous_ranks:
             cfgl = self.cfg
             r0 = self.offsets()[int(buckets[0])]
-            task_mz = minzoom_for_rank_range(
-                r0, r0 + len(buckets), cfgl.maxzoom,
-                cfgl.resolved_basezoom(), cfgl.droprate,
-            ).astype(np.int16)
+            if self.minzoom_ref is not None:
+                arr = (
+                    ray.get(self.minzoom_ref)
+                    if isinstance(self.minzoom_ref, ray.ObjectRef)
+                    else self.minzoom_ref
+                )
+                task_mz = arr[r0 : r0 + len(buckets)].astype(np.int16)
+            else:
+                task_mz = minzoom_for_rank_range(
+                    r0, r0 + len(buckets), cfgl.maxzoom,
+                    cfgl.resolved_basezoom(), cfgl.droprate,
+                ).astype(np.int16)
         outs = []
         for s, e in zip(starts, ends):
             outs.append(
@@ -1166,6 +1206,49 @@ def _align_tables(tables: list[pa.Table]) -> list[pa.Table]:
                     )
         out.append(t.select(all_cols))
     return out
+
+
+def drop_denser_minzooms(narrow: ray.data.Dataset, cfg: PyramidConfig) -> np.ndarray:
+    """--drop-denser global pass (main.cpp:2692-2727): features with
+    ix %% 100 < N get minzoom from the global ranking of gaps to the
+    previous SELECTED feature (largest gap = sparsest = lowest
+    minzoom, stable); the rest ride the rate ladder over the
+    non-selected SUBSEQUENCE (the reference's drop-state counters only
+    step for non-selected features there).
+
+    Scale note: this pass materializes (index, seq) on the driver —
+    16 B/feature, mirroring the reference's own mmap of the full index
+    file; at cluster scale replace the driver sort with ds.sort."""
+    import math as _math
+
+    tbl = narrow.select_columns(["index", "seq"]).to_pandas()
+    order = np.lexsort((tbl["seq"].to_numpy(), tbl["index"].to_numpy()))
+    ix = tbl["index"].to_numpy()[order].astype(np.uint64)
+    n = len(ix)
+    mz = np.zeros(n, dtype=np.int16)
+    sel = (ix % np.uint64(100)) < np.uint64(cfg.drop_denser)
+    ns = np.flatnonzero(~sel)
+    if len(ns):
+        mz[ns] = minzoom_for_rank_range(
+            0, len(ns), cfg.maxzoom, cfg.resolved_basezoom(), cfg.droprate
+        ).astype(np.int16)
+    s_pos = np.flatnonzero(sel)
+    if len(s_pos):
+        six = ix[s_pos]
+        prev = np.concatenate(([np.uint64(0)], six[:-1]))
+        gap = six - prev
+        order2 = np.argsort(~gap, kind="stable")  # largest gap first, stable
+        basezoom = cfg.resolved_basezoom()
+        zs = np.full(len(s_pos), basezoom, dtype=np.int16)
+        i = 0
+        for z in range(0, basezoom + 1):
+            kf = 1.0 / _math.exp(_math.log(cfg.droprate) * (basezoom - z)) if cfg.droprate > 1 else 1.0
+            keep_count = int(len(s_pos) * kf)
+            while i < keep_count and i < len(s_pos):
+                zs[order2[i]] = z
+                i += 1
+        mz[s_pos] = zs
+    return mz
 
 
 def lowzoom_tiles(survivor_rows: list[dict], cfg: PyramidConfig, bucket_zoom: int) -> pa.Table | None:
@@ -1698,6 +1781,9 @@ def build_pyramid_from_narrow(
             next_cut = (len(boundaries) + 1) * total_rows / p_parts
     bound_arr = np.array(boundaries, dtype=np.int64)
     offsets_ref = ray.put(offsets)
+    minzoom_ref = None
+    if cfg.drop_denser > 0:
+        minzoom_ref = ray.put(drop_denser_minzooms(narrow, cfg))
 
     @ray.remote
     def _partition(tbl: pa.Table, bounds: np.ndarray, np_: int):
@@ -1783,7 +1869,7 @@ def build_pyramid_from_narrow(
         for _ in range(5):
             worker = BucketWorker(
                 cfg, b, offsets_ref, raw_dir=raw_dir, contiguous_ranks=True,
-                strategy_overrides=overrides,
+                strategy_overrides=overrides, minzoom_ref=minzoom_ref,
             )
             tbls = _run_exchange_once(worker)
             reports = _threshold_reports(tbls)

@@ -274,3 +274,79 @@ def encode_point_tiles_attrs(
         layer = encode_layer(layer_name, feats, extent)
         out.append(encode_tile([layer], compress=compress))
     return out
+
+
+def encode_multipoint(local_xy: np.ndarray) -> bytes:
+    """MVT multipoint geometry: one MoveTo with count n, successive
+    zigzag deltas."""
+    from .mvt import varint_array
+
+    pts = np.asarray(local_xy, dtype=np.int64).reshape(-1, 2)
+    n = len(pts)
+    dx = np.diff(np.concatenate(([0], pts[:, 0])))
+    dy = np.diff(np.concatenate(([0], pts[:, 1])))
+    zz = np.empty(2 * n, dtype=np.int64)
+    zz[0::2] = (dx << 1) ^ (dx >> 63)
+    zz[1::2] = (dy << 1) ^ (dy >> 63)
+    vals = np.concatenate(([np.int64((n << 3) | 1)], zz)).astype(np.uint64)
+    return varint_array(vals)
+
+
+def encode_point_tiles_coalesced(
+    wx: np.ndarray,
+    wy: np.ndarray,
+    run_starts: np.ndarray,
+    run_ends: np.ndarray,
+    tx: np.ndarray,
+    ty: np.ndarray,
+    z: int,
+    layer_name: str = "points",
+    detail: int = 12,
+    compress: bool = True,
+    attr_name: str | None = None,
+    attr_vals: np.ndarray | None = None,
+) -> tuple[list[bytes], np.ndarray]:
+    """-ac coalesce (tile.cpp:2524-2546): consecutive features with
+    identical attributes merge into one multipoint feature (the first
+    feature's attrs win). Returns (tiles, post-coalesce counts)."""
+    from .mvt import encode_layer, encode_tile
+
+    extent = 1 << detail
+    shift = WORLD_BITS - z - detail
+    span_shift = WORLD_BITS - z
+    out: list[bytes] = []
+    counts = np.zeros(len(run_starts), dtype=np.int64)
+    for t in range(len(run_starts)):
+        a, b = int(run_starts[t]), int(run_ends[t])
+        if a == b:
+            out.append(b"")
+            continue
+        ox = int(tx[t]) << span_shift
+        oy = int(ty[t]) << span_shift
+        lx = (np.asarray(wx[a:b], dtype=np.int64) - ox)
+        ly = (np.asarray(wy[a:b], dtype=np.int64) - oy)
+        if shift >= 0:
+            lx >>= shift
+            ly >>= shift
+        else:
+            lx <<= -shift
+            ly <<= -shift
+        vals = attr_vals[a:b] if attr_vals is not None else None
+        # group consecutive equal-attribute features
+        if vals is None:
+            bounds = [0, b - a]
+        else:
+            cuts = np.flatnonzero(vals[1:] != vals[:-1]) + 1
+            bounds = [0] + cuts.tolist() + [b - a]
+        feats = []
+        for gi in range(len(bounds) - 1):
+            s0, e0 = bounds[gi], bounds[gi + 1]
+            pts = np.stack([lx[s0:e0], ly[s0:e0]], axis=1)
+            attrs = {}
+            if attr_name is not None and vals is not None:
+                attrs[attr_name] = float(vals[s0])
+            feats.append({"geom": encode_multipoint(pts), "type": 1, "attrs": attrs})
+        counts[t] = len(feats)
+        layer = encode_layer(layer_name, feats, extent)
+        out.append(encode_tile([layer], compress=compress))
+    return out, counts
