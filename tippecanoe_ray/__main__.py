@@ -35,6 +35,8 @@ def main(argv=None):
     ap.add_argument("--resume", action="store_true")
     ap.add_argument("--num-cpus", type=int, default=None)
     ap.add_argument("--mbtiles", default=None, help="also package to this mbtiles file")
+    ap.add_argument("--pmtiles", default=None, help="also package to this pmtiles archive")
+    ap.add_argument("--dirtiles", default=None, help="also write z/x/y.pbf dirtiles here")
     args = ap.parse_args(argv)
 
     import ray
@@ -91,6 +93,20 @@ def main(argv=None):
         out["mbtiles_tiles"] = write_mbtiles(
             tiles, args.mbtiles, minzoom=cfg.minzoom, maxzoom=cfg.maxzoom,
             layer_name=cfg.layer_name,
+        )
+    if args.pmtiles:
+        from tippecanoe_ray.sources.pmtiles import write_pmtiles
+
+        out["pmtiles_entries"] = write_pmtiles(
+            tiles, args.pmtiles, minzoom=cfg.minzoom, maxzoom=cfg.maxzoom,
+            layer_name=cfg.layer_name,
+        )
+    if args.dirtiles:
+        from tippecanoe_ray.sources.dirtiles import write_dirtiles
+
+        out["dirtiles_tiles"] = write_dirtiles(
+            tiles, args.dirtiles, layer_name=cfg.layer_name,
+            minzoom=cfg.minzoom, maxzoom=cfg.maxzoom,
         )
     print(json.dumps(out))
     if started_here:
