@@ -194,7 +194,9 @@ def add_bucket(ds: ray.data.Dataset, bucket_zoom: int) -> ray.data.Dataset:
     def fn(t: pa.Table) -> pa.Table:
         idx = t["index"].to_numpy(zero_copy_only=False).astype(np.uint64)
         b = (idx >> np.uint64(shift)).astype(np.int64) if bucket_zoom > 0 else np.zeros(len(t), np.int64)
-        return t.append_column("bucket", pa.array(b, pa.int64()))
+        # strip schema metadata: Ray's shuffle schema-dedup cannot hash
+        # tables whose schema carries a metadata dict (log spam in r1)
+        return t.append_column("bucket", pa.array(b, pa.int64())).replace_schema_metadata(None)
 
     return ds.map_batches(fn, batch_format="pyarrow")
 
@@ -2110,7 +2112,29 @@ def pyramid_summary(out_dir: str) -> "pd.DataFrame":
 
 
 def pyramid_counts(tile_ds: ray.data.Dataset) -> pa.Table:
-    """Small summary: per-zoom tile and feature counts."""
-    df = tile_ds.select_columns(["z", "n_features"]).to_pandas()
-    g = df.groupby("z").agg(n_tiles=("z", "size"), n_features=("n_features", "sum"))
-    return pa.Table.from_pandas(g.reset_index())
+    """Small summary: per-zoom tile and feature counts. Partial per-batch
+    aggregate — the driver combines one row per (batch, zoom), never the
+    tile rows themselves (the r1 full to_pandas was a scale hazard)."""
+    import pandas as pd
+
+    def part(t: pa.Table) -> pa.Table:
+        zs = t["z"].to_numpy(zero_copy_only=False)
+        nf = t["n_features"].to_numpy(zero_copy_only=False)
+        uz, inv = np.unique(zs, return_inverse=True)
+        return pa.table(
+            {
+                "z": uz.astype(np.int32),
+                "n_tiles": np.bincount(inv).astype(np.int64),
+                "n_features": np.bincount(inv, weights=nf).astype(np.int64),
+            }
+        )
+
+    parts = tile_ds.select_columns(["z", "n_features"]).map_batches(
+        part, batch_format="pyarrow"
+    ).to_pandas()
+    g = (
+        parts.groupby("z")
+        .agg(n_tiles=("n_tiles", "sum"), n_features=("n_features", "sum"))
+        .reset_index()
+    )
+    return pa.Table.from_pandas(g, preserve_index=False)

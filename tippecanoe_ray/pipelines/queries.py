@@ -700,15 +700,53 @@ def vector_tiles_q(sf_dir: str) -> pd.DataFrame:
 
 
 def overzoom_q(sf_dir: str) -> pd.DataFrame:
-    from ..sources.image_table import synthesize_image_table
-    from .pyramid import PyramidConfig, build_pyramid
+    """Overzoom z2 -> z3 over LCG-geotagged documents; SQL oracle models
+    the quantized tile-local coordinates and the inclusive child-edge
+    duplication (clip.cpp:84-104 via overzoom clip.cpp:1453+)."""
+    from .pyramid import PyramidConfig, build_pyramid_from_narrow
     from .tilejoin import overzoom_tiles
 
-    ds = synthesize_image_table(2000, with_payload=False)
-    cfg = PyramidConfig(maxzoom=2, droprate=1.0, bucket_zoom=0)
-    tiles = build_pyramid(ds, cfg, n_rows=2000)
+    cfg = PyramidConfig(
+        maxzoom=2, droprate=1.0, geometry_scale=0, encode_tiles=True,
+        rule="lcg", id_col="doc_id", seq_col=None,
+    )
+    narrow = _doc_points_narrow(sf_dir)
+    tiles = build_pyramid_from_narrow(narrow, cfg)
     over = overzoom_tiles(tiles.filter(expr="z == 2")).to_pandas()
     return over[["z", "x", "y", "n_features"]].sort_values(["x", "y"]).reset_index(drop=True)
+
+
+def _overzoom_sql() -> str:
+    wx, wy = lcg_world_sql("doc_id")
+    # z2 tile-local coords quantized to the extent grid (detail 12:
+    # world >> 18); child edges are INCLUSIVE on both sides, so a point
+    # exactly on extent/2 lands in both children.
+    return f"""
+WITH pts AS (SELECT {wx} AS wx, {wy} AS wy FROM documents),
+q AS (SELECT (wx >> 30) AS px, (wy >> 30) AS py,
+             (wx >> 18) & 4095 AS lx, (wy >> 18) & 4095 AS ly FROM pts),
+d AS (SELECT * FROM (VALUES (0), (1)) AS t(dx)),
+e AS (SELECT * FROM (VALUES (0), (1)) AS t(dy))
+SELECT 3 AS z,
+       CAST(px * 2 + dx AS INT) AS x,
+       CAST(py * 2 + dy AS INT) AS y,
+       COUNT(*) AS n_features
+FROM q CROSS JOIN d CROSS JOIN e
+WHERE ((dx = 0 AND lx <= 2048) OR (dx = 1 AND lx >= 2048))
+  AND ((dy = 0 AND ly <= 2048) OR (dy = 1 AND ly >= 2048))
+GROUP BY 1, 2, 3
+ORDER BY x, y
+"""
+
+
+def _quadkey_sql(xe: str, ye: str) -> str:
+    """64-bit morton interleave of ({xe} & ~1, {ye} & ~1) as HUGEINT —
+    the engine's point spatial index (serial.cpp:689-692)."""
+    terms = []
+    for i in range(32):  # bit i MSB-first of each 32-bit axis
+        terms.append(f"(CAST((({xe} >> {31 - i}) & 1) AS HUGEINT) * (CAST(1 AS HUGEINT) << {63 - 2 * i}))")
+        terms.append(f"(CAST((({ye} >> {31 - i}) & 1) AS HUGEINT) * (CAST(1 AS HUGEINT) << {62 - 2 * i}))")
+    return "(" + " + ".join(terms) + ")"
 
 
 def cluster_tiles_q(sf_dir: str) -> pd.DataFrame:
@@ -724,6 +762,29 @@ def cluster_tiles_q(sf_dir: str) -> pd.DataFrame:
     tiles = build_pyramid_from_narrow(narrow, cfg)
     df = tiles.select_columns(["z", "x", "y", "n_features"]).to_pandas()
     return df.sort_values(["z", "x", "y"]).reset_index(drop=True)
+
+
+def _cluster_sql(maxzoom: int = 5, distance: int = 40) -> str:
+    wx, wy = lcg_world_sql("doc_id")
+    qk = _quadkey_sql("wx", "wy").replace("wx", "(wx - (wx % 2))").replace("wy", "(wy - (wy % 2))")
+    return f"""
+WITH pts AS (SELECT doc_id, {wx} AS wx, {wy} AS wy FROM documents),
+zs AS (SELECT unnest(range(0, {maxzoom + 1})) AS z),
+feat AS (
+  SELECT z, (wx >> (32 - z)) AS tx, (wy >> (32 - z)) AS ty,
+         {qk} AS ix, doc_id
+  FROM pts CROSS JOIN zs),
+scan AS (
+  SELECT z, tx, ty, ix,
+         LAG(ix) OVER (PARTITION BY z, tx, ty ORDER BY ix, doc_id) AS pix
+  FROM feat)
+SELECT CAST(z AS INT) AS z, CAST(tx AS INT) AS x, CAST(ty AS INT) AS y,
+       SUM(CASE WHEN pix IS NULL
+                 OR ix - pix >= CAST(((CAST(1 AS HUGEINT) << (32 - z)) / 256) * {distance} AS HUGEINT)
+                               * CAST(((CAST(1 AS HUGEINT) << (32 - z)) / 256) * {distance} AS HUGEINT)
+            THEN 1 ELSE 0 END) AS n_features
+FROM scan GROUP BY 1, 2, 3
+"""
 
 
 def guessing_q(sf_dir: str) -> pd.DataFrame:
@@ -772,6 +833,126 @@ def payload_psnr_q(sf_dir: str) -> pd.DataFrame:
 # ============================================================ registry
 
 
+def vector_pyramid_q(sf_dir: str) -> pd.DataFrame:
+    """Per-zoom tile/feature counts of the line/polygon cascade over a
+    deterministic synthetic corpus (exact-match vs the reference binary
+    is the stronger check — tests/test_vector_pyramid.py; rows-only
+    here)."""
+    import numpy as _np
+
+    from .vector_pyramid import (
+        VectorConfig, build_vector_pyramid, features_table, ingest_features,
+    )
+
+    rs = _np.random.RandomState(7)
+    lo, hi = 1 << 28, (1 << 32) - (1 << 28)
+    rows = []
+    for seq in range(24):
+        if seq % 3 == 2:
+            cx, cy = rs.randint(lo + (1 << 27), hi - (1 << 27), size=2)
+            k = rs.randint(5, 20)
+            ang = _np.sort(rs.uniform(0, 2 * _np.pi, k))
+            rad = rs.randint(1 << 21, 1 << 25, size=k)
+            xs = (cx + rad * _np.cos(ang)).clip(lo, hi)
+            ys = (cy + rad * _np.sin(ang)).clip(lo, hi)
+            ring = _np.stack([xs, ys], axis=1).astype(_np.int64)
+            ring = _np.vstack([ring, ring[:1]])
+            rows.append((seq, 3, _np.array([1] + [2] * (len(ring) - 1), _np.uint8), ring))
+        else:
+            n = rs.randint(4, 40)
+            start = rs.randint(lo + (1 << 27), hi - (1 << 27), size=2)
+            steps = rs.randint(-(1 << 23), 1 << 23, size=(n, 2))
+            pts = _np.cumsum(_np.vstack([start, steps]), axis=0).clip(lo, hi)
+            rows.append((seq, 2, _np.array([1] + [2] * n, _np.uint8), pts.astype(_np.int64)))
+    cfg = VectorConfig(maxzoom=6)
+    tiles = build_vector_pyramid(ingest_features(features_table(rows), cfg), cfg)
+    df = tiles.select_columns(["z", "x", "y", "n_features"]).to_pandas()
+    g = df.groupby("z").agg(n_tiles=("z", "size"), n_features=("n_features", "sum")).reset_index()
+    return g.sort_values("z").reset_index(drop=True)
+
+
+def accumulate_tiles_q(sf_dir: str) -> pd.DataFrame:
+    """Rate-ladder accumulate-attribute sums per tile over LCG documents
+    (exact-match vs reference is in tests/test_accumulate.py; rows-only
+    here — the fold boundaries depend on the scan, not SQL)."""
+    from .pyramid import PyramidConfig, build_pyramid_from_narrow
+    from ..stages.mvt import decode_tile
+
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+
+    def add_val(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return t.append_column("val", pc.cast(t["doc_id"], pa.float64()))
+
+    from ..pipelines.pyramid import geotag_narrow
+
+    cfg = PyramidConfig(
+        maxzoom=5, droprate=2.5, rule="lcg", id_col="doc_id", seq_col=None,
+        attr_accum=("val", "sum"),
+    )
+    narrow = geotag_narrow(ds.map_batches(add_val, batch_format="pyarrow"), cfg)
+    tiles = build_pyramid_from_narrow(narrow, cfg)
+    rows = []
+    for r in tiles.take_all():
+        vals = []
+        for lay in decode_tile(bytes(r["tile"])):
+            for f in lay["features"]:
+                v = f.get("tags", {}).get("val")
+                if v is not None:
+                    vals.append(float(v))
+        rows.append({"z": int(r["z"]), "x": int(r["x"]), "y": int(r["y"]),
+                     "sum_val": round(sum(vals), 2)})
+    return pd.DataFrame(rows).sort_values(["z", "x", "y"]).reset_index(drop=True)
+
+
+def _accumulate_sql(maxzoom: int = 5) -> str:
+    # with op=sum every dropped feature folds into some survivor of the
+    # SAME tile, so the per-tile sum over emitted features equals the
+    # plain per-tile SUM(doc_id) — SQL-checkable even though the fold
+    # boundaries themselves are scan state.
+    wx, wy = lcg_world_sql("doc_id")
+    return f"""
+WITH pts AS (SELECT doc_id, {wx} AS wx, {wy} AS wy FROM documents),
+zs AS (SELECT unnest(range(0, {maxzoom + 1})) AS z)
+SELECT CAST(z AS INT) AS z,
+       CAST(wx >> (32 - z) AS INT) AS x,
+       CAST(wy >> (32 - z) AS INT) AS y,
+       ROUND(SUM(CAST(doc_id AS DOUBLE)), 2) AS sum_val
+FROM pts CROSS JOIN zs
+GROUP BY 1, 2, 3
+"""
+
+
+def coalesce_tiles_q(sf_dir: str, maxzoom: int = 4) -> pd.DataFrame:
+    """-ac with no attributes: every occupied tile coalesces to ONE
+    multipoint feature."""
+    from .pyramid import PyramidConfig, build_pyramid_from_narrow
+
+    cfg = PyramidConfig(
+        maxzoom=maxzoom, droprate=1.0, geometry_scale=0,
+        rule="lcg", id_col="doc_id", seq_col=None, coalesce=True,
+    )
+    narrow = _doc_points_narrow(sf_dir)
+    tiles = build_pyramid_from_narrow(narrow, cfg)
+    df = tiles.select_columns(["z", "x", "y", "n_features"]).to_pandas()
+    return df.sort_values(["z", "x", "y"]).reset_index(drop=True)
+
+
+def _coalesce_sql(maxzoom: int = 4) -> str:
+    wx, wy = lcg_world_sql("doc_id")
+    return f"""
+WITH pts AS (SELECT {wx} AS wx, {wy} AS wy FROM documents),
+zs AS (SELECT unnest(range(0, {maxzoom + 1})) AS z)
+SELECT CAST(z AS INT) AS z,
+       CAST(wx >> (32 - z) AS INT) AS x,
+       CAST(wy >> (32 - z) AS INT) AS y,
+       CAST(1 AS BIGINT) AS n_features
+FROM pts CROSS JOIN zs
+GROUP BY 1, 2, 3
+"""
+
+
 def all_queries() -> dict:
     return {
         "pyramid_counts_keepall": pyramid_counts_keepall,
@@ -808,11 +989,18 @@ def all_queries() -> dict:
         "guess_zoom_params": guessing_q,
         "raster_tiles_z2": raster_tiles_q,
         "payload_psnr": payload_psnr_q,
+        "vector_pyramid_counts": vector_pyramid_q,
+        "accumulate_sum_tiles": accumulate_tiles_q,
+        "coalesce_tiles": coalesce_tiles_q,
     }
 
 
 def all_oracle_sql() -> dict:
     return {
+        "overzoom_z3": _overzoom_sql(),
+        "cluster_tiles": _cluster_sql(),
+        "accumulate_sum_tiles": _accumulate_sql(),
+        "coalesce_tiles": _coalesce_sql(),
         "pyramid_counts_keepall": _pyramid_sql(8),
         "tile_counts_z8": _pyramid_sql(8, z_filter="WHERE z = 8"),
         "hot_tiles_z6": (
