@@ -136,6 +136,74 @@ def jaccard(a: str, b: str, k: int = 5) -> float:
     return inter / (len(sa) + len(sb) - inter)
 
 
+N_COARSE = 256  # buckets per map_groups call: one python invocation
+# handles many buckets vectorized instead of one tiny pandas group each
+
+
+def _coarse(bucketed: ray.data.Dataset, id_col: str, max_bucket: int,
+            extra: list[str] | None = None) -> pd.DataFrame:
+    """Candidate pairs via groupby(bucket %% N_COARSE): each group holds
+    complete buckets (same bucket → same coarse key), generated with one
+    numpy pass per bucket."""
+
+    def add_h(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["bh"] = df["bucket"] % N_COARSE
+        return df
+
+    def pairs_of(g: pd.DataFrame) -> pd.DataFrame:
+        a, b = _pairs_within_groups(
+            g["bucket"].to_numpy(), g[id_col].to_numpy(), max_bucket
+        )
+        return pd.DataFrame({"a": a, "b": b})
+
+    return (
+        bucketed.map_batches(add_h, batch_format="pandas")
+        .groupby("bh")
+        .map_groups(pairs_of, batch_format="pandas")
+        .to_pandas()
+    )
+
+
+_TRIU_CACHE: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+
+
+def _pairs_within_groups(buckets: np.ndarray, ids: np.ndarray,
+                         max_bucket: int) -> tuple[np.ndarray, np.ndarray]:
+    """All (a < b) id pairs within each bucket, numpy-only: sort by
+    (bucket, id), dedupe (bucket, id), cap runs at max_bucket (logged),
+    and emit pairs per contiguous run with cached triu index tables."""
+    order = np.lexsort((ids, buckets))
+    b = buckets[order]
+    i = ids[order]
+    keep = np.ones(len(b), dtype=bool)
+    keep[1:] = (b[1:] != b[:-1]) | (i[1:] != i[:-1])
+    b, i = b[keep], i[keep]
+    cuts = np.flatnonzero(b[1:] != b[:-1]) + 1
+    starts = np.concatenate(([0], cuts))
+    ends = np.concatenate((cuts, [len(b)]))
+    out_a: list[np.ndarray] = []
+    out_b: list[np.ndarray] = []
+    for s0, e0 in zip(starts, ends):
+        n = e0 - s0
+        if n < 2:
+            continue
+        if n > max_bucket:
+            logger.warning("dedup bucket of size %d capped to %d", n, max_bucket)
+            n = max_bucket
+        tri = _TRIU_CACHE.get(n)
+        if tri is None:
+            tri = np.triu_indices(n, k=1)
+            if len(_TRIU_CACHE) < 2048:
+                _TRIU_CACHE[n] = tri
+        ii, jj = tri
+        out_a.append(i[s0 + ii])
+        out_b.append(i[s0 + jj])
+    if not out_a:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    return np.concatenate(out_a), np.concatenate(out_b)
+
+
 def _bucket_pairs(g: pd.DataFrame, id_col: str, max_bucket: int,
                   carry: list[str] | None = None) -> pd.DataFrame:
     """In-bucket candidate pairs (a < b by id), capped: buckets larger
@@ -210,11 +278,7 @@ def minhash_lsh_pairs(
         return pd.DataFrame(recs)
 
     bucketed = ds.map_batches(to_buckets, batch_format="pandas")
-    pairs = (
-        bucketed.groupby("bucket")
-        .map_groups(lambda g: _bucket_pairs(g, id_col, max_bucket), batch_format="pandas")
-        .to_pandas()
-    )
+    pairs = _coarse(bucketed, id_col, max_bucket)
     if len(pairs) == 0:
         return pd.DataFrame({"a": [], "b": [], "jaccard": []})
     pairs = pairs.drop_duplicates(subset=["a", "b"]).reset_index(drop=True)
@@ -240,8 +304,10 @@ def minhash_lsh_pairs(
                 out_j.append(round(jac, 6))
         return pd.DataFrame({"a": out_a, "b": out_b, "jaccard": out_j})
 
+    n_blocks = max(1, min(64, len(pairs) // 2000))
     verified = (
         ray.data.from_pandas(pairs)
+        .repartition(n_blocks)
         .map_batches(verify, batch_format="pandas")
         .to_pandas()
     )
@@ -312,7 +378,22 @@ def simhash_pairs(
             {"a": ids[ii[m]], "b": ids[jj[m]], "hamming": ham[m]}
         )
 
-    pairs = bucketed.groupby("bucket").map_groups(verify, batch_format="pandas")
+    def add_h(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["bh"] = df["bucket"] % N_COARSE
+        return df
+
+    def verify_many(g: pd.DataFrame) -> pd.DataFrame:
+        outs = [verify(sub) for _, sub in g.groupby("bucket", sort=False)]
+        if not outs:
+            return pd.DataFrame({"a": [], "b": [], "hamming": []})
+        return pd.concat(outs, ignore_index=True)
+
+    pairs = (
+        bucketed.map_batches(add_h, batch_format="pandas")
+        .groupby("bh")
+        .map_groups(verify_many, batch_format="pandas")
+    )
     pdf = pairs.to_pandas()
     if len(pdf) == 0:
         return pd.DataFrame({"a": [], "b": [], "hamming": []})
@@ -362,11 +443,7 @@ def embedding_near_dup_pairs(
         return pd.DataFrame(recs)
 
     bucketed = ds.map_batches(to_buckets, batch_format="pandas")
-    pairs = (
-        bucketed.groupby("bucket")
-        .map_groups(lambda g: _bucket_pairs(g, id_col, max_bucket), batch_format="pandas")
-        .to_pandas()
-    )
+    pairs = _coarse(bucketed, id_col, max_bucket)
     if len(pairs) == 0:
         return pd.DataFrame({"a": [], "b": [], "cosine": []})
     pairs = pairs.drop_duplicates(subset=["a", "b"]).reset_index(drop=True)
@@ -393,8 +470,10 @@ def embedding_near_dup_pairs(
             }
         )
 
+    n_blocks = max(1, min(64, len(pairs) // 2000))
     verified = (
         ray.data.from_pandas(pairs)
+        .repartition(n_blocks)
         .map_batches(verify, batch_format="pandas")
         .to_pandas()
     )
