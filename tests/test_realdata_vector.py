@@ -1,0 +1,55 @@
+"""Real-corpus exact-match for the vector pyramid: Natural Earth
+countries (multipolygons + dateline), ocean (world-covering polygon
+with continent holes), admin-1 boundary lines — reference's own test
+data (tests/ listing, SURVEY.md §5), run through the reference binary
+as the oracle."""
+
+import os
+import subprocess
+import tempfile
+
+import pytest
+
+from tests.conftest import has_reference
+
+CORPORA = [
+    ("ne_110m_admin_0_countries", 4),
+    ("ne_110m_ocean", 4),
+    ("ne_110m_admin_1_states_provinces_lines", 5),
+]
+
+
+def _src(name):
+    p = f"/root/reference/tests/{name}/in.json"
+    return p if os.path.exists(p) else p + ".gz"
+
+
+@pytest.mark.skipif(not has_reference(), reason="reference binary not built")
+@pytest.mark.parametrize("name,maxzoom", CORPORA)
+def test_real_corpus_exact(ray_session, name, maxzoom):
+    from tests.util_reference import TIPPECANOE, read_mbtiles_counts
+    from tippecanoe_ray.pipelines.vector_pyramid import (
+        VectorConfig, build_vector_pyramid, ingest_features,
+    )
+    from tippecanoe_ray.sources.geojson import read_geojson_vector
+
+    src = _src(name)
+    with tempfile.TemporaryDirectory() as td:
+        mb = os.path.join(td, "out.mbtiles")
+        subprocess.run(
+            [TIPPECANOE, "-o", mb, f"-z{maxzoom}", "--no-tile-size-limit", "-q", src],
+            check=True, capture_output=True,
+        )
+        ref = read_mbtiles_counts(mb)
+    cfg = VectorConfig(maxzoom=maxzoom, layer_name="in")
+    tiles = build_vector_pyramid(ingest_features(read_geojson_vector(src), cfg), cfg)
+    ours = {
+        (int(r["z"]), int(r["x"]), int(r["y"])): int(r["n_features"])
+        for r in tiles.take_all()
+    }
+    bad = [
+        f"{k}: ours={ours.get(k)} ref={ref.get(k)}"
+        for k in sorted(set(ours) | set(ref))
+        if ours.get(k) != ref.get(k)
+    ]
+    assert not bad, bad[:10]

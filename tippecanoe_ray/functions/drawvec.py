@@ -713,17 +713,61 @@ def revive_polygon(ops, xy, area: float, z: int, detail: int):
 # ------------------------------------------------- polygon cleaning stand-in
 
 
+def _pnpoly(ring_xy: np.ndarray, px: int, py: int) -> bool:
+    """Ray-crossing point-in-ring (clip.cpp pnpoly semantics)."""
+    x = ring_xy[:, 0]
+    y = ring_xy[:, 1]
+    n = len(x)
+    inside = False
+    j = n - 1
+    for i in range(n):
+        if ((y[i] > py) != (y[j] > py)) and (
+            px < (x[j] - x[i]) * (py - y[i]) / (y[j] - y[i]) + x[i]
+        ):
+            inside = not inside
+        j = i
+    return inside
+
+
 def clean_poly_tile_scale(ops, xy):
     """Stand-in for coalesce_polygon/clean_or_clip_poly at tile scale
-    (clip.cpp:1925+, wagyu): keep rings whose shoelace area is nonzero,
-    drop collapsed ones. Matches the union result for valid (non-self-
-    intersecting) rings; self-intersection repair is NOT performed
-    (documented deviation)."""
+    (clip.cpp:1925+, wagyu): keep rings with nonzero shoelace area,
+    drop collapsed ones, and drop HOLES (negative rings) that are not
+    contained in any kept outer ring — wagyu rebuilds ring nesting, so
+    an orphan hole (e.g. a tile fully inside a polygon's hole after
+    clipping) unions to nothing. Self-intersection repair is NOT
+    performed (documented deviation)."""
+    ring_list = [(i, j, get_area(xy, i, j)) for i, j in rings(ops) if get_area(xy, i, j) != 0]
+    # coverage rule: the union's area is the signed ring-area total for
+    # well-nested input; total <= 0 means the holes cancel the outers
+    # exactly (e.g. a tile covered by both an ocean ring and its
+    # continent hole) — wagyu unions that to nothing
+    if not ring_list or sum(a for _, _, a in ring_list) <= 0:
+        return empty_geom()
+    pos = [(i, j) for i, j, a in ring_list if a > 0]
+    keep_ranges: list[tuple[int, int]] = []
+    for i, j, a in ring_list:
+        if a == 0:
+            continue
+        if a > 0:
+            keep_ranges.append((i, j))
+            continue
+        # hole: contained iff any vertex is strictly inside a kept outer
+        contained = False
+        for pi, pj in pos:
+            outer = xy[pi:pj]
+            for k in range(i, j):
+                if _pnpoly(outer, int(xy[k, 0]), int(xy[k, 1])):
+                    contained = True
+                    break
+            if contained:
+                break
+        if contained:
+            keep_ranges.append((i, j))
     out_ops: list[int] = []
     out_xy: list[tuple[int, int]] = []
-    for i, j in rings(ops):
-        if get_area(xy, i, j) != 0:
-            for k in range(i, j):
-                out_ops.append(int(ops[k]))
-                out_xy.append((int(xy[k, 0]), int(xy[k, 1])))
+    for i, j in keep_ranges:
+        for k in range(i, j):
+            out_ops.append(int(ops[k]))
+            out_xy.append((int(xy[k, 0]), int(xy[k, 1])))
     return np.array(out_ops, np.uint8), np.array(out_xy, np.int64).reshape(-1, 2)

@@ -141,6 +141,25 @@ def process_tile(cfg: VectorConfig, z: int, tx: int, ty: int, tbl: pa.Table):
         if bbox is None:
             continue
         quick = dv.quick_check(bbox, z, cfg.buffer)
+        if z == 0:
+            # dateline: duplicate geometry ±360° and clip both copies
+            # (clip_to_tile z0 branch, tile.cpp:977-1001)
+            edge = (1 << 32) * cfg.buffer // 256
+            west = bbox[0] <= edge
+            east = bbox[2] >= (1 << 32) - edge
+            if west or east:
+                parts_ops = [ops]
+                parts_xy = [local]
+                if west:
+                    parts_ops.append(ops)
+                    parts_xy.append(local + np.array([1 << 32, 0], dtype=np.int64))
+                if east:
+                    parts_ops.append(ops)
+                    parts_xy.append(local - np.array([1 << 32, 0], dtype=np.int64))
+                ops = np.concatenate(parts_ops)
+                local = np.concatenate(parts_xy)
+                bbox = (0, bbox[1], 1 << 32, bbox[3])
+                quick = -1
         if quick == 0:
             continue
         if quick != 1:
