@@ -228,3 +228,23 @@ def test_coalesce_points(ray_session):
     tiles = build_pyramid(ds, cfg, n_rows=n)
     d = diff_counts(tile_counts_from_ds(tiles), ref)
     assert not d, d
+
+
+@pytest.mark.skipif(not has_reference(), reason="reference binary not built")
+def test_increase_gamma_as_needed(ray_session):
+    """--increase-gamma-as-needed: gamma x1.25 retry ladder
+    (tile.cpp:2737-2753) with zoom-global gamma consensus."""
+    from tests.util_reference import diff_counts, run_reference, tile_counts_from_ds
+
+    n = 1200
+    ids = [f"img-{i:012d}" for i in range(n)]
+    wx, wy = fnv_world(ids, hotspot_frac=0.6, n_hotspots=1)
+    ref = run_reference(wx, wy, maxzoom=6, droprate=1,
+                        extra_flags=["--increase-gamma-as-needed", "-O600"])
+    ds = synthesize_image_table(n, with_payload=False)
+    scfg = StrategyConfig(increase_gamma=True, max_tile_features=600)
+    cfg = PyramidConfig(maxzoom=6, droprate=1.0, hotspot_frac=0.6, n_hotspots=1,
+                        strategies=scfg, bucket_zoom=0)
+    tiles = build_pyramid(ds, cfg, n_rows=n)
+    d = diff_counts(tile_counts_from_ds(tiles), ref)
+    assert not d, d

@@ -1039,13 +1039,13 @@ class BucketWorker:
             outs.append(row)
         if em.reports:
             codes = {"mingap": 0, "minextent": 1, "mindrop_sequence": 2,
-                     "minattribute": 3}
+                     "minattribute": 3, "gamma": 4}
             rz, rcode, rval = [], [], []
             for z_, rep in em.reports.items():
                 for kname, v in rep.items():
                     rz.append(z_)
                     rcode.append(codes[kname])
-                    if kname == "minattribute":
+                    if kname in ("minattribute", "gamma"):
                         rval.append(np.float64(v).view(np.uint64))
                     else:
                         rval.append(np.uint64(v))
@@ -1726,6 +1726,18 @@ def build_pyramid_from_narrow(
             print(f"[pyramid] {label}: {_time.time() - _t0:.2f}s", flush=True)
         _t0 = _time.time()
 
+    def world_clip(t: pa.Table) -> pa.Table:
+        # off-plane points (NaN/∞ projections, projection.cpp:22-55)
+        # are clipped away at the root tile (clip_point inclusive
+        # bounds, clip.cpp:84-104)
+        wxc = t["wx"].to_numpy(zero_copy_only=False)
+        wyc = t["wy"].to_numpy(zero_copy_only=False)
+        m = (wxc >= 0) & (wxc <= 1 << 32) & (wyc >= 0) & (wyc <= 1 << 32)
+        if bool(m.all()):
+            return t
+        return t.filter(pa.array(m))
+
+    narrow = narrow.map_batches(world_clip, batch_format="pyarrow")
     n_cpus_early = int(ray.cluster_resources().get("CPU", 8))
     if n_rows is None:
         # count requires one execution; materialize so the pass is reused
@@ -1821,7 +1833,7 @@ def build_pyramid_from_narrow(
 
     def _threshold_reports(tbls: list[pa.Table]) -> dict:
         codes = {0: "mingap", 1: "minextent", 2: "mindrop_sequence",
-                 3: "minattribute"}
+                 3: "minattribute", 4: "gamma"}
         attr_desc = bool(
             cfg.strategies is not None
             and getattr(cfg.strategies, "drop_by_attribute_descending", False)
@@ -1840,13 +1852,15 @@ def build_pyramid_from_narrow(
             for z_, c_, v_ in zip(zs, code, raw):
                 name = codes[int(c_)]
                 cur = out.setdefault(int(z_), {})
-                if name == "minattribute":
+                if name in ("minattribute", "gamma"):
                     fv = float(np.uint64(v_).view(np.float64))
                     prev = cur.get(name)
                     if prev is None:
                         cur[name] = fv
+                    elif name == "minattribute" and attr_desc:
+                        cur[name] = min(prev, fv)
                     else:
-                        cur[name] = min(prev, fv) if attr_desc else max(prev, fv)
+                        cur[name] = max(prev, fv)
                 else:
                     cur[name] = max(cur.get(name, 0), int(v_))
         return out

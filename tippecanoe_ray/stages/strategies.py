@@ -58,6 +58,7 @@ class StrategyConfig:
     drop_fraction: bool = False
     drop_by_attribute: bool = False  # --drop-by-attribute-as-needed
     drop_by_attribute_descending: bool = False
+    increase_gamma: bool = False  # --increase-gamma-as-needed
     max_tile_features: int = MAX_TILE_FEATURES
     limit_tile_feature_count: int = 0
     accumulate: dict[str, str] | None = None  # attr -> op
@@ -70,6 +71,7 @@ class StrategyConfig:
             or self.drop_smallest
             or self.drop_fraction
             or self.drop_by_attribute
+            or self.increase_gamma
             or self.limit_tile_feature_count
         )
 
@@ -272,8 +274,20 @@ def apply_strategies(
     count = np.ones(n, dtype=np.int64)
     report: dict = {}
     ov = overrides or {}
-    if scfg.gamma > 0:
-        keep &= gamma_keep_mask(index, z, scfg.gamma)
+    gamma_eff = max(scfg.gamma, float(ov.get("gamma", 0.0)))
+    if gamma_eff > 0:
+        keep &= gamma_keep_mask(index, z, gamma_eff)
+    if scfg.increase_gamma:
+        # gamma x1.25 retry ladder (tile.cpp:2737-2753); zoom-global via
+        # the gamma report like the other thresholds
+        g = gamma_eff
+        limit0 = scfg.max_tile_features
+        while keep.sum() > limit0 and g < 10:
+            g = 1.0 if g < 1 else g * 1.25
+            keep = gamma_keep_mask(index, z, g)
+        if g > gamma_eff:
+            report["gamma"] = g
+        keep = keep.copy()
     if scfg.cluster_distance and z <= scfg.cluster_maxzoom:
         sel = np.flatnonzero(keep)
         k2, cx2, cy2, cnt2 = cluster_scan(index[sel], wx[sel], wy[sel], z, scfg.cluster_distance)
