@@ -53,3 +53,37 @@ def test_real_corpus_exact(ray_session, name, maxzoom):
         if ours.get(k) != ref.get(k)
     ]
     assert not bad, bad[:10]
+
+
+@pytest.mark.skipif(not has_reference(), reason="reference binary not built")
+def test_label_points_countries(ray_session):
+    """-aP: polygons become checkerboard label anchor points
+    (tile.cpp:1919-1937, polygon_to_anchor geometry.cpp:766,
+    checkerboard_anchors geometry.cpp:947) — exact-match on NE
+    countries."""
+    from tests.util_reference import TIPPECANOE, read_mbtiles_counts
+    from tippecanoe_ray.pipelines.vector_pyramid import (
+        VectorConfig, build_vector_pyramid, ingest_features,
+    )
+    from tippecanoe_ray.sources.geojson import read_geojson_vector
+
+    src = _src("ne_110m_admin_0_countries")
+    with tempfile.TemporaryDirectory() as td:
+        mb = os.path.join(td, "out.mbtiles")
+        subprocess.run(
+            [TIPPECANOE, "-o", mb, "-z3", "-aP", "--no-tile-size-limit", "-q", src],
+            check=True, capture_output=True,
+        )
+        ref = read_mbtiles_counts(mb)
+    cfg = VectorConfig(maxzoom=3, layer_name="in", generate_label_points=True)
+    tiles = build_vector_pyramid(ingest_features(read_geojson_vector(src), cfg), cfg)
+    ours = {
+        (int(r["z"]), int(r["x"]), int(r["y"])): int(r["n_features"])
+        for r in tiles.take_all()
+    }
+    bad = [
+        f"{k}: ours={ours.get(k)} ref={ref.get(k)}"
+        for k in sorted(set(ours) | set(ref))
+        if ours.get(k) != ref.get(k)
+    ]
+    assert not bad, bad[:10]

@@ -771,3 +771,210 @@ def clean_poly_tile_scale(ops, xy):
             out_ops.append(int(ops[k]))
             out_xy.append((int(xy[k, 0]), int(xy[k, 1])))
     return np.array(out_ops, np.uint8), np.array(out_xy, np.int64).reshape(-1, 2)
+
+
+# -------------------------------------------------------- label anchors
+
+
+def pnpoly_dv(xy: np.ndarray, start: int, nvert: int, tx: int, ty: int) -> bool:
+    """clip.cpp:1153-1162 (float-division ray crossing)."""
+    c = False
+    j = nvert - 1
+    for i in range(nvert):
+        yi = int(xy[start + i, 1])
+        yj = int(xy[start + j, 1])
+        if (yi > ty) != (yj > ty):
+            xi = int(xy[start + i, 0])
+            xj = int(xy[start + j, 0])
+            if tx < (xj - xi) * (ty - yi) / float(yj - yi) + xi:
+                c = not c
+        j = i
+    return c
+
+
+def center_of_mass(xy: np.ndarray, start: int, end: int,
+                   cx: int, cy: int) -> tuple[int, int]:
+    """Turf center of mass (geometry.cpp:546-599); falls back to the
+    centroid when the shape has no area. Output truncates to int like
+    the draw() long long conversion."""
+    pts = xy[start:end].astype(np.float64)
+    nx = pts[:, 0] - cx
+    ny = pts[:, 1] - cy
+    sx = sy = s_area = 0.0
+    for i in range(len(pts) - 1):
+        xi, yi = nx[i], ny[i]
+        xj, yj = nx[i + 1], ny[i + 1]
+        a = xi * yj - xj * yi
+        s_area += a
+        sx += (xi + xj) * a
+        sy += (yi + yj) * a
+    if s_area == 0:
+        return cx, cy
+    area_factor = 1 / (6 * (s_area * 0.5))
+    return int(cx + area_factor * sx), int(cy + area_factor * sy)
+
+
+def label_goodness(ops: np.ndarray, xy: np.ndarray, x: int, y: int) -> float:
+    """geometry.cpp:636-693: 0 outside the polygon (by ring nesting),
+    else the closest distance to any border."""
+    nesting = 0
+    for i, j in rings(ops):
+        if pnpoly_dv(xy, i, j - i, x, y):
+            if get_area(xy, i, j) >= 0:
+                nesting += 1
+            else:
+                nesting -= 1
+    if nesting < 1:
+        return 0.0
+    closest = math.inf
+    n = len(ops)
+    for i in range(n):
+        dx = float(xy[i, 0] - x)
+        dy = float(xy[i, 1] - y)
+        dist = math.sqrt(dx * dx + dy * dy)
+        if dist < closest:
+            closest = dist
+        if i > 0 and ops[i] == LINETO:
+            dist = distance_from_line(x, y, int(xy[i - 1, 0]), int(xy[i - 1, 1]),
+                                      int(xy[i, 0]), int(xy[i, 1]))
+            if dist < closest:
+                closest = dist
+    return closest
+
+
+def _sorty_key(pts: list[tuple[int, int]], kind: int):
+    def key(p):
+        if kind == 0:
+            xa, ya = p[0], p[1]
+        elif kind == 1:
+            xa, ya = p[1], p[0]
+        elif kind == 2:
+            xa, ya = p[0] + p[1], p[0] - p[1]
+        else:
+            xa, ya = p[0] - p[1], p[0] + p[1]
+        return (ya, xa)
+
+    return sorted(pts, key=key)
+
+
+def polygon_to_anchor(ops: np.ndarray, xy: np.ndarray) -> tuple[int, int] | None:
+    """geometry.cpp:766-945: center of mass of the largest outer ring,
+    falling back to sorted-stride midpoints, then grid points, then the
+    centroid, maximizing label_goodness."""
+    start = end = 0
+    best_area = 0.0
+    points: list[tuple[int, int]] = []
+    for i, j in rings(ops):
+        for k in range(i + 1, j):
+            points.append((int(xy[k, 0]), int(xy[k, 1])))
+        area = get_area(xy, i, j)
+        if area > best_area:
+            start, end, best_area = i, j, area
+    if best_area <= 0:
+        return None
+    xs = xy[start + 1 : end, 0]
+    ys = xy[start + 1 : end, 1]
+    count = len(xs)
+    if count == 0:
+        return None
+    xsum = int(xs.sum())
+    ysum = int(ys.sum())
+    xmin, ymin = int(xs.min()), int(ys.min())
+    xmax, ymax = int(xs.max()), int(ys.max())
+    radius = math.sqrt(best_area / math.pi)
+    goodness_threshold = radius / 5
+    ccx, ccy = _tdiv(xsum, count), _tdiv(ysum, count)
+    dx, dy = center_of_mass(xy, start, end, ccx, ccy)
+    goodness = label_goodness(ops, xy, dx, dy)
+    if goodness < goodness_threshold:
+        candidates: list[tuple[float, int, int, int]] = []
+        seqn = 0
+        for p in range(4):
+            sp = _sorty_key(points, p)
+            for i in range(1, len(sp)):
+                ddx = sp[i][0] - sp[i - 1][0]
+                ddy = sp[i][1] - sp[i - 1][1]
+                dist = math.sqrt(float(ddx) * ddx + float(ddy) * ddy)
+                if dist > 2 * goodness_threshold:
+                    candidates.append(
+                        (dist, seqn, _tdiv(sp[i][0] + sp[i - 1][0], 2),
+                         _tdiv(sp[i][1] + sp[i - 1][1], 2))
+                    )
+                    seqn += 1
+        # stable sort, largest distance first (candidate::operator<)
+        candidates.sort(key=lambda c: (-c[0], c[1]))
+        for i in range(min(len(candidates), 50)):
+            _, _, mx, my = candidates[i]
+            maybe = label_goodness(ops, xy, mx, my)
+            if maybe > goodness:
+                dx, dy = mx, my
+                goodness = maybe
+                if goodness > goodness_threshold:
+                    break
+    if goodness < goodness_threshold:
+        sub = 2
+        while sub < 32 and (xmax - xmin) > 2 * sub and (ymax - ymin) > 2 * sub:
+            for gx in range(1, sub):
+                for gy in range(1, sub):
+                    mx = xmin + _tdiv(gx * (xmax - xmin), sub)
+                    my = ymin + _tdiv(gy * (ymax - ymin), sub)
+                    maybe = label_goodness(ops, xy, mx, my)
+                    if maybe > goodness:
+                        dx, dy = mx, my
+                        goodness = maybe
+            if goodness > goodness_threshold:
+                break
+            sub *= 2
+        maybe = label_goodness(ops, xy, ccx, ccy)
+        if maybe > goodness:
+            dx, dy = ccx, ccy
+            goodness = maybe
+    return dx, dy
+
+
+def checkerboard_anchors(ops: np.ndarray, xy: np.ndarray, tx: int, ty: int,
+                         z: int, label_wx: int, label_wy: int):
+    """geometry.cpp:947-1046: repeat the ingest label anchor on a
+    checkerboard lattice, keeping lattice points inside the feature
+    bbox; off-center anchors need goodness > tilesize/100."""
+    tx1 = ty1 = 0
+    tx2 = 1 << 32
+    if z != 0:
+        tx1 = tx << (32 - z)
+        ty1 = ty << (32 - z)
+        tx2 = (tx + 1) << (32 - z)
+    m = ops != CLOSEPATH
+    if not m.any():
+        return []
+    bx1 = int(xy[m, 0].min()) + tx1
+    by1 = int(xy[m, 1].min()) + ty1
+    bx2 = int(xy[m, 0].max()) + tx1
+    by2 = int(xy[m, 1].max()) + ty1
+    spiral_dist = 0.3
+    if z > 0:
+        spiral_dist = spiral_dist * math.exp(math.log(z) * 1.2)
+    label_spacing = int(spiral_dist * (tx2 - tx1))
+    if label_spacing <= 0:
+        return []
+    x1 = math.floor(min(bx1 - label_wx, bx2 - label_wx) / label_spacing)
+    x2 = math.ceil(max(bx1 - label_wx, bx2 - label_wx) / label_spacing)
+    y1 = math.floor(min(by1 - label_wy, by2 - label_wy) / label_spacing - 0.5)
+    y2 = math.ceil(max(by1 - label_wy, by2 - label_wy) / label_spacing)
+    out = []
+    for lx in range(x1, x2 + 1):
+        for ly in range(y1, y2 + 1):
+            x = lx * label_spacing + label_wx
+            y = ly * label_spacing + label_wy
+            if (lx & 1) == 1:
+                y += label_spacing // 2
+            if x < bx1 or x > bx2 or y < by1 or y > by2:
+                continue
+            if lx == 0 and ly == 0:
+                out.append((x - tx1, y - ty1))
+                break
+            else:
+                tilesize = float(1 << (32 - z))
+                if label_goodness(ops, xy, x - tx1, y - ty1) > tilesize / 100:
+                    out.append((x - tx1, y - ty1))
+                    break
+    return out

@@ -59,6 +59,9 @@ class VectorConfig:
     max_tile_size: int | None = None
     min_detail: int = 7
     max_tile_features: int | None = None  # reference default 200000 (-O)
+    # -aP: replace polygons with checkerboard label anchor points
+    # (tile.cpp:1919-1937, geometry.cpp:766/947)
+    generate_label_points: bool = False
 
     def resolved_gscale(self) -> int:
         if self.geometry_scale is not None:
@@ -72,12 +75,15 @@ FEATURE_SCHEMA = pa.schema(
         ("t", pa.int8()),
         ("ops", pa.large_binary()),
         ("xy", pa.large_binary()),
+        ("label_x", pa.int64()),
+        ("label_y", pa.int64()),
     ]
 )
 
 
-def features_table(rows: list[tuple[int, int, np.ndarray, np.ndarray]]) -> pa.Table:
-    """rows: (seq, t, ops uint8 array, xy (n,2) int64 array)."""
+def features_table(rows: list[tuple]) -> pa.Table:
+    """rows: (seq, t, ops uint8 array, xy (n,2) int64 array[, label_x,
+    label_y]) — label = ingest anchor for -aP (-1 when absent)."""
     return pa.table(
         {
             "seq": pa.array([r[0] for r in rows], pa.int64()),
@@ -87,6 +93,8 @@ def features_table(rows: list[tuple[int, int, np.ndarray, np.ndarray]]) -> pa.Ta
                 [np.ascontiguousarray(r[3], dtype=np.int64).tobytes() for r in rows],
                 pa.large_binary(),
             ),
+            "label_x": pa.array([r[4] if len(r) > 4 else -1 for r in rows], pa.int64()),
+            "label_y": pa.array([r[5] if len(r) > 5 else -1 for r in rows], pa.int64()),
         }
     )
 
@@ -113,8 +121,16 @@ def ingest_features(tbl: pa.Table, cfg: VectorConfig) -> pa.Table:
             ops, scaled = dv.fix_polygon(ops, scaled)
         if len(ops) == 0:
             continue
+        lx = ly = -1
+        if t == 3 and cfg.generate_label_points:
+            # ingest label anchor on the scaled geometry
+            # (serial.cpp:734-741), stored at world scale
+            anchor = dv.polygon_to_anchor(ops, scaled)
+            if anchor is not None:
+                lx = (anchor[0] << g) & ((1 << 32) - 1)
+                ly = (anchor[1] << g) & ((1 << 32) - 1)
         world = scaled << g if g else scaled
-        out.append((seq, t, ops, world))
+        out.append((seq, t, ops, world, lx, ly))
     return features_table(out)
 
 
@@ -132,9 +148,14 @@ def process_tile(cfg: VectorConfig, z: int, tx: int, ty: int, tbl: pa.Table):
     child_div = 1 << (WORLD_BITS - (z + 1) - 8)
     cspan = 2  # nextzoom - z == 1
 
+    labels_x = tbl["label_x"].to_numpy() if "label_x" in tbl.column_names else None
+    labels_y = tbl["label_y"].to_numpy() if "label_y" in tbl.column_names else None
     for i in range(len(tbl)):
         seq = int(tbl["seq"][i].as_py())
         t = int(tbl["t"][i].as_py())
+        lab = (
+            (int(labels_x[i]), int(labels_y[i])) if labels_x is not None else (-1, -1)
+        )
         ops, xy = _unpack(tbl, i)
         local = xy - origin
         bbox = dv.geom_bbox(local, ops)
@@ -197,12 +218,12 @@ def process_tile(cfg: VectorConfig, z: int, tx: int, ty: int, tbl: pa.Table):
             for xo in range(b2[0], b2[2] + 1):
                 for yo in range(b2[1], b2[3] + 1):
                     if blob is None:
-                        blob = (seq, t, cops, snapped)
+                        blob = (seq, t, cops, snapped, lab[0], lab[1])
                     children.setdefault((tx * 2 + xo, ty * 2 + yo), []).append(blob)
 
         if z < cfg.minzoom:
             continue
-        survivors.append((seq, t, cops, cxy))
+        survivors.append((seq, t, cops, cxy, lab))
 
     tile_row = _encode_with_detail_ladder(cfg, z, tx, ty, survivors)
     return tile_row, children
@@ -223,10 +244,37 @@ def _encode_with_detail_ladder(cfg: VectorConfig, z, tx, ty, survivors):
     if cfg.max_tile_size is not None:
         details += list(range(cfg.detail - 1, cfg.min_detail - 1, -1))
     feats: list = []
+    from ..stages.tile_encode import encode_multipoint
+
     for line_detail in details:
         feats = []
         accum_area = 0.0
-        for seq, t, ops, xy in survivors:
+        for seq, t, ops, xy, lab in survivors:
+            if t == 3 and cfg.generate_label_points:
+                # polygon -> checkerboard anchor points
+                # (tile.cpp:1919-1937); excluded when invisibly small
+                if dv.line_is_too_small(ops, xy, z, line_detail):
+                    continue
+                if dv.get_mp_area(ops, xy) <= 0:
+                    continue
+                nops, nxy = dv.simplify_lines(
+                    ops, xy, z, line_detail, True, cfg.simplification, 4
+                )
+                if len(nops) == 0:
+                    continue
+                anchors = dv.checkerboard_anchors(
+                    nops, nxy, tx, ty, z, lab[0], lab[1]
+                )
+                if not anchors:
+                    continue
+                pts = np.array(anchors, dtype=np.int64).reshape(-1, 2)
+                pts = dv.to_tile_scale(pts, z, line_detail)
+                # remove_noop for points: dedupe identical consecutive
+                keep = np.ones(len(pts), bool)
+                keep[1:] = (pts[1:] != pts[:-1]).any(axis=1)
+                pts = pts[keep]
+                feats.append({"geom": encode_multipoint(pts), "type": 1, "id": seq})
+                continue
             reduced = False
             if t == 3:
                 ops, xy, still, _red, accum_area = dv.reduce_tiny_poly(
