@@ -118,3 +118,19 @@ def test_byte_limit_detail_ladder(ray_session):
     # every tile fits the cap on both sides
     assert max(sizes.values()) <= 3000
     assert max(ref_sizes.values()) <= 3000
+
+
+@pytest.mark.skipif(not has_reference(), reason="reference binary not built")
+@pytest.mark.parametrize("kind,flag", [("line", "--drop-lines"), ("polygon", "--drop-polygons")])
+def test_vector_drop_ladder(ray_session, kind, flag):
+    """--drop-lines / --drop-polygons: lines/polygons ride the rate
+    ladder (calc_feature_minzoom gates, main.cpp:299-305) with the
+    vertex-hash spatial index as the sort key."""
+    from tests.util_reference import diff_counts, run_reference_geoms, synth_vector_corpus
+
+    feats = [f for f in synth_vector_corpus(n_lines=40, n_polys=40, seed=5) if f[0] == kind]
+    ref = run_reference_geoms(feats, maxzoom=6, extra_flags=[flag, "-r2.5"])
+    ours = _build_ours(feats, maxzoom=6, droprate=2.5,
+                       drop_lines=(kind == "line"), drop_polygons=(kind == "polygon"))
+    d = diff_counts(ours, ref)
+    assert not d, d

@@ -62,6 +62,18 @@ class VectorConfig:
     # -aP: replace polygons with checkerboard label anchor points
     # (tile.cpp:1919-1937, geometry.cpp:766/947)
     generate_label_points: bool = False
+    # --drop-lines / --drop-polygons: ride the rate ladder like points
+    # (calc_feature_minzoom main.cpp:299-350 gates on these flags)
+    droprate: float = 1.0
+    basezoom: int | None = None
+    drop_lines: bool = False
+    drop_polygons: bool = False
+
+    def resolved_basezoom(self) -> int:
+        return self.maxzoom if self.basezoom is None else self.basezoom
+
+    def dropping(self) -> bool:
+        return (self.drop_lines or self.drop_polygons) and self.droprate > 1
 
     def resolved_gscale(self) -> int:
         if self.geometry_scale is not None:
@@ -77,6 +89,7 @@ FEATURE_SCHEMA = pa.schema(
         ("xy", pa.large_binary()),
         ("label_x", pa.int64()),
         ("label_y", pa.int64()),
+        ("minzoom", pa.int16()),
     ]
 )
 
@@ -95,6 +108,7 @@ def features_table(rows: list[tuple]) -> pa.Table:
             ),
             "label_x": pa.array([r[4] if len(r) > 4 else -1 for r in rows], pa.int64()),
             "label_y": pa.array([r[5] if len(r) > 5 else -1 for r in rows], pa.int64()),
+            "minzoom": pa.array([r[6] if len(r) > 6 else 0 for r in rows], pa.int16()),
         }
     )
 
@@ -130,8 +144,41 @@ def ingest_features(tbl: pa.Table, cfg: VectorConfig) -> pa.Table:
                 lx = (anchor[0] << g) & ((1 << 32) - 1)
                 ly = (anchor[1] << g) & ((1 << 32) - 1)
         world = scaled << g if g else scaled
-        out.append((seq, t, ops, world, lx, ly))
-    return features_table(out)
+        out.append([seq, t, ops, world, lx, ly, 0])
+    if cfg.dropping() and out:
+        # the global sort key is (bbox_index, seq) with the vertex-hash
+        # index point (serial.cpp:700-722, incl. CLOSEPATH entries in
+        # the modulus); ladder counters step only for participating
+        # features (calc_feature_minzoom main.cpp:299-305)
+        from ..functions.spatial import encode_quadkey
+        from ..stages.minzoom import minzoom_from_ranks
+
+        idxs = []
+        for r in out:
+            ops_r = r[2]
+            scaled_r = (r[3] >> g) if g else r[3]
+            sx = scaled_r[:, 0].astype(object)
+            sy = scaled_r[:, 1].astype(object)
+            ix = int((sum(sx) + sum(sy)) % len(ops_r))
+            mx = (int(scaled_r[ix, 0]) << g) & ((1 << 32) - 1)
+            my = (int(scaled_r[ix, 1]) << g) & ((1 << 32) - 1)
+            idxs.append(int(encode_quadkey(np.array([mx]), np.array([my]))[0]))
+        order = sorted(range(len(out)), key=lambda i: (idxs[i], out[i][0]))
+        out = [out[i] for i in order]
+        part = [
+            (r[1] == 2 and cfg.drop_lines) or (r[1] == 3 and cfg.drop_polygons)
+            for r in out
+        ]
+        n_part = sum(part)
+        mzs = minzoom_from_ranks(
+            n_part, cfg.maxzoom, cfg.resolved_basezoom(), cfg.droprate
+        )
+        k = 0
+        for i, r in enumerate(out):
+            if part[i]:
+                r[6] = int(mzs[k])
+                k += 1
+    return features_table([tuple(r) for r in out])
 
 
 def process_tile(cfg: VectorConfig, z: int, tx: int, ty: int, tbl: pa.Table):
@@ -150,9 +197,11 @@ def process_tile(cfg: VectorConfig, z: int, tx: int, ty: int, tbl: pa.Table):
 
     labels_x = tbl["label_x"].to_numpy() if "label_x" in tbl.column_names else None
     labels_y = tbl["label_y"].to_numpy() if "label_y" in tbl.column_names else None
+    mzs = tbl["minzoom"].to_numpy() if "minzoom" in tbl.column_names else None
     for i in range(len(tbl)):
         seq = int(tbl["seq"][i].as_py())
         t = int(tbl["t"][i].as_py())
+        fmz = int(mzs[i]) if mzs is not None else 0
         lab = (
             (int(labels_x[i]), int(labels_y[i])) if labels_x is not None else (-1, -1)
         )
@@ -218,12 +267,12 @@ def process_tile(cfg: VectorConfig, z: int, tx: int, ty: int, tbl: pa.Table):
             for xo in range(b2[0], b2[2] + 1):
                 for yo in range(b2[1], b2[3] + 1):
                     if blob is None:
-                        blob = (seq, t, cops, snapped, lab[0], lab[1])
+                        blob = (seq, t, cops, snapped, lab[0], lab[1], fmz)
                     children.setdefault((tx * 2 + xo, ty * 2 + yo), []).append(blob)
 
         if z < cfg.minzoom:
             continue
-        survivors.append((seq, t, cops, cxy, lab))
+        survivors.append((seq, t, cops, cxy, lab, fmz))
 
     tile_row = _encode_with_detail_ladder(cfg, z, tx, ty, survivors)
     return tile_row, children
@@ -249,7 +298,12 @@ def _encode_with_detail_ladder(cfg: VectorConfig, z, tx, ty, survivors):
     for line_detail in details:
         feats = []
         accum_area = 0.0
-        for seq, t, ops, xy, lab in survivors:
+        appended_any = False
+        for seq, t, ops, xy, lab, fmz in survivors:
+            if fmz > z and appended_any:
+                # rate-dropped (keep rule tile.cpp:1970-1977: the drop
+                # needs a previous feature to accumulate onto)
+                continue
             if t == 3 and cfg.generate_label_points:
                 # polygon -> checkerboard anchor points
                 # (tile.cpp:1919-1937); excluded when invisibly small
@@ -274,6 +328,7 @@ def _encode_with_detail_ladder(cfg: VectorConfig, z, tx, ty, survivors):
                 keep[1:] = (pts[1:] != pts[:-1]).any(axis=1)
                 pts = pts[keep]
                 feats.append({"geom": encode_multipoint(pts), "type": 1, "id": seq})
+                appended_any = True
                 continue
             reduced = False
             if t == 3:
@@ -314,6 +369,7 @@ def _encode_with_detail_ladder(cfg: VectorConfig, z, tx, ty, survivors):
                 feats.append({"geom": encode_polygon(parts), "type": 3, "id": seq})
             else:
                 feats.append({"geom": encode_linestring(parts), "type": 2, "id": seq})
+            appended_any = True
         if not feats:
             return None
         tile_bytes = b""
