@@ -93,3 +93,28 @@ def test_overzoom_matches_direct(ray_session):
     assert set(direct) == set(over)
     same = sum(direct[k] == over[k] for k in direct)
     assert same >= 0.95 * len(direct), f"{same}/{len(direct)}"
+
+
+def test_layer_ops(ray_session):
+    """-l / -L / -R layer keep/remove/rename (tile-join.cpp:121-131)."""
+    import ray.data
+
+    from tippecanoe_ray.pipelines.pyramid import PyramidConfig, build_pyramid
+    from tippecanoe_ray.pipelines.tilejoin import layer_ops, merge_tilesets
+    from tippecanoe_ray.sources.image_table import synthesize_image_table
+    from tippecanoe_ray.stages.mvt import decode_tile
+
+    ds = synthesize_image_table(300, with_payload=False)
+    a = build_pyramid(ds, PyramidConfig(maxzoom=3, layer_name="alpha"), n_rows=300)
+    b = build_pyramid(ds, PyramidConfig(maxzoom=3, layer_name="beta"), n_rows=300)
+    merged = merge_tilesets(a, b)
+
+    def names_of(t):
+        return sorted({l["name"] for r in t.take_all() for l in decode_tile(bytes(r["tile"]))})
+
+    assert names_of(merged) == ["alpha", "beta"]
+    assert names_of(layer_ops(merged, keep={"alpha"})) == ["alpha"]
+    assert names_of(layer_ops(merged, remove={"alpha"})) == ["beta"]
+    assert names_of(layer_ops(merged, rename={"alpha": "gamma"})) == ["beta", "gamma"]
+    # all layers removed -> tiles dropped entirely
+    assert layer_ops(merged, remove={"alpha", "beta"}).count() == 0

@@ -296,3 +296,49 @@ def decode_tileset(tile_ds: ray.data.Dataset) -> ray.data.Dataset:
     return tile_ds.select_columns(["z", "x", "y", "tile"]).map_batches(
         fn, batch_format="pandas"
     )
+
+
+def layer_ops(
+    tile_ds: ray.data.Dataset,
+    keep: set[str] | None = None,
+    remove: set[str] | None = None,
+    rename: dict[str, str] | None = None,
+    compress: bool = True,
+) -> ray.data.Dataset:
+    """tile-join -l (keep only) / -L (remove) / -R old:new (rename)
+    (tile-join.cpp:121-131): per-tile decode → filter/rename layers →
+    re-encode; tiles whose layers all vanish are dropped."""
+    from ..stages.mvt import encode_layer, encode_tile
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        rows = {"z": [], "x": [], "y": [], "n_features": [], "tile": []}
+        for z, x, y, data in zip(df["z"], df["x"], df["y"], df["tile"]):
+            if len(data) == 0:
+                continue
+            out_layers = []
+            total = 0
+            for lay in decode_tile(bytes(data)):
+                name = lay["name"]
+                if keep is not None and name not in keep:
+                    continue
+                if remove is not None and name in remove:
+                    continue
+                if rename and name in rename:
+                    name = rename[name]
+                feats = [
+                    {"geom": _reencode_geom(f), "type": f["type"], "id": f["id"],
+                     "attrs": f["tags"]}
+                    for f in lay["features"]
+                ]
+                total += len(feats)
+                out_layers.append(encode_layer(name, feats, lay["extent"]))
+            if not out_layers:
+                continue
+            rows["z"].append(int(z))
+            rows["x"].append(int(x))
+            rows["y"].append(int(y))
+            rows["n_features"].append(total)
+            rows["tile"].append(encode_tile(out_layers, compress=compress))
+        return pd.DataFrame(rows)
+
+    return tile_ds.map_batches(fn, batch_format="pandas")
