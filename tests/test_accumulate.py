@@ -248,3 +248,24 @@ def test_increase_gamma_as_needed(ray_session):
     tiles = build_pyramid(ds, cfg, n_rows=n)
     d = diff_counts(tile_counts_from_ds(tiles), ref)
     assert not d, d
+
+
+@pytest.mark.skipif(not has_reference(), reason="reference binary not built")
+def test_feature_density(ray_session):
+    """-ag: tippecanoe_feature_density 0-255 from the gamma-1 spacing
+    scan (tile.cpp:2147-2157, 2656-2675)."""
+    from tests.util_reference import run_reference_attrs, tile_attrs_from_ds
+
+    n = 800
+    ids = [f"img-{i:012d}" for i in range(n)]
+    wx, wy = fnv_world(ids, hotspot_frac=0.6, n_hotspots=1)
+    ref = run_reference_attrs(wx, wy, np.arange(n), maxzoom=5, droprate=2.5,
+                              extra_flags=["-ag"],
+                              attrs=("tippecanoe_feature_density",))
+    ds = synthesize_image_table(n, with_payload=False)
+    cfg = PyramidConfig(maxzoom=5, droprate=2.5, hotspot_frac=0.6, n_hotspots=1,
+                        calculate_density=True, bucket_zoom=0)
+    tiles = build_pyramid(ds, cfg, n_rows=n)
+    ours = tile_attrs_from_ds(tiles, ("tippecanoe_feature_density",))
+    d = _diff(ours, ref)
+    assert not d, d

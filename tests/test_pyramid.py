@@ -190,3 +190,21 @@ def test_per_feature_zoom_ranges_exact(ray_session):
     tiles = build_pyramid_from_narrow(narrow, cfg, n_rows=n)
     d = diff_counts(tile_counts_from_ds(tiles), ref)
     assert not d, d
+
+
+def test_center_tile(ray_session):
+    """Busiest maxzoom tile with the (x<<32)|y tie-break
+    (tile.cpp:3214-3229)."""
+    from tippecanoe_ray.pipelines.pyramid import PyramidConfig, build_pyramid, center_tile
+    from tippecanoe_ray.sources.image_table import synthesize_image_table
+
+    ds = synthesize_image_table(2000, with_payload=False)
+    cfg = PyramidConfig(maxzoom=4, droprate=1.0, hotspot_frac=0.5, n_hotspots=1)
+    tiles = build_pyramid(ds, cfg, n_rows=2000)
+    cx, cy = center_tile(tiles, 4)
+    df = tiles.select_columns(["z", "x", "y", "n_features"]).to_pandas()
+    df = df[df["z"] == 4]
+    best = df["n_features"].max()
+    cand = df[df["n_features"] == best]
+    want = min((int(r.x) << 32) | int(r.y) for r in cand.itertuples())
+    assert ((cx << 32) | cy) == want

@@ -109,6 +109,8 @@ class PyramidConfig:
     # -K cluster stats: clustered/point_count/sqrt_point_count/
     # point_count_abbreviated (tile.cpp:2420-2451)
     cluster_stats: bool = False
+    # -ag: emit tippecanoe_feature_density 0-255 (tile.cpp:2147-2157)
+    calculate_density: bool = False
     # per-tile output ordering (tile.cpp:2583-2593): order by the
     # threaded attribute column (--order-by / --order-descending-by)
     # or restore input sequence (-pi)
@@ -402,6 +404,13 @@ class ZoomEmitter:
                 ccounts[sel] = cnt2
             out_x = out_x.astype(np.int64)
             out_y = out_y.astype(np.int64)
+        dens = None
+        if cfg.calculate_density:
+            from ..stages.strategies import density_glow
+
+            dens = np.full(len(index), 255, dtype=np.int64)
+            for s, e in zip(starts, ends):
+                dens[s:e] = density_glow(index[s:e], kept[s:e], z)
         folded = None
         if vals is not None and cfg.attr_accum:
             from ..stages.strategies import fold_numeric
@@ -418,7 +427,7 @@ class ZoomEmitter:
         return self._encode_rows(
             z, out_x, out_y, seq, kept, counts, tx, ty, bucket,
             index[starts], seq[starts], minzoom[starts],
-            vals=folded, cluster_counts=ccounts,
+            vals=folded, cluster_counts=ccounts, density=dens,
         )
 
     # ---------------------------------------------------------- slow path
@@ -530,7 +539,8 @@ class ZoomEmitter:
             run_keys[np.minimum(gpos, max(len(run_keys) - 1, 0))] == gkey
         ) if len(run_keys) else np.zeros(len(gkey), bool)
         affected_runs = np.unique(gpos[gmatched]) if gmatched.any() else np.empty(0, np.int64)
-        if (strat or vals is not None or cfg.coalesce or _ordering_on(cfg)) and n_core:
+        if (strat or vals is not None or cfg.coalesce or _ordering_on(cfg)
+                or cfg.calculate_density) and n_core:
             # strategies and attribute folds are ordered scans: every
             # tile takes the merged per-tile path so the scan semantics
             # apply uniformly
@@ -659,6 +669,11 @@ class ZoomEmitter:
                 from ..stages.strategies import fold_numeric
 
                 mfold = fold_numeric(mval, k, cfg.attr_accum[1])
+            mdens = None
+            if cfg.calculate_density:
+                from ..stages.strategies import density_glow
+
+                mdens = density_glow(midx, k, z)
             n_kept = int(k.sum())
             kidx = np.flatnonzero(k)
             if _ordering_on(cfg) and n_kept > 1:
@@ -671,7 +686,7 @@ class ZoomEmitter:
                 kidx = kidx[perm]
             attr_mode = (mfold is not None and (cfg.attr_accum or cfg.emit_attr)) or (
                 cfg.cluster_stats and mcnt is not None
-            )
+            ) or (cfg.calculate_density and mdens is not None)
             if mval is not None and mfold is None and cfg.emit_attr:
                 mfold = mval
                 attr_mode = True
@@ -700,6 +715,7 @@ class ZoomEmitter:
                     attr_vals=mfold[kidx] if mfold is not None else None,
                     cluster_counts=mcnt[kidx] if mcnt is not None else None,
                     cluster_stats=cfg.cluster_stats,
+                    density=mdens[kidx] if mdens is not None else None,
                     ids=mseq[kidx] if cfg.emit_ids else None,
                 )[0]
             elif cfg.encode_tiles:
@@ -752,7 +768,8 @@ class ZoomEmitter:
         return tile_tbl, side_tbl
 
     def _encode_rows(self, z, cswx, cswy, cseq, kept, counts, tx, ty, bucket,
-                     min_index, min_seq, first_mz, vals=None, cluster_counts=None):
+                     min_index, min_seq, first_mz, vals=None, cluster_counts=None,
+                     density=None):
         cfg = self.cfg
         kends = np.cumsum(counts)
         kstarts = kends - counts
@@ -762,7 +779,7 @@ class ZoomEmitter:
         kept = np.ones(int(counts.sum()), dtype=bool) if _ordering_on(cfg) else kept
         attr_mode = (vals is not None and (cfg.attr_accum or cfg.emit_attr)) or (
             cfg.cluster_stats and cluster_counts is not None
-        )
+        ) or (cfg.calculate_density and density is not None)
         if cfg.encode_tiles and cfg.coalesce:
             from ..stages.tile_encode import encode_point_tiles_coalesced
 
@@ -782,6 +799,7 @@ class ZoomEmitter:
                 attr_vals=vals[kept] if vals is not None else None,
                 cluster_counts=cluster_counts[kept] if cluster_counts is not None else None,
                 cluster_stats=cfg.cluster_stats,
+                density=density[kept] if density is not None else None,
                 ids=cseq[kept] if cfg.emit_ids else None,
             )
         elif cfg.encode_tiles:
@@ -2152,3 +2170,38 @@ def pyramid_counts(tile_ds: ray.data.Dataset) -> pa.Table:
         .reset_index()
     )
     return pa.Table.from_pandas(g, preserve_index=False)
+
+
+def center_tile(tile_ds: ray.data.Dataset, maxzoom: int) -> tuple[int, int]:
+    """The metadata "center" tile: the busiest maxzoom tile, ties broken
+    by smallest (x<<32)|y (tile.cpp:3214-3229; the reference ranks by
+    geometry element count, which equals the feature count for
+    points). Distributed argmax via per-batch partials."""
+
+    def part(t: pa.Table) -> pa.Table:
+        zs = t["z"].to_numpy(zero_copy_only=False)
+        m = zs == maxzoom
+        if not m.any():
+            return pa.table({"x": pa.array([], pa.int32()),
+                             "y": pa.array([], pa.int32()),
+                             "n_features": pa.array([], pa.int64())})
+        sub = t.filter(pa.array(m))
+        nf = sub["n_features"].to_numpy(zero_copy_only=False)
+        xs = sub["x"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ys = sub["y"].to_numpy(zero_copy_only=False).astype(np.int64)
+        key = (xs << 32) | ys
+        order = np.lexsort((key, -nf))
+        i = order[0]
+        return pa.table({"x": pa.array([int(xs[i])], pa.int32()),
+                         "y": pa.array([int(ys[i])], pa.int32()),
+                         "n_features": pa.array([int(nf[i])], pa.int64())})
+
+    parts = tile_ds.select_columns(["z", "x", "y", "n_features"]).map_batches(
+        part, batch_format="pyarrow"
+    ).to_pandas()
+    if len(parts) == 0:
+        return 0, 0
+    key = (parts["x"].astype(np.int64) << 32) | parts["y"].astype(np.int64)
+    parts = parts.assign(key=key).sort_values(["n_features", "key"], ascending=[False, True])
+    row = parts.iloc[0]
+    return int(row["x"]), int(row["y"])

@@ -530,3 +530,45 @@ def fold_numeric(vals: np.ndarray, keep: np.ndarray, op: str) -> np.ndarray:
     else:
         raise ValueError(f"unknown accumulate op {op}")
     return out
+
+
+def density_glow(index: np.ndarray, kept: np.ndarray, z: int) -> np.ndarray:
+    """-ag feature density (tile.cpp:2147-2157, 2656-2675): per-tile
+    manage_gap scan with gamma fixed at 1 computes each kept feature's
+    spacing; glow = trunc(1/spacing) clamped to 255 (255 when spacing
+    is unset). Returns the 0-255 glow per position (kept ones
+    meaningful)."""
+    scale = float(1 << (64 - 2 * (z + 8)))
+    glow = np.full(len(index), 255, dtype=np.int64)
+    previndex = 0
+    gap = 0.0
+    spacing = 0.0  # STICKY across the scan (declared once per tile,
+    # tile.cpp:1731): a manage_gap-dropped feature inherits the
+    # previous feature's spacing
+    for i in np.flatnonzero(kept):
+        ix = int(index[i])
+        o_prev = previndex
+        # manage_gap with gamma=1 (tile.cpp:720-753)
+        drop = False
+        if gap > 0:
+            if ix == previndex:
+                drop = True
+            elif ix < previndex or (ix - previndex) / scale >= gap:
+                gap = 0.0
+            else:
+                drop = True
+        elif ix >= previndex:
+            g = (ix - previndex) / scale
+            if g == 0:
+                drop = True
+            elif g < 1:
+                gap = g
+                drop = True
+            else:
+                gap = 0.0
+        if not drop:
+            previndex = ix
+            spacing = (ix - o_prev) / scale
+        if spacing > 0:
+            glow[i] = min(int(1 / spacing), 255)
+    return glow

@@ -213,6 +213,7 @@ def encode_point_tiles_attrs(
     attr_vals: np.ndarray | None = None,
     cluster_counts: np.ndarray | None = None,
     cluster_stats: bool = False,
+    density: np.ndarray | None = None,
     ids: np.ndarray | None = None,
 ) -> list[bytes]:
     """Attribute-carrying (slow-path) sibling of encode_point_tiles:
@@ -267,6 +268,8 @@ def encode_point_tiles_attrs(
                     attrs["point_count_abbreviated"] = f"{pc / 1000.0:.1f}k"
                 else:
                     attrs["point_count_abbreviated"] = str(pc)
+            if density is not None:
+                attrs["tippecanoe_feature_density"] = int(density[i])
             f = {"geom": geom, "type": 1, "attrs": attrs}
             if ids is not None:
                 f["id"] = int(ids[i])
