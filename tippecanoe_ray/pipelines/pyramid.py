@@ -2201,7 +2201,7 @@ def center_tile(tile_ds: ray.data.Dataset, maxzoom: int) -> tuple[int, int]:
     ).to_pandas()
     if len(parts) == 0:
         return 0, 0
-    key = (parts["x"].astype(np.int64) << 32) | parts["y"].astype(np.int64)
+    key = (parts["x"].to_numpy().astype(np.int64) << 32) | parts["y"].to_numpy().astype(np.int64)
     parts = parts.assign(key=key).sort_values(["n_features", "key"], ascending=[False, True])
     row = parts.iloc[0]
     return int(row["x"]), int(row["y"])
