@@ -269,3 +269,85 @@ def test_feature_density(ray_session):
     ours = tile_attrs_from_ds(tiles, ("tippecanoe_feature_density",))
     d = _diff(ours, ref)
     assert not d, d
+
+
+@pytest.mark.skipif(not has_reference(), reason="reference binary not built")
+def test_cluster_densest_as_needed(ray_session):
+    """--cluster-densest-as-needed: merged features average into the
+    survivor with per-step long-long truncation (tile.cpp:2030-2050);
+    point_count stats emitted."""
+    from tests.util_reference import run_reference_attrs, tile_attrs_from_ds
+
+    n = 1200
+    ids = [f"img-{i:012d}" for i in range(n)]
+    wx, wy = fnv_world(ids, hotspot_frac=0.6, n_hotspots=1)
+    ref = run_reference_attrs(wx, wy, np.arange(n), maxzoom=6, droprate=1,
+                              extra_flags=["--cluster-densest-as-needed", "-O200"],
+                              attrs=("point_count",))
+    ds = synthesize_image_table(n, with_payload=False)
+    scfg = StrategyConfig(drop_densest=True, as_needed_mode="cluster",
+                          max_tile_features=200)
+    cfg = PyramidConfig(maxzoom=6, droprate=1.0, hotspot_frac=0.6, n_hotspots=1,
+                        strategies=scfg, cluster_stats=True, bucket_zoom=0)
+    tiles = build_pyramid(ds, cfg, n_rows=n)
+    ours = tile_attrs_from_ds(tiles, ("point_count",))
+    d = _diff(ours, ref)
+    assert not d, d
+
+
+@pytest.mark.skipif(not has_reference(), reason="reference binary not built")
+def test_coalesce_densest_as_needed(ray_session):
+    """--coalesce-densest-as-needed: folded features append their
+    geometry onto the survivor (coalesce_geometry, tile.cpp:1613-1631)
+    — feature counts drop but every point survives as a multipoint
+    member."""
+    import sqlite3
+    import subprocess
+    import tempfile
+    import os
+
+    from tests.util_reference import TIPPECANOE, write_geojson
+    from tippecanoe_ray.stages.mvt import decode_tile
+
+    n = 1200
+    ids = [f"img-{i:012d}" for i in range(n)]
+    wx, wy = fnv_world(ids, hotspot_frac=0.6, n_hotspots=1)
+    with tempfile.TemporaryDirectory() as td:
+        gj = os.path.join(td, "in.json")
+        mb = os.path.join(td, "out.mbtiles")
+        write_geojson(gj, wx, wy)
+        subprocess.run(
+            [TIPPECANOE, "-o", mb, "-z6", "-Z0", "-b0", "--no-tile-size-limit",
+             "-q", "-r1", "--coalesce-densest-as-needed", "-O200", gj],
+            check=True, capture_output=True,
+        )
+        ref = {}
+        con = sqlite3.connect(mb)
+        for z, x, r, d in con.execute(
+            "select zoom_level, tile_column, tile_row, tile_data from tiles"
+        ):
+            y = (1 << z) - 1 - r
+            nf = npts = 0
+            for l in decode_tile(bytes(d)):
+                for f in l["features"]:
+                    nf += 1
+                    for c, p in f["geometry"]:
+                        npts += len(p)
+            ref[(z, x, y)] = (nf, npts)
+    ds = synthesize_image_table(n, with_payload=False)
+    scfg = StrategyConfig(drop_densest=True, as_needed_mode="coalesce",
+                          max_tile_features=200)
+    cfg = PyramidConfig(maxzoom=6, droprate=1.0, hotspot_frac=0.6, n_hotspots=1,
+                        strategies=scfg, bucket_zoom=0)
+    tiles = build_pyramid(ds, cfg, n_rows=n)
+    ours = {}
+    for rr in tiles.take_all():
+        nf = npts = 0
+        for l in decode_tile(bytes(rr["tile"])):
+            for f in l["features"]:
+                nf += 1
+                for c, p in f["geometry"]:
+                    npts += len(p)
+        ours[(int(rr["z"]), int(rr["x"]), int(rr["y"]))] = (nf, npts)
+    d = _diff(ours, ref)
+    assert not d, d

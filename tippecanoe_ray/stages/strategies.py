@@ -59,6 +59,10 @@ class StrategyConfig:
     drop_by_attribute: bool = False  # --drop-by-attribute-as-needed
     drop_by_attribute_descending: bool = False
     increase_gamma: bool = False  # --increase-gamma-as-needed
+    # what happens to features below the as-needed threshold:
+    # drop (default) | coalesce (multipoint append, tile.cpp:2092-2107)
+    # | cluster (position averaging, tile.cpp:2030-2050)
+    as_needed_mode: str = "drop"
     max_tile_features: int = MAX_TILE_FEATURES
     limit_tile_feature_count: int = 0
     accumulate: dict[str, str] | None = None  # attr -> op
@@ -478,6 +482,27 @@ def multiplier_keep(
             count += 1
             keep[i] = True
     return keep, lead
+
+
+def cluster_fold_positions(
+    wx: np.ndarray, wy: np.ndarray, keep: np.ndarray
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """--cluster-densest-as-needed position averaging
+    (tile.cpp:2030-2050): each merged feature updates the target's
+    STORED (long long, truncated) coordinate with the running mean.
+    Returns (x, y, point_count) per position."""
+    px = wx.astype(np.int64).copy()
+    py = wy.astype(np.int64).copy()
+    clustered = np.zeros(len(wx), dtype=np.int64)
+    dropped, tgt = fold_targets(keep)
+    for d, t in zip(dropped, tgt):
+        clustered[t] += 1
+        c = clustered[t]
+        x = float(px[t]) * c + float(wx[d])
+        y = float(py[t]) * c + float(wy[d])
+        px[t] = int(x / (c + 1))  # truncation on store into draw.x
+        py[t] = int(y / (c + 1))
+    return px, py, clustered + 1
 
 
 def fold_targets(keep: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
