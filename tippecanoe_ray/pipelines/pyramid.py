@@ -357,7 +357,11 @@ class ZoomEmitter:
             if z > 0
             else bool((swx == 1 << 32).any())
         )
-        if not has_boundary and z > 0:
+        scfg0 = getattr(cfg, "strategies", None)
+        special_mode = (
+            scfg0 is not None and getattr(scfg0, "as_needed_mode", "drop") != "drop"
+        )
+        if not has_boundary and z > 0 and not special_mode:
             return self._emit_fast(z, index, seq, swx, swy, minzoom, bucket, gaps, vals), None
         return self._emit_slow(z, index, seq, swx, swy, bzx, bzy, minzoom, bucket, route, gaps, vals)
 
@@ -540,7 +544,8 @@ class ZoomEmitter:
         ) if len(run_keys) else np.zeros(len(gkey), bool)
         affected_runs = np.unique(gpos[gmatched]) if gmatched.any() else np.empty(0, np.int64)
         if (strat or vals is not None or cfg.coalesce or _ordering_on(cfg)
-                or cfg.calculate_density) and n_core:
+                or cfg.calculate_density
+                or (scfg is not None and getattr(scfg, "as_needed_mode", "drop") != "drop")) and n_core:
             # strategies and attribute folds are ordered scans: every
             # tile takes the merged per-tile path so the scan semantics
             # apply uniformly
@@ -643,8 +648,11 @@ class ZoomEmitter:
                     midx, mmz, z, cfg.retain_points_multiplier, cfg.droprate
                 )
             mcnt = None
+            mmembers = None  # coalesce mode: per-kept member positions
             if strat:
-                from ..stages.strategies import apply_strategies
+                from ..stages.strategies import (
+                    apply_strategies, cluster_fold_positions, fold_targets,
+                )
 
                 ksel = np.flatnonzero(k)
                 if len(ksel):
@@ -655,15 +663,34 @@ class ZoomEmitter:
                         attrs=None if mval is None else mval[ksel],
                     )
                     self._note(z, rep)
-                    k[ksel[~k2]] = False
-                    mwx = mwx.astype(np.float64)
-                    mwy = mwy.astype(np.float64)
-                    mwx[ksel] = cx2
-                    mwy[ksel] = cy2
-                    mwx = mwx.astype(np.int64)
-                    mwy = mwy.astype(np.int64)
-                    mcnt = np.ones(len(k), dtype=np.int64)
-                    mcnt[ksel] = cnt2
+                    mode = getattr(scfg, "as_needed_mode", "drop")
+                    if mode == "cluster":
+                        ccx, ccy, cnts = cluster_fold_positions(
+                            mwx[ksel], mwy[ksel], k2
+                        )
+                        k[ksel[~k2]] = False
+                        mwx = mwx.copy(); mwy = mwy.copy()
+                        mwx[ksel] = ccx
+                        mwy[ksel] = ccy
+                        mcnt = np.ones(len(k), dtype=np.int64)
+                        mcnt[ksel] = cnts
+                    elif mode == "coalesce":
+                        dropped, tgt = fold_targets(k2)
+                        members: dict[int, list[int]] = {}
+                        for d, t in zip(dropped, tgt):
+                            members.setdefault(int(ksel[t]), []).append(int(ksel[d]))
+                        mmembers = members
+                        k[ksel[~k2]] = False
+                    else:
+                        k[ksel[~k2]] = False
+                        mwx = mwx.astype(np.float64)
+                        mwy = mwy.astype(np.float64)
+                        mwx[ksel] = cx2
+                        mwy[ksel] = cy2
+                        mwx = mwx.astype(np.int64)
+                        mwy = mwy.astype(np.int64)
+                        mcnt = np.ones(len(k), dtype=np.int64)
+                        mcnt[ksel] = cnt2
             mfold = None
             if mval is not None and cfg.attr_accum:
                 from ..stages.strategies import fold_numeric
@@ -690,7 +717,34 @@ class ZoomEmitter:
             if mval is not None and mfold is None and cfg.emit_attr:
                 mfold = mval
                 attr_mode = True
-            if cfg.encode_tiles and cfg.coalesce:
+            if cfg.encode_tiles and mmembers is not None:
+                # as-needed coalesce: each kept feature becomes a
+                # multipoint of itself + the features folded onto it
+                # (coalesce_geometry appends, tile.cpp:1613-1631)
+                from ..stages.mvt import encode_layer as _el, encode_tile as _et
+                from ..stages.tile_encode import encode_multipoint as _emp
+
+                shift_ = WORLD_BITS - z - cfg.detail
+                ox_ = ttx << (WORLD_BITS - z)
+                oy_ = tty << (WORLD_BITS - z)
+                feats_ = []
+                for i_ in kidx:
+                    mem = [int(i_)] + mmembers.get(int(i_), [])
+                    lx_ = (mwx[mem] - ox_)
+                    ly_ = (mwy[mem] - oy_)
+                    if shift_ >= 0:
+                        lx_ >>= shift_
+                        ly_ >>= shift_
+                    else:
+                        lx_ <<= -shift_
+                        ly_ <<= -shift_
+                    feats_.append({
+                        "geom": _emp(np.stack([lx_, ly_], axis=1)),
+                        "type": 1,
+                    })
+                tb = _et([_el(cfg.layer_name, feats_, 1 << cfg.detail)],
+                         compress=cfg.compress)
+            elif cfg.encode_tiles and cfg.coalesce:
                 from ..stages.tile_encode import encode_point_tiles_coalesced
 
                 tbs, ccounts2 = encode_point_tiles_coalesced(
