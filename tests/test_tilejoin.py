@@ -118,3 +118,45 @@ def test_layer_ops(ray_session):
     assert names_of(layer_ops(merged, rename={"alpha": "gamma"})) == ["beta", "gamma"]
     # all layers removed -> tiles dropped entirely
     assert layer_ops(merged, remove={"alpha", "beta"}).count() == 0
+
+
+def test_postfilter_hook(ray_session):
+    """-c postfilter equivalent: per-tile feature callable
+    (plugin.cpp:78-375 re-expressed as a distributed hook)."""
+    from tippecanoe_ray.pipelines.pyramid import PyramidConfig, build_pyramid
+    from tippecanoe_ray.pipelines.tilejoin import postfilter_tiles
+    from tippecanoe_ray.sources.image_table import synthesize_image_table
+
+    ds = synthesize_image_table(400, with_payload=False)
+    tiles = build_pyramid(
+        ds, PyramidConfig(maxzoom=3, droprate=1.0, emit_ids=True), n_rows=400
+    )
+
+    def keep_even(z, x, y, feats):
+        return [f for f in feats if f.get("id") is not None and f["id"] % 2 == 0]
+
+    filtered = postfilter_tiles(tiles, keep_even)
+    tot_before = sum(r["n_features"] for r in tiles.select_columns(["n_features"]).take_all())
+    tot_after = sum(r["n_features"] for r in filtered.select_columns(["n_features"]).take_all())
+    assert 0 < tot_after < tot_before
+    from tippecanoe_ray.stages.mvt import decode_tile
+
+    for r in filtered.take_all():
+        for lay in decode_tile(bytes(r["tile"])):
+            for f in lay["features"]:
+                assert f["id"] % 2 == 0
+
+
+def test_cluster_distance_maxzoom():
+    """main.cpp:2376-2388: maxzoom raised until avg gap > cluster
+    mingap."""
+    import math
+
+    from tippecanoe_ray.stages.stats import cluster_distance_maxzoom
+
+    # avg spacing = exp(mean); choose mean so avg sits between the
+    # mingaps of z6 and z9 for distance 50
+    stats = {"count": 100, "mean": math.log(((1 << (32 - 8)) // 256 * 50) ** 2 * 0.5), "m2": 0}
+    mz = cluster_distance_maxzoom(stats, 6, 50)
+    assert mz == 9  # first zoom where avg > mingap
+    assert cluster_distance_maxzoom(stats, 6, 0) == 6

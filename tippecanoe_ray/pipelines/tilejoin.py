@@ -342,3 +342,48 @@ def layer_ops(
         return pd.DataFrame(rows)
 
     return tile_ds.map_batches(fn, batch_format="pandas")
+
+
+def postfilter_tiles(
+    tile_ds: ray.data.Dataset,
+    fn,
+    compress: bool = True,
+) -> ray.data.Dataset:
+    """The -c postfilter hook surface (plugin.cpp:78-375, README
+    §pre/post filters) as a first-class callable instead of a shell
+    subprocess: `fn(z, x, y, features) -> features` receives each
+    tile's decoded features (dicts with type/geometry/tags/id, the
+    NDJSON envelope's content) at tile resolution and returns the
+    features to keep/modify. Runs inside map_batches tasks — the
+    distributed equivalent of the per-tile pipe."""
+    from ..stages.mvt import encode_layer, encode_tile
+
+    def run(df: pd.DataFrame) -> pd.DataFrame:
+        rows = {"z": [], "x": [], "y": [], "n_features": [], "tile": []}
+        for z, x, y, data in zip(df["z"], df["x"], df["y"], df["tile"]):
+            if len(data) == 0:
+                continue
+            out_layers = []
+            total = 0
+            for lay in decode_tile(bytes(data)):
+                feats_in = lay["features"]
+                feats_out = fn(int(z), int(x), int(y), feats_in)
+                if not feats_out:
+                    continue
+                enc = [
+                    {"geom": _reencode_geom(f), "type": f["type"],
+                     "id": f.get("id"), "attrs": f.get("tags", {})}
+                    for f in feats_out
+                ]
+                total += len(enc)
+                out_layers.append(encode_layer(lay["name"], enc, lay["extent"]))
+            if not out_layers:
+                continue
+            rows["z"].append(int(z))
+            rows["x"].append(int(x))
+            rows["y"].append(int(y))
+            rows["n_features"].append(total)
+            rows["tile"].append(encode_tile(out_layers, compress=compress))
+        return pd.DataFrame(rows)
+
+    return tile_ds.map_batches(run, batch_format="pandas")

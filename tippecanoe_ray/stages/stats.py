@@ -222,3 +222,29 @@ def tilestats(ds: ray.data.Dataset, attr_cols: list[str], layer: str = "points")
     out["attributes"].sort(key=lambda e: e["attribute"])
     out["attributeCount"] = len(out["attributes"])
     return out
+
+
+def cluster_distance_maxzoom(
+    stats: dict,
+    maxzoom: int,
+    cluster_distance: int,
+    cluster_maxzoom: int = 24,
+    full_detail: int = 12,
+    low_detail: int = 12,
+) -> int:
+    """main.cpp:2376-2388: raise the guessed maxzoom until the average
+    index gap exceeds the cluster mingap at that zoom, so -K clustering
+    leaves most features distinct."""
+    if cluster_distance <= 0 or stats["count"] == 0:
+        return maxzoom
+    avg = math.exp(stats["mean"])  # geometric mean spacing (index units)
+    while (
+        maxzoom < 32 - full_detail
+        and maxzoom < 33 - low_detail
+        and maxzoom < cluster_maxzoom
+    ):
+        step = (1 << (32 - maxzoom)) // 256 * cluster_distance
+        if avg > step * step:
+            break
+        maxzoom += 1
+    return maxzoom
