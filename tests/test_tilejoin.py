@@ -160,3 +160,67 @@ def test_cluster_distance_maxzoom():
     mz = cluster_distance_maxzoom(stats, 6, 50)
     assert mz == 9  # first zoom where avg > mingap
     assert cluster_distance_maxzoom(stats, 6, 0) == 6
+
+
+def test_overzoom_vector_vs_reference_tool(ray_session, tmp_path):
+    """Lines/polygons through overzoom: the reference's own
+    tippecanoe-overzoom consumes OUR tile bytes; child feature counts
+    must match our overzoom of the same tile (buffer 5, tool default)."""
+    import os
+    import subprocess
+
+    import pytest as _pytest
+
+    tool = "/tmp/refbuild/tippecanoe-overzoom"
+    if not os.path.exists(tool):
+        _pytest.skip("tippecanoe-overzoom not built")
+    import ray.data
+
+    from tests.util_reference import synth_vector_corpus
+    from tests.util_reference import geoms_to_table
+    from tippecanoe_ray.pipelines.tilejoin import overzoom_tiles
+    from tippecanoe_ray.pipelines.vector_pyramid import (
+        VectorConfig, build_vector_pyramid, ingest_features,
+    )
+    from tippecanoe_ray.stages.mvt import decode_tile
+
+    feats = synth_vector_corpus(n_lines=20, n_polys=10, seed=9)
+    cfg = VectorConfig(maxzoom=2, layer_name="in")
+    tiles = build_vector_pyramid(ingest_features(geoms_to_table(feats), cfg), cfg)
+    parents = [r for r in tiles.take_all() if r["z"] == 2]
+    assert parents
+    ours_children = {}
+    oz = overzoom_tiles(ray.data.from_items(
+        [{"z": int(r["z"]), "x": int(r["x"]), "y": int(r["y"]), "tile": bytes(r["tile"])} for r in parents]
+    ), buffer=5)
+    for r in oz.take_all():
+        key = (int(r["z"]), int(r["x"]), int(r["y"]))
+        ours_children[key] = ours_children.get(key, 0) + int(r["n_features"])
+    ref_children = {}
+    for r in parents:
+        z, x, y = int(r["z"]), int(r["x"]), int(r["y"])
+        pin = str(tmp_path / f"in_{x}_{y}.pbf")
+        open(pin, "wb").write(bytes(r["tile"]))
+        for dx in (0, 1):
+            for dy in (0, 1):
+                pout = str(tmp_path / f"out_{x}_{y}_{dx}{dy}.pbf")
+                res = subprocess.run(
+                    [tool, "-o", pout, pin, f"{z}/{x}/{y}",
+                     f"{z+1}/{2*x+dx}/{2*y+dy}"],
+                    capture_output=True,
+                )
+                if res.returncode != 0 or not os.path.exists(pout):
+                    continue
+                data = open(pout, "rb").read()
+                if not data:
+                    continue
+                n = sum(len(l["features"]) for l in decode_tile(data))
+                if n:
+                    key = (z + 1, 2 * x + dx, 2 * y + dy)
+                    ref_children[key] = ref_children.get(key, 0) + n
+    bad = [
+        f"{k}: ours={ours_children.get(k)} ref={ref_children.get(k)}"
+        for k in sorted(set(ours_children) | set(ref_children))
+        if ours_children.get(k) != ref_children.get(k)
+    ]
+    assert not bad, bad[:10]

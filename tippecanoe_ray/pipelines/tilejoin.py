@@ -182,12 +182,19 @@ def overzoom_tiles(
     tile_ds: ray.data.Dataset,
     compress: bool = True,
     dedup_by_id: bool = False,
+    buffer: int = 0,
 ) -> ray.data.Dataset:
-    """Each zoom-z tile → up to 4 zoom-(z+1) children: clip features to
-    the child's bounds (inclusive max edge, clip.cpp:84-104 via
-    overzoom() clip.cpp:1453+), rescale ×2 into the child extent.
-    dedup_by_id keeps the first feature per (layer, id)
-    (clip.cpp:1470-1509)."""
+    """Each zoom-z tile → up to 4 zoom-(z+1) children, all geometry
+    types, reproducing overzoom() (clip.cpp:1453-1660): decode to world
+    coordinates (closepath → explicit ring closure), offset to the
+    child tile, bbox quick exclusion, type-specific clip with `buffer`
+    (the tippecanoe-overzoom tool default is 5; 0 keeps the historical
+    inclusive-edge point behavior), to_tile_scale, noop removal and
+    polygon cleaning. dedup_by_id keeps the first feature per
+    (layer, id) (clip.cpp:1470-1509)."""
+    from ..functions import drawvec as dv
+
+    WORLD_BITS = 32
 
     def fn(df: pd.DataFrame) -> pd.DataFrame:
         rows = {"z": [], "x": [], "y": [], "n_features": [], "tile": []}
@@ -195,52 +202,101 @@ def overzoom_tiles(
             if len(data) == 0:
                 continue
             layers = decode_tile(bytes(data))
-            extent = layers[0]["extent"] if layers else DEFAULT_EXTENT
+            z, x, y = int(z), int(x), int(y)
+            tilesize = 1 << (WORLD_BITS - z)
+            nz = z + 1
+            outtilesize = 1 << (WORLD_BITS - nz)
             for dx in (0, 1):
                 for dy in (0, 1):
-                    cx0 = dx * extent // 2
-                    cy0 = dy * extent // 2
-                    cx1 = cx0 + extent // 2
-                    cy1 = cy0 + extent // 2
+                    nx = 2 * x + dx
+                    ny = 2 * y + dy
                     out_layers = []
                     total = 0
                     seen: set = set()
                     for lay in layers:
+                        extent = lay["extent"]
+                        det = int(round(np.log2(extent)))
                         feats = []
                         for f in lay["features"]:
-                            pts = [
-                                p
-                                for cmd, ps in f["geometry"]
-                                for p in ps
-                                if cmd == 1
-                            ]
-                            kept = [
-                                (px, py)
-                                for px, py in pts
-                                if cx0 <= px <= cx1 and cy0 <= py <= cy1
-                            ]
-                            if not kept:
-                                continue
-                            if dedup_by_id and f["id"] is not None:
-                                k = (lay["name"], f["id"])
-                                if k in seen:
+                            t = f["type"]
+                            # decode to world coords; closepath becomes
+                            # an explicit closing point (clip.cpp:1521-35)
+                            ops_l: list[int] = []
+                            xy_l: list[tuple[int, int]] = []
+                            ring_closure = (0, 0)
+                            for cmd, ps in f["geometry"]:
+                                if cmd == 7:
+                                    ops_l.append(2)
+                                    xy_l.append(ring_closure)
                                     continue
-                                seen.add(k)
-                            # rescale into child extent
-                            lx = np.array([p[0] * 2 - dx * extent for p in kept])
-                            ly = np.array([p[1] * 2 - dy * extent for p in kept])
-                            geoms = encode_point_geometries(lx, ly)
-                            for g in geoms:
-                                feats.append(
-                                    {"geom": g, "type": 1, "id": f["id"], "attrs": f["tags"]}
+                                for k, (px, py) in enumerate(ps):
+                                    wxp = px * tilesize // extent + x * tilesize
+                                    wyp = py * tilesize // extent + y * tilesize
+                                    ops_l.append(1 if (cmd == 1) else 2)
+                                    xy_l.append((wxp, wyp))
+                                    if cmd == 1:
+                                        ring_closure = (wxp, wyp)
+                            ops = np.array(ops_l, np.uint8)
+                            xy = np.array(xy_l, np.int64).reshape(-1, 2)
+                            # offset to child tile, world scale
+                            xy = xy - np.array([nx * outtilesize, ny * outtilesize])
+                            b = outtilesize * buffer // 256
+                            bb = dv.geom_bbox(xy)
+                            if bb is None or bb[2] < -b or bb[3] < -b or bb[0] > outtilesize + b or bb[1] > outtilesize + b:
+                                if dedup_by_id and f.get("id") is not None:
+                                    seen.add((lay["name"], f["id"]))
+                                continue
+                            if t == 2:
+                                ops, xy = dv.clip_lines(ops, xy, -b, -b, outtilesize + b, outtilesize + b)
+                            elif t == 3:
+                                ops, xy = dv.simple_clip_poly(ops, xy, -b, -b, outtilesize + b, outtilesize + b)
+                            else:
+                                m = (
+                                    (xy[:, 0] >= -b) & (xy[:, 1] >= -b)
+                                    & (xy[:, 0] <= outtilesize + b)
+                                    & (xy[:, 1] <= outtilesize + b)
                                 )
+                                ops, xy = ops[m], xy[m]
+                            if len(ops) == 0:
+                                if dedup_by_id and f.get("id") is not None:
+                                    seen.add((lay["name"], f["id"]))
+                                continue
+                            if dedup_by_id and f.get("id") is not None:
+                                kkey = (lay["name"], f["id"])
+                                if kkey in seen:
+                                    continue
+                                seen.add(kkey)
+                            xy = dv.to_tile_scale(xy, nz, det)
+                            ops, xy = dv.remove_noop(ops, xy, t, 0)
+                            if t == 3:
+                                ops, xy = dv.clean_poly_tile_scale(ops, xy)
+                            if len(ops) == 0:
+                                continue
+                            parts = [xy[i:j] for i, j in dv.rings(ops)]
+                            if not parts:
+                                continue
+                            if t == 3:
+                                from ..stages.mvt import encode_polygon
+
+                                g = encode_polygon(parts)
+                            elif t == 2:
+                                from ..stages.mvt import encode_linestring
+
+                                g = encode_linestring(parts)
+                            else:
+                                from ..stages.tile_encode import encode_multipoint
+
+                                g = encode_multipoint(np.concatenate(parts))
+                            feats.append(
+                                {"geom": g, "type": t, "id": f.get("id"), "attrs": f.get("tags", {})}
+                            )
                         if feats:
                             total += len(feats)
                             out_layers.append(encode_layer(lay["name"], feats, lay["extent"]))
                     if total:
-                        rows["z"].append(z + 1)
-                        rows["x"].append(2 * x + dx)
-                        rows["y"].append(2 * y + dy)
+                        rows["z"].append(nz)
+                        rows["x"].append(nx)
+                        rows["y"].append(ny)
                         rows["n_features"].append(total)
                         rows["tile"].append(encode_tile(out_layers, compress=compress))
         return pd.DataFrame(rows)
