@@ -351,3 +351,22 @@ def test_coalesce_densest_as_needed(ray_session):
         ours[(int(rr["z"]), int(rr["x"]), int(rr["y"]))] = (nf, npts)
     d = _diff(ours, ref)
     assert not d, d
+
+
+@pytest.mark.skipif(not has_reference(), reason="reference binary not built")
+def test_dynamic_drop(ray_session):
+    """-pd: drop-fraction gate with per-tile-only thresholds
+    (tile.cpp:2841, non-propagation 3020-3023)."""
+    from tests.util_reference import diff_counts, run_reference, tile_counts_from_ds
+
+    n = 1200
+    ids = [f"img-{i:012d}" for i in range(n)]
+    wx, wy = fnv_world(ids, hotspot_frac=0.6, n_hotspots=1)
+    ref = run_reference(wx, wy, maxzoom=6, droprate=1, extra_flags=["-pd", "-O200"])
+    ds = synthesize_image_table(n, with_payload=False)
+    scfg = StrategyConfig(dynamic_drop=True, max_tile_features=200)
+    cfg = PyramidConfig(maxzoom=6, droprate=1.0, hotspot_frac=0.6, n_hotspots=1,
+                        strategies=scfg, bucket_zoom=0)
+    tiles = build_pyramid(ds, cfg, n_rows=n)
+    d = diff_counts(tile_counts_from_ds(tiles), ref)
+    assert not d, d

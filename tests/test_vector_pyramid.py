@@ -134,3 +134,25 @@ def test_vector_drop_ladder(ray_session, kind, flag):
                        drop_lines=(kind == "line"), drop_polygons=(kind == "polygon"))
     d = diff_counts(ours, ref)
     assert not d, d
+
+
+@pytest.mark.skipif(not has_reference(), reason="reference binary not built")
+def test_wraparound_repair(ray_session):
+    """-aw: a line hopping across the antimeridian gets stitched by
+    +-360-degree offsets (scale_geometry, serial.cpp:313-337)."""
+    import numpy as np
+
+    from tests.util_reference import diff_counts, run_reference_geoms
+
+    # a line jumping 179 -> -179 -> 178 -> -178 (crosses the dateline)
+    lons = [179.0, -179.0, 178.5, -178.5, 179.5]
+    lats = [10.0, 11.0, 12.0, 13.0, 14.0]
+    from tippecanoe_ray.functions.spatial import lonlat_to_world
+
+    wx, wy = lonlat_to_world(np.array(lons), np.array(lats))
+    pts = np.stack([wx, wy], axis=1).astype(np.int64)
+    feats = [("line", [pts])]
+    ref = run_reference_geoms(feats, maxzoom=4, extra_flags=["-aw"])
+    ours = _build_ours(feats, maxzoom=4, detect_wraparound=True)
+    d = diff_counts(ours, ref)
+    assert not d, d

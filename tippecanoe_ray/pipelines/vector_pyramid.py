@@ -68,6 +68,9 @@ class VectorConfig:
     basezoom: int | None = None
     drop_lines: bool = False
     drop_polygons: bool = False
+    # -aw: repair >180-degree longitude jumps between consecutive
+    # vertices by +-2^32 offsets (scale_geometry, serial.cpp:313-337)
+    detect_wraparound: bool = False
 
     def resolved_basezoom(self) -> int:
         return self.maxzoom if self.basezoom is None else self.basezoom
@@ -130,6 +133,8 @@ def ingest_features(tbl: pa.Table, cfg: VectorConfig) -> pa.Table:
         seq = int(tbl["seq"][i].as_py())
         t = int(tbl["t"][i].as_py())
         ops, xy = _unpack(tbl, i)
+        if cfg.detect_wraparound:
+            xy = _fix_wraparound(ops, xy)
         scaled = dv.shift_right(xy, g)
         if t == 3:
             ops, scaled = dv.fix_polygon(ops, scaled)
@@ -179,6 +184,37 @@ def ingest_features(tbl: pa.Table, cfg: VectorConfig) -> pa.Table:
                 r[6] = int(mzs[k])
                 k += 1
     return features_table([tuple(r) for r in out])
+
+
+def _fix_wraparound(ops: np.ndarray, xy: np.ndarray) -> np.ndarray:
+    """-aw (scale_geometry, serial.cpp:313-337): inside each part, an x
+    jump of more than 180 degrees (but not exactly 360) accumulates a
+    +-2^32 offset; offsets reset at each MOVETO."""
+    out = xy.copy()
+    offset = 0
+    prev = 0
+    has_prev = False  # NOT reset at MOVETO: the feature's very first
+    # segment is never repaired (serial.cpp:317-337 sets has_prev only
+    # in the LINETO branch)
+    W = 1 << 32
+    H = 1 << 31
+    for i in range(len(ops)):
+        if ops[i] == 2:  # LINETO
+            x = int(out[i, 0]) + offset
+            if has_prev:
+                if x - prev > H and x - prev != W:
+                    offset -= W
+                    x -= W
+                elif prev - x > H and prev - x != W:
+                    offset += W
+                    x += W
+            out[i, 0] = x
+            prev = x
+            has_prev = True
+        elif ops[i] == 1:  # MOVETO
+            offset = 0
+            prev = int(out[i, 0])
+    return out
 
 
 def process_tile(cfg: VectorConfig, z: int, tx: int, ty: int, tbl: pa.Table):

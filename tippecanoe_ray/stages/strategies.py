@@ -59,6 +59,10 @@ class StrategyConfig:
     drop_by_attribute: bool = False  # --drop-by-attribute-as-needed
     drop_by_attribute_descending: bool = False
     increase_gamma: bool = False  # --increase-gamma-as-needed
+    # -pd: the drop-fraction gate with PER-TILE thresholds only — the
+    # chosen mindrop_sequence is not propagated zoom-globally
+    # (tile.cpp:2841 gate, 3020-3023 non-propagation)
+    dynamic_drop: bool = False
     # what happens to features below the as-needed threshold:
     # drop (default) | coalesce (multipoint append, tile.cpp:2092-2107)
     # | cluster (position averaging, tile.cpp:2030-2050)
@@ -74,6 +78,7 @@ class StrategyConfig:
             or self.drop_densest
             or self.drop_smallest
             or self.drop_fraction
+            or self.dynamic_drop
             or self.drop_by_attribute
             or self.increase_gamma
             or self.limit_tile_feature_count
@@ -336,7 +341,7 @@ def apply_strategies(
             samples = np.concatenate((samples, extents))
         if minextent > int(ov.get("minextent", 0)):
             report["minextent"] = minextent
-    if scfg.drop_fraction:
+    if scfg.drop_fraction or scfg.dynamic_drop:
         seqs = drop_sequence(minzoom, index)
         minseq = int(ov.get("mindrop_sequence", 0))
         if minseq:
@@ -353,7 +358,7 @@ def apply_strategies(
             minseq = m
             keep &= ~(seqs <= np.uint64(minseq))
             samples = np.concatenate((samples, seqs))
-        if minseq > int(ov.get("mindrop_sequence", 0)):
+        if minseq > int(ov.get("mindrop_sequence", 0)) and not scfg.dynamic_drop:
             report["mindrop_sequence"] = minseq
     if scfg.drop_by_attribute and attrs is not None:
         desc = scfg.drop_by_attribute_descending
