@@ -17,9 +17,74 @@ import sys
 import time
 
 
+def _build_from_geo(args, cfg):
+    """GeoJSON / geobuf / geocsv input: points ride the point pipeline,
+    lines/polygons the vector cascade; the two tilesets merge."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from tippecanoe_ray.functions.spatial import encode_quadkey
+    from tippecanoe_ray.pipelines.pyramid import build_pyramid_from_narrow
+    from tippecanoe_ray.pipelines.tilejoin import merge_tilesets
+    from tippecanoe_ray.pipelines.vector_pyramid import (
+        VectorConfig, build_vector_pyramid, ingest_features,
+    )
+
+    layer = args.layer_name or "in"
+    cfg.layer_name = layer
+    lower = args.input.lower()
+    pts_tbl = None
+    vec_tbl = None
+    if lower.endswith(".csv"):
+        from tippecanoe_ray.sources.geocsv import read_geocsv_points
+
+        pts_tbl = read_geocsv_points(args.input)
+    elif lower.endswith(".geobuf"):
+        from tippecanoe_ray.sources.geobuf import read_geobuf_vector
+
+        vec_tbl = read_geobuf_vector(args.input)
+    else:
+        from tippecanoe_ray.sources.geojson import (
+            read_geojson_points, read_geojson_vector,
+        )
+
+        pts_tbl = read_geojson_points(args.input)
+        vec_tbl = read_geojson_vector(args.input)
+    outs = []
+    if pts_tbl is not None and len(pts_tbl):
+        wx = pts_tbl["wx"].to_numpy()
+        wy = pts_tbl["wy"].to_numpy()
+        narrow = ray.data.from_arrow(pa.table({
+            "wx": wx, "wy": wy,
+            "index": pa.array(encode_quadkey(wx & ~1, wy & ~1), pa.uint64()),
+            "seq": pts_tbl["seq"],
+        }))
+        outs.append(build_pyramid_from_narrow(narrow, cfg, n_rows=len(pts_tbl)))
+    if vec_tbl is not None and len(vec_tbl):
+        vcfg = VectorConfig(
+            minzoom=cfg.minzoom, maxzoom=cfg.maxzoom, layer_name=layer,
+            buffer=args.buffer, droprate=cfg.droprate,
+            max_tile_size=args.max_tile_bytes,
+        )
+        outs.append(build_vector_pyramid(ingest_features(vec_tbl, vcfg), vcfg))
+    if not outs:
+        raise SystemExit("no features found in input")
+    if len(outs) == 1:
+        return outs[0]
+    return merge_tilesets(*outs)
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser(prog="tippecanoe_ray")
-    ap.add_argument("--input", required=True, help="parquet/lance table of feature rows")
+    ap.add_argument("--input", required=True,
+                    help="parquet/lance feature table, or .geojson/.json[.gz], "
+                         ".geobuf, .csv (geocsv points)")
+    ap.add_argument("--layer-name", default=None)
+    ap.add_argument("--buffer", type=int, default=5,
+                    help="tile buffer in 256ths (lines/polygons)")
+    ap.add_argument("--max-tile-bytes", type=int, default=None,
+                    help="compressed byte cap with detail ladder (reference -M 500000)")
     ap.add_argument("--out", required=True, help="output tileset directory")
     ap.add_argument("--id-col", default="image_id")
     ap.add_argument("--rule", default="fnv", choices=["fnv", "lcg"])
@@ -77,16 +142,26 @@ def main(argv=None):
         seq_col=None,  # derive a deterministic sequence from the id
         strategies=scfg,
     )
-    ds = read_image_table(args.input)
     t0 = time.time()
-    tiles = build_pyramid(ds, cfg, out_dir=args.out, resume=args.resume)
+    lower = args.input.lower()
+    geoish = lower.endswith((".json", ".geojson", ".json.gz", ".geojson.gz",
+                             ".geobuf", ".csv"))
+    if geoish:
+        tiles = _build_from_geo(args, cfg)
+    else:
+        ds = read_image_table(args.input)
+        tiles = build_pyramid(ds, cfg, out_dir=args.out, resume=args.resume)
     n_tiles = tiles.count()
     out = {
         "out_dir": args.out,
         "n_tiles": n_tiles,
         "elapsed_sec": round(time.time() - t0, 2),
-        "metrics": run_metrics(args.out),
     }
+    try:
+        out["metrics"] = run_metrics(args.out)
+    except FileNotFoundError:
+        # geo inputs build in-memory tilesets (no resumable raw layout)
+        out["metrics"] = None
     if args.mbtiles:
         from tippecanoe_ray.sources.mbtiles import write_mbtiles
 
