@@ -115,6 +115,49 @@ def headline_pyramid(sf_dir: str):
         shutil.rmtree(out_dir, ignore_errors=True)
 
 
+def vector_bench(sf: float):
+    """Lines/polygons through the full cascade (clip/simplify/encode) —
+    deterministic synthetic corpus sized to the sf."""
+    import numpy as np
+
+    from tippecanoe_ray.pipelines.vector_pyramid import (
+        VectorConfig, build_vector_pyramid, features_table, ingest_features,
+    )
+
+    scale = max(sf / 0.01, 1.0)
+    n_lines = int(300 * scale)
+    n_polys = int(150 * scale)
+    rs = np.random.RandomState(17)
+    lo, hi = 1 << 28, (1 << 32) - (1 << 28)
+    rows = []
+    seq = 0
+    for _ in range(n_lines):
+        n = rs.randint(4, 40)
+        start = rs.randint(lo + (1 << 27), hi - (1 << 27), size=2)
+        steps = rs.randint(-(1 << 23), 1 << 23, size=(n, 2))
+        pts = np.cumsum(np.vstack([start, steps]), axis=0).clip(lo, hi)
+        rows.append((seq, 2, np.array([1] + [2] * n, np.uint8), pts.astype(np.int64)))
+        seq += 1
+    for _ in range(n_polys):
+        cx, cy = rs.randint(lo + (1 << 27), hi - (1 << 27), size=2)
+        k = rs.randint(5, 30)
+        ang = np.sort(rs.uniform(0, 2 * np.pi, k))
+        rad = rs.randint(1 << 20, 1 << 25, size=k)
+        xs = (cx + rad * np.cos(ang)).clip(lo, hi)
+        ys = (cy + rad * np.sin(ang)).clip(lo, hi)
+        ring = np.stack([xs, ys], axis=1).astype(np.int64)
+        ring = np.vstack([ring, ring[:1]])
+        rows.append((seq, 3, np.array([1] + [2] * (len(ring) - 1), np.uint8), ring))
+        seq += 1
+    cfg = VectorConfig(maxzoom=9)
+    t0 = time.time()
+    tbl = ingest_features(features_table(rows), cfg)
+    tiles = build_vector_pyramid(tbl, cfg)
+    n_tiles = tiles.count()
+    el = time.time() - t0
+    return n_tiles, n_lines + n_polys, el
+
+
 def run_bench(headline_only: bool = False) -> dict:
     _init_ray()
     sf_dir = SF_DIR
@@ -126,6 +169,10 @@ def run_bench(headline_only: bool = False) -> dict:
     queries["pyramid_feats_per_sec"] = round(n_feats / t_pyr, 1)
 
     if not headline_only:
+        vt, vf, vel = vector_bench(_sf_of(sf_dir))
+        queries["vector_pyramid"] = round(vel, 3)
+        queries["vector_tiles_per_sec"] = round(vt / vel, 1)
+
         from tippecanoe_ray.pipelines import queries as Q
 
         for name, fn in [

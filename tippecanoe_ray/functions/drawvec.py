@@ -109,8 +109,8 @@ def get_area(xy: np.ndarray, i: int, j: int) -> float:
     by = float(xy[i, 1])
     x = xy[i:j, 0].astype(np.float64) - bx
     y = xy[i:j, 1].astype(np.float64) - by
-    xn = np.roll(x, -1)
-    yn = np.roll(y, -1)
+    xn = np.concatenate((x[1:], x[:1]))
+    yn = np.concatenate((y[1:], y[:1]))
     return float(np.sum(x * yn) - np.sum(y * xn)) / 2.0
 
 
@@ -298,10 +298,55 @@ def simple_clip_poly(ops: np.ndarray, xy: np.ndarray, minx, miny, maxx, maxy):
 # -------------------------------------------------------------- remove_noop
 
 
+def _remove_noop_fast(ops: np.ndarray, xy: np.ndarray, vt_type: int, shift: int):
+    """Vectorized remove_noop for streams WITHOUT CLOSEPATH entries
+    (the cascade's working form): identical output to the scalar
+    version, asserted by the shared test corpus."""
+    if shift == 0:
+        r = xy
+    else:
+        r = round_half_away_arr(xy.astype(np.float64) / (1 << shift)).astype(np.int64)
+    n = len(ops)
+    # pass 1: a LINETO equal (rounded) to its predecessor collapses;
+    # runs of equals collapse transitively to the first, so comparing
+    # with the immediate predecessor is exact here (no CLOSEPATH can
+    # interrupt the ox/oy chain)
+    keep = np.ones(n, dtype=bool)
+    if n > 1:
+        same = (r[1:] == r[:-1]).all(axis=1) & (ops[1:] == LINETO)
+        # collapse runs: an element equal to a DROPPED predecessor is
+        # still equal to the last kept one (transitivity of equality)
+        keep[1:] = ~same
+    o1 = ops[keep]
+    p1 = xy[keep]
+    r1 = r[keep]
+    if vt_type != 1:
+        # pass 2: unused movetos (next op is not LINETO / end)
+        m = len(o1)
+        keep2 = np.ones(m, dtype=bool)
+        if m:
+            is_m = o1 == MOVETO
+            nxt_not_line = np.empty(m, dtype=bool)
+            nxt_not_line[:-1] = o1[1:] != LINETO
+            nxt_not_line[-1] = True
+            keep2 = ~(is_m & nxt_not_line)
+        o1, p1, r1 = o1[keep2], p1[keep2], r1[keep2]
+    if vt_type == 2:
+        m = len(o1)
+        keep3 = np.ones(m, dtype=bool)
+        for i in range(2, m):
+            if o1[i] == MOVETO and o1[i - 1] == LINETO and (r1[i] == r1[i - 1]).all():
+                keep3[i] = False
+        o1, p1 = o1[keep3], p1[keep3]
+    return o1.copy(), p1.copy()
+
+
 def remove_noop(ops: np.ndarray, xy: np.ndarray, vt_type: int, shift: int):
     """clip.cpp:532-605 — three passes: empty linetos, unused movetos,
     (lines) empty movetos. `shift` compares coordinates rounded to the
     shifted grid."""
+    if len(ops) and not (ops == CLOSEPATH).any():
+        return _remove_noop_fast(ops, xy, vt_type, shift)
 
     def r(v: int) -> int:
         if shift == 0:

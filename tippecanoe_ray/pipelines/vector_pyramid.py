@@ -116,6 +116,27 @@ def features_table(rows: list[tuple]) -> pa.Table:
     )
 
 
+def table_to_rows(tbl: pa.Table) -> list[tuple]:
+    """Unpack a feature table into plain tuples ONCE per task — the
+    cascade recursion passes tuples (no per-tile Arrow churn)."""
+    seqs = tbl["seq"].to_pylist()
+    ts = tbl["t"].to_pylist()
+    ops_l = tbl["ops"].to_pylist()
+    xy_l = tbl["xy"].to_pylist()
+    lx = tbl["label_x"].to_pylist() if "label_x" in tbl.column_names else [-1] * len(tbl)
+    ly = tbl["label_y"].to_pylist() if "label_y" in tbl.column_names else [-1] * len(tbl)
+    mz = tbl["minzoom"].to_pylist() if "minzoom" in tbl.column_names else [0] * len(tbl)
+    return [
+        (
+            seqs[i], ts[i],
+            np.frombuffer(ops_l[i], dtype=np.uint8),
+            np.frombuffer(xy_l[i], dtype=np.int64).reshape(-1, 2),
+            lx[i], ly[i], mz[i],
+        )
+        for i in range(len(tbl))
+    ]
+
+
 def _unpack(tbl: pa.Table, i: int):
     ops = np.frombuffer(tbl["ops"][i].as_py(), dtype=np.uint8)
     xy = np.frombuffer(tbl["xy"][i].as_py(), dtype=np.int64).reshape(-1, 2)
@@ -217,9 +238,12 @@ def _fix_wraparound(ops: np.ndarray, xy: np.ndarray) -> np.ndarray:
     return out
 
 
-def process_tile(cfg: VectorConfig, z: int, tx: int, ty: int, tbl: pa.Table):
+def process_tile(cfg: VectorConfig, z: int, tx: int, ty: int, tbl):
     """One write_tile (keep-all path): returns (tile_row | None,
-    children: dict[(cx, cy) -> row list])."""
+    children: dict[(cx, cy) -> row list]). `tbl` is a feature table or
+    a list of row tuples (see table_to_rows)."""
+    if isinstance(tbl, pa.Table):
+        tbl = table_to_rows(tbl)
     span_shift = WORLD_BITS - z
     span = 1 << span_shift
     buf = cfg.buffer * span // 256
@@ -231,17 +255,8 @@ def process_tile(cfg: VectorConfig, z: int, tx: int, ty: int, tbl: pa.Table):
     child_div = 1 << (WORLD_BITS - (z + 1) - 8)
     cspan = 2  # nextzoom - z == 1
 
-    labels_x = tbl["label_x"].to_numpy() if "label_x" in tbl.column_names else None
-    labels_y = tbl["label_y"].to_numpy() if "label_y" in tbl.column_names else None
-    mzs = tbl["minzoom"].to_numpy() if "minzoom" in tbl.column_names else None
-    for i in range(len(tbl)):
-        seq = int(tbl["seq"][i].as_py())
-        t = int(tbl["t"][i].as_py())
-        fmz = int(mzs[i]) if mzs is not None else 0
-        lab = (
-            (int(labels_x[i]), int(labels_y[i])) if labels_x is not None else (-1, -1)
-        )
-        ops, xy = _unpack(tbl, i)
+    for seq, t, ops, xy, lab_x, lab_y, fmz in tbl:
+        lab = (lab_x, lab_y)
         local = xy - origin
         bbox = dv.geom_bbox(local, ops)
         if bbox is None:
@@ -304,6 +319,7 @@ def process_tile(cfg: VectorConfig, z: int, tx: int, ty: int, tbl: pa.Table):
                 for yo in range(b2[1], b2[3] + 1):
                     if blob is None:
                         blob = (seq, t, cops, snapped, lab[0], lab[1], fmz)
+                    # (tuple shared across children)
                     children.setdefault((tx * 2 + xo, ty * 2 + yo), []).append(blob)
 
         if z < cfg.minzoom:
@@ -455,9 +471,10 @@ def _tile_task(cfg: VectorConfig, z: int, tx: int, ty: int, tbl: pa.Table):
 
 @ray.remote
 def _subtree_task(cfg: VectorConfig, z0: int, tx0: int, ty0: int, tbl: pa.Table) -> pa.Table:
-    """Depth-first cascade over one zoom-B subtree; no shuffles."""
+    """Depth-first cascade over one zoom-B subtree; no shuffles, no
+    per-tile Arrow round trips (tuples all the way down)."""
     out_rows: list[dict] = []
-    stack = [(z0, tx0, ty0, tbl)]
+    stack = [(z0, tx0, ty0, table_to_rows(tbl) if isinstance(tbl, pa.Table) else tbl)]
     while stack:
         z, tx, ty, t = stack.pop()
         tile_row, children = process_tile(cfg, z, tx, ty, t)
@@ -465,7 +482,7 @@ def _subtree_task(cfg: VectorConfig, z0: int, tx0: int, ty0: int, tbl: pa.Table)
             out_rows.append(tile_row)
         if z + 1 <= cfg.maxzoom:
             for (cx, cy), rows in children.items():
-                stack.append((z + 1, cx, cy, _rows_table(rows)))
+                stack.append((z + 1, cx, cy, rows))
     return _tile_rows_table(out_rows)
 
 

@@ -155,46 +155,50 @@ def encode_point_geometries(xs: np.ndarray, ys: np.ndarray) -> list[bytes]:
     return out
 
 
+def _part_vals(pts: np.ndarray, px: int, py: int, close: bool) -> tuple[np.ndarray, int, int]:
+    """Command+zigzag value stream for one part, vectorized."""
+    pts = np.asarray(pts, dtype=np.int64)
+    n = len(pts)
+    dx = np.diff(np.concatenate(([px], pts[:, 0])))
+    dy = np.diff(np.concatenate(([py], pts[:, 1])))
+    zz = np.empty(2 * n, dtype=np.int64)
+    zz[0::2] = (dx << 1) ^ (dx >> 63)
+    zz[1::2] = (dy << 1) ^ (dy >> 63)
+    k = n - 1
+    vals = np.empty(2 * n + (1 if k > 0 else 0) + 1 + (1 if close else 0), dtype=np.uint64)
+    vals[0] = (1 << 3) | MOVETO
+    vals[1:3] = zz[:2]
+    pos = 3
+    if k > 0:
+        vals[3] = (k << 3) | LINETO
+        vals[4 : 4 + 2 * k] = zz[2:]
+        pos = 4 + 2 * k
+    if close:
+        vals[pos] = (1 << 3) | CLOSEPATH
+        pos += 1
+    return vals[:pos], int(pts[-1, 0]), int(pts[-1, 1])
+
+
 def encode_linestring(parts: list[np.ndarray]) -> bytes:
     """parts: list of (k,2) int arrays (tile coords)."""
-    vals: list[int] = []
     px = py = 0
+    chunks = []
     for pts in parts:
-        pts = np.asarray(pts, dtype=np.int64)
-        vals.append((1 << 3) | MOVETO)
-        dx, dy = int(pts[0, 0] - px), int(pts[0, 1] - py)
-        vals += [int(zigzag(np.array([dx]))[0]), int(zigzag(np.array([dy]))[0])]
-        px, py = int(pts[0, 0]), int(pts[0, 1])
-        k = len(pts) - 1
-        if k > 0:
-            vals.append((k << 3) | LINETO)
-            for j in range(1, len(pts)):
-                dx, dy = int(pts[j, 0] - px), int(pts[j, 1] - py)
-                vals += [int(zigzag(np.array([dx]))[0]), int(zigzag(np.array([dy]))[0])]
-                px, py = int(pts[j, 0]), int(pts[j, 1])
-    return varint_array(np.array(vals, dtype=np.uint64))
+        vals, px, py = _part_vals(pts, px, py, False)
+        chunks.append(vals)
+    return varint_array(np.concatenate(chunks) if chunks else np.empty(0, np.uint64))
 
 
 def encode_polygon(rings: list[np.ndarray]) -> bytes:
-    vals: list[int] = []
     px = py = 0
+    chunks = []
     for ring in rings:
         ring = np.asarray(ring, dtype=np.int64)
         if len(ring) > 1 and (ring[0] == ring[-1]).all():
             ring = ring[:-1]  # MVT closes rings implicitly
-        vals.append((1 << 3) | MOVETO)
-        d = zigzag(np.array([ring[0, 0] - px, ring[0, 1] - py]))
-        vals += [int(d[0]), int(d[1])]
-        px, py = int(ring[0, 0]), int(ring[0, 1])
-        k = len(ring) - 1
-        if k > 0:
-            vals.append((k << 3) | LINETO)
-            for j in range(1, len(ring)):
-                d = zigzag(np.array([ring[j, 0] - px, ring[j, 1] - py]))
-                vals += [int(d[0]), int(d[1])]
-                px, py = int(ring[j, 0]), int(ring[j, 1])
-        vals.append((1 << 3) | CLOSEPATH)
-    return varint_array(np.array(vals, dtype=np.uint64))
+        vals, px, py = _part_vals(ring, px, py, True)
+        chunks.append(vals)
+    return varint_array(np.concatenate(chunks) if chunks else np.empty(0, np.uint64))
 
 
 # -------------------------------------------------------------------- layer
