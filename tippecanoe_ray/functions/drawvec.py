@@ -552,6 +552,29 @@ def distance_from_line(px, py, ax, ay, bx, by) -> float:
     return _round_half_away(math.sqrt(dx * dx + dy * dy) * 16.0) / 16.0
 
 
+def _dfl_vec(px: np.ndarray, py: np.ndarray, ax: int, ay: int, bx: int, by: int) -> np.ndarray:
+    """Vectorized distance_from_line (identical integer-downshift and
+    1/16-quantization semantics)."""
+
+    def tdiv(a, b):
+        a = np.asarray(a, dtype=np.int64)
+        return np.sign(a) * (np.abs(a) // b)
+
+    p2x = bx - ax
+    p2y = by - ay
+    something = (_tdiv(p2x, 4) * _tdiv(p2x, 8) + _tdiv(p2y, 4) * _tdiv(p2y, 8)) * 32.0
+    if something == 0:
+        u = np.zeros(len(px))
+    else:
+        u = (tdiv(px - ax, 4) * _tdiv(p2x, 8) + tdiv(py - ay, 4) * _tdiv(p2y, 8)) * 32.0 / something
+    u = np.clip(u, 0.0, 1.0)
+    x = ax + u * p2x
+    y = ay + u * p2y
+    dx = x - px
+    dy = y - py
+    return round_half_away_arr(np.sqrt(dx * dx + dy * dy) * 16.0) / 16.0
+
+
 def douglas_peucker(xy: np.ndarray, necessary: np.ndarray, start: int, n: int,
                     e: float, kept: int, retain: int):
     """clip.cpp:909-1002 — stack traversal scanning each sub-segment
@@ -570,27 +593,28 @@ def douglas_peucker(xy: np.ndarray, necessary: np.ndarray, start: int, n: int,
         a = (int(xy[start + first, 0]), int(xy[start + first, 1]))
         b = (int(xy[start + second, 0]), int(xy[start + second, 1]))
         if _draw_less(a, b):
-            farthest = first
-            rng = range(first + 1, second)
+            idxs = np.arange(first + 1, second)
             sx, sy, ex, ey = a[0], a[1], b[0], b[1]
         else:
-            farthest = second
-            rng = range(second - 1, first, -1)
+            idxs = np.arange(second - 1, first, -1)
             sx, sy, ex, ey = b[0], b[1], a[0], a[1]
-        for i in rng:
-            d = abs(distance_from_line(int(xy[start + i, 0]), int(xy[start + i, 1]), sx, sy, ex, ey))
-            if (d > e or kept < retain) and (
-                d > max_distance
-                or (
-                    d == max_distance
-                    and _draw_less(
-                        (int(xy[start + i, 0]), int(xy[start + i, 1])),
-                        (int(xy[start + farthest, 0]), int(xy[start + farthest, 1])),
-                    )
+        farthest = first
+        if len(idxs):
+            px = xy[start + idxs, 0]
+            py = xy[start + idxs, 1]
+            d = np.abs(_dfl_vec(px, py, sx, sy, ex, ey))
+            gate = (d > e) if kept >= retain else np.ones(len(d), dtype=bool)
+            if gate.any():
+                dmax = d[gate].max()
+                cand = np.flatnonzero(gate & (d == dmax))
+                # the sequential scan keeps the first candidate, replacing
+                # only on strictly draw-less points: final = min by
+                # (y, x, scan position)
+                order = np.lexsort(
+                    (cand, px[cand], py[cand])
                 )
-            ):
-                farthest = i
-                max_distance = d
+                farthest = int(idxs[cand[order[0]]])
+                max_distance = float(dmax)
         if max_distance >= 0:
             necessary[start + farthest] = True
             kept += 1
