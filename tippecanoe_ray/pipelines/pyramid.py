@@ -1873,6 +1873,11 @@ def build_pyramid_from_narrow(
 
     @ray.remote
     def _partition(tbl: pa.Table, bounds: np.ndarray, np_: int):
+        if len(tbl) == 0 or "bucket" not in tbl.column_names:
+            # empty repartition blocks can carry an empty schema
+            empty = _empty_tiles().select([])
+            e = pa.table({})
+            return tuple(e for _ in range(np_)) if np_ > 1 else e
         bs = tbl["bucket"].to_numpy(zero_copy_only=False)
         pid = np.searchsorted(bounds, bs, side="right")
         order = np.argsort(pid, kind="stable")
@@ -1883,7 +1888,7 @@ def build_pyramid_from_narrow(
 
     @ray.remote
     def _reduce(worker_ser, *pieces):
-        tbls = [p for p in pieces if p.num_rows]
+        tbls = [p for p in pieces if p.num_rows and "bucket" in p.column_names]
         if not tbls:
             return _empty_tiles()
         return worker_ser(pa.concat_tables(tbls))

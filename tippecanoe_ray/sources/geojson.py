@@ -41,13 +41,20 @@ def _iter_features(path: str):
         obj, pos = dec.raw_decode(text, pos)
         if not isinstance(obj, dict):
             continue
-        t = obj.get("type")
-        if t == "FeatureCollection":
-            yield from obj.get("features", [])
-        elif t == "Feature":
-            yield obj
-        elif t is not None:  # bare geometry
-            yield {"type": "Feature", "properties": {}, "geometry": obj}
+        yield from _flatten(obj)
+
+
+def _flatten(obj: dict):
+    t = obj.get("type")
+    if t == "FeatureCollection":
+        # recurse: tippecanoe-decode emits nested FeatureCollections
+        for f in obj.get("features", []):
+            if isinstance(f, dict):
+                yield from _flatten(f)
+    elif t == "Feature":
+        yield obj
+    elif t is not None:  # bare geometry
+        yield {"type": "Feature", "properties": {}, "geometry": obj}
 
 
 def _geom_parts(geometry: dict):
