@@ -40,6 +40,10 @@ def _build_from_geo(args, cfg):
         from tippecanoe_ray.sources.geocsv import read_geocsv_points
 
         pts_tbl = read_geocsv_points(args.input)
+    elif lower.endswith(".fgb"):
+        from tippecanoe_ray.sources.flatgeobuf import read_flatgeobuf
+
+        pts_tbl, vec_tbl = read_flatgeobuf(args.input)
     elif lower.endswith(".geobuf"):
         from tippecanoe_ray.sources.geobuf import read_geobuf_vector
 
@@ -145,7 +149,7 @@ def main(argv=None):
     t0 = time.time()
     lower = args.input.lower()
     geoish = lower.endswith((".json", ".geojson", ".json.gz", ".geojson.gz",
-                             ".geobuf", ".csv"))
+                             ".geobuf", ".csv", ".fgb"))
     if geoish:
         tiles = _build_from_geo(args, cfg)
     else:

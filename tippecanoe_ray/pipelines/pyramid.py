@@ -1657,6 +1657,9 @@ def merge_side_copies(
         v.sort(key=lambda r: (int(r["min_index"]), int(r["min_seq"])))
 
     df = tile_tbl.to_pandas()
+    if df.empty and "z" not in df.columns:
+        # an all-empty affected set can arrive column-less
+        df = _empty_tiles().to_pandas()
     tile_keys = set(zip(df["z"].astype(int), df["x"].astype(int), df["y"].astype(int)))
     new_rows = []
     for key, ghosts in by_tile.items():
