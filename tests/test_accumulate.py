@@ -370,3 +370,63 @@ def test_dynamic_drop(ray_session):
     tiles = build_pyramid(ds, cfg, n_rows=n)
     d = diff_counts(tile_counts_from_ds(tiles), ref)
     assert not d, d
+
+
+@pytest.mark.skipif(not has_reference(), reason="reference binary not built")
+@pytest.mark.parametrize("ladder,flag", [
+    ("drop_smallest", "--coalesce-smallest-as-needed"),
+    ("drop_fraction", "--coalesce-fraction-as-needed"),
+])
+def test_coalesce_other_ladders(ray_session, ladder, flag):
+    """as_needed_mode=coalesce generalizes across ladders
+    (tile.cpp:2065-2107): counts and vertex totals exact."""
+    import os
+    import sqlite3
+    import subprocess
+    import tempfile
+
+    from tests.util_reference import TIPPECANOE, write_geojson
+    from tippecanoe_ray.stages.mvt import decode_tile
+
+    n = 1200
+    ids = [f"img-{i:012d}" for i in range(n)]
+    wx, wy = fnv_world(ids, hotspot_frac=0.6, n_hotspots=1)
+    with tempfile.TemporaryDirectory() as td:
+        gj = os.path.join(td, "in.json")
+        mb = os.path.join(td, "out.mbtiles")
+        write_geojson(gj, wx, wy)
+        subprocess.run(
+            [TIPPECANOE, "-o", mb, "-z6", "-Z0", "-b0", "--no-tile-size-limit",
+             "-q", "-r1", flag, "-O200", gj],
+            check=True, capture_output=True,
+        )
+        ref = {}
+        con = sqlite3.connect(mb)
+        for z, x, r, d in con.execute(
+            "select zoom_level, tile_column, tile_row, tile_data from tiles"
+        ):
+            y = (1 << z) - 1 - r
+            nf = npts = 0
+            for l in decode_tile(bytes(d)):
+                for f in l["features"]:
+                    nf += 1
+                    for c, p in f["geometry"]:
+                        npts += len(p)
+            ref[(z, x, y)] = (nf, npts)
+    ds = synthesize_image_table(n, with_payload=False)
+    scfg = StrategyConfig(**{ladder: True}, as_needed_mode="coalesce",
+                          max_tile_features=200)
+    cfg = PyramidConfig(maxzoom=6, droprate=1.0, hotspot_frac=0.6, n_hotspots=1,
+                        strategies=scfg, bucket_zoom=0)
+    tiles = build_pyramid(ds, cfg, n_rows=n)
+    ours = {}
+    for rr in tiles.take_all():
+        nf = npts = 0
+        for l in decode_tile(bytes(rr["tile"])):
+            for f in l["features"]:
+                nf += 1
+                for c, p in f["geometry"]:
+                    npts += len(p)
+        ours[(int(rr["z"]), int(rr["x"]), int(rr["y"]))] = (nf, npts)
+    d = _diff(ours, ref)
+    assert not d, d

@@ -321,6 +321,8 @@ class ZoomEmitter:
             attr_desc = bool(scfg is not None and getattr(scfg, "drop_by_attribute_descending", False))
             cur = self.reports.setdefault(z, {})
             for k, v in report.items():
+                if k.startswith("_"):
+                    continue
                 if k == "minattribute":
                     prev = cur.get(k)
                     if prev is None:
@@ -675,10 +677,17 @@ class ZoomEmitter:
                         mcnt = np.ones(len(k), dtype=np.int64)
                         mcnt[ksel] = cnts
                     elif mode == "coalesce":
-                        dropped, tgt = fold_targets(k2)
-                        members: dict[int, list[int]] = {}
-                        for d, t in zip(dropped, tgt):
-                            members.setdefault(int(ksel[t]), []).append(int(ksel[d]))
+                        if "_members" in rep:
+                            # ladder-specific member map (coalesce-smallest)
+                            members = {
+                                int(ksel[t]): [int(ksel[d]) for d in ds_]
+                                for t, ds_ in rep.pop("_members").items()
+                            }
+                        else:
+                            dropped, tgt = fold_targets(k2)
+                            members = {}
+                            for d, t in zip(dropped, tgt):
+                                members.setdefault(int(ksel[t]), []).append(int(ksel[d]))
                         mmembers = members
                         k[ksel[~k2]] = False
                     else:

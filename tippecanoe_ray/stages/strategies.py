@@ -326,19 +326,60 @@ def apply_strategies(
     if scfg.drop_smallest:
         extents = point_extents(index)
         minextent = int(ov.get("minextent", 0))
-        if minextent:
-            keep &= ~(extents <= minextent)
-        fraction = 1.0
-        samples = extents.copy()
-        while keep.sum() > limit:
-            # minextent retry fraction uses ×0.75 (tile.cpp:2779)
-            fraction = min(fraction * limit / keep.sum() * 0.75, 0.80)
-            m = choose_mingap(samples, fraction, minextent)
-            if m <= minextent:
-                break
-            minextent = m
-            keep &= ~(extents <= minextent)
-            samples = np.concatenate((samples, extents))
+        if scfg.as_needed_mode == "coalesce":
+            # coalesce-smallest (tile.cpp:2086-2107): the target must
+            # itself have extent <= minextent, and coalesced_area
+            # accumulates into the drop condition
+            def scan_coalesce(minext):
+                k = keep.copy()
+                members: dict[int, list[int]] = {}
+                coalesced_area = 0
+                last_small = -1
+                for i in np.flatnonzero(keep):
+                    ext = int(extents[i])
+                    if (
+                        minext != 0
+                        and ext + coalesced_area <= minext
+                        and last_small >= 0
+                    ):
+                        k[i] = False
+                        members.setdefault(last_small, []).append(int(i))
+                        coalesced_area += ext
+                        continue
+                    # appended: the accumulated run resets
+                    # (tile.cpp:2312)
+                    coalesced_area = 0
+                    if ext <= minext:
+                        last_small = int(i)
+                return k, members
+
+            k2, members = scan_coalesce(minextent)
+            fraction = 1.0
+            samples = extents[keep].copy()
+            while k2.sum() > limit:
+                fraction = min(fraction * limit / k2.sum() * 0.75, 0.80)
+                m = choose_mingap(samples, fraction, minextent)
+                if m <= minextent:
+                    break
+                minextent = m
+                k2, members = scan_coalesce(minextent)
+                samples = np.concatenate((samples, extents[keep]))
+            keep &= k2
+            report["_members"] = members
+        else:
+            if minextent:
+                keep &= ~(extents <= minextent)
+            fraction = 1.0
+            samples = extents.copy()
+            while keep.sum() > limit:
+                # minextent retry fraction uses ×0.75 (tile.cpp:2779)
+                fraction = min(fraction * limit / keep.sum() * 0.75, 0.80)
+                m = choose_mingap(samples, fraction, minextent)
+                if m <= minextent:
+                    break
+                minextent = m
+                keep &= ~(extents <= minextent)
+                samples = np.concatenate((samples, extents))
         if minextent > int(ov.get("minextent", 0)):
             report["minextent"] = minextent
     if scfg.drop_fraction or scfg.dynamic_drop:
