@@ -224,3 +224,40 @@ def test_overzoom_vector_vs_reference_tool(ray_session, tmp_path):
         if ours_children.get(k) != ref_children.get(k)
     ]
     assert not bad, bad[:10]
+
+
+def test_demultiply_reverses_multiplier(ray_session):
+    """The reference's metamorphic invariant (Makefile:421-428):
+    overzooming with -m exactly reverses tiling with
+    --retain-points-multiplier — same-tile demultiply of the
+    multiplier tileset equals the plain tileset, at every zoom."""
+    import ray.data
+
+    from tippecanoe_ray.pipelines.pyramid import PyramidConfig, build_pyramid
+    from tippecanoe_ray.pipelines.tilejoin import overzoom_tiles
+    from tippecanoe_ray.sources.image_table import synthesize_image_table
+
+    n = 1000
+    ds = synthesize_image_table(n, with_payload=False)
+    base = dict(maxzoom=5, droprate=2.5, hotspot_frac=0.5, n_hotspots=1,
+                bucket_zoom=0)
+    mult = build_pyramid(
+        ds, PyramidConfig(**base, retain_points_multiplier=3, multiplier_tags=True),
+        n_rows=n,
+    ).materialize()
+    plain = build_pyramid(ds, PyramidConfig(**base), n_rows=n)
+    want = {
+        (int(r["z"]), int(r["x"]), int(r["y"])): int(r["n_features"])
+        for r in plain.take_all()
+    }
+    demult = overzoom_tiles(mult, demultiply=True, same_tile=True)
+    got = {
+        (int(r["z"]), int(r["x"]), int(r["y"])): int(r["n_features"])
+        for r in demult.take_all()
+    }
+    bad = [
+        f"{k}: demult={got.get(k)} plain={want.get(k)}"
+        for k in sorted(set(got) | set(want))
+        if got.get(k) != want.get(k)
+    ]
+    assert not bad, bad[:10]

@@ -111,6 +111,9 @@ class PyramidConfig:
     cluster_stats: bool = False
     # -ag: emit tippecanoe_feature_density 0-255 (tile.cpp:2147-2157)
     calculate_density: bool = False
+    # emit tippecanoe:retain_points_multiplier_first/_sequence tags so
+    # overzoom -m can re-thin clusters (tile.cpp:2237-2240, 2390-2414)
+    multiplier_tags: bool = False
     # per-tile output ordering (tile.cpp:2583-2593): order by the
     # threaded attribute column (--order-by / --order-descending-by)
     # or restore input sequence (-pi)
@@ -376,15 +379,18 @@ class ZoomEmitter:
         ends = np.concatenate((change, [len(index)]))
         kept = minzoom <= z
         _force_first_plain(kept, minzoom, starts, ends)
+        leads = None
         if cfg.retain_points_multiplier > 1:
             from ..stages.strategies import multiplier_keep
 
+            leads = np.zeros(len(index), dtype=bool)
             for s_, e_ in zip(starts, ends):
-                k_, _lead = multiplier_keep(
+                k_, lead_ = multiplier_keep(
                     index[s_:e_], minzoom[s_:e_], z,
                     cfg.retain_points_multiplier, cfg.droprate,
                 )
                 kept[s_:e_] = k_
+                leads[s_:e_] = lead_
         scfg = getattr(cfg, "strategies", None)
         out_x, out_y = swx, swy
         ccounts = None
@@ -434,6 +440,7 @@ class ZoomEmitter:
             z, out_x, out_y, seq, kept, counts, tx, ty, bucket,
             index[starts], seq[starts], minzoom[starts],
             vals=folded, cluster_counts=ccounts, density=dens,
+            leads=leads if cfg.multiplier_tags else None,
         )
 
     # ---------------------------------------------------------- slow path
@@ -547,6 +554,7 @@ class ZoomEmitter:
         affected_runs = np.unique(gpos[gmatched]) if gmatched.any() else np.empty(0, np.int64)
         if (strat or vals is not None or cfg.coalesce or _ordering_on(cfg)
                 or cfg.calculate_density
+                or (cfg.multiplier_tags and cfg.retain_points_multiplier > 1)
                 or (scfg is not None and getattr(scfg, "as_needed_mode", "drop") != "drop")) and n_core:
             # strategies and attribute folds are ordered scans: every
             # tile takes the merged per-tile path so the scan semantics
@@ -643,10 +651,11 @@ class ZoomEmitter:
                 mval = mval[o]
             k = mmz <= z
             _force_first_plain(k, mmz, np.array([0]), np.array([len(mmz)]))
+            mlead = None
             if cfg.retain_points_multiplier > 1:
                 from ..stages.strategies import multiplier_keep
 
-                k, _lead = multiplier_keep(
+                k, mlead = multiplier_keep(
                     midx, mmz, z, cfg.retain_points_multiplier, cfg.droprate
                 )
             mcnt = None
@@ -722,7 +731,15 @@ class ZoomEmitter:
                 kidx = kidx[perm]
             attr_mode = (mfold is not None and (cfg.attr_accum or cfg.emit_attr)) or (
                 cfg.cluster_stats and mcnt is not None
-            ) or (cfg.calculate_density and mdens is not None)
+            ) or (cfg.calculate_density and mdens is not None) or (
+                cfg.multiplier_tags and mlead is not None
+            )
+            mseq_rank = None
+            if cfg.multiplier_tags and mlead is not None:
+                sl = mseq[kidx]
+                order_ = np.argsort(sl, kind="stable")
+                mseq_rank = np.empty(len(kidx), dtype=np.int64)
+                mseq_rank[order_] = np.arange(len(kidx))
             if mval is not None and mfold is None and cfg.emit_attr:
                 mfold = mval
                 attr_mode = True
@@ -779,6 +796,8 @@ class ZoomEmitter:
                     cluster_counts=mcnt[kidx] if mcnt is not None else None,
                     cluster_stats=cfg.cluster_stats,
                     density=mdens[kidx] if mdens is not None else None,
+                    mult_first=mlead[kidx] if (cfg.multiplier_tags and mlead is not None) else None,
+                    mult_seq=mseq_rank,
                     ids=mseq[kidx] if cfg.emit_ids else None,
                 )[0]
             elif cfg.encode_tiles:
@@ -832,7 +851,7 @@ class ZoomEmitter:
 
     def _encode_rows(self, z, cswx, cswy, cseq, kept, counts, tx, ty, bucket,
                      min_index, min_seq, first_mz, vals=None, cluster_counts=None,
-                     density=None):
+                     density=None, leads=None):
         cfg = self.cfg
         kends = np.cumsum(counts)
         kstarts = kends - counts
@@ -842,7 +861,22 @@ class ZoomEmitter:
         kept = np.ones(int(counts.sum()), dtype=bool) if _ordering_on(cfg) else kept
         attr_mode = (vals is not None and (cfg.attr_accum or cfg.emit_attr)) or (
             cfg.cluster_stats and cluster_counts is not None
-        ) or (cfg.calculate_density and density is not None)
+        ) or (cfg.calculate_density and density is not None) or (leads is not None)
+        mult_seq = None
+        if leads is not None:
+            # within-tile input-order rank per kept feature
+            # (tile.cpp:2393-2414)
+            mult_seq = np.zeros(int(counts.sum()), dtype=np.int64)
+            kseq_all = np.asarray(cseq)[kept]
+            pos = 0
+            for c in counts:
+                c = int(c)
+                sl = kseq_all[pos : pos + c]
+                order = np.argsort(sl, kind="stable")
+                rank = np.empty(c, dtype=np.int64)
+                rank[order] = np.arange(c)
+                mult_seq[pos : pos + c] = rank
+                pos += c
         if cfg.encode_tiles and cfg.coalesce:
             from ..stages.tile_encode import encode_point_tiles_coalesced
 
@@ -863,6 +897,8 @@ class ZoomEmitter:
                 cluster_counts=cluster_counts[kept] if cluster_counts is not None else None,
                 cluster_stats=cfg.cluster_stats,
                 density=density[kept] if density is not None else None,
+                mult_first=leads[kept] if leads is not None else None,
+                mult_seq=mult_seq,
                 ids=cseq[kept] if cfg.emit_ids else None,
             )
         elif cfg.encode_tiles:

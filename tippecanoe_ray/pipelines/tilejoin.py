@@ -183,6 +183,8 @@ def overzoom_tiles(
     compress: bool = True,
     dedup_by_id: bool = False,
     buffer: int = 0,
+    demultiply: bool = False,
+    same_tile: bool = False,
 ) -> ray.data.Dataset:
     """Each zoom-z tile → up to 4 zoom-(z+1) children, all geometry
     types, reproducing overzoom() (clip.cpp:1453-1660): decode to world
@@ -204,12 +206,13 @@ def overzoom_tiles(
             layers = decode_tile(bytes(data))
             z, x, y = int(z), int(x), int(y)
             tilesize = 1 << (WORLD_BITS - z)
-            nz = z + 1
+            nz = z if same_tile else z + 1
             outtilesize = 1 << (WORLD_BITS - nz)
-            for dx in (0, 1):
-                for dy in (0, 1):
-                    nx = 2 * x + dx
-                    ny = 2 * y + dy
+            child_range = ((0,),) if same_tile else ((0, 1), (0, 1))
+            for dx in (0,) if same_tile else (0, 1):
+                for dy in (0,) if same_tile else (0, 1):
+                    nx = x if same_tile else 2 * x + dx
+                    ny = y if same_tile else 2 * y + dy
                     out_layers = []
                     total = 0
                     seen: set = set()
@@ -217,8 +220,25 @@ def overzoom_tiles(
                         extent = lay["extent"]
                         det = int(round(np.log2(extent)))
                         feats = []
+                        pending: list[dict] = []
+
+                        def flush(pending=None, feats_ref=None):
+                            if pending:
+                                feats_ref.append(pending[0])
+                                pending.clear()
+
                         for f in lay["features"]:
                             t = f["type"]
+                            is_first = False
+                            if demultiply:
+                                tags = dict(f.get("tags", {}))
+                                if tags.pop("tippecanoe:retain_points_multiplier_first", None):
+                                    is_first = True
+                                tags.pop("tippecanoe:retain_points_multiplier_sequence", None)
+                                f = dict(f)
+                                f["tags"] = tags
+                                if is_first:
+                                    flush(pending, feats)
                             # decode to world coords; closepath becomes
                             # an explicit closing point (clip.cpp:1521-35)
                             ops_l: list[int] = []
@@ -287,9 +307,14 @@ def overzoom_tiles(
                                 from ..stages.tile_encode import encode_multipoint
 
                                 g = encode_multipoint(np.concatenate(parts))
-                            feats.append(
-                                {"geom": g, "type": t, "id": f.get("id"), "attrs": f.get("tags", {})}
-                            )
+                            outf = {"geom": g, "type": t, "id": f.get("id"),
+                                    "attrs": f.get("tags", {})}
+                            if demultiply:
+                                pending.append(outf)
+                            else:
+                                feats.append(outf)
+                        if demultiply:
+                            flush(pending, feats)
                         if feats:
                             total += len(feats)
                             out_layers.append(encode_layer(lay["name"], feats, lay["extent"]))

@@ -214,6 +214,8 @@ def encode_point_tiles_attrs(
     cluster_counts: np.ndarray | None = None,
     cluster_stats: bool = False,
     density: np.ndarray | None = None,
+    mult_first: np.ndarray | None = None,
+    mult_seq: np.ndarray | None = None,
     ids: np.ndarray | None = None,
 ) -> list[bytes]:
     """Attribute-carrying (slow-path) sibling of encode_point_tiles:
@@ -270,6 +272,10 @@ def encode_point_tiles_attrs(
                     attrs["point_count_abbreviated"] = str(pc)
             if density is not None:
                 attrs["tippecanoe_feature_density"] = int(density[i])
+            if mult_first is not None and mult_first[i]:
+                attrs["tippecanoe:retain_points_multiplier_first"] = True
+            if mult_seq is not None:
+                attrs["tippecanoe:retain_points_multiplier_sequence"] = float(mult_seq[i])
             f = {"geom": geom, "type": 1, "attrs": attrs}
             if ids is not None:
                 f["id"] = int(ids[i])
