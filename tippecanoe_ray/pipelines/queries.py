@@ -788,14 +788,33 @@ FROM scan GROUP BY 1, 2, 3
 
 
 def guessing_q(sf_dir: str) -> pd.DataFrame:
+    """-zg / -Bg guessing over a DENSIFIED key (doc_id %% 128): the
+    128 hot positions force nonzero dupes, a nonzero basezoom and a
+    fitted droprate, so every branch of the guess is oracle-checked."""
     from ..stages.stats import (
         guess_basezoom_droprate,
         guess_maxzoom,
         index_statistics,
     )
-    from .pyramid import PyramidConfig, add_bucket
+    from .pyramid import PyramidConfig, add_bucket, geotag_narrow
 
-    narrow = add_bucket(_doc_points_narrow(sf_dir), 3)
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+
+    def hotspot(t: pa.Table) -> pa.Table:
+        # clustered layout: a 2^20-wide box so spacing stats, dupes,
+        # basezoom and droprate all take nontrivial values
+        from ..functions.spatial import encode_quadkey
+
+        k = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        wx = (1 << 31) + (k * 12345) % (1 << 20)
+        wy = (1 << 31) + (k * 54321) % (1 << 20)
+        return pa.table({
+            "wx": wx, "wy": wy,
+            "index": pa.array(encode_quadkey(wx & ~1, wy & ~1), pa.uint64()),
+            "seq": k,
+        })
+
+    narrow = add_bucket(ds.map_batches(hotspot, batch_format="pyarrow"), 3)
     stats = index_statistics(narrow, max_zoom_hist=10)
     mz = guess_maxzoom(stats)
     bz, dr = guess_basezoom_droprate(stats, maxzoom=mz, max_features=100)
@@ -803,6 +822,62 @@ def guessing_q(sf_dir: str) -> pd.DataFrame:
         {"maxzoom": [mz], "basezoom": [bz], "droprate": [round(dr, 4)],
          "n_deltas": [stats["count"]], "dupes": [stats["dupes"]]}
     )
+
+
+def _guess_sql(max_zoom_hist: int = 10, max_features: int = 100,
+               full_detail: int = 12) -> str:
+    """SQL oracle for guess_zoom_params: Welford over ln(diffs) of the
+    sorted 64-bit morton index (LAG window over HUGEINT), per-zoom
+    densest-tile counts, the -zg maxzoom formula (main.cpp:2340-2364),
+    basezoom scan and the droprate recursion — which reduces to
+    GREATEST over (max_cnt[z]/F)^(1/(bz-z)) because the running value
+    only ever increases (main.cpp:2618-2634)."""
+    wx = f"({1 << 31} + (doc_id * 12345) % {1 << 20})"
+    wy = f"({1 << 31} + (doc_id * 54321) % {1 << 20})"
+    qk = _quadkey_sql("(wx - (wx % 2))", "(wy - (wy % 2))")
+    zhist = ",".join(str(z) for z in range(0, max_zoom_hist + 1))
+    return f"""
+WITH pts AS (SELECT doc_id, {wx} AS wx, {wy} AS wy FROM documents),
+ix AS (SELECT {qk} AS morton FROM pts),
+d AS (SELECT morton - LAG(morton) OVER (ORDER BY morton) AS diff FROM ix),
+stats AS (
+  SELECT COUNT(*) FILTER (WHERE diff > 0) AS n,
+         COUNT(*) FILTER (WHERE diff = 0) AS dupes,
+         AVG(LN(CAST(CASE WHEN diff > 0 THEN diff ELSE 1 END AS DOUBLE)))
+             FILTER (WHERE diff > 0) AS mean,
+         COALESCE(VAR_POP(LN(CAST(CASE WHEN diff > 0 THEN diff ELSE 1 END AS DOUBLE)))
+             FILTER (WHERE diff > 0), 0) AS varp
+  FROM d WHERE diff IS NOT NULL),
+mz AS (
+  SELECT n, dupes, mean, SQRT(varp) AS sd,
+         GREATEST(0, LEAST(CAST(32 - {full_detail} AS BIGINT),
+           CAST(CEIL(LN(360.0 / (0.00000274 * (SQRT(EXP(mean - 1.5 * SQRT(varp))) / 33.0 / 2.0))) / LN(2.0) - {full_detail}) AS BIGINT)
+         )) AS maxzoom
+  FROM stats),
+hist AS (
+  SELECT z, MAX(cnt) AS max_cnt FROM (
+    SELECT z, CASE WHEN z = 0 THEN CAST(0 AS HUGEINT)
+                   ELSE morton >> (64 - 2 * z) END AS tile, COUNT(*) AS cnt
+    FROM ix CROSS JOIN (SELECT unnest([{zhist}]) AS z)
+    GROUP BY 1, 2) GROUP BY 1),
+bz AS (
+  SELECT LEAST((SELECT maxzoom FROM mz),
+               COALESCE((SELECT 1 + MAX(z) FROM hist
+                         WHERE max_cnt > {max_features}
+                           AND z <= (SELECT maxzoom FROM mz)), 0)) AS basezoom),
+dr AS (
+  SELECT COALESCE(MAX(POW(CAST(max_cnt AS DOUBLE) / {max_features},
+                          1.0 / ((SELECT basezoom FROM bz) - z))), 1.0) AS cand
+  FROM hist WHERE z < (SELECT basezoom FROM bz)
+    AND POW(CAST(max_cnt AS DOUBLE) / {max_features},
+            1.0 / ((SELECT basezoom FROM bz) - z)) > 1.0)
+SELECT CAST((SELECT maxzoom FROM mz) AS BIGINT) AS maxzoom,
+       CAST((SELECT basezoom FROM bz) AS BIGINT) AS basezoom,
+       ROUND(CASE WHEN (SELECT cand FROM dr) > 1.0 THEN (SELECT cand FROM dr)
+                  WHEN (SELECT basezoom FROM bz) > 0 THEN 2.5 ELSE 1.0 END, 4) AS droprate,
+       CAST((SELECT n FROM stats) AS BIGINT) AS n_deltas,
+       CAST((SELECT dupes FROM stats) AS BIGINT) AS dupes
+"""
 
 
 def raster_tiles_q(sf_dir: str) -> pd.DataFrame:
@@ -997,6 +1072,7 @@ def all_queries() -> dict:
 
 def all_oracle_sql() -> dict:
     return {
+        "guess_zoom_params": _guess_sql(),
         "overzoom_z3": _overzoom_sql(),
         "cluster_tiles": _cluster_sql(),
         "accumulate_sum_tiles": _accumulate_sql(),
