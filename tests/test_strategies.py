@@ -201,3 +201,39 @@ def test_drop_smallest_near_exact(ray_session, hotspot_input):
     tiles = build_pyramid(ds, cfg, n_rows=n)
     d = diff_counts(tile_counts_from_ds(tiles), ref)
     assert not d, d
+
+
+@pytest.mark.skipif(not has_reference(), reason="reference binary not built")
+def test_cluster_chain_exact(ray_session):
+    """-K with CHAINED merge candidates (each within cluster_mingap of
+    its scan predecessor but not of the cluster lead): merge_previndex
+    is only updated for KEPT features (tile.cpp:2311 is skipped by the
+    cluster branch's continue at :2017), so chains re-seed new clusters
+    — the r2 per-feature-update scan undercounted these tiles."""
+    import pyarrow as pa
+    import ray
+
+    from tests.util_reference import diff_counts, run_reference, tile_counts_from_ds
+    from tippecanoe_ray.pipelines.pyramid import (
+        PyramidConfig,
+        build_pyramid_from_narrow,
+        point_index,
+    )
+
+    rs = np.random.RandomState(42)
+    n = 3000
+    lo = 1 << 31
+    wx = lo + rs.randint(0, 1 << 26, n).astype(np.int64)
+    wy = lo + rs.randint(0, 1 << 26, n).astype(np.int64)
+    ref = run_reference(wx, wy, maxzoom=5, droprate=1, extra_flags=["-K40"])
+    narrow = ray.data.from_arrow(pa.table({
+        "wx": wx, "wy": wy,
+        "index": pa.array(point_index(wx, wy), pa.uint64()),
+        "seq": np.arange(n, dtype=np.int64),
+    }))
+    cfg = PyramidConfig(maxzoom=5, droprate=1.0,
+                        strategies=StrategyConfig(cluster_distance=40),
+                        bucket_zoom=0)
+    tiles = build_pyramid_from_narrow(narrow, cfg, n_rows=n)
+    d = diff_counts(tile_counts_from_ds(tiles), ref)
+    assert not d, d

@@ -765,25 +765,38 @@ def cluster_tiles_q(sf_dir: str) -> pd.DataFrame:
 
 
 def _cluster_sql(maxzoom: int = 5, distance: int = 40) -> str:
+    """-K cluster scan as a recursive CTE: the reference merges against
+    the last KEPT feature's index (merge_previndex is assigned only at
+    the end of the feature loop, tile.cpp:2311, which the cluster
+    branch's `continue` at tile.cpp:2017 skips) — a greedy 1-D scan
+    that LAG cannot express, so the walk steps one row per tile per
+    recursion level."""
     wx, wy = lcg_world_sql("doc_id")
     qk = _quadkey_sql("wx", "wy").replace("wx", "(wx - (wx % 2))").replace("wy", "(wy - (wy % 2))")
     return f"""
-WITH pts AS (SELECT doc_id, {wx} AS wx, {wy} AS wy FROM documents),
+WITH RECURSIVE
+pts AS (SELECT doc_id, {wx} AS wx, {wy} AS wy FROM documents),
 zs AS (SELECT unnest(range(0, {maxzoom + 1})) AS z),
 feat AS (
-  SELECT z, (wx >> (32 - z)) AS tx, (wy >> (32 - z)) AS ty,
-         {qk} AS ix, doc_id
-  FROM pts CROSS JOIN zs),
-scan AS (
   SELECT z, tx, ty, ix,
-         LAG(ix) OVER (PARTITION BY z, tx, ty ORDER BY ix, doc_id) AS pix
-  FROM feat)
+         ROW_NUMBER() OVER (PARTITION BY z, tx, ty ORDER BY ix, doc_id) AS rn,
+         CAST(((CAST(1 AS HUGEINT) << (32 - z)) / 256) * {distance} AS HUGEINT)
+           * CAST(((CAST(1 AS HUGEINT) << (32 - z)) / 256) * {distance} AS HUGEINT) AS mingap
+  FROM (SELECT z, (wx >> (32 - z)) AS tx, (wy >> (32 - z)) AS ty,
+               {qk} AS ix, doc_id
+        FROM pts CROSS JOIN zs)),
+walk AS (
+  SELECT z, tx, ty, rn, ix AS last_ix, 1 AS kept
+  FROM feat WHERE rn = 1
+  UNION ALL
+  SELECT f.z, f.tx, f.ty, f.rn,
+         CASE WHEN f.ix - w.last_ix < f.mingap THEN w.last_ix ELSE f.ix END,
+         CASE WHEN f.ix - w.last_ix < f.mingap THEN 0 ELSE 1 END
+  FROM walk w
+  JOIN feat f ON f.z = w.z AND f.tx = w.tx AND f.ty = w.ty AND f.rn = w.rn + 1)
 SELECT CAST(z AS INT) AS z, CAST(tx AS INT) AS x, CAST(ty AS INT) AS y,
-       SUM(CASE WHEN pix IS NULL
-                 OR ix - pix >= CAST(((CAST(1 AS HUGEINT) << (32 - z)) / 256) * {distance} AS HUGEINT)
-                               * CAST(((CAST(1 AS HUGEINT) << (32 - z)) / 256) * {distance} AS HUGEINT)
-            THEN 1 ELSE 0 END) AS n_features
-FROM scan GROUP BY 1, 2, 3
+       SUM(kept) AS n_features
+FROM walk GROUP BY 1, 2, 3
 """
 
 

@@ -210,7 +210,11 @@ def cluster_scan(
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
     """-K clustering (tile.cpp:1993-2019): merge into the previous kept
     feature when index distance < cluster_mingap; average positions.
-    Returns (keep mask, cx, cy, point_count per kept feature)."""
+    merge_previndex updates only at the END of the feature loop
+    (tile.cpp:2311), which every merge path's `continue` skips — so the
+    comparison is against the last KEPT feature's index, not the
+    previous scanned feature's (verified vs the binary on chained
+    points). Returns (keep mask, cx, cy, point_count per kept feature)."""
     span = 1 << (32 - z)
     mingap = (span // 256 * cluster_distance) ** 2
     n = len(index)
@@ -232,7 +236,7 @@ def cluster_scan(
             keep[i] = False
         else:
             last_kept = i
-        merge_previndex = ix
+            merge_previndex = ix
     return keep, cx, cy, count
 
 
