@@ -78,23 +78,25 @@ def headline_pyramid(sf_dir: str):
     import pyarrow.parquet as pq
 
     base_rows = pq.read_metadata(f"{sf_dir}/lineitem.parquet").num_rows
-    parts = []
-    for r in range(rep):
-        ds = ray.data.read_parquet(
-            f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_linenumber"]
+    from tippecanoe_ray.sources.parquet_clean import read_parquet_clean
+
+    ds = read_parquet_clean(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_linenumber"]
+    )
+
+    def keyed(t: pa.Table) -> pa.Table:
+        # read ONCE, replicate inside the batch: same key set as the old
+        # rep-way union of re-reads, one parquet scan instead of rep
+        base = (
+            t["l_orderkey"].to_numpy(zero_copy_only=False) * 8
+            + t["l_linenumber"].to_numpy(zero_copy_only=False)
         )
-        off = r * 100_000_000
+        import numpy as np
 
-        def keyed(t: pa.Table, off=off) -> pa.Table:
-            key = (
-                t["l_orderkey"].to_numpy(zero_copy_only=False) * 8
-                + t["l_linenumber"].to_numpy(zero_copy_only=False)
-                + off
-            )
-            return pa.table({"key": key})
+        key = np.concatenate([base + r * 100_000_000 for r in range(rep)])
+        return pa.table({"key": key})
 
-        parts.append(ds.map_batches(keyed, batch_format="pyarrow"))
-    keys = parts[0] if rep == 1 else parts[0].union(*parts[1:])
+    keys = ds.map_batches(keyed, batch_format="pyarrow")
     bz = os.environ.get("BENCH_BUCKET_ZOOM")
     cfg = PyramidConfig(maxzoom=14, droprate=2.5, rule="lcg", id_col="key",
                         seq_col=None, bucket_zoom=int(bz) if bz else None)

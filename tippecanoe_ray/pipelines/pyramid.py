@@ -1736,8 +1736,8 @@ def merge_side_copies(
                     if g_kept:
                         raw = _splice_ghost_features(raw, g_kept, z, cfg)
                 if cfg.compress:
-                    co = _zlib.compressobj(6, _zlib.DEFLATED, 16 + _zlib.MAX_WBITS)
-                    raw = co.compress(raw) + co.flush()
+                    from ..stages.mvt import gzip_tile as _gz
+                    raw = _gz(raw)
                 df.at[idx, "tile"] = raw
         else:
             # tile exists only through ghost copies: first is kept
@@ -1747,10 +1747,8 @@ def merge_side_copies(
                 if cfg.attr_accum or cfg.cluster_stats:
                     tile_bytes = _rebuild_tile_attrs(b"", kept, z, cfg, False)
                     if cfg.compress:
-                        import zlib as _z2
-
-                        co = _z2.compressobj(6, _z2.DEFLATED, 16 + _z2.MAX_WBITS)
-                        tile_bytes = co.compress(tile_bytes) + co.flush()
+                        from ..stages.mvt import gzip_tile as _gz
+                        tile_bytes = _gz(tile_bytes)
                 else:
                     tile_bytes = _encode_ghost_tile(kept, z, cfg)
             new_rows.append(
@@ -1813,8 +1811,8 @@ def _encode_ghost_tile(ghosts: list[dict], z: int, cfg: PyramidConfig) -> bytes:
     body = header + buf.tobytes() + _tag_varint(5, 1 << cfg.detail)
     tile = _len_delim(3, body)
     if cfg.compress:
-        co = _zlib.compressobj(6, _zlib.DEFLATED, 16 + _zlib.MAX_WBITS)
-        tile = co.compress(tile) + co.flush()
+        from ..stages.mvt import gzip_tile as _gz
+        tile = _gz(tile)
     return tile
 
 
@@ -1869,7 +1867,14 @@ def build_pyramid_from_narrow(
     n_blocks = int(max(2, min(2 * n_cpus_early, max(1, n_rows // 50_000))))
     b = cfg.bucket_zoom if cfg.bucket_zoom is not None else auto_bucket_zoom(n_rows, cfg.maxzoom)
     b = max(cfg.minzoom, min(b, cfg.maxzoom))
-    narrow = add_bucket(narrow, b).repartition(n_blocks).materialize()
+    narrow = add_bucket(narrow, b).materialize()
+    # block-count control for the exchange (blocks × partitions object
+    # refs): repartition only when the materialized layout is far off —
+    # a second pass over already-pinned blocks, skipped when the read
+    # produced a sane block count
+    nb = narrow.num_blocks()
+    if nb > 4 * n_blocks or nb < max(1, n_blocks // 4):
+        narrow = narrow.repartition(n_blocks).materialize()
     _mark("materialize narrow")
     offsets = bucket_offsets(narrow)
     _mark("offsets")

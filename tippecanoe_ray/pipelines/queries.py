@@ -26,7 +26,9 @@ WORLD_MOD = 1 << 32
 
 
 def _read(sf_dir: str, table: str, columns: list[str] | None = None) -> ray.data.Dataset:
-    return ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+    from ..sources.parquet_clean import read_parquet_clean
+
+    return read_parquet_clean(f"{sf_dir}/{table}.parquet", columns=columns)
 
 
 def _read_small(sf_dir: str, table: str, columns: list[str] | None = None) -> pa.Table:

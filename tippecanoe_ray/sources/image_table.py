@@ -98,6 +98,13 @@ def read_image_table(path: str, columns: list[str] | None = None) -> ray.data.Da
     try:
         import lance  # noqa: F401
 
-        return ray.data.read_lance(path, columns=columns)
+        ds = ray.data.read_lance(path, columns=columns)
+        # strip schema metadata so shuffle schema hashing works
+        return ds.map_batches(
+            lambda t: t.replace_schema_metadata(None),
+            batch_format="pyarrow", zero_copy_batch=True,
+        )
     except ImportError:
-        return ray.data.read_parquet(path, columns=columns)
+        from .parquet_clean import read_parquet_clean
+
+        return read_parquet_clean(path, columns=columns)

@@ -160,6 +160,11 @@ class Geotag:
         out = _set(batch, "wx", pa.array(wx, type=pa.int64()))
         out = _set(out, "wy", pa.array(wy, type=pa.int64()))
         out = _set(out, "index", pa.array(index, type=pa.uint64()))
+        # strip schema-level metadata (parquet's b'pandas' blob): Ray's
+        # shuffle schema-dedup calls hash(schema), which raises
+        # "unhashable type: 'dict'" on metadata-carrying schemas and
+        # warns once per reduce task (zero-copy)
+        out = out.replace_schema_metadata(None)
         if self.seq_col is not None and self.seq_col == "seq" and "seq" in batch.column_names:
             return out  # input already carries the sequence column
         if self.seq_col is not None:

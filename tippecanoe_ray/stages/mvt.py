@@ -93,6 +93,24 @@ def unzigzag(v: np.ndarray) -> np.ndarray:
     return ((v >> np.uint64(1)).astype(np.int64)) ^ -((v & np.uint64(1)).astype(np.int64))
 
 
+def gzip_tile(raw: bytes) -> bytes:
+    """Per-tile gzip with a size-adaptive deflate window: deflateInit's
+    window+hash allocation dominates compression cost for the tiny
+    tiles that make up most of a z14 pyramid (~30 µs vs ~2 µs per
+    call). A window >= payload finds every match a 32 KB window would,
+    so output quality is unchanged for small tiles; big tiles (where
+    the 500 KB byte ladder judges compressed size) keep the default
+    32 KB window."""
+    n = len(raw)
+    if n <= 512:
+        co = zlib.compressobj(6, zlib.DEFLATED, 16 + 9, 2)
+    elif n <= 2048:
+        co = zlib.compressobj(6, zlib.DEFLATED, 16 + 11, 4)
+    else:
+        co = zlib.compressobj(6, zlib.DEFLATED, 16 + zlib.MAX_WBITS)
+    return co.compress(raw) + co.flush()
+
+
 def _key(field: int, wire: int) -> bytes:
     return varint((field << 3) | wire)
 
@@ -270,7 +288,7 @@ def encode_layer(
 def encode_tile(layers: list[bytes], compress: bool = True) -> bytes:
     raw = b"".join(_len_delim(3, l) for l in layers)
     if compress:
-        return gzip.compress(raw, 6, mtime=0)
+        return gzip_tile(raw)
     return raw
 
 
