@@ -119,11 +119,14 @@ def headline_pyramid(sf_dir: str):
 
 def vector_bench(sf: float):
     """Lines/polygons through the full cascade (clip/simplify/encode) —
-    deterministic synthetic corpus sized to the sf."""
+    deterministic synthetic corpus sized to the sf. Runs the
+    Ray-Data-native path end to end: parallel ingest (map_batches),
+    per-feature cascade fan-out, grouped encode writing straight to a
+    parquet sink (no driver-held tile bytes)."""
     import numpy as np
 
     from tippecanoe_ray.pipelines.vector_pyramid import (
-        VectorConfig, build_vector_pyramid, features_table, ingest_features,
+        VectorConfig, build_vector_pyramid, features_table, ingest_features_ds,
     )
 
     scale = max(sf / 0.01, 1.0)
@@ -152,12 +155,25 @@ def vector_bench(sf: float):
         rows.append((seq, 3, np.array([1] + [2] * (len(ring) - 1), np.uint8), ring))
         seq += 1
     cfg = VectorConfig(maxzoom=9)
-    t0 = time.time()
-    tbl = ingest_features(features_table(rows), cfg)
-    tiles = build_vector_pyramid(tbl, cfg)
-    n_tiles = tiles.count()
-    el = time.time() - t0
-    return n_tiles, n_lines + n_polys, el
+    import shutil
+    import tempfile
+
+    import pyarrow.parquet as pq
+    import ray.data
+
+    out_dir = tempfile.mkdtemp(prefix="bench_vec_", dir=os.environ.get("BENCH_TILE_DIR"))
+    try:
+        t0 = time.time()
+        raw = ray.data.from_arrow(features_table(rows)).repartition(NUM_CPUS)
+        ingested = ingest_features_ds(raw, cfg)
+        build_vector_pyramid(ingested, cfg, out_dir=out_dir,
+                             n_rows=n_lines + n_polys)
+        summ = pq.read_table(os.path.join(out_dir, "summary.parquet"))
+        n_tiles = int(sum(summ["n_tiles"].to_pylist()))
+        el = time.time() - t0
+        return n_tiles, n_lines + n_polys, el
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
 
 
 def run_bench(headline_only: bool = False) -> dict:

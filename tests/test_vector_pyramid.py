@@ -156,3 +156,58 @@ def test_wraparound_repair(ray_session):
     ours = _build_ours(feats, maxzoom=4, detect_wraparound=True)
     d = diff_counts(ours, ref)
     assert not d, d
+
+
+def test_sink_resume_and_ds_parity(ray_session, tmp_path):
+    """Ray-Data-native plumbing: (a) ingest_features_ds produces the
+    same ingested rows as the driver ingest (incl. the drop-ladder
+    minzoom assignment), (b) the out_dir sink + summary matches the
+    streamed result, (c) resume skips finished groups and still
+    reconstitutes the identical tileset."""
+    import shutil
+
+    import pyarrow.parquet as pq
+    import ray
+
+    from tests.util_reference import geoms_to_table, synth_vector_corpus
+    from tippecanoe_ray.pipelines.vector_pyramid import (
+        VectorConfig, build_vector_pyramid, ingest_features, ingest_features_ds,
+    )
+
+    feats = synth_vector_corpus(n_lines=25, n_polys=15, seed=9)
+    cfg = VectorConfig(maxzoom=5, droprate=2.5, drop_lines=True, drop_polygons=True)
+    raw = geoms_to_table(feats)
+    tbl = ingest_features(raw, cfg)
+    ds_tbl = (
+        ingest_features_ds(ray.data.from_arrow(raw).repartition(4), cfg)
+        .to_pandas().sort_values(["vindex", "seq"]).reset_index(drop=True)
+    )
+    drv_tbl = tbl.to_pandas().sort_values(["vindex", "seq"]).reset_index(drop=True)
+    assert ds_tbl[["seq", "t", "minzoom", "vindex"]].equals(
+        drv_tbl[["seq", "t", "minzoom", "vindex"]]
+    )
+
+    def counts(ds):
+        return {
+            (int(r["z"]), int(r["x"]), int(r["y"])): int(r["n_features"])
+            for r in ds.select_columns(["z", "x", "y", "n_features"]).take_all()
+        }
+
+    streamed = counts(build_vector_pyramid(tbl, cfg))
+    out_dir = str(tmp_path / "tiles")
+    sunk = counts(build_vector_pyramid(tbl, cfg, out_dir=out_dir))
+    assert sunk == streamed
+    summ = pq.read_table(f"{out_dir}/summary.parquet")
+    assert int(sum(summ["n_tiles"].to_pylist())) == len(streamed)
+
+    # resume: delete two group partitions, rerun with resume=True
+    import os
+
+    groups = sorted(os.listdir(f"{out_dir}/raw"))
+    assert len(groups) > 2
+    for g in groups[:2]:
+        shutil.rmtree(f"{out_dir}/raw/{g}")
+    resumed = counts(build_vector_pyramid(tbl, cfg, out_dir=out_dir, resume=True))
+    assert resumed == streamed
+    summ2 = pq.read_table(f"{out_dir}/summary.parquet")
+    assert int(sum(summ2["n_tiles"].to_pylist())) == len(streamed)

@@ -1,15 +1,29 @@
 """Line/polygon pyramid — the reference's per-zoom rewrite → clip →
 simplify → encode loop (tile.cpp:443-533, 974-1057, 595-665,
-traverse_zooms 3272-3623), re-expressed as a zoom cascade:
+traverse_zooms 3272-3623), re-expressed Ray-Data-first:
 
-  ingest: world coords → geometry_scale snap → winding fix (polygons)
-   → phase L (z in [0, B)): per-tile Ray tasks; each task clips its
-     features, encodes the tile, and fans the clipped geometry out to
-     the 4 children its PRE-CLIP bbox touches (rewrite semantics,
-     including the buffer+1 top/left widening) — a tile at z+1 has
-     exactly one parent, so no merge step exists
-   → phase H (z >= B): one Ray task per zoom-B subtree runs the whole
-     remaining cascade depth-first with no further shuffles.
+  ingest (map_batches): world coords → geometry_scale snap → winding
+     fix (polygons) → vertex-hash index; --drop-lines/--drop-polygons
+     minzoom via the same bucket-offset rank ladder the point pipeline
+     uses (one tiny aggregate + one grouped pass)
+   → phase A (map_batches, flat): each feature runs its OWN ancestor
+     cascade z0 → B — clip to tile, fan to the children the PRE-CLIP
+     bbox touches (rewrite semantics incl. the buffer+1 top/left
+     widening), recurse — emitting (group key, clipped feature) rows
+     for every low-zoom tile it survives in (z < B, tile-local coords)
+     and for every zoom-B subtree it reaches (snapped world coords).
+     Per-feature clipping has NO cross-feature state, so this is an
+     embarrassingly parallel flat map producing exactly the rows the
+     old per-tile task tree produced.
+   → ONE shuffle: groupby(group key).map_groups:
+       · z <  B group → order features, encode one tile (detail ladder)
+       · z == B group → depth-first cascade over the whole subtree
+         (process_tile per node; no further shuffles)
+     groups write straight to a per-group parquet partition when a sink
+     dir is given (resumable: finished groups are skipped pre-shuffle)
+     and return tiny summary rows; without a sink they return tile rows
+     through the streaming dataset — the driver never concatenates the
+     tileset either way.
 
 Why a cascade instead of direct per-zoom bbox fan-out: the reference
 assigns a feature to a child only from the geometry ALREADY CLIPPED to
@@ -18,12 +32,10 @@ ancestor chain — a diagonal line reaches O(length/span) tiles, not
 O(bbox area). Replicating the cascade is both the exact-match semantics
 and the scale win.
 
-Scale notes: phase-L tasks ray.put their child tables so the driver
-holds only ObjectRefs; phase-H subtree tasks are the wide, embarrassing
-parallelism (4^B ≫ cores) and write tile rows straight back as Arrow.
 Per-tile feature order is input order (seq) — the reference's sort key
 (index, seq) has index == 0 for lines/polygons unless a drop strategy
-is active (serial.cpp:753-762).
+is active (serial.cpp:753-762); with dropping active, groups order by
+(vindex, seq), reproducing the ingest-sorted scan at any parallelism.
 """
 
 from __future__ import annotations
@@ -143,13 +155,30 @@ def _unpack(tbl: pa.Table, i: int):
     return ops, xy
 
 
-def ingest_features(tbl: pa.Table, cfg: VectorConfig) -> pa.Table:
-    """serialize_feature ingest semantics (serial.cpp:455-510): snap to
-    the geometry_scale grid (round half away), then fix polygon winding
-    ON THE SCALED coordinates (fix_polygon runs after scale_geometry,
-    serial.cpp:459-465); features whose geometry vanishes are dropped."""
+def _vertex_hash_index(ops: np.ndarray, scaled: np.ndarray, g: int) -> int:
+    """Vertex-hash index point (serial.cpp:700-722): size_t sum of all
+    scaled coordinates (uint64 wraparound — numpy-wrap-identical to the
+    C++ for any real geometry size) mod the draw count (CLOSEPATH rows
+    included), quadkey of the SHIFT_LEFT-masked vertex."""
+    from ..functions.spatial import encode_quadkey
+
+    total = int(scaled.astype(np.int64).view(np.uint64).sum(dtype=np.uint64))
+    ix = total % len(ops)
+    mx = (int(scaled[ix, 0]) << g) & ((1 << 32) - 1)
+    my = (int(scaled[ix, 1]) << g) & ((1 << 32) - 1)
+    return int(encode_quadkey(np.array([mx]), np.array([my]))[0])
+
+
+def _ingest_rows(tbl: pa.Table, cfg: VectorConfig) -> tuple[list, list[int]]:
+    """Per-batch ingest kernel (serialize_feature, serial.cpp:455-510):
+    snap to the geometry_scale grid (round half away), then fix polygon
+    winding ON THE SCALED coordinates (fix_polygon runs after
+    scale_geometry, serial.cpp:459-465); features whose geometry
+    vanishes are dropped. Returns (rows, vertex-hash indexes)."""
     g = cfg.resolved_gscale()
     out = []
+    idxs: list[int] = []
+    want_idx = cfg.dropping()
     for i in range(len(tbl)):
         seq = int(tbl["seq"][i].as_py())
         t = int(tbl["t"][i].as_py())
@@ -171,26 +200,29 @@ def ingest_features(tbl: pa.Table, cfg: VectorConfig) -> pa.Table:
                 ly = (anchor[1] << g) & ((1 << 32) - 1)
         world = scaled << g if g else scaled
         out.append([seq, t, ops, world, lx, ly, 0])
+        if want_idx:
+            idxs.append(_vertex_hash_index(ops, scaled, g))
+    return out, idxs
+
+
+def _with_vindex(tbl: pa.Table, idxs: list[int]) -> pa.Table:
+    return tbl.append_column("vindex", pa.array(np.array(idxs, np.uint64), pa.uint64()))
+
+
+def ingest_features(tbl: pa.Table, cfg: VectorConfig) -> pa.Table:
+    """Driver-side ingest of one feature table (tests / small inputs;
+    the parallel path is ingest_features_ds). With dropping active the
+    output is sorted by (vindex, seq) and carries the vindex column."""
+    out, idxs = _ingest_rows(tbl, cfg)
     if cfg.dropping() and out:
-        # the global sort key is (bbox_index, seq) with the vertex-hash
-        # index point (serial.cpp:700-722, incl. CLOSEPATH entries in
-        # the modulus); ladder counters step only for participating
-        # features (calc_feature_minzoom main.cpp:299-305)
-        from ..functions.spatial import encode_quadkey
+        # the global sort key is (bbox_index, seq); ladder counters step
+        # only for participating features (calc_feature_minzoom,
+        # main.cpp:299-305)
         from ..stages.minzoom import minzoom_from_ranks
 
-        idxs = []
-        for r in out:
-            ops_r = r[2]
-            scaled_r = (r[3] >> g) if g else r[3]
-            sx = scaled_r[:, 0].astype(object)
-            sy = scaled_r[:, 1].astype(object)
-            ix = int((sum(sx) + sum(sy)) % len(ops_r))
-            mx = (int(scaled_r[ix, 0]) << g) & ((1 << 32) - 1)
-            my = (int(scaled_r[ix, 1]) << g) & ((1 << 32) - 1)
-            idxs.append(int(encode_quadkey(np.array([mx]), np.array([my]))[0]))
         order = sorted(range(len(out)), key=lambda i: (idxs[i], out[i][0]))
         out = [out[i] for i in order]
+        idxs = [idxs[i] for i in order]
         part = [
             (r[1] == 2 and cfg.drop_lines) or (r[1] == 3 and cfg.drop_polygons)
             for r in out
@@ -204,7 +236,88 @@ def ingest_features(tbl: pa.Table, cfg: VectorConfig) -> pa.Table:
             if part[i]:
                 r[6] = int(mzs[k])
                 k += 1
+        return _with_vindex(features_table([tuple(r) for r in out]), idxs)
     return features_table([tuple(r) for r in out])
+
+
+def ingest_features_ds(ds: ray.data.Dataset, cfg: VectorConfig) -> ray.data.Dataset:
+    """Parallel ingest: map_batches over a Dataset of raw feature rows
+    (FEATURE_SCHEMA columns). With --drop-lines/--drop-polygons, the
+    global drop-ladder minzoom is assigned the way the point pipeline
+    does it: per-bucket participating counts → driver prefix sums
+    (tiny) → per-bucket rank ranges (stages/minzoom.py), with buckets =
+    vindex prefixes so bucket order IS global (vindex, seq) order."""
+
+    def _ingest_batch(t: pa.Table) -> pa.Table:
+        rows, idxs = _ingest_rows(t, cfg)
+        tb = features_table([tuple(r) for r in rows])
+        if cfg.dropping():
+            tb = _with_vindex(tb, idxs)
+        return tb.replace_schema_metadata(None)
+
+    out = ds.map_batches(_ingest_batch, batch_format="pyarrow")
+    if not cfg.dropping():
+        return out
+    from ..stages.minzoom import minzoom_for_rank_range
+
+    VB = 6  # 4096 rank buckets
+
+    def _vb(t: pa.Table) -> np.ndarray:
+        return (
+            t["vindex"].to_numpy(zero_copy_only=False).astype(np.uint64)
+            >> np.uint64(64 - 2 * VB)
+        ).astype(np.int64)
+
+    def _part_mask(t: pa.Table) -> np.ndarray:
+        tt = t["t"].to_numpy(zero_copy_only=False)
+        m = np.zeros(len(t), dtype=bool)
+        if cfg.drop_lines:
+            m |= tt == 2
+        if cfg.drop_polygons:
+            m |= tt == 3
+        return m
+
+    out = out.map_batches(
+        lambda t: t.append_column("vbucket", pa.array(_vb(t), pa.int64())),
+        batch_format="pyarrow",
+    ).materialize()
+
+    def _counts(t: pa.Table) -> pa.Table:
+        vb = t["vbucket"].to_numpy(zero_copy_only=False)[_part_mask(t)]
+        b, n = np.unique(vb, return_counts=True)
+        return pa.table({"vbucket": b, "n": n})
+
+    import pandas as pd
+
+    cnt = (
+        pa.concat_tables(
+            [_counts(p) for p in ray.get(out.to_arrow_refs())]
+        ).to_pandas().groupby("vbucket")["n"].sum().sort_index()
+    )
+    offs = cnt.cumsum().shift(fill_value=0).to_dict()
+    offs_ref = ray.put(dict(offs))
+
+    def _assign(grp: pa.Table) -> pa.Table:
+        o = ray.get(offs_ref) if isinstance(offs_ref, ray.ObjectRef) else offs_ref
+        vb = int(grp["vbucket"][0].as_py())
+        vi = grp["vindex"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        sq = grp["seq"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((sq, vi))
+        grp = grp.take(pa.array(order))
+        part = _part_mask(grp)
+        k = int(part.sum())
+        mz = np.zeros(len(grp), dtype=np.int16)
+        if k:
+            r0 = int(o.get(vb, 0))
+            mz[part] = minzoom_for_rank_range(
+                r0, r0 + k, cfg.maxzoom, cfg.resolved_basezoom(), cfg.droprate
+            ).astype(np.int16)
+        i = grp.column_names.index("minzoom")
+        return grp.set_column(i, "minzoom", pa.array(mz, pa.int16()))
+
+    return out.groupby("vbucket").map_groups(
+        _assign, batch_format="pyarrow"
+    ).drop_columns(["vbucket"])
 
 
 def _fix_wraparound(ops: np.ndarray, xy: np.ndarray) -> np.ndarray:
@@ -238,93 +351,106 @@ def _fix_wraparound(ops: np.ndarray, xy: np.ndarray) -> np.ndarray:
     return out
 
 
+def _feature_step(cfg: VectorConfig, z: int, tx: int, ty: int,
+                  t: int, ops: np.ndarray, xy: np.ndarray):
+    """One cascade step for ONE feature at tile (z, tx, ty): clip to
+    tile+buffer (clip_to_tile, tile.cpp:974-1057, incl. the z0 dateline
+    ±360° duplication :977-1001) and compute the child tiles the
+    PRE-CLIP bbox touches (rewrite, tile.cpp:443-533, with the buffer+1
+    top/left widening). Stateless across features — the basis for both
+    the per-tile scan and the per-feature fan-out. Returns
+    (cops, cxy_local, child_keys, snapped_world | None) or None when
+    the feature is culled here."""
+    span_shift = WORLD_BITS - z
+    span = 1 << span_shift
+    buf = cfg.buffer * span // 256
+    origin = np.array([tx << span_shift, ty << span_shift], dtype=np.int64) if z else np.zeros(2, np.int64)
+    child_div = 1 << (WORLD_BITS - (z + 1) - 8)
+    cspan = 2  # nextzoom - z == 1
+
+    local = xy - origin
+    bbox = dv.geom_bbox(local, ops)
+    if bbox is None:
+        return None
+    quick = dv.quick_check(bbox, z, cfg.buffer)
+    if z == 0:
+        # dateline: duplicate geometry ±360° and clip both copies
+        # (clip_to_tile z0 branch, tile.cpp:977-1001)
+        edge = (1 << 32) * cfg.buffer // 256
+        west = bbox[0] <= edge
+        east = bbox[2] >= (1 << 32) - edge
+        if west or east:
+            parts_ops = [ops]
+            parts_xy = [local]
+            if west:
+                parts_ops.append(ops)
+                parts_xy.append(local + np.array([1 << 32, 0], dtype=np.int64))
+            if east:
+                parts_ops.append(ops)
+                parts_xy.append(local - np.array([1 << 32, 0], dtype=np.int64))
+            ops = np.concatenate(parts_ops)
+            local = np.concatenate(parts_xy)
+            bbox = (0, bbox[1], 1 << 32, bbox[3])
+            quick = -1
+    if quick == 0:
+        return None
+    if quick != 1:
+        if t == 2:
+            cops, cxy = dv.clip_lines(ops, local, -buf, -buf, span + buf, span + buf)
+        elif t == 3:
+            cops, cxy = dv.simple_clip_poly(ops, local, -buf, -buf, span + buf, span + buf)
+        else:
+            keep = (
+                (local[:, 0] >= -buf) & (local[:, 1] >= -buf)
+                & (local[:, 0] <= span + buf) & (local[:, 1] <= span + buf)
+            )
+            cops, cxy = ops[keep], local[keep]
+        cops, cxy = dv.remove_noop(cops, cxy, t, 0)
+    else:
+        cops, cxy = ops, local
+
+    child_keys: list[tuple[int, int]] = []
+    snapped = None
+    if len(cops) > 0 and z + 1 <= cfg.maxzoom:
+        b2 = [dv._tdiv(bbox[k], child_div) for k in range(4)]
+        b2[0] -= cfg.buffer + 1
+        b2[1] -= cfg.buffer + 1
+        b2[2] += cfg.buffer
+        b2[3] += cfg.buffer
+        for k in range(4):
+            if b2[k] < 0:
+                b2[k] = 0
+            if b2[k] >= 256 * cspan:
+                b2[k] = 256 * (cspan - 1)
+            b2[k] //= 256
+        snapped = dv.snap_world(cxy + origin, cfg.resolved_gscale())
+        for xo in range(b2[0], b2[2] + 1):
+            for yo in range(b2[1], b2[3] + 1):
+                child_keys.append((tx * 2 + xo, ty * 2 + yo))
+    return cops, cxy, child_keys, snapped
+
+
 def process_tile(cfg: VectorConfig, z: int, tx: int, ty: int, tbl):
     """One write_tile (keep-all path): returns (tile_row | None,
     children: dict[(cx, cy) -> row list]). `tbl` is a feature table or
     a list of row tuples (see table_to_rows)."""
     if isinstance(tbl, pa.Table):
         tbl = table_to_rows(tbl)
-    span_shift = WORLD_BITS - z
-    span = 1 << span_shift
-    buf = cfg.buffer * span // 256
-    origin = np.array([tx << span_shift, ty << span_shift], dtype=np.int64) if z else np.zeros(2, np.int64)
-    g_scale = cfg.resolved_gscale()
     children: dict[tuple[int, int], list] = {}
-    survivors: list = []  # (seq, t, ops, local_xy, reduced)
-    accum_area = 0.0
-    child_div = 1 << (WORLD_BITS - (z + 1) - 8)
-    cspan = 2  # nextzoom - z == 1
+    survivors: list = []
 
     for seq, t, ops, xy, lab_x, lab_y, fmz in tbl:
-        lab = (lab_x, lab_y)
-        local = xy - origin
-        bbox = dv.geom_bbox(local, ops)
-        if bbox is None:
+        step = _feature_step(cfg, z, tx, ty, t, ops, xy)
+        if step is None:
             continue
-        quick = dv.quick_check(bbox, z, cfg.buffer)
-        if z == 0:
-            # dateline: duplicate geometry ±360° and clip both copies
-            # (clip_to_tile z0 branch, tile.cpp:977-1001)
-            edge = (1 << 32) * cfg.buffer // 256
-            west = bbox[0] <= edge
-            east = bbox[2] >= (1 << 32) - edge
-            if west or east:
-                parts_ops = [ops]
-                parts_xy = [local]
-                if west:
-                    parts_ops.append(ops)
-                    parts_xy.append(local + np.array([1 << 32, 0], dtype=np.int64))
-                if east:
-                    parts_ops.append(ops)
-                    parts_xy.append(local - np.array([1 << 32, 0], dtype=np.int64))
-                ops = np.concatenate(parts_ops)
-                local = np.concatenate(parts_xy)
-                bbox = (0, bbox[1], 1 << 32, bbox[3])
-                quick = -1
-        if quick == 0:
-            continue
-        if quick != 1:
-            if t == 2:
-                cops, cxy = dv.clip_lines(ops, local, -buf, -buf, span + buf, span + buf)
-            elif t == 3:
-                cops, cxy = dv.simple_clip_poly(ops, local, -buf, -buf, span + buf, span + buf)
-            else:
-                keep = (
-                    (local[:, 0] >= -buf) & (local[:, 1] >= -buf)
-                    & (local[:, 0] <= span + buf) & (local[:, 1] <= span + buf)
-                )
-                cops, cxy = ops[keep], local[keep]
-            cops, cxy = dv.remove_noop(cops, cxy, t, 0)
-        else:
-            cops, cxy = ops, local
-
-        # rewrite to children (tile.cpp:443-533): coverage from the
-        # PRE-CLIP bbox, geometry from the POST-CLIP result, snapped
-        if len(cops) > 0 and z + 1 <= cfg.maxzoom:
-            b2 = [dv._tdiv(bbox[k], child_div) for k in range(4)]
-            b2[0] -= cfg.buffer + 1
-            b2[1] -= cfg.buffer + 1
-            b2[2] += cfg.buffer
-            b2[3] += cfg.buffer
-            for k in range(4):
-                if b2[k] < 0:
-                    b2[k] = 0
-                if b2[k] >= 256 * cspan:
-                    b2[k] = 256 * (cspan - 1)
-                b2[k] //= 256
-            world = cxy + origin
-            snapped = dv.snap_world(world, g_scale)
-            blob = None
-            for xo in range(b2[0], b2[2] + 1):
-                for yo in range(b2[1], b2[3] + 1):
-                    if blob is None:
-                        blob = (seq, t, cops, snapped, lab[0], lab[1], fmz)
-                    # (tuple shared across children)
-                    children.setdefault((tx * 2 + xo, ty * 2 + yo), []).append(blob)
-
+        cops, cxy, child_keys, snapped = step
+        if child_keys:
+            blob = (seq, t, cops, snapped, lab_x, lab_y, fmz)
+            for key in child_keys:
+                children.setdefault(key, []).append(blob)
         if z < cfg.minzoom:
             continue
-        survivors.append((seq, t, cops, cxy, lab, fmz))
+        survivors.append((seq, t, cops, cxy, (lab_x, lab_y), fmz))
 
     tile_row = _encode_with_detail_ladder(cfg, z, tx, ty, survivors)
     return tile_row, children
@@ -444,10 +570,6 @@ def _encode_with_detail_ladder(cfg: VectorConfig, z, tx, ty, survivors):
     return {"z": z, "x": tx, "y": ty, "n_features": len(feats), "tile": tile_bytes}
 
 
-def _rows_table(rows: list) -> pa.Table:
-    return features_table(rows)
-
-
 def _tile_rows_table(rows: list[dict]) -> pa.Table:
     return pa.table(
         {
@@ -460,79 +582,354 @@ def _tile_rows_table(rows: list[dict]) -> pa.Table:
     )
 
 
-@ray.remote
-def _tile_task(cfg: VectorConfig, z: int, tx: int, ty: int, tbl: pa.Table):
-    tile_row, children = process_tile(cfg, z, tx, ty, tbl)
-    child_refs = [
-        (key, ray.put(_rows_table(rows))) for key, rows in children.items()
+def _gkey(z: int, x: int, y: int) -> int:
+    return (z << 56) | (x << 28) | y
+
+
+_EMIT_SCHEMA = pa.schema(
+    [
+        ("gkey", pa.int64()),
+        ("vindex", pa.uint64()),
+        ("seq", pa.int64()),
+        ("t", pa.int8()),
+        ("ops", pa.large_binary()),
+        ("xy", pa.large_binary()),
+        ("label_x", pa.int64()),
+        ("label_y", pa.int64()),
+        ("minzoom", pa.int16()),
     ]
-    return tile_row, child_refs
+)
+
+
+class CascadeFan:
+    """Phase A: per-feature ancestor cascade z0 → bucket zoom B.
+
+    Each input feature runs its own clip chain (no cross-feature state
+    in clip/fan-out — see _feature_step) and emits one row per low-zoom
+    tile it survives in (tile-LOCAL coordinates, for the group encode)
+    plus one row per zoom-B subtree it reaches (SNAPPED WORLD
+    coordinates — the rewrite blob the subtree cascade starts from)."""
+
+    def __init__(self, cfg: VectorConfig, b: int):
+        self.cfg = cfg
+        self.b = b
+
+    def __call__(self, tbl: pa.Table) -> pa.Table:
+        cfg = self.cfg
+        b = self.b
+        vind = (
+            tbl["vindex"].to_numpy(zero_copy_only=False).astype(np.uint64)
+            if "vindex" in tbl.column_names
+            else np.zeros(len(tbl), np.uint64)
+        )
+        cols: dict[str, list] = {n: [] for n in _EMIT_SCHEMA.names}
+
+        def emit(gz, gx, gy, vi, seq, t, ops, xy, lx, ly, fmz):
+            cols["gkey"].append(_gkey(gz, gx, gy))
+            cols["vindex"].append(vi)
+            cols["seq"].append(seq)
+            cols["t"].append(t)
+            cols["ops"].append(ops.astype(np.uint8).tobytes())
+            cols["xy"].append(np.ascontiguousarray(xy, dtype=np.int64).tobytes())
+            cols["label_x"].append(lx)
+            cols["label_y"].append(ly)
+            cols["minzoom"].append(fmz)
+
+        rows = table_to_rows(tbl)
+        for i, (seq, t, ops, xy, lx, ly, fmz) in enumerate(rows):
+            vi = int(vind[i])
+            if b == 0:
+                emit(0, 0, 0, vi, seq, t, ops, xy, lx, ly, fmz)
+                continue
+            stack = [(0, 0, 0, ops, xy)]
+            while stack:
+                z, tx, ty, o_, x_ = stack.pop()
+                step = _feature_step(cfg, z, tx, ty, t, o_, x_)
+                if step is None:
+                    continue
+                cops, cxy, child_keys, snapped = step
+                if z >= cfg.minzoom:
+                    # low-zoom survivor (kept even when the clip emptied
+                    # the geometry — the per-tile encode scan sees the
+                    # same stream the per-tile task saw)
+                    emit(z, tx, ty, vi, seq, t, cops, cxy, lx, ly, fmz)
+                for (cx, cy) in child_keys:
+                    if z + 1 == b:
+                        emit(b, cx, cy, vi, seq, t, cops, snapped, lx, ly, fmz)
+                    else:
+                        stack.append((z + 1, cx, cy, cops, snapped))
+        arrs = {
+            n: pa.array(cols[n], _EMIT_SCHEMA.field(n).type) for n in _EMIT_SCHEMA.names
+        }
+        return pa.table(arrs)
+
+
+class GroupEncoder:
+    """One shuffle group = one low-zoom tile (z < B) or one zoom-B
+    subtree. Orders features by (vindex, seq) — the ingest-sorted scan
+    order; vindex is 0 without dropping so this is input order — then
+    encodes (detail ladder) or runs the depth-first subtree cascade.
+    With a sink dir, tile rows are written to a per-group parquet
+    partition inside the task (resumable unit) and only a summary row
+    is returned."""
+
+    def __init__(self, cfg: VectorConfig, b: int, raw_dir: str | None = None):
+        self.cfg = cfg
+        self.b = b
+        self.raw_dir = raw_dir
+
+    def __call__(self, grp: pa.Table) -> pa.Table:
+        import os
+
+        cfg = self.cfg
+        gkey = int(grp["gkey"][0].as_py())
+        z = gkey >> 56
+        x = (gkey >> 28) & ((1 << 28) - 1)
+        y = gkey & ((1 << 28) - 1)
+        vi = grp["vindex"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        sq = grp["seq"].to_numpy(zero_copy_only=False)
+        grp = grp.take(pa.array(np.lexsort((sq, vi))))
+        rows = table_to_rows(grp)
+        out_rows: list[dict] = []
+        if z < self.b:
+            survivors = [
+                (seq, t, ops, xy, (lx, ly), fmz)
+                for seq, t, ops, xy, lx, ly, fmz in rows
+            ]
+            row = _encode_with_detail_ladder(cfg, z, x, y, survivors)
+            if row is not None:
+                out_rows.append(row)
+        else:
+            stack = [(z, x, y, rows)]
+            while stack:
+                zz, tx, ty, rr = stack.pop()
+                tile_row, children = process_tile(cfg, zz, tx, ty, rr)
+                if tile_row is not None:
+                    out_rows.append(tile_row)
+                if zz + 1 <= cfg.maxzoom:
+                    for (cx, cy), blob_rows in children.items():
+                        stack.append((zz + 1, cx, cy, blob_rows))
+        tile_tbl = _tile_rows_table(out_rows)
+        if self.raw_dir is None:
+            return tile_tbl
+        import pyarrow.parquet as pq
+
+        part = os.path.join(self.raw_dir, f"g_{z}_{x}_{y}")
+        os.makedirs(part, exist_ok=True)
+        tmp = os.path.join(part, "part-0.parquet.inprogress")
+        pq.write_table(tile_tbl, tmp)
+        os.replace(tmp, os.path.join(part, "part-0.parquet"))
+        nf = tile_tbl["n_features"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "gz": pa.array([z], pa.int32()),
+                "gx": pa.array([x], pa.int32()),
+                "gy": pa.array([y], pa.int32()),
+                "n_tiles": pa.array([len(tile_tbl)], pa.int64()),
+                "n_features": pa.array([int(nf.sum())], pa.int64()),
+            }
+        )
+
+    def empty(self) -> pa.Table:
+        if self.raw_dir is None:
+            return _tile_rows_table([])
+        return pa.table(
+            {
+                "gz": pa.array([], pa.int32()),
+                "gx": pa.array([], pa.int32()),
+                "gy": pa.array([], pa.int32()),
+                "n_tiles": pa.array([], pa.int64()),
+                "n_features": pa.array([], pa.int64()),
+            }
+        )
+
+
+_HASH_MIX = np.uint64(0x9E3779B97F4A7C15)
 
 
 @ray.remote
-def _subtree_task(cfg: VectorConfig, z0: int, tx0: int, ty0: int, tbl: pa.Table) -> pa.Table:
-    """Depth-first cascade over one zoom-B subtree; no shuffles, no
-    per-tile Arrow round trips (tuples all the way down)."""
-    out_rows: list[dict] = []
-    stack = [(z0, tx0, ty0, table_to_rows(tbl) if isinstance(tbl, pa.Table) else tbl)]
-    while stack:
-        z, tx, ty, t = stack.pop()
-        tile_row, children = process_tile(cfg, z, tx, ty, t)
-        if tile_row is not None:
-            out_rows.append(tile_row)
-        if z + 1 <= cfg.maxzoom:
-            for (cx, cy), rows in children.items():
-                stack.append((z + 1, cx, cy, rows))
-    return _tile_rows_table(out_rows)
+def _vp_partition(tbl: pa.Table, np_: int):
+    """Split one block into np_ hash partitions by gkey (groups stay
+    whole: same gkey → same partition)."""
+    if len(tbl) == 0:
+        e = tbl.slice(0, 0)
+        return tuple(e for _ in range(np_)) if np_ > 1 else e
+    g = tbl["gkey"].to_numpy(zero_copy_only=False).astype(np.uint64)
+    pid = ((g * _HASH_MIX) >> np.uint64(33)).astype(np.int64) % np_
+    order = np.argsort(pid, kind="stable")
+    ps = pid[order]
+    cuts = np.searchsorted(ps, np.arange(np_ + 1))
+    t2 = tbl.take(pa.array(order)).combine_chunks()
+    parts = tuple(t2.slice(cuts[j], cuts[j + 1] - cuts[j]) for j in range(np_))
+    return parts if np_ > 1 else parts[0]
 
 
-def auto_vector_bucket_zoom(n_rows: int, maxzoom: int) -> int:
+@ray.remote
+def _vp_reduce(encoder, *pieces):
+    tbls = [p for p in pieces if p.num_rows]
+    if not tbls:
+        return encoder.empty()
+    cat = pa.concat_tables(tbls)
+    g = cat["gkey"].to_numpy(zero_copy_only=False)
+    order = np.argsort(g, kind="stable")
+    cat = cat.take(pa.array(order)).combine_chunks()
+    gs = g[order]
+    cuts = np.concatenate(
+        ([0], np.flatnonzero(gs[1:] != gs[:-1]) + 1, [len(gs)])
+    )
+    outs = [
+        encoder(cat.slice(cuts[i], cuts[i + 1] - cuts[i]))
+        for i in range(len(cuts) - 1)
+    ]
+    outs = [t for t in outs if t.num_rows]
+    if not outs:
+        return encoder.empty()
+    return pa.concat_tables(outs)
+
+
+def _grouped_exchange(rows: ray.data.Dataset, encoder) -> ray.data.Dataset:
+    """groupby(gkey).map_groups with controlled task granularity: hash
+    partition the emitted rows into ~4×CPU reduce tasks, each encoding
+    its groups back to back (ray.data's own map_groups caps parallelism
+    at its post-sort block count — measured 3-5× slower here). The
+    reduce outputs stay in the object store (from_arrow_refs) — tile
+    bytes never touch the driver."""
+    mat = rows.materialize()
+    refs = mat.to_arrow_refs()
+    n_cpus = int(ray.cluster_resources().get("CPU", 8))
+    p_parts = int(max(4, min(256, 4 * n_cpus)))
+    part = _vp_partition.options(num_returns=p_parts) if p_parts > 1 else _vp_partition
+    cols = [part.remote(r, p_parts) for r in refs]
+    if p_parts == 1:
+        cols = [(c,) for c in cols]
+    outs = [
+        _vp_reduce.remote(encoder, *[cols[i][j] for i in range(len(cols))])
+        for j in range(p_parts)
+    ]
+    return ray.data.from_arrow_refs(outs)
+
+
+def auto_vector_bucket_zoom(n_rows: int, maxzoom: int, n_cpus: int | None = None) -> int:
+    """Subtree granularity: enough zoom-B subtrees for load balance
+    (4^B ≳ 8×cores), shallow enough that the phase-A ancestor cascade
+    (per-feature work ∝ B) stays cheap."""
+    if n_cpus is None:
+        n_cpus = int(ray.cluster_resources().get("CPU", 8))
     b = 0
-    while (4 ** (b + 1)) * 1024 <= n_rows and b + 1 <= maxzoom:
+    while (4 ** (b + 1)) * 256 <= n_rows and b + 1 <= maxzoom:
         b += 1
-    return max(1, min(b + 2, maxzoom, 6))
+    b_cpu = 0
+    while 4 ** b_cpu < 8 * n_cpus:
+        b_cpu += 1
+    return max(1, min(max(b, b_cpu), maxzoom, 6))
 
 
 def build_vector_pyramid(
-    feat_tbl: pa.Table, cfg: VectorConfig | None = None
+    feat_tbl: "pa.Table | ray.data.Dataset",
+    cfg: VectorConfig | None = None,
+    out_dir: str | None = None,
+    resume: bool = False,
+    n_rows: int | None = None,
 ) -> ray.data.Dataset:
-    """Full pyramid over an ingested feature table (see ingest_features).
-    Returns a Dataset of (z, x, y, n_features, tile)."""
+    """Full pyramid over ingested features (see ingest_features /
+    ingest_features_ds). Returns a Dataset of
+    (z, x, y, n_features, tile).
+
+    Without out_dir the tile rows stream out of the grouped encode —
+    the driver never holds the tileset. With out_dir, every group
+    writes its tiles to out_dir/raw/g_<z>_<x>_<y>/ inside the task
+    (the resumable unit; resume=True skips finished groups BEFORE the
+    shuffle), a summary lands in out_dir/summary.parquet, and the
+    returned Dataset reads the sink lazily."""
+    import os
+
     cfg = cfg or VectorConfig()
+    if isinstance(feat_tbl, pa.Table):
+        if n_rows is None:
+            n_rows = len(feat_tbl)
+        if n_rows == 0:
+            return ray.data.from_arrow(_tile_rows_table([]))
+        n_cpus = int(ray.cluster_resources().get("CPU", 8))
+        ds = ray.data.from_arrow(feat_tbl)
+        nb = max(1, min(n_cpus, n_rows // 8))
+        if nb > 1:
+            ds = ds.repartition(nb)
+    else:
+        ds = feat_tbl
+        if n_rows is None:
+            n_rows = ds.count()
+        if n_rows == 0:
+            return ray.data.from_arrow(_tile_rows_table([]))
     b = cfg.bucket_zoom
     if b is None:
-        b = auto_vector_bucket_zoom(len(feat_tbl), cfg.maxzoom)
+        b = auto_vector_bucket_zoom(n_rows, cfg.maxzoom)
     b = max(0, min(b, cfg.maxzoom))
 
-    tile_tables: list[pa.Table] = []
-    current: dict[tuple[int, int], object] = {(0, 0): feat_tbl}
-    for z in range(0, b):
-        futs = {
-            key: _tile_task.remote(cfg, z, key[0], key[1], t)
-            for key, t in current.items()
-        }
-        nxt: dict[tuple[int, int], object] = {}
-        rows = []
-        for key, f in futs.items():
-            tile_row, child_refs = ray.get(f)
-            if tile_row is not None:
-                rows.append(tile_row)
-            for ckey, ref in child_refs:
-                # one parent per child tile — no merge needed
-                nxt[ckey] = ref
-        if rows:
-            tile_tables.append(_tile_rows_table(rows))
-        current = nxt
-        if not current:
-            break
+    raw_dir = os.path.join(out_dir, "raw") if out_dir else None
+    rows = ds.map_batches(CascadeFan(cfg, b), batch_format="pyarrow")
+    if resume and raw_dir and os.path.isdir(raw_dir):
+        done = set()
+        for name in os.listdir(raw_dir):
+            if name.startswith("g_") and os.path.exists(
+                os.path.join(raw_dir, name, "part-0.parquet")
+            ):
+                zz, xx, yy = (int(v) for v in name[2:].split("_"))
+                done.add(_gkey(zz, xx, yy))
+        if done:
+            done_ref = ray.put(done)
 
-    if current and b <= cfg.maxzoom:
-        futs = [
-            _subtree_task.remote(cfg, b, key[0], key[1], t)
-            for key, t in current.items()
+            def _not_done(t: pa.Table) -> pa.Table:
+                d = ray.get(done_ref) if isinstance(done_ref, ray.ObjectRef) else done_ref
+                g = t["gkey"].to_numpy(zero_copy_only=False)
+                return t.filter(pa.array(~np.isin(g, list(d))))
+
+            rows = rows.map_batches(_not_done, batch_format="pyarrow")
+    if raw_dir:
+        os.makedirs(raw_dir, exist_ok=True)
+    grouped = _grouped_exchange(rows, GroupEncoder(cfg, b, raw_dir))
+    if not out_dir:
+        return grouped
+    # force execution; the summary is tiny (one row per group)
+    import pyarrow.parquet as pq
+
+    _tbls = ray.get(grouped.to_arrow_refs())
+    _tbls = [t for t in _tbls if t.num_rows]
+    new_sum = (
+        pa.concat_tables(_tbls)
+        if _tbls
+        else pa.table(
+            {
+                "gz": pa.array([], pa.int32()),
+                "gx": pa.array([], pa.int32()),
+                "gy": pa.array([], pa.int32()),
+                "n_tiles": pa.array([], pa.int64()),
+                "n_features": pa.array([], pa.int64()),
+            }
+        )
+    )
+    sums = [new_sum] if len(new_sum) else []
+    sum_path = os.path.join(out_dir, "summary.parquet")
+    if resume and os.path.exists(sum_path) and len(new_sum):
+        prev = pq.read_table(sum_path)
+        seen = set(
+            zip(
+                new_sum["gz"].to_pylist(),
+                new_sum["gx"].to_pylist(),
+                new_sum["gy"].to_pylist(),
+            )
+        )
+        keep = [
+            i
+            for i, k in enumerate(
+                zip(prev["gz"].to_pylist(), prev["gx"].to_pylist(), prev["gy"].to_pylist())
+            )
+            if k not in seen
         ]
-        tile_tables.extend(t for t in ray.get(futs) if t.num_rows)
-
-    if not tile_tables:
-        return ray.data.from_arrow(_tile_rows_table([]))
-    return ray.data.from_arrow(pa.concat_tables(tile_tables))
+        sums.append(prev.take(keep))
+    elif resume and os.path.exists(sum_path):
+        sums.append(pq.read_table(sum_path))
+    if sums:
+        pq.write_table(pa.concat_tables(sums), sum_path)
+    return ray.data.read_parquet(raw_dir).map_batches(
+        lambda t: t.replace_schema_metadata(None), batch_format="pyarrow"
+    )

@@ -15,8 +15,22 @@ import pyarrow.parquet as pq
 import ray.data
 
 
+def _schema_file(path: str) -> str:
+    """read_schema wants a FILE; for a dataset directory use the first
+    parquet member (all members share one schema by construction)."""
+    import os
+
+    if not os.path.isdir(path):
+        return path
+    for root, _dirs, files in sorted(os.walk(path)):
+        for f in sorted(files):
+            if f.endswith(".parquet"):
+                return os.path.join(root, f)
+    return path
+
+
 def clean_schema(path: str, columns: list[str] | None = None) -> pa.Schema:
-    sch = pq.read_schema(path).remove_metadata()
+    sch = pq.read_schema(_schema_file(path)).remove_metadata()
     if columns is None:
         return sch
     return pa.schema([sch.field(c) for c in columns])
