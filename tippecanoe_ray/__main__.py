@@ -70,6 +70,7 @@ def _build_from_geo(args, cfg):
             minzoom=cfg.minzoom, maxzoom=cfg.maxzoom, layer_name=layer,
             buffer=args.buffer, droprate=cfg.droprate,
             max_tile_size=args.max_tile_bytes,
+            prevent_shared_nodes=args.prevent_shared_nodes,
         )
         outs.append(build_vector_pyramid(ingest_features(vec_tbl, vcfg), vcfg))
     if not outs:
@@ -101,6 +102,9 @@ def main(argv=None):
     ap.add_argument("--drop-densest", action="store_true")
     ap.add_argument("--max-tile-features", type=int, default=None,
                     help="as-needed drop limit per tile (reference -O, default 200000)")
+    ap.add_argument("--prevent-shared-nodes", "-pn", action="store_true",
+                    help="preserve shared vertices through simplification "
+                         "(-pn, main.cpp:2015-2169)")
     ap.add_argument("--resume", action="store_true")
     ap.add_argument("--num-cpus", type=int, default=None)
     ap.add_argument("--mbtiles", default=None, help="also package to this mbtiles file")

@@ -295,6 +295,94 @@ def simple_clip_poly(ops: np.ndarray, xy: np.ndarray, minx, miny, maxx, maxy):
     )
 
 
+def clip_poly1_pn(pts, minx, miny, maxx, maxy, ax, ay, bx, by,
+                  edge_nodes: list[tuple[int, int]]):
+    """S–H clip with the -pn double boundary (clip.cpp:781-877,
+    prevent_simplify_shared_nodes=true): points are emitted not only
+    where a segment crosses the buffer rectangle (minx..maxy) but also
+    where it crosses the tile-proper rectangle (ax..by); the latter are
+    recorded (rounded half-away) as tile-edge shared nodes."""
+    out = list(pts)
+    for edge in range(4):
+        if out:
+            src = out
+            out = []
+            S = src[-1]
+            for E in src:
+                s_buf = _inside(S[0], S[1], edge, minx, miny, maxx, maxy)
+                e_buf = _inside(E[0], E[1], edge, minx, miny, maxx, maxy)
+                if not s_buf:
+                    # was outside the buffer
+                    if not e_buf:
+                        pass  # still outside
+                    elif not _inside(E[0], E[1], edge, ax, ay, bx, by):
+                        # outside the tile but inside the buffer
+                        out.append(_intersect(S[0], S[1], E[0], E[1], edge, minx, miny, maxx, maxy))
+                        out.append(E)
+                    else:
+                        out.append(_intersect(S[0], S[1], E[0], E[1], edge, minx, miny, maxx, maxy))
+                        p = _intersect(S[0], S[1], E[0], E[1], edge, ax, ay, bx, by)
+                        out.append(p)
+                        edge_nodes.append((int(_round_half_away(p[0])), int(_round_half_away(p[1]))))
+                        out.append(E)
+                elif not _inside(S[0], S[1], edge, ax, ay, bx, by):
+                    # was inside the buffer but outside the tile edge
+                    if not e_buf:
+                        out.append(_intersect(S[0], S[1], E[0], E[1], edge, minx, miny, maxx, maxy))
+                    elif not _inside(E[0], E[1], edge, ax, ay, bx, by):
+                        out.append(E)
+                    else:
+                        p = _intersect(S[0], S[1], E[0], E[1], edge, ax, ay, bx, by)
+                        out.append(p)
+                        edge_nodes.append((int(_round_half_away(p[0])), int(_round_half_away(p[1]))))
+                        out.append(E)
+                else:
+                    # was inside the tile
+                    if not e_buf:
+                        p = _intersect(S[0], S[1], E[0], E[1], edge, ax, ay, bx, by)
+                        out.append(p)
+                        edge_nodes.append((int(_round_half_away(p[0])), int(_round_half_away(p[1]))))
+                        out.append(_intersect(S[0], S[1], E[0], E[1], edge, minx, miny, maxx, maxy))
+                    elif not _inside(E[0], E[1], edge, ax, ay, bx, by):
+                        p = _intersect(S[0], S[1], E[0], E[1], edge, ax, ay, bx, by)
+                        out.append(p)
+                        edge_nodes.append((int(_round_half_away(p[0])), int(_round_half_away(p[1]))))
+                        out.append(E)
+                    else:
+                        out.append(E)
+                S = E
+    if out:
+        if out[0][0] != out[-1][0] or out[0][1] != out[-1][1]:
+            out.append(out[0])
+        if len(out) < 3:
+            return []
+    return out
+
+
+def simple_clip_poly_pn(ops: np.ndarray, xy: np.ndarray, minx, miny,
+                        maxx, maxy, ax, ay, bx, by):
+    """-pn polygon clip (clip.cpp:24-69 with
+    prevent_simplify_shared_nodes): remove_noop first (clip.cpp:79-81),
+    then the double-boundary ring clip. Returns (ops, xy, edge_nodes)
+    with edge_nodes the tile-boundary crossing points in the same
+    (tile-local) coordinate frame."""
+    ops, xy = remove_noop(ops, xy, 3, 0)
+    edge_nodes: list[tuple[int, int]] = []
+    out_ops: list[int] = []
+    out_xy: list[tuple[int, int]] = []
+    for i, j in rings(ops):
+        tmp = [(float(xy[k, 0]), float(xy[k, 1])) for k in range(i, j)]
+        tmp = clip_poly1_pn(tmp, minx, miny, maxx, maxy, ax, ay, bx, by, edge_nodes)
+        for k, (px, py) in enumerate(tmp):
+            out_ops.append(MOVETO if k == 0 else LINETO)
+            out_xy.append((int(_round_half_away(px)), int(_round_half_away(py))))
+    return (
+        np.array(out_ops, np.uint8),
+        np.array(out_xy, np.int64).reshape(-1, 2),
+        edge_nodes,
+    )
+
+
 # -------------------------------------------------------------- remove_noop
 
 
@@ -576,9 +664,11 @@ def _dfl_vec(px: np.ndarray, py: np.ndarray, ax: int, ay: int, bx: int, by: int)
 
 
 def douglas_peucker(xy: np.ndarray, necessary: np.ndarray, start: int, n: int,
-                    e: float, kept: int, retain: int):
+                    e: float, kept: int, retain: int, pn: bool = False):
     """clip.cpp:909-1002 — stack traversal scanning each sub-segment
-    from its draw-less endpoint; ties break toward the draw-less point."""
+    from its draw-less endpoint; ties break toward the draw-less point.
+    With pn (prevent_simplify_shared_nodes, clip.cpp:932-936), each
+    already-necessary vertex consumes one unit of `retain`."""
     stack: list[int] = []
     prev = 0
     for here in range(1, n):
@@ -586,6 +676,8 @@ def douglas_peucker(xy: np.ndarray, necessary: np.ndarray, start: int, n: int,
             stack.append(prev)
             stack.append(here)
             prev = here
+            if pn and retain > 0:
+                retain -= 1
     while stack:
         second = stack.pop()
         first = stack.pop()
@@ -669,12 +761,43 @@ def impose_tile_boundaries(ops, xy, necessary, extent: int):
 
 
 def simplify_lines(ops, xy, z: int, detail: int, mark_tile_bounds: bool,
-                   simplification: float, retain: int):
-    """geometry.cpp:219-313 without shared-node preservation."""
+                   simplification: float, retain: int,
+                   pn: bool = False, tx: int = 0, ty: int = 0,
+                   local_nodes=None, global_nodes=None):
+    """geometry.cpp:219-313. With pn (-pn), vertices matching either
+    the tile-local clip edge nodes (`local_nodes`, a set of (x, y)
+    tile-local tuples, geometry.cpp:243-246) or the global shared-node
+    index (`global_nodes`, a SORTED uint64 array of
+    encode_vertex(x, y) = (x << 32) | y world keys,
+    geometry.cpp:248-267) are marked necessary before simplification."""
     res = 1 << (32 - detail - z)
     area = 1 << (32 - z)
     necessary = ops != LINETO  # MOVETO/CLOSEPATH necessary
     necessary = necessary.copy()
+    if pn and len(ops):
+        if local_nodes:
+            enc = xy[:, 0].astype(np.float64) + 1j * xy[:, 1].astype(np.float64)
+            keys = np.fromiter(
+                (float(px) + 1j * float(py) for px, py in local_nodes),
+                dtype=np.complex128, count=len(local_nodes),
+            )
+            necessary |= np.isin(enc, keys)
+        if global_nodes is not None and len(global_nodes):
+            # offset to global and truncate to unsigned 32-bit
+            # ((unsigned) cast, geometry.cpp:251-257)
+            gx = xy[:, 0].copy()
+            gy = xy[:, 1].copy()
+            if z != 0:
+                gx += tx << (32 - z)
+                gy += ty << (32 - z)
+            key = (
+                ((gx.view(np.uint64) if gx.dtype == np.int64 else gx.astype(np.uint64))
+                 & np.uint64(0xFFFFFFFF)) << np.uint64(32)
+            ) | ((gy.view(np.uint64) if gy.dtype == np.int64 else gy.astype(np.uint64))
+                 & np.uint64(0xFFFFFFFF))
+            pos = np.searchsorted(global_nodes, key)
+            pos_c = np.minimum(pos, len(global_nodes) - 1)
+            necessary |= global_nodes[pos_c] == key
     if mark_tile_bounds:
         ops, xy, necessary = impose_tile_boundaries(ops, xy, necessary, area)
     n = len(ops)
@@ -687,7 +810,7 @@ def simplify_lines(ops, xy, z: int, detail: int, mark_tile_bounds: bool,
             necessary[i] = True
             necessary[j - 1] = True
             if j - i > 1:
-                douglas_peucker(xy, necessary, i, j - i, res * simplification, 2, retain)
+                douglas_peucker(xy, necessary, i, j - i, res * simplification, 2, retain, pn)
             i = j
         else:
             i += 1

@@ -83,6 +83,11 @@ class VectorConfig:
     # -aw: repair >180-degree longitude jumps between consecutive
     # vertices by +-2^32 offsets (scale_geometry, serial.cpp:313-337)
     detect_wraparound: bool = False
+    # -pn / --no-simplification-of-shared-nodes: preserve vertices
+    # shared between features (or repeated within one) through
+    # simplification (serial.cpp:507-599, main.cpp:2015-2169,
+    # geometry.cpp:234-268); forces geometry_scale=0 (main.cpp:3764)
+    prevent_shared_nodes: bool = False
 
     def resolved_basezoom(self) -> int:
         return self.maxzoom if self.basezoom is None else self.basezoom
@@ -91,6 +96,8 @@ class VectorConfig:
         return (self.drop_lines or self.drop_polygons) and self.droprate > 1
 
     def resolved_gscale(self) -> int:
+        if self.prevent_shared_nodes:
+            return 0
         if self.geometry_scale is not None:
             return self.geometry_scale
         return max(0, WORLD_BITS - (self.detail + self.maxzoom))
@@ -188,6 +195,9 @@ def _ingest_rows(tbl: pa.Table, cfg: VectorConfig) -> tuple[list, list[int]]:
         scaled = dv.shift_right(xy, g)
         if t == 3:
             ops, scaled = dv.fix_polygon(ops, scaled)
+        if cfg.prevent_shared_nodes and t in (2, 3) and len(ops):
+            # -pn dedupes exact coordinates up front (serial.cpp:507-508)
+            ops, scaled = dv.remove_noop(ops, scaled, t, 0)
         if len(ops) == 0:
             continue
         lx = ly = -1
@@ -359,8 +369,10 @@ def _feature_step(cfg: VectorConfig, z: int, tx: int, ty: int,
     PRE-CLIP bbox touches (rewrite, tile.cpp:443-533, with the buffer+1
     top/left widening). Stateless across features — the basis for both
     the per-tile scan and the per-feature fan-out. Returns
-    (cops, cxy_local, child_keys, snapped_world | None) or None when
-    the feature is culled here."""
+    (cops, cxy_local, child_keys, snapped_world | None, edge_nodes) or
+    None when the feature is culled here; edge_nodes is the -pn list
+    of tile-boundary crossing points (clip.cpp:810-845), always []
+    without prevent_shared_nodes."""
     span_shift = WORLD_BITS - z
     span = 1 << span_shift
     buf = cfg.buffer * span // 256
@@ -394,11 +406,18 @@ def _feature_step(cfg: VectorConfig, z: int, tx: int, ty: int,
             quick = -1
     if quick == 0:
         return None
+    enodes: list[tuple[int, int]] = []
     if quick != 1:
         if t == 2:
             cops, cxy = dv.clip_lines(ops, local, -buf, -buf, span + buf, span + buf)
         elif t == 3:
-            cops, cxy = dv.simple_clip_poly(ops, local, -buf, -buf, span + buf, span + buf)
+            if cfg.prevent_shared_nodes:
+                cops, cxy, enodes = dv.simple_clip_poly_pn(
+                    ops, local, -buf, -buf, span + buf, span + buf,
+                    0, 0, span, span,
+                )
+            else:
+                cops, cxy = dv.simple_clip_poly(ops, local, -buf, -buf, span + buf, span + buf)
         else:
             keep = (
                 (local[:, 0] >= -buf) & (local[:, 1] >= -buf)
@@ -427,10 +446,11 @@ def _feature_step(cfg: VectorConfig, z: int, tx: int, ty: int,
         for xo in range(b2[0], b2[2] + 1):
             for yo in range(b2[1], b2[3] + 1):
                 child_keys.append((tx * 2 + xo, ty * 2 + yo))
-    return cops, cxy, child_keys, snapped
+    return cops, cxy, child_keys, snapped, enodes
 
 
-def process_tile(cfg: VectorConfig, z: int, tx: int, ty: int, tbl):
+def process_tile(cfg: VectorConfig, z: int, tx: int, ty: int, tbl,
+                 global_nodes=None):
     """One write_tile (keep-all path): returns (tile_row | None,
     children: dict[(cx, cy) -> row list]). `tbl` is a feature table or
     a list of row tuples (see table_to_rows)."""
@@ -443,26 +463,35 @@ def process_tile(cfg: VectorConfig, z: int, tx: int, ty: int, tbl):
         step = _feature_step(cfg, z, tx, ty, t, ops, xy)
         if step is None:
             continue
-        cops, cxy, child_keys, snapped = step
+        cops, cxy, child_keys, snapped, enodes = step
         if child_keys:
             blob = (seq, t, cops, snapped, lab_x, lab_y, fmz)
             for key in child_keys:
                 children.setdefault(key, []).append(blob)
         if z < cfg.minzoom:
             continue
-        survivors.append((seq, t, cops, cxy, (lab_x, lab_y), fmz))
+        survivors.append((seq, t, cops, cxy, (lab_x, lab_y), fmz, enodes))
 
-    tile_row = _encode_with_detail_ladder(cfg, z, tx, ty, survivors)
+    tile_row = _encode_with_detail_ladder(cfg, z, tx, ty, survivors,
+                                          global_nodes=global_nodes)
     return tile_row, children
 
 
-def _encode_with_detail_ladder(cfg: VectorConfig, z, tx, ty, survivors):
+def _encode_with_detail_ladder(cfg: VectorConfig, z, tx, ty, survivors,
+                               global_nodes=None):
     """The write_tile detail loop (tile.cpp:1719-3079, no-strategy path):
     run reduce/simplify/scale/encode at line_detail = detail, and on
     byte overflow retry at line_detail-1 … min_detail (detail_reduced
     ladder). Feature overflow has no detail recourse in the reference
     (it exits suggesting a drop strategy) — we emit the over-limit tile
-    with a warning instead of dying."""
+    with a warning instead of dying.
+
+    Two phases mirroring write_tile: the read-loop scan (drop gates,
+    -aP conversion, tiny-poly reduction, too-small cull, -pn edge-node
+    accumulation into the tile-local shared set, tile.cpp:1748-2253)
+    then the simplification workers + encode (tile.cpp:2287-2480,
+    simplify_feature tile.cpp:595-665). Survivor tuples are
+    (seq, t, ops, xy, (label_x, label_y), fmz[, edge_nodes])."""
     import warnings
 
     if z < cfg.minzoom or not survivors:
@@ -471,26 +500,34 @@ def _encode_with_detail_ladder(cfg: VectorConfig, z, tx, ty, survivors):
     if cfg.max_tile_size is not None:
         details += list(range(cfg.detail - 1, cfg.min_detail - 1, -1))
     feats: list = []
+    pn = cfg.prevent_shared_nodes
     from ..stages.tile_encode import encode_multipoint
 
     for line_detail in details:
         feats = []
         accum_area = 0.0
-        appended_any = False
-        for seq, t, ops, xy, lab, fmz in survivors:
-            if fmz > z and appended_any:
+        pending: list = []  # phase-1 survivors ("features" list)
+        local_nodes: set[tuple[int, int]] = set()
+        for row in survivors:
+            seq, t, ops, xy, lab, fmz = row[:6]
+            enodes = row[6] if len(row) > 6 else ()
+            if fmz > z and pending:
                 # rate-dropped (keep rule tile.cpp:1970-1977: the drop
                 # needs a previous feature to accumulate onto)
                 continue
             if t == 3 and cfg.generate_label_points:
                 # polygon -> checkerboard anchor points
-                # (tile.cpp:1919-1937); excluded when invisibly small
+                # (tile.cpp:1919-1937); excluded when invisibly small.
+                # Runs in the read loop, so -pn sees only the edge
+                # nodes accumulated SO FAR and no global map
+                # (tile.cpp:1928 passes shared_nodes, NULL)
                 if dv.line_is_too_small(ops, xy, z, line_detail):
                     continue
                 if dv.get_mp_area(ops, xy) <= 0:
                     continue
                 nops, nxy = dv.simplify_lines(
-                    ops, xy, z, line_detail, True, cfg.simplification, 4
+                    ops, xy, z, line_detail, True, cfg.simplification, 4,
+                    pn=pn, tx=tx, ty=ty, local_nodes=local_nodes or None,
                 )
                 if len(nops) == 0:
                     continue
@@ -505,8 +542,7 @@ def _encode_with_detail_ladder(cfg: VectorConfig, z, tx, ty, survivors):
                 keep = np.ones(len(pts), bool)
                 keep[1:] = (pts[1:] != pts[:-1]).any(axis=1)
                 pts = pts[keep]
-                feats.append({"geom": encode_multipoint(pts), "type": 1, "id": seq})
-                appended_any = True
+                pending.append((seq, 1, None, pts, False, 0.0))
                 continue
             reduced = False
             if t == 3:
@@ -518,13 +554,26 @@ def _encode_with_detail_ladder(cfg: VectorConfig, z, tx, ty, survivors):
                 reduced = not still
             if t in (2, 3) and dv.line_is_too_small(ops, xy, z, line_detail):
                 continue
-            # simplify_feature (tile.cpp:595-665) + simplification_worker
+            if pn and enodes:
+                local_nodes.update(enodes)  # tile.cpp:2252-2254
             area = dv.get_mp_area(ops, xy) if t == 3 else 0.0
+            pending.append((seq, t, ops, xy, reduced, area))
+        # phase 2: simplification workers + encode
+        # (simplify_feature tile.cpp:595-665)
+        for seq, t, ops, xy, reduced, area in pending:
+            if t == 1:
+                feats.append({"geom": encode_multipoint(xy), "type": 1, "id": seq})
+                continue
             if not reduced:
-                if t == 2:
+                if t == 2 and not pn:
+                    # skipped under -pn: might wipe out the
+                    # intersection (tile.cpp:617-624)
                     ops, xy = dv.remove_noop(ops, xy, t, WORLD_BITS - z - line_detail)
                 nops, nxy = dv.simplify_lines(
-                    ops, xy, z, line_detail, True, cfg.simplification, 4 if t == 3 else 0
+                    ops, xy, z, line_detail, True, cfg.simplification,
+                    4 if t == 3 else 0,
+                    pn=pn, tx=tx, ty=ty,
+                    local_nodes=local_nodes or None, global_nodes=global_nodes,
                 )
                 if t != 3 or len(nops) >= 3:
                     ops, xy = nops, nxy
@@ -547,7 +596,6 @@ def _encode_with_detail_ladder(cfg: VectorConfig, z, tx, ty, survivors):
                 feats.append({"geom": encode_polygon(parts), "type": 3, "id": seq})
             else:
                 feats.append({"geom": encode_linestring(parts), "type": 2, "id": seq})
-            appended_any = True
         if not feats:
             return None
         tile_bytes = b""
@@ -597,6 +645,10 @@ _EMIT_SCHEMA = pa.schema(
         ("label_x", pa.int64()),
         ("label_y", pa.int64()),
         ("minzoom", pa.int16()),
+        # -pn tile-boundary nodes from THIS tile's clip, int64 (x, y)
+        # pairs; empty otherwise (and for zoom-B subtree seed rows,
+        # whose clips re-run inside the subtree cascade)
+        ("enodes", pa.large_binary()),
     ]
 )
 
@@ -624,7 +676,7 @@ class CascadeFan:
         )
         cols: dict[str, list] = {n: [] for n in _EMIT_SCHEMA.names}
 
-        def emit(gz, gx, gy, vi, seq, t, ops, xy, lx, ly, fmz):
+        def emit(gz, gx, gy, vi, seq, t, ops, xy, lx, ly, fmz, enodes=()):
             cols["gkey"].append(_gkey(gz, gx, gy))
             cols["vindex"].append(vi)
             cols["seq"].append(seq)
@@ -634,6 +686,9 @@ class CascadeFan:
             cols["label_x"].append(lx)
             cols["label_y"].append(ly)
             cols["minzoom"].append(fmz)
+            cols["enodes"].append(
+                np.array(enodes, np.int64).tobytes() if enodes else b""
+            )
 
         rows = table_to_rows(tbl)
         for i, (seq, t, ops, xy, lx, ly, fmz) in enumerate(rows):
@@ -647,12 +702,12 @@ class CascadeFan:
                 step = _feature_step(cfg, z, tx, ty, t, o_, x_)
                 if step is None:
                     continue
-                cops, cxy, child_keys, snapped = step
+                cops, cxy, child_keys, snapped, enodes = step
                 if z >= cfg.minzoom:
                     # low-zoom survivor (kept even when the clip emptied
                     # the geometry — the per-tile encode scan sees the
                     # same stream the per-tile task saw)
-                    emit(z, tx, ty, vi, seq, t, cops, cxy, lx, ly, fmz)
+                    emit(z, tx, ty, vi, seq, t, cops, cxy, lx, ly, fmz, enodes)
                 for (cx, cy) in child_keys:
                     if z + 1 == b:
                         emit(b, cx, cy, vi, seq, t, cops, snapped, lx, ly, fmz)
@@ -673,15 +728,33 @@ class GroupEncoder:
     partition inside the task (resumable unit) and only a summary row
     is returned."""
 
-    def __init__(self, cfg: VectorConfig, b: int, raw_dir: str | None = None):
+    def __init__(self, cfg: VectorConfig, b: int, raw_dir: str | None = None,
+                 shared_nodes_ref=None):
         self.cfg = cfg
         self.b = b
         self.raw_dir = raw_dir
+        # ObjectRef to (or the actual) sorted uint64 -pn node array;
+        # resolved once per task and cached (the reference's mmap'd
+        # node file analogue, main.cpp:2161-2167)
+        self.shared_nodes_ref = shared_nodes_ref
+        self._gn = None
+
+    def _global_nodes(self):
+        if self.shared_nodes_ref is None:
+            return None
+        if self._gn is None:
+            self._gn = (
+                ray.get(self.shared_nodes_ref)
+                if isinstance(self.shared_nodes_ref, ray.ObjectRef)
+                else self.shared_nodes_ref
+            )
+        return self._gn
 
     def __call__(self, grp: pa.Table) -> pa.Table:
         import os
 
         cfg = self.cfg
+        gn = self._global_nodes()
         gkey = int(grp["gkey"][0].as_py())
         z = gkey >> 56
         x = (gkey >> 28) & ((1 << 28) - 1)
@@ -692,18 +765,30 @@ class GroupEncoder:
         rows = table_to_rows(grp)
         out_rows: list[dict] = []
         if z < self.b:
-            survivors = [
-                (seq, t, ops, xy, (lx, ly), fmz)
-                for seq, t, ops, xy, lx, ly, fmz in rows
-            ]
-            row = _encode_with_detail_ladder(cfg, z, x, y, survivors)
+            if cfg.prevent_shared_nodes and "enodes" in grp.column_names:
+                eno = grp["enodes"].to_pylist()
+                survivors = [
+                    (seq, t, ops, xy, (lx, ly), fmz,
+                     [tuple(p) for p in
+                      np.frombuffer(eno[i], dtype=np.int64).reshape(-1, 2)]
+                     if eno[i] else ())
+                    for i, (seq, t, ops, xy, lx, ly, fmz) in enumerate(rows)
+                ]
+            else:
+                survivors = [
+                    (seq, t, ops, xy, (lx, ly), fmz)
+                    for seq, t, ops, xy, lx, ly, fmz in rows
+                ]
+            row = _encode_with_detail_ladder(cfg, z, x, y, survivors,
+                                             global_nodes=gn)
             if row is not None:
                 out_rows.append(row)
         else:
             stack = [(z, x, y, rows)]
             while stack:
                 zz, tx, ty, rr = stack.pop()
-                tile_row, children = process_tile(cfg, zz, tx, ty, rr)
+                tile_row, children = process_tile(cfg, zz, tx, ty, rr,
+                                                  global_nodes=gn)
                 if tile_row is not None:
                     out_rows.append(tile_row)
                 if zz + 1 <= cfg.maxzoom:
@@ -865,6 +950,15 @@ def build_vector_pyramid(
         b = auto_vector_bucket_zoom(n_rows, cfg.maxzoom)
     b = max(0, min(b, cfg.maxzoom))
 
+    shared_ref = None
+    if cfg.prevent_shared_nodes:
+        # -pn global pass (main.cpp:2015-2169): detect shared nodes
+        # over the ingested features, broadcast the sorted index array
+        from ..stages.nodes import shared_nodes_global
+
+        ds = ds.materialize()  # consumed twice: node pass + cascade
+        shared_ref = ray.put(shared_nodes_global(ds))
+
     raw_dir = os.path.join(out_dir, "raw") if out_dir else None
     rows = ds.map_batches(CascadeFan(cfg, b), batch_format="pyarrow")
     if resume and raw_dir and os.path.isdir(raw_dir):
@@ -886,7 +980,7 @@ def build_vector_pyramid(
             rows = rows.map_batches(_not_done, batch_format="pyarrow")
     if raw_dir:
         os.makedirs(raw_dir, exist_ok=True)
-    grouped = _grouped_exchange(rows, GroupEncoder(cfg, b, raw_dir))
+    grouped = _grouped_exchange(rows, GroupEncoder(cfg, b, raw_dir, shared_ref))
     if not out_dir:
         return grouped
     # force execution; the summary is tiny (one row per group)
