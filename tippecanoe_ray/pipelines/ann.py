@@ -74,63 +74,32 @@ def lsh_topk(
     n_planes: int = 6,
     seed: int = 42,
     query_ids: list | None = None,
+    index_dir: str | None = None,
 ) -> pd.DataFrame:
-    """Approximate top-k: score only vectors whose sign-LSH bucket is
-    within Hamming ≤ 1 of the query's bucket. At 10^12 scale the bucket
-    map is a partition pruning predicate pushed to the read."""
+    """Approximate top-k via the sign-LSH partitioned index: delegates
+    to build_lsh_index + lsh_topk_indexed so every caller gets the
+    pruned-read path (only Hamming<=1 bucket partitions are scanned).
+    Pass index_dir to reuse a persisted index across queries; otherwise
+    a throwaway index is built under /tmp for this call (same total IO
+    as one scan, and the pruned layout is what survives at scale)."""
+    import os
+    import tempfile
+
     q = np.atleast_2d(np.asarray(queries, dtype=np.float64))
-    qn = q / np.maximum(np.linalg.norm(q, axis=1), 1e-12)[:, None]
-    qids = list(query_ids) if query_ids is not None else list(range(len(q)))
-
-    def bucket_of(mat: np.ndarray, planes: np.ndarray) -> np.ndarray:
-        signs = (mat @ planes > 0).astype(np.int64)
-        key = np.zeros(len(mat), dtype=np.int64)
-        for j in range(planes.shape[1]):
-            key = (key << 1) | signs[:, j]
-        return key
-
-    state = {}
-    qref = ray.put(qn)
-
-    def local(df: pd.DataFrame) -> pd.DataFrame:
-        qm = ray.get(qref)
-        mat = _as_matrix(df[vec_col].to_numpy())
-        if "planes" not in state:
-            state["planes"] = np.random.RandomState(seed).randn(mat.shape[1], n_planes)
-        planes = state["planes"]
-        vb = bucket_of(mat, planes)
-        qb = bucket_of(qm, planes)
-        matn = mat / np.maximum(np.linalg.norm(mat, axis=1), 1e-12)[:, None]
-        ids = df[id_col].to_numpy()
-        outs = []
-        from ..functions.hashing import popcount64
-
-        for qi in range(qm.shape[0]):
-            ham = popcount64(vb.astype(np.uint64) ^ np.uint64(qb[qi]))
-            cand = np.flatnonzero(ham <= 1)
-            if len(cand) == 0:
-                continue
-            s = matn[cand] @ qm[qi]
-            kk = min(k, len(cand))
-            part = np.argpartition(-s, kk - 1)[:kk]
-            outs.append(
-                pd.DataFrame(
-                    {"query_id": qids[qi], id_col: ids[cand[part]], "cosine": s[part]}
-                )
-            )
-        if not outs:
-            return pd.DataFrame({"query_id": [], id_col: [], "cosine": []})
-        return pd.concat(outs, ignore_index=True)
-
-    parts = ds.map_batches(local, batch_format="pandas").to_pandas()
-    outs = []
-    for qi in qids:
-        sub = parts[parts["query_id"] == qi]
-        sub = sub.sort_values(["cosine", id_col], ascending=[False, True]).head(k)
-        outs.append(sub)
-    out = pd.concat(outs, ignore_index=True) if outs else parts
-    out["cosine"] = out["cosine"].round(6)
-    return out.reset_index(drop=True)
+    if index_dir is not None and os.path.isdir(index_dir) and any(
+        name.startswith("bucket=") for name in os.listdir(index_dir)
+    ):
+        return lsh_topk_indexed(
+            index_dir, q, k, vec_col=vec_col, id_col=id_col,
+            n_planes=n_planes, seed=seed, query_ids=query_ids, dim=q.shape[1],
+        )
+    own = index_dir or tempfile.mkdtemp(prefix="lsh_index_")
+    build_lsh_index(ds, own, vec_col=vec_col, id_col=id_col,
+                    n_planes=n_planes, seed=seed)
+    return lsh_topk_indexed(
+        own, q, k, vec_col=vec_col, id_col=id_col,
+        n_planes=n_planes, seed=seed, query_ids=query_ids, dim=q.shape[1],
+    )
 
 
 # ------------------------------------------------------ persisted LSH index

@@ -164,7 +164,7 @@ def boundary_zoom(sw: np.ndarray) -> np.ndarray:
     tile boundary: 32 - v2(sw); 64 where sw == 0 (world edge, no left/
     up neighbor)."""
     sw = np.asarray(sw, dtype=np.int64)
-    low = sw & -sw
+    low = np.maximum(sw & -sw, 1)
     with np.errstate(divide="ignore"):
         v = np.where(sw > 0, np.log2(low.astype(np.float64)).astype(np.int64), 64)
     return np.where(sw > 0, WORLD_BITS - v, 64).astype(np.int16)

@@ -86,21 +86,80 @@ def write_mbtiles(tile_ds: ray.data.Dataset, path: str, name: str = "tiles",
     return n
 
 
-def read_mbtiles(path: str) -> ray.data.Dataset:
-    """Read an mbtiles file back into a (z, x, y, n?, tile) dataset —
-    also reads tilesets produced by the reference binary."""
-    con = sqlite3.connect(path)
-    rows = []
-    for z, col, row, data in con.execute(
-        "SELECT zoom_level, tile_column, tile_row, tile_data FROM tiles"
-    ):
-        rows.append(
-            {
-                "z": int(z),
-                "x": int(col),
-                "y": (1 << int(z)) - 1 - int(row),
-                "tile": bytes(data),
-            }
-        )
+def read_mbtiles(path: str, rows_per_block: int = 2048) -> ray.data.Dataset:
+    """Read an mbtiles file into a (z, x, y, tile) Dataset as a
+    PARALLEL STREAM: the driver touches only the (z, col, row) key
+    space to pick ~rows_per_block-sized key ranges (keyset pagination
+    on the tiles index order — works whether `tiles` is a table or the
+    reference's map/images view), then each range is read by its own
+    task with its own read-only sqlite connection. No tile bytes ever
+    pass through the driver. Also reads tilesets produced by the
+    reference binary."""
+    import os
+
+    uri = "file:" + os.path.abspath(path) + "?mode=ro"
+    con = sqlite3.connect(uri, uri=True)
+    (total,) = con.execute("SELECT COUNT(*) FROM tiles").fetchone()
+    bounds: list[tuple[int, int, int] | None] = [None]
+    if total:
+        n_blocks = max(1, (int(total) + rows_per_block - 1) // rows_per_block)
+        for b in range(1, n_blocks):
+            row = con.execute(
+                "SELECT zoom_level, tile_column, tile_row FROM tiles "
+                "ORDER BY zoom_level, tile_column, tile_row "
+                "LIMIT 1 OFFSET ?",
+                (b * rows_per_block,),
+            ).fetchone()
+            if row is not None and (not bounds or bounds[-1] != tuple(row)):
+                bounds.append((int(row[0]), int(row[1]), int(row[2])))
     con.close()
-    return ray.data.from_items(rows)
+    ranges = [
+        {"lo_z": -1 if lo is None else lo[0],
+         "lo_c": -1 if lo is None else lo[1],
+         "lo_r": -1 if lo is None else lo[2],
+         "hi_z": (1 << 30) if hi is None else hi[0],
+         "hi_c": 0 if hi is None else hi[1],
+         "hi_r": 0 if hi is None else hi[2]}
+        for lo, hi in zip(bounds, bounds[1:] + [None])
+    ]
+
+    import pyarrow as pa
+
+    schema = pa.schema([
+        ("z", pa.int32()), ("x", pa.int64()), ("y", pa.int64()),
+        ("tile", pa.large_binary()),
+    ])
+
+    def read_range(batch: pa.Table) -> pa.Table:
+        c = sqlite3.connect(uri, uri=True)
+        zs: list[int] = []
+        xs: list[int] = []
+        ys: list[int] = []
+        blobs: list[bytes] = []
+        for i in range(batch.num_rows):
+            lo = (int(batch["lo_z"][i].as_py()), int(batch["lo_c"][i].as_py()),
+                  int(batch["lo_r"][i].as_py()))
+            hi = (int(batch["hi_z"][i].as_py()), int(batch["hi_c"][i].as_py()),
+                  int(batch["hi_r"][i].as_py()))
+            for z, col, row, data in c.execute(
+                "SELECT zoom_level, tile_column, tile_row, tile_data FROM tiles "
+                "WHERE (zoom_level, tile_column, tile_row) >= (?, ?, ?) "
+                "AND (zoom_level, tile_column, tile_row) < (?, ?, ?) "
+                "ORDER BY zoom_level, tile_column, tile_row",
+                (*lo, *hi),
+            ):
+                zs.append(int(z))
+                xs.append(int(col))
+                ys.append((1 << int(z)) - 1 - int(row))
+                blobs.append(bytes(data))
+        c.close()
+        return pa.table(
+            {"z": pa.array(zs, pa.int32()), "x": pa.array(xs, pa.int64()),
+             "y": pa.array(ys, pa.int64()),
+             "tile": pa.array(blobs, pa.large_binary())},
+            schema=schema,
+        )
+
+    return ray.data.from_items(ranges).map_batches(
+        read_range, batch_format="pyarrow", batch_size=1
+    )
