@@ -1085,6 +1085,133 @@ def all_queries() -> dict:
     }
 
 
+
+
+# ================================= promoted text/raster oracles (r3)
+
+QUALITY_SQL = r"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(COALESCE(text, ''), '\s+'), x -> x <> '') AS toks,
+         COALESCE(text, '') AS txt
+  FROM documents),
+s AS (
+  SELECT doc_id, LEN(toks) AS n_tok, LEN(list_distinct(toks)) AS uniq,
+         LENGTH(txt) AS n_chars,
+         LENGTH(regexp_replace(txt, '[^A-Za-z' || chr(19968) || '-' || chr(40959) || ']', '', 'g')) AS n_alpha
+  FROM t)
+SELECT doc_id,
+       ROUND(0.4 * (CASE WHEN n_tok BETWEEN 10 AND 5000 THEN 1.0 ELSE 0.0 END)
+           + 0.3 * LEAST(GREATEST(CAST(n_alpha AS DOUBLE) / GREATEST(n_chars, 1), 0), 1)
+           + 0.3 * (CAST(uniq AS DOUBLE) / GREATEST(n_tok, 1)), 6) AS quality,
+       ROUND(1.0 - CAST(uniq AS DOUBLE) / GREATEST(n_tok, 1), 6) AS rep_ratio
+FROM s ORDER BY doc_id
+"""
+
+LANG_SQL = r"""
+WITH t AS (
+  SELECT doc_id, lang, COALESCE(text, '') AS txt,
+         regexp_extract_all(lower(COALESCE(text, '')), '[\p{L}\p{N}_]+') AS toks
+  FROM documents),
+c AS (
+  SELECT doc_id, lang,
+    LEN(list_filter(toks, w -> w IN ('the','a','of','and','to','in','is','it','that','for'))) AS n_en,
+    LEN(list_filter(toks, w -> w IN ('el','la','de','y','que','en','un','una','es','por'))) AS n_es,
+    LEN(list_filter(toks, w -> w IN ('le','la','de','et','que','en','un','une','est','pour'))) AS n_fr,
+    LEN(list_filter(toks, w -> w IN ('der','die','das','und','zu','in','ein','eine','ist','nicht'))) AS n_de,
+    LEN(list_filter(toks, w -> w IN ('的','是','在','了','和','有','我','不','人','这')))
+      + LENGTH(regexp_replace(txt, '[^' || chr(19968) || '-' || chr(40959) || ']', '', 'g')) AS n_zh
+  FROM t),
+p AS (
+  -- the engine scans langs in sorted order taking strictly-greater
+  -- counts, so ties resolve to the alphabetically first language
+  SELECT lang, CASE
+    WHEN n_de >= n_en AND n_de >= n_es AND n_de >= n_fr AND n_de >= n_zh THEN 'de'
+    WHEN n_en >= n_es AND n_en >= n_fr AND n_en >= n_zh THEN 'en'
+    WHEN n_es >= n_fr AND n_es >= n_zh THEN 'es'
+    WHEN n_fr >= n_zh THEN 'fr'
+    ELSE 'zh' END AS pred
+  FROM c)
+SELECT lang, COUNT(*) AS n_docs,
+       SUM(CASE WHEN pred = lang THEN 1 ELSE 0 END) AS n_correct
+FROM p GROUP BY lang ORDER BY lang
+"""
+
+# FNV-1a 64 as a list_reduce over utf-8 bytes (hex(encode(..)) pair
+# walk); accumulator is HUGEINT mod 2^64, seeded by prepending the
+# offset basis. Matches functions/hashing.py fnv1a64_strings.
+_FNV_STEP = "(a, b) -> (xor(a, CAST(b AS HUGEINT)) * 1099511628211) % 18446744073709551616"
+
+
+def _fnv_of_hex(hx: str) -> str:
+    return f"""list_reduce(
+      list_prepend(CAST(14695981039346656037 AS HUGEINT),
+        list_transform(generate_series(1, LENGTH({hx}) // 2),
+          i -> strpos('0123456789ABCDEF', substr({hx}, 2*i-1, 1)) * 16
+             + strpos('0123456789ABCDEF', substr({hx}, 2*i, 1)) - 17)),
+      {_FNV_STEP})"""
+
+
+FINGERPRINT_SQL = f"""
+WITH t AS (
+  SELECT doc_id, COALESCE(text, '') AS txt,
+         hex(encode(COALESCE(text, ''))) AS hx,
+         list_filter(regexp_split_to_array(COALESCE(text, ''), '\\s+'), x -> x <> '') AS toks
+  FROM documents),
+f AS (
+  SELECT doc_id, txt, toks, {_fnv_of_hex('hx')} AS full_h
+  FROM t),
+w AS (
+  SELECT doc_id, full_h,
+    CASE
+      WHEN LEN(toks) < 8 THEN (CASE WHEN txt = '' THEN 0 ELSE full_h END)
+      ELSE list_min(list_transform(
+        list_transform(generate_series(1, LEN(toks) - 7),
+          i -> hex(encode(array_to_string(toks[i:i+7], ' ')))),
+        ghx -> {_fnv_of_hex('ghx')}))
+    END AS win_h
+  FROM f)
+SELECT doc_id,
+  CAST(full_h - (CASE WHEN full_h >= 9223372036854775808 THEN 18446744073709551616 ELSE 0 END) AS BIGINT) AS fingerprint,
+  CAST(win_h - (CASE WHEN win_h >= 9223372036854775808 THEN 18446744073709551616 ELSE 0 END) AS BIGINT) AS window_min
+FROM w ORDER BY doc_id
+"""
+
+
+def _mulmod64(a: str, b: int) -> str:
+    """{a} * b mod 2^64 in HUGEINT without overflowing INT128: split b
+    into 32-bit halves so every product stays < 2^97."""
+    bh, bl = b >> 32, b & 0xFFFFFFFF
+    return (f"(({a}) * {bl} + ((({a}) * {bh}) % 4294967296) * 4294967296)"
+            f" % 18446744073709551616")
+
+
+# splitmix64 finalizer (functions/hashing.py splitmix64) over HUGEINT
+_SPLITMIX_SQL = """
+(SELECT xor(z4, z4 >> 31) FROM (
+  SELECT """ + _mulmod64("xor(z2, z2 >> 27)", 0x94D049BB133111EB) + """ AS z4 FROM (
+    SELECT """ + _mulmod64("xor(z0, z0 >> 30)", 0xBF58476D1CE4E5B9) + """ AS z2 FROM (
+      SELECT (HVAL + 11400714819323198485) % 18446744073709551616 AS z0)))
+)"""
+
+# fnv geotag rule (stages/geotag.py fnv_world): wx = low 32 bits of
+# splitmix64(fnv1a64("img-%012d" % i)), wy = high 32 bits.
+RASTER_SQL = ("""
+WITH ids AS (SELECT i FROM generate_series(0, 399) t(i)),
+s AS (SELECT i, printf('img-%012d', i) AS sid FROM ids),
+f AS (SELECT i, list_reduce(
+        list_prepend(CAST(14695981039346656037 AS HUGEINT),
+          list_transform(generate_series(1, LENGTH(sid)), j -> ascii(substr(sid, j, 1)))),
+        """ + _FNV_STEP + """) AS HVAL
+      FROM s),
+m AS (SELECT i, """ + _SPLITMIX_SQL + """ AS h FROM f),
+p AS (SELECT CAST((h % 4294967296) >> 30 AS INT) AS x,
+             CAST(((h // 4294967296) % 4294967296) >> 30 AS INT) AS y FROM m)
+SELECT 2 AS z, x, y, COUNT(*) AS n_images
+FROM p GROUP BY x, y ORDER BY x, y
+""")
+
+
 def all_oracle_sql() -> dict:
     return {
         "guess_zoom_params": _guess_sql(),
@@ -1115,4 +1242,8 @@ def all_oracle_sql() -> dict:
         "embedding_norms": NORMS_SQL,
         "tilestats_documents": TILESTATS_SQL,
         "filter_events": FILTER_SQL,
+        "quality_scores": QUALITY_SQL,
+        "lang_id_accuracy": LANG_SQL,
+        "doc_fingerprints": FINGERPRINT_SQL,
+        "raster_tiles_z2": RASTER_SQL,
     }
