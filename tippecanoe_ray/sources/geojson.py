@@ -151,3 +151,224 @@ def read_geojson_points(path: str) -> pa.Table:
             "fmax": pa.array(fmaxs, pa.int16()),
         }
     )
+
+
+# ----------------------------------------------- parallel fragment read
+
+
+def _is_ndjson(path: str) -> bool:
+    """True when the first line is a complete JSON value — i.e. the
+    file is newline-delimited features, safe to split at newlines (the
+    reference's -P precondition, main.cpp:451-540: 'each feature is on
+    its own line')."""
+    if path.endswith(".gz"):
+        return False
+    with open(path, "rb") as f:
+        head = f.readline(16 << 20)
+    try:
+        line = head.decode("utf-8").strip().rstrip(",\x1e")
+        if not line:
+            return False
+        json.loads(line)
+        return True
+    except (UnicodeDecodeError, json.JSONDecodeError):
+        return False
+
+
+def _fragment_bounds(path: str, target_bytes: int) -> list[tuple[int, int]]:
+    """Byte ranges [(start, end)) at ~target_bytes, unsnapped — each
+    parse task discards the partial first line (it belongs to the
+    previous fragment) and runs past `end` to finish its last record
+    (the reference's split-then-snap, main.cpp:470-520)."""
+    import os
+
+    size = os.path.getsize(path)
+    n = max(1, (size + target_bytes - 1) // target_bytes)
+    cuts = [size * i // n for i in range(n)] + [size]
+    return [(cuts[i], cuts[i + 1]) for i in range(n) if cuts[i] < cuts[i + 1]]
+
+
+def _iter_fragment_features(path: str, start: int, end: int):
+    """Features whose record STARTS in [start, end): seek, drop the
+    partial first line, then parse line records until past `end`."""
+    dec = json.JSONDecoder()
+    with open(path, "rb") as f:
+        f.seek(start)
+        if start > 0:
+            f.readline()  # partial line: previous fragment's record
+        while f.tell() < end:
+            raw = f.readline()
+            if not raw:
+                break
+            line = raw.decode("utf-8").strip()
+            # strip record separators / collection punctuation
+            line = line.strip("\x1e,[] \t\r")
+            if not line or line in ("{", "}"):
+                continue
+            try:
+                obj, _ = dec.raw_decode(line)
+            except json.JSONDecodeError:
+                continue
+            if isinstance(obj, dict):
+                yield from _flatten(obj)
+
+
+def _vector_rows_of(feats) -> list[tuple]:
+    """Shared geometry flattening: feature dicts → vector feature rows
+    (local_seq, t, ops, xy); the seq is LOCAL to the iteration order."""
+    rows = []
+    seq = 0
+    for feat in feats:
+        geom = feat.get("geometry") or {}
+        for vt, parts in _geom_parts(geom):
+            if vt == VT_POINT:
+                continue
+            ops_l = []
+            xy_l = []
+            if vt == VT_POLYGON:
+                for poly in parts:
+                    for ring in poly:
+                        arr = np.asarray(ring, dtype=np.float64).reshape(-1, 2)
+                        wx, wy = lonlat_to_world(arr[:, 0], arr[:, 1])
+                        n = len(arr)
+                        ops_l.append(np.array([1] + [2] * (n - 1), np.uint8))
+                        xy_l.append(np.stack([wx, wy], axis=1).astype(np.int64))
+                    ops_l.append(np.array([7], np.uint8))
+                    xy_l.append(np.zeros((1, 2), np.int64))
+            else:
+                for part in parts:
+                    arr = np.asarray(part, dtype=np.float64).reshape(-1, 2)
+                    wx, wy = lonlat_to_world(arr[:, 0], arr[:, 1])
+                    n = len(arr)
+                    ops_l.append(np.array([1] + [2] * (n - 1), np.uint8))
+                    xy_l.append(np.stack([wx, wy], axis=1).astype(np.int64))
+            if ops_l:
+                rows.append((seq, vt, np.concatenate(ops_l), np.concatenate(xy_l)))
+        seq += 1
+    return rows
+
+
+def _count_fragment_features(path: str, start: int, end: int) -> int:
+    """Number of flattened features whose record starts in [start, end)
+    — must match _iter_fragment_features exactly (seq parity)."""
+    return sum(1 for _ in _iter_fragment_features(path, start, end))
+
+
+def read_geojson_vector_ds(path: str, target_bytes: int = 8 << 20):
+    """Line/polygon features as a MULTI-BLOCK Dataset of FEATURE_SCHEMA
+    rows with globally consistent seq (file order): newline-delimited
+    inputs split into ~target_bytes fragments parsed by parallel tasks
+    (the reference's -P path, main.cpp:451-540); other layouts fall
+    back to one parse task. A cheap parallel count pass first fixes
+    each fragment's global seq base (every input feature advances seq,
+    including point-only ones that emit no vector rows), so the
+    parallel read is row-identical to the serial one."""
+    import ray
+    import ray.data
+
+    from ..pipelines.vector_pyramid import features_table
+
+    bounds = (
+        _fragment_bounds(path, target_bytes) if _is_ndjson(path) else None
+    )
+    if not bounds or len(bounds) == 1:
+        tbl = read_geojson_vector(path)
+        return ray.data.from_arrow(tbl)
+
+    counts = ray.get([
+        _count_fragment_task.remote(path, s, e) for s, e in bounds
+    ])
+    bases = np.concatenate([[0], np.cumsum(counts)[:-1]]).astype(np.int64)
+    frags = [
+        {"start": s, "end": e, "base": int(b)}
+        for (s, e), b in zip(bounds, bases)
+    ]
+
+    def parse(batch: pa.Table) -> pa.Table:
+        out = []
+        for i in range(batch.num_rows):
+            base = int(batch["base"][i].as_py())
+            rows = _vector_rows_of(
+                _iter_fragment_features(
+                    path, int(batch["start"][i].as_py()), int(batch["end"][i].as_py())
+                )
+            )
+            rows = [(seq + base, t, ops, xy) for seq, t, ops, xy in rows]
+            out.append(features_table(rows))
+        if not out:
+            return features_table([])
+        return pa.concat_tables(out)
+
+    return ray.data.from_items(frags).map_batches(
+        parse, batch_format="pyarrow", batch_size=1
+    )
+
+
+try:  # defined lazily so importing this module never touches ray
+    import ray as _ray
+
+    @_ray.remote(num_cpus=1)
+    def _count_fragment_task(path: str, start: int, end: int) -> int:
+        return _count_fragment_features(path, start, end)
+except ImportError:  # pragma: no cover
+    _count_fragment_task = None
+
+
+def read_geojson_points_ds(path: str, target_bytes: int = 8 << 20):
+    """Point features as a MULTI-BLOCK Dataset of the point narrow
+    shape (seq, wx, wy, fmin, fmax), fragment-parallel like
+    read_geojson_vector_ds with identical global seq assignment."""
+    import ray
+    import ray.data
+
+    bounds = (
+        _fragment_bounds(path, target_bytes) if _is_ndjson(path) else None
+    )
+    if not bounds or len(bounds) == 1:
+        return ray.data.from_arrow(read_geojson_points(path))
+
+    counts = ray.get([
+        _count_fragment_task.remote(path, s, e) for s, e in bounds
+    ])
+    bases = np.concatenate([[0], np.cumsum(counts)[:-1]]).astype(np.int64)
+    frags = [
+        {"start": s, "end": e, "base": int(b)}
+        for (s, e), b in zip(bounds, bases)
+    ]
+
+    def parse(batch: pa.Table) -> pa.Table:
+        seqs, wxs, wys, fmins, fmaxs = [], [], [], [], []
+        for i in range(batch.num_rows):
+            base = int(batch["base"][i].as_py())
+            seq = 0
+            for feat in _iter_fragment_features(
+                path, int(batch["start"][i].as_py()), int(batch["end"][i].as_py())
+            ):
+                geom = feat.get("geometry") or {}
+                tc = feat.get("tippecanoe", {}) or {}
+                for vt, parts in _geom_parts(geom):
+                    if vt != VT_POINT:
+                        continue
+                    for part in parts:
+                        wx, wy = lonlat_to_world(
+                            np.array([float(part[0][0])]), np.array([float(part[0][1])])
+                        )
+                        seqs.append(base + seq)
+                        wxs.append(int(wx[0]))
+                        wys.append(int(wy[0]))
+                        fmins.append(int(tc.get("minzoom", -1)))
+                        fmaxs.append(int(tc.get("maxzoom", -1)))
+                seq += 1
+        return pa.table(
+            {
+                "seq": pa.array(seqs, pa.int64()),
+                "wx": pa.array(wxs, pa.int64()),
+                "wy": pa.array(wys, pa.int64()),
+                "fmin": pa.array(fmins, pa.int16()),
+                "fmax": pa.array(fmaxs, pa.int16()),
+            }
+        )
+
+    return ray.data.from_items(frags).map_batches(
+        parse, batch_format="pyarrow", batch_size=1
+    )
