@@ -221,63 +221,142 @@ def run_bench(headline_only: bool = False) -> dict:
     }
 
 
-def run_scaling():
-    """N vs 4N parallelism in fresh processes; efficiency =
-    throughput(4N) / (4 × throughput(N)).
+def _guard_calibrate() -> float:
+    """Co-tenant guard: a fixed single-thread busy loop (sha256 over
+    32 MB) timed immediately before each measured phase. On an idle
+    machine its wall time is stable; a co-tenant stealing cycles or
+    memory bandwidth inflates it. The validity rule (stated up front,
+    BASELINE.md §scaling protocol) is RELATIVE: a phase is valid iff
+    its guard time <= 1.25 x the fastest guard seen in the same
+    invocation."""
+    import hashlib
 
-    Default pair is 4 → 16 cpus: this sandbox's single VM saturates its
-    MEMORY BANDWIDTH above ~16 concurrent streaming workers (pure
-    busy-loop CPU scales 24×/32, but the tile-encoding kernel measured
-    in isolation — no Ray — aggregates only 12×/32 while reaching
-    3.6×/4 from 4→16). A real N→4N node cluster multiplies memory
-    bandwidth and disk with node count, so the sub-knee pair is the
-    faithful analogue; the knee evidence is recorded in BASELINE.md.
-    Override with BENCH_SCALING_CPUS="8,32"."""
-    lo, hi = (int(x) for x in os.environ.get("BENCH_SCALING_CPUS", "2,8").split(","))
-    runs = int(os.environ.get("BENCH_SCALING_RUNS", "2"))
-    results = {}
-    for cpus in (lo, hi):
-        best = None
-        for _ in range(runs):  # best-of-N: measure capability, not the
-            # sandbox's ±20% shared-VM noise; outputs are still checked
-            # identical across every run
-            env = dict(os.environ)
-            env["RAY_GRAFT_CPUS"] = str(cpus)
-            env.setdefault("BENCH_TILE_DIR", "/dev/shm")  # per-node-disk analogue
-            env.setdefault("BENCH_REP", "16")  # enough work to amortize setup
-            out = subprocess.run(
-                [sys.executable, __file__, "--headline-only"],
-                capture_output=True, text=True, env=env, timeout=3600,
-            )
-            line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
-            r = json.loads(line)
-            if best is not None:
-                assert r["n_tiles"] == best["n_tiles"], "outputs differ across runs"
-            if best is None or r["queries"]["pyramid_z14"] < best["queries"]["pyramid_z14"]:
-                best = r
-        results[cpus] = best
-    thr_lo = results[lo]["n_tiles"] / results[lo]["queries"]["pyramid_z14"]
-    thr_hi = results[hi]["n_tiles"] / results[hi]["queries"]["pyramid_z14"]
-    eff = thr_hi / ((hi / lo) * thr_lo)
-    same_tiles = results[lo]["n_tiles"] == results[hi]["n_tiles"] and (
-        results[lo]["n_features_z14"] == results[hi]["n_features_z14"]
+    blob = b"\x5a" * (1 << 20)
+    t0 = time.time()
+    h = hashlib.sha256()
+    for _ in range(32):
+        h.update(blob)
+    return time.time() - t0
+
+
+def _one_phase(cpus: int) -> dict:
+    env = dict(os.environ)
+    env["RAY_GRAFT_CPUS"] = str(cpus)
+    env.setdefault("BENCH_TILE_DIR", "/dev/shm")  # per-node-disk analogue
+    env.setdefault("BENCH_REP", "16")  # enough work to amortize setup
+    out = subprocess.run(
+        [sys.executable, __file__, "--headline-only"],
+        capture_output=True, text=True, env=env, timeout=3600,
     )
+    line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
+    return json.loads(line)
+
+
+def run_scaling():
+    """Pinned protocol (median-of-5 with a co-tenant guard; the filter
+    rule is fixed here, not chosen after seeing the data):
+
+    1. 5 paired phases (lo cpus then hi cpus, interleaved), fresh
+       process + fresh ray.init each, same input; outputs must be
+       identical across every phase (parallelism invariance, the
+       reference's parallel-test Makefile:220-245).
+    2. A fixed busy-loop guard (_guard_calibrate) is timed immediately
+       before each phase. A PAIR is valid iff both its guard times are
+       <= 1.25 x the minimum guard time of the invocation.
+    3. Report the MEDIAN efficiency over valid pairs (>= 3 valid
+       required, else the run is marked insufficient and repeated by
+       the caller). efficiency = thr_hi / ((hi/lo) * thr_lo).
+
+    Default pair is 2 -> 8 cpus: this sandbox's single VM saturates
+    its MEMORY BANDWIDTH above ~16 concurrent streaming workers (the
+    tile-encode kernel in isolation reaches 3.6x/4 from 4->16 but only
+    12x/32 at 32); a real cluster multiplies memory bandwidth with
+    node count, so the sub-knee pair is the faithful analogue (knee
+    evidence in BASELINE.md). Override with BENCH_SCALING_CPUS="8,32";
+    BENCH_SCALING_PAIRS overrides the pair count."""
+    lo, hi = (int(x) for x in os.environ.get("BENCH_SCALING_CPUS", "2,8").split(","))
+    n_pairs = int(os.environ.get("BENCH_SCALING_PAIRS", "5"))
+    pairs = []
+    ref = None
+    for k in range(n_pairs):
+        g_lo = _guard_calibrate()
+        r_lo = _one_phase(lo)
+        g_lo = max(g_lo, _guard_calibrate())  # after-sample catches co-tenants that arrived mid-phase
+        g_hi = _guard_calibrate()
+        r_hi = _one_phase(hi)
+        g_hi = max(g_hi, _guard_calibrate())
+        for r in (r_lo, r_hi):
+            if ref is None:
+                ref = (r["n_tiles"], r["n_features_z14"])
+            assert (r["n_tiles"], r["n_features_z14"]) == ref, \
+                "outputs differ across phases"
+        thr_lo = r_lo["n_tiles"] / r_lo["queries"]["pyramid_z14"]
+        thr_hi = r_hi["n_tiles"] / r_hi["queries"]["pyramid_z14"]
+        pairs.append({
+            "pair": k,
+            "guard_lo_s": round(g_lo, 3), "guard_hi_s": round(g_hi, 3),
+            "sec_lo": r_lo["queries"]["pyramid_z14"],
+            "sec_hi": r_hi["queries"]["pyramid_z14"],
+            "thr_lo": round(thr_lo, 1), "thr_hi": round(thr_hi, 1),
+            "eff": round(thr_hi / ((hi / lo) * thr_lo), 3),
+        })
+        print(json.dumps({"pair": pairs[-1]}), flush=True)
+    gmin = min(min(p["guard_lo_s"], p["guard_hi_s"]) for p in pairs)
+    glimit = 1.25 * gmin
+    for p in pairs:
+        p["valid"] = p["guard_lo_s"] <= glimit and p["guard_hi_s"] <= glimit
+    valid = sorted(p["eff"] for p in pairs if p["valid"])
+    if len(valid) >= 3:
+        med = valid[len(valid) // 2] if len(valid) % 2 else (
+            round((valid[len(valid) // 2 - 1] + valid[len(valid) // 2]) / 2, 3))
+        status = "ok"
+    else:
+        med = None
+        status = "insufficient-valid-runs"
     summary = {
-        "metric": f"scaling efficiency, pyramid z0-z14, {lo} -> {hi} cpus",
-        "value": round(eff, 3),
+        "metric": f"scaling efficiency, pyramid z0-z14, {lo} -> {hi} cpus, "
+                  f"median of {len(valid)}/{n_pairs} guard-valid pairs",
+        "value": med,
         "unit": "efficiency",
+        "status": status,
+        "guard_limit_s": round(glimit, 3),
+        "pairs": pairs,
         "queries": {
-            f"tiles_per_sec_{lo}cpu": round(thr_lo, 1),
-            f"tiles_per_sec_{hi}cpu": round(thr_hi, 1),
-            f"sec_{lo}cpu": results[lo]["queries"]["pyramid_z14"],
-            f"sec_{hi}cpu": results[hi]["queries"]["pyramid_z14"],
+            f"tiles_per_sec_{lo}cpu": pairs[0]["thr_lo"],
+            f"tiles_per_sec_{hi}cpu": pairs[0]["thr_hi"],
+            f"sec_{lo}cpu": pairs[0]["sec_lo"],
+            f"sec_{hi}cpu": pairs[0]["sec_hi"],
         },
-        "output_identical": same_tiles,
-        "sf": results[hi]["sf"],
+        "output_identical": True,
         "num_cpus": hi,
     }
     print(json.dumps(summary))
-    _append_baseline(summary, lo, hi)
+    _append_baseline_median(summary, lo, hi)
+
+
+def _append_baseline_median(summary: dict, lo: int, hi: int):
+    try:
+        with open(os.path.join(os.path.dirname(__file__), "BASELINE.md"), "a") as f:
+            f.write(
+                f"\n\n## Measured scaling run ({time.strftime('%Y-%m-%d %H:%M')}, "
+                f"pinned median-of-5 protocol)\n\n"
+                f"Guard rule (fixed up front): pair valid iff both busy-loop guards "
+                f"<= 1.25 x invocation minimum ({summary['guard_limit_s']} s here).\n\n"
+            )
+            for p in summary["pairs"]:
+                f.write(
+                    f"- pair {p['pair']}: {lo}cpu {p['sec_lo']}s ({p['thr_lo']} t/s, "
+                    f"guard {p['guard_lo_s']}s) | {hi}cpu {p['sec_hi']}s "
+                    f"({p['thr_hi']} t/s, guard {p['guard_hi_s']}s) -> eff {p['eff']}"
+                    f"{'' if p['valid'] else '  [FILTERED: guard over limit]'}\n"
+                )
+            f.write(
+                f"- **median efficiency({lo}->{hi}) = {summary['value']}** "
+                f"(target >= 0.8, status {summary['status']}); outputs identical "
+                f"across all phases: {summary['output_identical']}\n"
+            )
+    except OSError:
+        pass
 
 
 def _append_baseline(summary: dict, lo: int, hi: int):
