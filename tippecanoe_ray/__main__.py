@@ -71,6 +71,7 @@ def _build_from_geo(args, cfg):
             buffer=args.buffer, droprate=cfg.droprate,
             max_tile_size=args.max_tile_bytes,
             prevent_shared_nodes=args.prevent_shared_nodes,
+            variable_depth=args.variable_depth,
         )
         outs.append(build_vector_pyramid(ingest_features(vec_tbl, vcfg), vcfg))
     if not outs:
@@ -102,6 +103,10 @@ def main(argv=None):
     ap.add_argument("--drop-densest", action="store_true")
     ap.add_argument("--max-tile-features", type=int, default=None,
                     help="as-needed drop limit per tile (reference -O, default 200000)")
+    ap.add_argument("--generate-variable-depth-tile-pyramid", "-at",
+                    dest="variable_depth", action="store_true",
+                    help="leaf the pyramid early where a full-precision "
+                         "tile fits (-at, tile.cpp:1701-1713)")
     ap.add_argument("--prevent-shared-nodes", "-pn", action="store_true",
                     help="preserve shared vertices through simplification "
                          "(-pn, main.cpp:2015-2169)")

@@ -88,6 +88,19 @@ class VectorConfig:
     # simplification (serial.cpp:507-599, main.cpp:2015-2169,
     # geometry.cpp:234-268); forces geometry_scale=0 (main.cpp:3764)
     prevent_shared_nodes: bool = False
+    # -at / --generate-variable-depth-tile-pyramid (tile.cpp:1701-1713,
+    # 3059-3066, 3179-3199): where a tile's estimated input complexity
+    # suggests a full-precision (detail 30-z) tile would fit under
+    # 0.9 x max_tile_size, encode it at that detail and, if it fits,
+    # LEAF the pyramid there (children pruned); viewers overzoom the
+    # leaf. Only meaningful without drop strategies (the reference
+    # disables the gate when dropping_features()).
+    variable_depth: bool = False
+
+    def resolved_max_tile_size(self) -> int | None:
+        if self.max_tile_size is None and self.variable_depth:
+            return 500000  # reference default (main.cpp:85)
+        return self.max_tile_size
 
     def resolved_basezoom(self) -> int:
         return self.maxzoom if self.basezoom is None else self.basezoom
@@ -185,7 +198,7 @@ def _ingest_rows(tbl: pa.Table, cfg: VectorConfig) -> tuple[list, list[int]]:
     g = cfg.resolved_gscale()
     out = []
     idxs: list[int] = []
-    want_idx = cfg.dropping()
+    want_idx = cfg.dropping() or cfg.variable_depth
     for i in range(len(tbl)):
         seq = int(tbl["seq"][i].as_py())
         t = int(tbl["t"][i].as_py())
@@ -247,6 +260,10 @@ def ingest_features(tbl: pa.Table, cfg: VectorConfig) -> pa.Table:
                 r[6] = int(mzs[k])
                 k += 1
         return _with_vindex(features_table([tuple(r) for r in out]), idxs)
+    if cfg.variable_depth and out:
+        # -at orders streams by the ingest sort key (index, seq) even
+        # without dropping (the initial sort always runs, main.cpp)
+        return _with_vindex(features_table([tuple(r) for r in out]), idxs)
     return features_table([tuple(r) for r in out])
 
 
@@ -261,7 +278,7 @@ def ingest_features_ds(ds: ray.data.Dataset, cfg: VectorConfig) -> ray.data.Data
     def _ingest_batch(t: pa.Table) -> pa.Table:
         rows, idxs = _ingest_rows(t, cfg)
         tb = features_table([tuple(r) for r in rows])
-        if cfg.dropping():
+        if cfg.dropping() or cfg.variable_depth:
             tb = _with_vindex(tb, idxs)
         return tb.replace_schema_metadata(None)
 
@@ -450,7 +467,7 @@ def _feature_step(cfg: VectorConfig, z: int, tx: int, ty: int,
 
 
 def process_tile(cfg: VectorConfig, z: int, tx: int, ty: int, tbl,
-                 global_nodes=None):
+                 global_nodes=None, est=None):
     """One write_tile (keep-all path): returns (tile_row | None,
     children: dict[(cx, cy) -> row list]). `tbl` is a feature table or
     a list of row tuples (see table_to_rows)."""
@@ -473,12 +490,12 @@ def process_tile(cfg: VectorConfig, z: int, tx: int, ty: int, tbl,
         survivors.append((seq, t, cops, cxy, (lab_x, lab_y), fmz, enodes))
 
     tile_row = _encode_with_detail_ladder(cfg, z, tx, ty, survivors,
-                                          global_nodes=global_nodes)
+                                          global_nodes=global_nodes, est=est)
     return tile_row, children
 
 
 def _encode_with_detail_ladder(cfg: VectorConfig, z, tx, ty, survivors,
-                               global_nodes=None):
+                               global_nodes=None, est=None):
     """The write_tile detail loop (tile.cpp:1719-3079, no-strategy path):
     run reduce/simplify/scale/encode at line_detail = detail, and on
     byte overflow retry at line_detail-1 … min_detail (detail_reduced
@@ -496,8 +513,19 @@ def _encode_with_detail_ladder(cfg: VectorConfig, z, tx, ty, survivors,
 
     if z < cfg.minzoom or not survivors:
         return None
-    details = [cfg.detail]
-    if cfg.max_tile_size is not None:
+    mts = cfg.resolved_max_tile_size()
+    trying_to_stop_early = False
+    if (
+        cfg.variable_depth and est is not None and mts is not None
+        and not cfg.dropping()
+    ):
+        # empirical size estimate from the input-stream byte count
+        # (tile.cpp:1706-1713); only attempt a leaf tile when it looks
+        # like it might fit and extra detail is actually available
+        if 0.6693 * est - 3.36e4 < 0.9 * mts and 30 - z > cfg.detail:
+            trying_to_stop_early = True
+    details = ([30 - z] if trying_to_stop_early else []) + [cfg.detail]
+    if mts is not None:
         details += list(range(cfg.detail - 1, cfg.min_detail - 1, -1))
     feats: list = []
     pn = cfg.prevent_shared_nodes
@@ -608,14 +636,17 @@ def _encode_with_detail_ladder(cfg: VectorConfig, z, tx, ty, survivors,
                 f"{cfg.max_tile_features}; use a drop strategy (reference "
                 "exits here, tile.cpp:2723-2730)"
             )
-        if cfg.max_tile_size is None or len(tile_bytes) <= cfg.max_tile_size:
-            return {"z": z, "x": tx, "y": ty, "n_features": len(feats), "tile": tile_bytes}
+        if mts is None or len(tile_bytes) <= mts:
+            leafed = int(trying_to_stop_early and line_detail == details[0])
+            return {"z": z, "x": tx, "y": ty, "n_features": len(feats),
+                    "tile": tile_bytes, "leafed": leafed}
     warnings.warn(
         f"could not make tile {z}/{tx}/{ty} smaller than "
-        f"{cfg.max_tile_size} B even at detail {cfg.min_detail} "
+        f"{mts} B even at detail {cfg.min_detail} "
         "(reference fails the tile here, tile.cpp:3075-3078)"
     )
-    return {"z": z, "x": tx, "y": ty, "n_features": len(feats), "tile": tile_bytes}
+    return {"z": z, "x": tx, "y": ty, "n_features": len(feats),
+            "tile": tile_bytes, "leafed": 0}
 
 
 def _tile_rows_table(rows: list[dict]) -> pa.Table:
@@ -626,12 +657,59 @@ def _tile_rows_table(rows: list[dict]) -> pa.Table:
             "y": pa.array([r["y"] for r in rows], pa.int32()),
             "n_features": pa.array([r["n_features"] for r in rows], pa.int64()),
             "tile": pa.array([r["tile"] for r in rows], pa.large_binary()),
+            # -at: 1 where the pyramid leafs at this tile (children pruned)
+            "leafed": pa.array([r.get("leafed", 0) for r in rows], pa.int8()),
         }
     )
 
 
 def _gkey(z: int, x: int, y: int) -> int:
     return (z << 56) | (x << 28) | y
+
+
+def _stream_est(cfg: VectorConfig, z: int, x: int, y: int, feats,
+                origin: tuple[int, int]) -> int:
+    """estimated_complexity of a tile's input stream (tile.cpp:2344,
+    validated byte-exact vs an instrumented reference build): the
+    8-byte complexity slot + nextzoom/x/y varints + for z > 0 the
+    bytes zlib deflate(Z_NO_FLUSH) emits while streaming the
+    serialized features, for z == 0 the raw initial-stream bytes
+    (+1 EOF byte; the z=iz stream is uncompressed, tile.cpp:3475).
+
+    feats: (seq, t, ops, world_xy, fmz) tuples in (vindex, seq) order,
+    geometry CLIPPED AT THE PARENT (what rewrite serialized,
+    tile.cpp:1201-1215); empty geometries are skipped
+    (rewrite's osf.geometry.size() > 0 gate)."""
+    from ..stages.serial_bytes import StreamSizer, serialize_feature_bytes
+
+    g = cfg.resolved_gscale()
+    wx0, wy0 = origin
+    sz = StreamSizer(z, x, y, compressed=(z != 0))
+    for seq, t, ops, xy, fmz in feats:
+        if len(ops) == 0:
+            continue
+        fb = serialize_feature_bytes(t, seq, ops, xy >> g if g else xy,
+                                     wx0, wy0, fmz)
+        sz.write_feature(fb)
+    return sz.complexity() + (1 if z == 0 else 0)
+
+
+def stream_origin(feat_tbl: pa.Table | None, g: int):
+    """(initial_x >> gscale, initial_y >> gscale) — the delta origin of
+    every serialized feature (serial.cpp:352-358 initial_x capture +
+    rewrite's SHIFT_RIGHT(initial_x), tile.cpp:529): the first vertex
+    of the min-seq feature. The ingested world geometry is already
+    gscale-aligned, so the plain shift equals the reference's rounding
+    shift; NOTE the reference captures the origin pre-fix_polygon, so
+    a corpus whose FIRST feature is a polygon whose ring rotation moved
+    vertex 0 can differ by one grid step (a 1-2 byte est perturbation,
+    far inside the gate margin)."""
+    if feat_tbl is None or len(feat_tbl) == 0:
+        return (0, 0)
+    seqs = feat_tbl["seq"].to_numpy(zero_copy_only=False)
+    i = int(np.argmin(seqs))
+    xy = np.frombuffer(feat_tbl["xy"][i].as_py(), dtype=np.int64).reshape(-1, 2)
+    return (int(xy[0, 0]) >> g, int(xy[0, 1]) >> g)
 
 
 _EMIT_SCHEMA = pa.schema(
@@ -649,6 +727,12 @@ _EMIT_SCHEMA = pa.schema(
         # pairs; empty otherwise (and for zoom-B subtree seed rows,
         # whose clips re-run inside the subtree cascade)
         ("enodes", pa.large_binary()),
+        # -at only: the INCOMING (parent-clipped) geometry this tile's
+        # stream would hold (rewrite serializes parent-clipped world
+        # coords, tile.cpp:481-530) - the complexity-estimate input.
+        # Empty without variable_depth.
+        ("pops", pa.large_binary()),
+        ("pxy", pa.large_binary()),
     ]
 )
 
@@ -676,7 +760,10 @@ class CascadeFan:
         )
         cols: dict[str, list] = {n: [] for n in _EMIT_SCHEMA.names}
 
-        def emit(gz, gx, gy, vi, seq, t, ops, xy, lx, ly, fmz, enodes=()):
+        at = cfg.variable_depth
+
+        def emit(gz, gx, gy, vi, seq, t, ops, xy, lx, ly, fmz, enodes=(),
+                 pops=None, pxy=None):
             cols["gkey"].append(_gkey(gz, gx, gy))
             cols["vindex"].append(vi)
             cols["seq"].append(seq)
@@ -689,12 +776,19 @@ class CascadeFan:
             cols["enodes"].append(
                 np.array(enodes, np.int64).tobytes() if enodes else b""
             )
+            if at and pops is not None:
+                cols["pops"].append(pops.astype(np.uint8).tobytes())
+                cols["pxy"].append(np.ascontiguousarray(pxy, dtype=np.int64).tobytes())
+            else:
+                cols["pops"].append(b"")
+                cols["pxy"].append(b"")
 
         rows = table_to_rows(tbl)
         for i, (seq, t, ops, xy, lx, ly, fmz) in enumerate(rows):
             vi = int(vind[i])
             if b == 0:
-                emit(0, 0, 0, vi, seq, t, ops, xy, lx, ly, fmz)
+                emit(0, 0, 0, vi, seq, t, ops, xy, lx, ly, fmz,
+                     pops=ops, pxy=xy)
                 continue
             stack = [(0, 0, 0, ops, xy)]
             while stack:
@@ -707,10 +801,12 @@ class CascadeFan:
                     # low-zoom survivor (kept even when the clip emptied
                     # the geometry — the per-tile encode scan sees the
                     # same stream the per-tile task saw)
-                    emit(z, tx, ty, vi, seq, t, cops, cxy, lx, ly, fmz, enodes)
+                    emit(z, tx, ty, vi, seq, t, cops, cxy, lx, ly, fmz, enodes,
+                         pops=o_, pxy=x_)
                 for (cx, cy) in child_keys:
                     if z + 1 == b:
-                        emit(b, cx, cy, vi, seq, t, cops, snapped, lx, ly, fmz)
+                        emit(b, cx, cy, vi, seq, t, cops, snapped, lx, ly, fmz,
+                             pops=cops, pxy=snapped)
                     else:
                         stack.append((z + 1, cx, cy, cops, snapped))
         arrs = {
@@ -729,10 +825,12 @@ class GroupEncoder:
     is returned."""
 
     def __init__(self, cfg: VectorConfig, b: int, raw_dir: str | None = None,
-                 shared_nodes_ref=None):
+                 shared_nodes_ref=None, at_origin: tuple[int, int] = (0, 0)):
         self.cfg = cfg
         self.b = b
         self.raw_dir = raw_dir
+        # -at: the serialized-stream delta origin (stream_origin)
+        self.at_origin = at_origin
         # ObjectRef to (or the actual) sorted uint64 -pn node array;
         # resolved once per task and cached (the reference's mmap'd
         # node file analogue, main.cpp:2161-2167)
@@ -763,7 +861,29 @@ class GroupEncoder:
         sq = grp["seq"].to_numpy(zero_copy_only=False)
         grp = grp.take(pa.array(np.lexsort((sq, vi))))
         rows = table_to_rows(grp)
+        at = cfg.variable_depth
+        est = None
+        if at and "pxy" in grp.column_names:
+            # this tile's input-stream complexity from the incoming
+            # (parent-clipped) geometry the cascade carried alongside
+            pops_l = grp["pops"].to_pylist()
+            pxy_l = grp["pxy"].to_pylist()
+            mz_l = grp["minzoom"].to_pylist()
+            sq_l = grp["seq"].to_pylist()
+            t_l = grp["t"].to_pylist()
+            est = _stream_est(
+                cfg, z, x, y,
+                [
+                    (sq_l[i], t_l[i],
+                     np.frombuffer(pops_l[i], dtype=np.uint8),
+                     np.frombuffer(pxy_l[i], dtype=np.int64).reshape(-1, 2),
+                     mz_l[i])
+                    for i in range(len(grp))
+                ],
+                self.at_origin,
+            )
         out_rows: list[dict] = []
+        leaf_keys: list[tuple[int, int, int]] = []
         if z < self.b:
             if cfg.prevent_shared_nodes and "enodes" in grp.column_names:
                 eno = grp["enodes"].to_pylist()
@@ -780,20 +900,34 @@ class GroupEncoder:
                     for seq, t, ops, xy, lx, ly, fmz in rows
                 ]
             row = _encode_with_detail_ladder(cfg, z, x, y, survivors,
-                                             global_nodes=gn)
+                                             global_nodes=gn, est=est)
             if row is not None:
                 out_rows.append(row)
+                if row.get("leafed"):
+                    leaf_keys.append((z, x, y))
         else:
-            stack = [(z, x, y, rows)]
+            stack = [(z, x, y, rows, est)]
             while stack:
-                zz, tx, ty, rr = stack.pop()
+                zz, tx, ty, rr, ezz = stack.pop()
                 tile_row, children = process_tile(cfg, zz, tx, ty, rr,
-                                                  global_nodes=gn)
+                                                  global_nodes=gn, est=ezz)
                 if tile_row is not None:
                     out_rows.append(tile_row)
+                if tile_row is not None and tile_row.get("leafed"):
+                    # -at: the pyramid leafs here - prune the subtree
+                    # (skip_children, tile.cpp:3059-3066)
+                    continue
                 if zz + 1 <= cfg.maxzoom:
                     for (cx, cy), blob_rows in children.items():
-                        stack.append((zz + 1, cx, cy, blob_rows))
+                        e_child = None
+                        if at:
+                            e_child = _stream_est(
+                                cfg, zz + 1, cx, cy,
+                                [(b_[0], b_[1], b_[2], b_[3], b_[6])
+                                 for b_ in blob_rows if b_[3] is not None],
+                                self.at_origin,
+                            )
+                        stack.append((zz + 1, cx, cy, blob_rows, e_child))
         tile_tbl = _tile_rows_table(out_rows)
         if self.raw_dir is None:
             return tile_tbl
@@ -805,6 +939,7 @@ class GroupEncoder:
         pq.write_table(tile_tbl, tmp)
         os.replace(tmp, os.path.join(part, "part-0.parquet"))
         nf = tile_tbl["n_features"].to_numpy(zero_copy_only=False)
+        lf = tile_tbl["leafed"].to_numpy(zero_copy_only=False)
         return pa.table(
             {
                 "gz": pa.array([z], pa.int32()),
@@ -812,6 +947,7 @@ class GroupEncoder:
                 "gy": pa.array([y], pa.int32()),
                 "n_tiles": pa.array([len(tile_tbl)], pa.int64()),
                 "n_features": pa.array([int(nf.sum())], pa.int64()),
+                "n_leafed": pa.array([int(lf.sum())], pa.int64()),
             }
         )
 
@@ -825,6 +961,7 @@ class GroupEncoder:
                 "gy": pa.array([], pa.int32()),
                 "n_tiles": pa.array([], pa.int64()),
                 "n_features": pa.array([], pa.int64()),
+                "n_leafed": pa.array([], pa.int64()),
             }
         )
 
@@ -980,7 +1117,65 @@ def build_vector_pyramid(
             rows = rows.map_batches(_not_done, batch_format="pyarrow")
     if raw_dir:
         os.makedirs(raw_dir, exist_ok=True)
-    grouped = _grouped_exchange(rows, GroupEncoder(cfg, b, raw_dir, shared_ref))
+    at_origin = (0, 0)
+    if cfg.variable_depth:
+        g = cfg.resolved_gscale()
+        if isinstance(feat_tbl, pa.Table):
+            at_origin = stream_origin(feat_tbl, g)
+        else:
+            # min-seq row of the ingested Dataset (tiny driver fetch)
+            import pandas as _pd
+
+            first = ds.sort("seq").limit(1).take_all()
+            if first:
+                fxy = np.frombuffer(first[0]["xy"], dtype=np.int64).reshape(-1, 2)
+                at_origin = (int(fxy[0, 0]) >> g, int(fxy[0, 1]) >> g)
+    encoder = GroupEncoder(cfg, b, raw_dir, shared_ref, at_origin=at_origin)
+    if cfg.variable_depth and b > 0:
+        # -at is zoom-sequential above the bucket zoom (the reference's
+        # per-zoom traverse with skip_children, tile.cpp:3179-3199,
+        # 3389-3410): a leafed tile prunes every descendant, so each
+        # zoom's leaf set must be known before the next zoom encodes.
+        rows_mat = rows.materialize()
+        leaf: set[tuple[int, int, int]] = set()
+        part_list = []
+        for zz in range(0, b + 1):
+            leaf_now = frozenset(leaf)
+
+            def _zoom_rows(t: pa.Table, _zz=zz, _leaf=leaf_now) -> pa.Table:
+                gk = t["gkey"].to_numpy(zero_copy_only=False)
+                m = (gk >> 56) == _zz
+                if _leaf and m.any():
+                    xs = (gk >> 28) & ((1 << 28) - 1)
+                    ys = gk & ((1 << 28) - 1)
+                    for i in np.flatnonzero(m):
+                        x_, y_ = int(xs[i]), int(ys[i])
+                        for za in range(_zz):
+                            if (za, x_ >> (_zz - za), y_ >> (_zz - za)) in _leaf:
+                                m[i] = False
+                                break
+                return t.filter(pa.array(m))
+
+            zrows = rows_mat.map_batches(_zoom_rows, batch_format="pyarrow")
+            grouped_z = _grouped_exchange(zrows, encoder)
+            grouped_z = grouped_z.materialize()
+            part_list.append(grouped_z)
+            if zz < b:
+                if raw_dir:
+                    for r in grouped_z.take_all():
+                        if int(r.get("n_leafed", 0)):
+                            leaf.add((int(r["gz"]), int(r["gx"]), int(r["gy"])))
+                else:
+                    for r in grouped_z.select_columns(
+                        ["z", "x", "y", "leafed"]
+                    ).take_all():
+                        if int(r["leafed"]):
+                            leaf.add((int(r["z"]), int(r["x"]), int(r["y"])))
+        grouped = part_list[0]
+        for pds in part_list[1:]:
+            grouped = grouped.union(pds)
+    else:
+        grouped = _grouped_exchange(rows, encoder)
     if not out_dir:
         return grouped
     # force execution; the summary is tiny (one row per group)
@@ -998,6 +1193,7 @@ def build_vector_pyramid(
                 "gy": pa.array([], pa.int32()),
                 "n_tiles": pa.array([], pa.int64()),
                 "n_features": pa.array([], pa.int64()),
+                "n_leafed": pa.array([], pa.int64()),
             }
         )
     )
