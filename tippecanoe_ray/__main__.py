@@ -72,6 +72,7 @@ def _build_from_geo(args, cfg):
             max_tile_size=args.max_tile_bytes,
             prevent_shared_nodes=args.prevent_shared_nodes,
             variable_depth=args.variable_depth,
+            prefilter=args.prefilter,
         )
         outs.append(build_vector_pyramid(ingest_features(vec_tbl, vcfg), vcfg))
     if not outs:
@@ -103,6 +104,9 @@ def main(argv=None):
     ap.add_argument("--drop-densest", action="store_true")
     ap.add_argument("--max-tile-features", type=int, default=None,
                     help="as-needed drop limit per tile (reference -O, default 200000)")
+    ap.add_argument("--prefilter", "-C", default=None,
+                    help="per-tile shell prefilter over NDJSON GeoJSON "
+                         "(-C, plugin.cpp:376-470)")
     ap.add_argument("--generate-variable-depth-tile-pyramid", "-at",
                     dest="variable_depth", action="store_true",
                     help="leaf the pyramid early where a full-precision "

@@ -96,6 +96,13 @@ class VectorConfig:
     # leaf. Only meaningful without drop strategies (the reference
     # disables the gate when dropping_features()).
     variable_depth: bool = False
+    # -C 'command': per-tile shell prefilter (plugin.cpp:376-470,
+    # run_prefilter tile.cpp:1381-1443): the tile's (parent-clipped,
+    # this-tile-clipped) features are piped to `sh -c command sh z x y`
+    # as newline-delimited GeoJSON in full-precision world coordinates
+    # with the tippecanoe envelope; stdout GeoJSON replaces the tile's
+    # features before the encode scan. Runs inside the encode task.
+    prefilter: str | None = None
 
     def resolved_max_tile_size(self) -> int | None:
         if self.max_tile_size is None and self.variable_depth:
@@ -494,6 +501,137 @@ def process_tile(cfg: VectorConfig, z: int, tx: int, ty: int, tbl,
     return tile_row, children
 
 
+def _survivor_to_geojson(cfg: VectorConfig, z, tx, ty, seq, t, ops, xy):
+    """One clipped feature as a GeoJSON dict in world-plane lon/lat
+    (layer_to_geojson with extent 2^32 at 0/0/0, tile.cpp:1395-1426)."""
+    from ..functions.spatial import world_to_lonlat
+
+    sx = (tx << (WORLD_BITS - z)) if z else 0
+    sy = (ty << (WORLD_BITS - z)) if z else 0
+    wxy = np.asarray(xy, np.int64) + np.array([sx, sy], np.int64)
+    lon, lat = world_to_lonlat(wxy[:, 0], wxy[:, 1])
+    pts = np.stack([lon, lat], axis=1)
+    rings_ = [(i, j) for i, j in dv.rings(np.asarray(ops, np.uint8))]
+    if t == 1:
+        coords = [[float(a), float(b)] for a, b in pts]
+        geom = ({"type": "Point", "coordinates": coords[0]} if len(coords) == 1
+                else {"type": "MultiPoint", "coordinates": coords})
+    elif t == 2:
+        lines = [[[float(a), float(b)] for a, b in pts[i:j]] for i, j in rings_]
+        geom = ({"type": "LineString", "coordinates": lines[0]} if len(lines) == 1
+                else {"type": "MultiLineString", "coordinates": lines})
+    else:
+        polys: list[list] = []
+        for i, j in rings_:
+            ring = [[float(a), float(b)] for a, b in pts[i:j]]
+            if ring and ring[0] != ring[-1]:
+                ring.append(ring[0])  # close_poly (tile.cpp:1399)
+            if dv.get_area(np.asarray(xy, np.int64), i, j) > 0 or not polys:
+                polys.append([ring])
+            else:
+                polys[-1].append(ring)
+        geom = ({"type": "Polygon", "coordinates": polys[0]} if len(polys) == 1
+                else {"type": "MultiPolygon", "coordinates": polys})
+    return {
+        "type": "Feature",
+        "properties": {},
+        "tippecanoe": {"layer": cfg.layer_name, "sequence": int(seq)},
+        "geometry": geom,
+    }
+
+
+def _run_prefilter(cfg: VectorConfig, z, tx, ty, survivors):
+    """Pipe the tile's features through cfg.prefilter (sh -c cmd sh z x
+    y, plugin.cpp:436) and parse stdout back into survivor tuples.
+    Output geometry is re-snapped to the geometry_scale grid, polygons
+    re-wound (the post-filter parse re-serializes, serial.cpp:459-465),
+    and re-clipped to this tile+buffer for encode sanity. -pn edge
+    nodes and -aP ingest anchors do not survive the pipe (the reference
+    recomputes neither either)."""
+    import json as _json
+    import subprocess
+
+    from ..sources.geojson import _geom_parts
+    from ..functions.spatial import lonlat_to_world
+
+    lines = []
+    for row in survivors:
+        seq, t, ops, xy = row[0], row[1], row[2], row[3]
+        if len(ops) == 0:
+            continue
+        lines.append(_json.dumps(
+            _survivor_to_geojson(cfg, z, tx, ty, seq, t, ops, xy)))
+    proc = subprocess.run(
+        ["sh", "-c", cfg.prefilter, "sh", str(z), str(tx), str(ty)],
+        input="\n".join(lines) + ("\n" if lines else ""),
+        capture_output=True, text=True,
+    )
+    g = cfg.resolved_gscale()
+    span_shift = WORLD_BITS - z
+    sx = (tx << span_shift) if z else 0
+    sy = (ty << span_shift) if z else 0
+    span = 1 << span_shift
+    buf = cfg.buffer * span // 256
+    out: list[tuple] = []
+    fallback_seq = 0
+    dec = _json.JSONDecoder()
+    for line in proc.stdout.splitlines():
+        line = line.strip().strip("\x1e,")
+        if not line or line in ("[", "]"):
+            continue
+        try:
+            obj, _ = dec.raw_decode(line)
+        except _json.JSONDecodeError:
+            continue
+        if not isinstance(obj, dict) or obj.get("type") != "Feature":
+            continue
+        seq = int((obj.get("tippecanoe") or {}).get("sequence", fallback_seq))
+        fallback_seq = seq + 1
+        for vt, parts in _geom_parts(obj.get("geometry") or {}):
+            ops_l: list[np.ndarray] = []
+            xy_l: list[np.ndarray] = []
+            if vt == 3:
+                for poly in parts:
+                    for ring in poly:
+                        arr = np.asarray(ring, np.float64).reshape(-1, 2)
+                        wx, wy = lonlat_to_world(arr[:, 0], arr[:, 1])
+                        ops_l.append(np.array([1] + [2] * (len(arr) - 1), np.uint8))
+                        xy_l.append(np.stack([wx, wy], axis=1).astype(np.int64))
+                    ops_l.append(np.array([7], np.uint8))
+                    xy_l.append(np.zeros((1, 2), np.int64))
+            else:
+                for part in parts:
+                    arr = np.asarray(part, np.float64).reshape(-1, 2)
+                    wx, wy = lonlat_to_world(arr[:, 0], arr[:, 1])
+                    ops_l.append(np.array([1] + [2] * (len(arr) - 1), np.uint8))
+                    xy_l.append(np.stack([wx, wy], axis=1).astype(np.int64))
+            if not ops_l:
+                continue
+            ops = np.concatenate(ops_l)
+            world = np.concatenate(xy_l)
+            scaled = dv.shift_right(world, g)
+            if vt == 3:
+                ops, scaled = dv.fix_polygon(ops, scaled)
+            if len(ops) == 0:
+                continue
+            world = (scaled << g) if g else scaled
+            local = world - np.array([sx, sy], np.int64)
+            if vt == 2:
+                ops, local = dv.clip_lines(ops, local, -buf, -buf, span + buf, span + buf)
+            elif vt == 3:
+                ops, local = dv.simple_clip_poly(ops, local, -buf, -buf, span + buf, span + buf)
+            else:
+                keep = (
+                    (local[:, 0] >= -buf) & (local[:, 1] >= -buf)
+                    & (local[:, 0] <= span + buf) & (local[:, 1] <= span + buf)
+                )
+                ops, local = ops[keep], local[keep]
+            if len(ops) == 0:
+                continue
+            out.append((seq, vt, ops, local, (-1, -1), 0))
+    return out
+
+
 def _encode_with_detail_ladder(cfg: VectorConfig, z, tx, ty, survivors,
                                global_nodes=None, est=None):
     """The write_tile detail loop (tile.cpp:1719-3079, no-strategy path):
@@ -513,6 +651,10 @@ def _encode_with_detail_ladder(cfg: VectorConfig, z, tx, ty, survivors,
 
     if z < cfg.minzoom or not survivors:
         return None
+    if cfg.prefilter:
+        survivors = _run_prefilter(cfg, z, tx, ty, survivors)
+        if not survivors:
+            return None
     mts = cfg.resolved_max_tile_size()
     trying_to_stop_early = False
     if (
