@@ -67,6 +67,17 @@ def exact_dedup(ds: ray.data.Dataset, text_col: str, id_col: str) -> pd.DataFram
     one small row per (batch, distinct-doc), keyed by the hash, into a
     distributed groupby finish. Text never leaves the read tasks."""
 
+    # (query form: the driver pull is one row per distinct doc; the
+    # streaming form for pipeline use is exact_dedup_ds below)
+    out = exact_dedup_ds(ds, text_col, id_col).to_pandas()
+    return out[["keep_id", "n_dups"]].sort_values("keep_id").reset_index(drop=True)
+
+
+def exact_dedup_ds(ds: ray.data.Dataset, text_col: str, id_col: str) -> ray.data.Dataset:
+    """Pipeline form of exact_dedup: returns the (keep_id, n_dups)
+    Dataset WITHOUT driver materialization — chain .write_parquet or a
+    join against the corpus to drop duplicates at 100 TB scale."""
+
     def partial(t: pa.Table) -> pa.Table:
         texts = t[text_col].to_numpy(zero_copy_only=False)
         ids = t[id_col].to_numpy(zero_copy_only=False)
@@ -78,22 +89,16 @@ def exact_dedup(ds: ray.data.Dataset, text_col: str, id_col: str) -> pd.DataFram
         ).reset_index()
         return pa.Table.from_pandas(g, preserve_index=False)
 
-    parts = ds.map_batches(partial, batch_format="pyarrow")
-
     def combine(g: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame(
-            {
-                "keep_id": [g["keep_id"].min()],
-                "n_dups": [g["n_dups"].sum()],
-            }
+            {"keep_id": [g["keep_id"].min()], "n_dups": [g["n_dups"].sum()]}
         )
 
-    out = (
-        parts.groupby(["h1", "h2"])
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["h1", "h2"])
         .map_groups(combine, batch_format="pandas")
-        .to_pandas()
     )
-    return out[["keep_id", "n_dups"]].sort_values("keep_id").reset_index(drop=True)
 
 
 # --------------------------------------------------------------- minhash
