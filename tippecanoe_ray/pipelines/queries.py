@@ -797,7 +797,7 @@ walk AS (
   FROM walk w
   JOIN feat f ON f.z = w.z AND f.tx = w.tx AND f.ty = w.ty AND f.rn = w.rn + 1)
 SELECT CAST(z AS INT) AS z, CAST(tx AS INT) AS x, CAST(ty AS INT) AS y,
-       SUM(kept) AS n_features
+       CAST(SUM(kept) AS BIGINT) AS n_features
 FROM walk GROUP BY 1, 2, 3
 """
 
@@ -1133,7 +1133,7 @@ p AS (
     ELSE 'zh' END AS pred
   FROM c)
 SELECT lang, COUNT(*) AS n_docs,
-       SUM(CASE WHEN pred = lang THEN 1 ELSE 0 END) AS n_correct
+       CAST(SUM(CASE WHEN pred = lang THEN 1 ELSE 0 END) AS BIGINT) AS n_correct
 FROM p GROUP BY lang ORDER BY lang
 """
 
