@@ -685,13 +685,58 @@ def douglas_peucker(xy: np.ndarray, necessary: np.ndarray, start: int, n: int,
         a = (int(xy[start + first, 0]), int(xy[start + first, 1]))
         b = (int(xy[start + second, 0]), int(xy[start + second, 1]))
         if _draw_less(a, b):
-            idxs = np.arange(first + 1, second)
+            idxs = range(first + 1, second)
             sx, sy, ex, ey = a[0], a[1], b[0], b[1]
         else:
-            idxs = np.arange(second - 1, first, -1)
+            idxs = range(second - 1, first, -1)
             sx, sy, ex, ey = b[0], b[1], a[0], a[1]
         farthest = first
-        if len(idxs):
+        nseg = len(idxs) if not isinstance(idxs, range) else len(idxs)
+        if nseg and nseg <= 16:
+            # scalar fast path: short segments dominate DP pops and the
+            # ~20-numpy-op vectorized kernel costs more than the math.
+            # Bit-identical to _dfl_vec (same int trunc-divs, same IEEE
+            # float ops, same (y, x, scan-pos) tie-break).
+            p2x = ex - sx
+            p2y = ey - sy
+            something = (_tdiv(p2x, 4) * _tdiv(p2x, 8)
+                         + _tdiv(p2y, 4) * _tdiv(p2y, 8)) * 32.0
+            s8x = _tdiv(p2x, 8)
+            s8y = _tdiv(p2y, 8)
+            gate_all = kept < retain
+            dmax = -1.0
+            bx_ = by_ = bpos = 0
+            for pos in range(nseg):
+                ii = start + int(idxs[pos])
+                pxi = int(xy[ii, 0])
+                pyi = int(xy[ii, 1])
+                if something == 0:
+                    u = 0.0
+                else:
+                    ux = pxi - sx
+                    uy = pyi - sy
+                    u = ((abs(ux) // 4) * (1 if ux >= 0 else -1) * s8x
+                         + (abs(uy) // 4) * (1 if uy >= 0 else -1) * s8y) * 32.0 / something
+                    if u > 1.0:
+                        u = 1.0
+                    elif u < 0.0:
+                        u = 0.0
+                dx = sx + u * p2x - pxi
+                dy = sy + u * p2y - pyi
+                v = math.sqrt(dx * dx + dy * dy) * 16.0
+                d = math.floor(v + 0.5) / 16.0  # v >= 0 always
+                if not gate_all and not (d > e):
+                    continue
+                if d > dmax:
+                    dmax = d
+                    bx_, by_, bpos = pxi, pyi, pos
+                elif d == dmax and (pyi, pxi, pos) < (by_, bx_, bpos):
+                    bx_, by_, bpos = pxi, pyi, pos
+            if dmax >= 0:
+                farthest = int(idxs[bpos])
+                max_distance = dmax
+        elif nseg:
+            idxs = np.asarray(idxs, dtype=np.int64)
             px = xy[start + idxs, 0]
             py = xy[start + idxs, 1]
             d = np.abs(_dfl_vec(px, py, sx, sy, ex, ey))
