@@ -1080,6 +1080,7 @@ def all_queries() -> dict:
         "raster_tiles_z2": raster_tiles_q,
         "payload_psnr": payload_psnr_q,
         "vector_pyramid_counts": vector_pyramid_q,
+        "vector_squares_z4": vector_squares_q,
         "accumulate_sum_tiles": accumulate_tiles_q,
         "coalesce_tiles": coalesce_tiles_q,
     }
@@ -1212,6 +1213,73 @@ FROM p GROUP BY x, y ORDER BY x, y
 """)
 
 
+
+
+def vector_squares_q(sf_dir: str) -> pd.DataFrame:
+    """Vector pyramid over lcg-derived axis-aligned squares: for
+    rectangles the cascade's per-tile survival test (parent-clipped
+    geometry nonempty in tile+buffer, tile.cpp:974-1057) reduces to a
+    closed bbox intersection — making the per-tile feature counts of
+    the FULL cascade SQL-expressible exactly."""
+    from .vector_pyramid import (
+        VectorConfig, build_vector_pyramid, features_table, ingest_features,
+    )
+    from ..stages.geotag import lcg_world
+
+    t = _read_small(sf_dir, "documents", ["doc_id"])
+    ids = t["doc_id"].to_numpy()
+    wx, wy = lcg_world(ids)
+    margin = 1 << 27
+    lo, hi = margin, (1 << 32) - margin
+    cx = np.clip(wx, lo, hi).astype(np.int64)
+    cy = np.clip(wy, lo, hi).astype(np.int64)
+    half = ((1 << 23) + (ids * 2654435761) % (1 << 25)).astype(np.int64)
+    rows = []
+    for i in range(len(ids)):
+        x0, y0, x1, y1 = int(cx[i] - half[i]), int(cy[i] - half[i]), int(cx[i] + half[i]), int(cy[i] + half[i])
+        ring = np.array([[x0, y0], [x1, y0], [x1, y1], [x0, y1], [x0, y0]], np.int64)
+        rows.append((int(ids[i]), 3, np.array([1, 2, 2, 2, 2], np.uint8), ring))
+    cfg = VectorConfig(maxzoom=4, geometry_scale=0)
+    tiles = build_vector_pyramid(ingest_features(features_table(rows), cfg), cfg)
+    df = tiles.select_columns(["z", "x", "y", "n_features"]).to_pandas()
+    return df.sort_values(["z", "x", "y"]).reset_index(drop=True)
+
+
+def _vector_squares_sql(maxzoom: int = 4, buf: int = 5) -> str:
+    wx, wy = lcg_world_sql("doc_id")
+    margin = 1 << 27
+    return f"""
+WITH sq AS (
+  SELECT doc_id,
+         GREATEST(LEAST(CAST({wx} AS BIGINT), {(1 << 32) - margin}), {margin}) AS cx,
+         GREATEST(LEAST(CAST({wy} AS BIGINT), {(1 << 32) - margin}), {margin}) AS cy,
+         CAST({1 << 23} + (doc_id * 2654435761) % {1 << 25} AS BIGINT) AS half
+  FROM documents),
+b AS (SELECT doc_id, cx - half AS x0, cy - half AS y0,
+             cx + half AS x1, cy + half AS y1 FROM sq),
+zlist AS (SELECT z FROM generate_series(0, {maxzoom}) t(z)),
+spans AS (SELECT z, CAST(1 AS BIGINT) << (32 - z) AS span,
+                 (CAST(1 AS BIGINT) << (32 - z)) * {buf} / 256 AS buf FROM zlist),
+hx AS (
+  SELECT b.doc_id, s.z, s.span, s.buf, b.y0, b.y1,
+         unnest(generate_series(
+           GREATEST(CAST(FLOOR(CAST(b.x0 - s.buf AS DOUBLE) / s.span) AS BIGINT), 0),
+           LEAST(CAST(FLOOR(CAST(b.x1 + s.buf AS DOUBLE) / s.span) AS BIGINT),
+                 (CAST(1 AS BIGINT) << s.z) - 1))) AS x
+  FROM b CROSS JOIN spans s),
+hy AS (
+  SELECT z, x,
+         unnest(generate_series(
+           GREATEST(CAST(FLOOR(CAST(y0 - buf AS DOUBLE) / span) AS BIGINT), 0),
+           LEAST(CAST(FLOOR(CAST(y1 + buf AS DOUBLE) / span) AS BIGINT),
+                 (CAST(1 AS BIGINT) << z) - 1))) AS y
+  FROM hx)
+SELECT CAST(z AS INT) AS z, CAST(x AS INT) AS x, CAST(y AS INT) AS y,
+       COUNT(*) AS n_features
+FROM hy GROUP BY 1, 2, 3 ORDER BY z, x, y
+"""
+
+
 def all_oracle_sql() -> dict:
     return {
         "guess_zoom_params": _guess_sql(),
@@ -1246,4 +1314,5 @@ def all_oracle_sql() -> dict:
         "lang_id_accuracy": LANG_SQL,
         "doc_fingerprints": FINGERPRINT_SQL,
         "raster_tiles_z2": RASTER_SQL,
+        "vector_squares_z4": _vector_squares_sql(),
     }
