@@ -251,33 +251,80 @@ def _guard_calibrate() -> float:
     return time.time() - t0
 
 
+def _percpu_stat() -> dict:
+    """Per-cpu (busy, steal) jiffies from /proc/stat. busy = user + nice
+    + system + irq + softirq."""
+    out = {}
+    with open("/proc/stat") as f:
+        for line in f:
+            if line.startswith("cpu") and not line.startswith("cpu "):
+                fields = line.split()
+                v = [int(x) for x in fields[1:]]
+                out[fields[0]] = (v[0] + v[1] + v[2] + v[5] + v[6], v[7])
+    return out
+
+
+def _steal_frac(before: dict, after: dict) -> float:
+    """Busy-weighted hypervisor steal fraction over an interval: for
+    each vCPU, steal/(busy+steal) weighted by that vCPU's busy share.
+    Aggregate /proc/stat steal is misleading here (mostly-idle vCPUs
+    accrue steal without slowing the job: calibration measured 37%
+    aggregate steal with 1.6% actual slowdown); weighting by busy
+    jiffies tracks the slowdown of the vCPUs doing the work. Clean-run
+    calibration on this VM: ~0.02 at both 2 and 8 busy cpus."""
+    tot_busy = 0
+    acc = 0.0
+    for k in before:
+        db = after[k][0] - before[k][0]
+        ds = after[k][1] - before[k][1]
+        if db + ds > 0:
+            acc += db * (ds / (db + ds))
+        tot_busy += db
+    return acc / tot_busy if tot_busy else 0.0
+
+
 def _one_phase(cpus: int) -> dict:
     env = dict(os.environ)
     env["RAY_GRAFT_CPUS"] = str(cpus)
     env.setdefault("BENCH_TILE_DIR", "/dev/shm")  # per-node-disk analogue
     env.setdefault("BENCH_REP", "16")  # enough work to amortize setup
+    s0 = _percpu_stat()
     out = subprocess.run(
         [sys.executable, __file__, "--headline-only"],
         capture_output=True, text=True, env=env, timeout=3600,
     )
+    s1 = _percpu_stat()
     line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
-    return json.loads(line)
+    res = json.loads(line)
+    res["steal_frac"] = round(_steal_frac(s0, s1), 4)
+    return res
 
 
 def run_scaling():
-    """Pinned protocol (median-of-5 with a co-tenant guard; the filter
-    rule is fixed here, not chosen after seeing the data):
+    """Pinned protocol v2 (median-of-5 with a mid-phase co-tenant
+    guard; the filter rule is fixed here, not chosen after seeing the
+    data).
+
+    v1's boundary busy-loop guard could not see co-tenants that arrive
+    MID-phase (BASELINE.md round-3 conclusion: identical binaries swung
+    18-47 s on the hi phase with clean guards both sides). v2 replaces
+    the validity rule with a guard that covers the whole phase: the
+    busy-weighted hypervisor steal fraction (_steal_frac) measured
+    across each phase subprocess. The busy-loop guard is still
+    recorded for continuity but no longer filters.
 
     1. 5 paired phases (lo cpus then hi cpus, interleaved), fresh
        process + fresh ray.init each, same input; outputs must be
        identical across every phase (parallelism invariance, the
        reference's parallel-test Makefile:220-245).
-    2. A fixed busy-loop guard (_guard_calibrate) is timed immediately
-       before each phase. A PAIR is valid iff both its guard times are
-       <= 1.25 x the minimum guard time of the invocation.
+    2. A PAIR is valid iff BOTH its phases' busy-weighted steal
+       fraction <= 0.08 (4 x the 0.02 clean-run calibration on this
+       VM; a co-tenant storm reads 0.3-0.6).
     3. Report the MEDIAN efficiency over valid pairs (>= 3 valid
        required, else the run is marked insufficient and repeated by
        the caller). efficiency = thr_hi / ((hi/lo) * thr_lo).
+    4. Supplementary (recorded, never substituted): steal-corrected
+       efficiency using sec * (1 - steal_frac) per phase.
 
     Default pair is 2 -> 8 cpus: this sandbox's single VM saturates
     its MEMORY BANDWIDTH above ~16 concurrent streaming workers (the
@@ -304,19 +351,24 @@ def run_scaling():
                 "outputs differ across phases"
         thr_lo = r_lo["n_tiles"] / r_lo["queries"]["pyramid_z14"]
         thr_hi = r_hi["n_tiles"] / r_hi["queries"]["pyramid_z14"]
+        sec_lo = r_lo["queries"]["pyramid_z14"]
+        sec_hi = r_hi["queries"]["pyramid_z14"]
+        cthr_lo = r_lo["n_tiles"] / (sec_lo * (1.0 - r_lo["steal_frac"]))
+        cthr_hi = r_hi["n_tiles"] / (sec_hi * (1.0 - r_hi["steal_frac"]))
         pairs.append({
             "pair": k,
             "guard_lo_s": round(g_lo, 3), "guard_hi_s": round(g_hi, 3),
-            "sec_lo": r_lo["queries"]["pyramid_z14"],
-            "sec_hi": r_hi["queries"]["pyramid_z14"],
+            "steal_lo": r_lo["steal_frac"], "steal_hi": r_hi["steal_frac"],
+            "sec_lo": sec_lo,
+            "sec_hi": sec_hi,
             "thr_lo": round(thr_lo, 1), "thr_hi": round(thr_hi, 1),
             "eff": round(thr_hi / ((hi / lo) * thr_lo), 3),
+            "eff_steal_corrected": round(cthr_hi / ((hi / lo) * cthr_lo), 3),
         })
         print(json.dumps({"pair": pairs[-1]}), flush=True)
-    gmin = min(min(p["guard_lo_s"], p["guard_hi_s"]) for p in pairs)
-    glimit = 1.25 * gmin
+    glimit = 0.08  # pinned: 4x the clean-run steal calibration
     for p in pairs:
-        p["valid"] = p["guard_lo_s"] <= glimit and p["guard_hi_s"] <= glimit
+        p["valid"] = p["steal_lo"] <= glimit and p["steal_hi"] <= glimit
     valid = sorted(p["eff"] for p in pairs if p["valid"])
     if len(valid) >= 3:
         med = valid[len(valid) // 2] if len(valid) % 2 else (
@@ -351,16 +403,20 @@ def _append_baseline_median(summary: dict, lo: int, hi: int):
         with open(os.path.join(os.path.dirname(__file__), "BASELINE.md"), "a") as f:
             f.write(
                 f"\n\n## Measured scaling run ({time.strftime('%Y-%m-%d %H:%M')}, "
-                f"pinned median-of-5 protocol)\n\n"
-                f"Guard rule (fixed up front): pair valid iff both busy-loop guards "
-                f"<= 1.25 x invocation minimum ({summary['guard_limit_s']} s here).\n\n"
+                f"pinned median-of-5 protocol v2)\n\n"
+                f"Guard rule (fixed up front): pair valid iff both phases' "
+                f"busy-weighted hypervisor-steal fraction <= {summary['guard_limit_s']} "
+                f"(4 x clean-run calibration; measured per-cpu across the WHOLE phase, "
+                f"so mid-phase co-tenants are visible — the v1 boundary busy-loop "
+                f"could not see them).\n\n"
             )
             for p in summary["pairs"]:
                 f.write(
                     f"- pair {p['pair']}: {lo}cpu {p['sec_lo']}s ({p['thr_lo']} t/s, "
-                    f"guard {p['guard_lo_s']}s) | {hi}cpu {p['sec_hi']}s "
-                    f"({p['thr_hi']} t/s, guard {p['guard_hi_s']}s) -> eff {p['eff']}"
-                    f"{'' if p['valid'] else '  [FILTERED: guard over limit]'}\n"
+                    f"steal {p['steal_lo']}) | {hi}cpu {p['sec_hi']}s "
+                    f"({p['thr_hi']} t/s, steal {p['steal_hi']}) -> eff {p['eff']} "
+                    f"(steal-corrected {p['eff_steal_corrected']})"
+                    f"{'' if p['valid'] else '  [FILTERED: steal over limit]'}\n"
                 )
             f.write(
                 f"- **median efficiency({lo}->{hi}) = {summary['value']}** "
