@@ -87,3 +87,37 @@ def test_label_points_countries(ray_session):
         if ours.get(k) != ref.get(k)
     ]
     assert not bad, bad[:10]
+
+
+GEOM_EXACT_CORPORA = [
+    # full GEOMETRY byte-parity (vertex order, ring order, start
+    # vertices — through the wagyu-port polygon cleaner) vs the
+    # reference binary, on its own test corpora
+    ("ne_110m_admin_0_countries", 4, []),
+    ("ne_110m_ocean", 4, []),
+    ("loop", 5, []),        # 1000 coincident points: rate ladder
+    ("dateline", 5, []),    # ±360° lines + per-feature minzoom/maxzoom
+    ("islands", 6, []),     # tiny-polygon accumulation across features
+]
+
+
+@pytest.mark.skipif(not has_reference(), reason="reference binary not built")
+@pytest.mark.parametrize("name,maxzoom,extra", GEOM_EXACT_CORPORA)
+def test_real_corpus_geometry_exact(ray_session, name, maxzoom, extra):
+    """Every tile's decoded feature geometry matches the reference
+    EXACTLY (types, vertex order, ring structure), not just counts."""
+    from tests.test_pn_shared_nodes import _geoms, _our_tiles, _ref_tiles
+    from tippecanoe_ray.pipelines.vector_pyramid import VectorConfig
+
+    src = _src(name)
+    ref = _ref_tiles(src, maxzoom, extra)
+    cfg = VectorConfig(maxzoom=maxzoom, layer_name="in")
+    ours = _our_tiles(src, cfg)
+    bad = []
+    for k in sorted(set(ref) | set(ours)):
+        a, b = ours.get(k), ref.get(k)
+        if a is None or b is None:
+            bad.append(f"{k}: missing {'ours' if a is None else 'ref'}")
+        elif sorted(_geoms(a)) != sorted(_geoms(b)):
+            bad.append(f"{k}: geometry differs")
+    assert not bad, bad[:10]

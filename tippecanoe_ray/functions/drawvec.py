@@ -966,47 +966,38 @@ def _pnpoly(ring_xy: np.ndarray, px: int, py: int) -> bool:
     return inside
 
 
-def clean_poly_tile_scale(ops, xy):
-    """Stand-in for coalesce_polygon/clean_or_clip_poly at tile scale
-    (clip.cpp:1925+, wagyu): keep rings with nonzero shoelace area,
-    drop collapsed ones, and drop HOLES (negative rings) that are not
-    contained in any kept outer ring — wagyu rebuilds ring nesting, so
-    an orphan hole (e.g. a tile fully inside a polygon's hole after
-    clipping) unions to nothing. Self-intersection repair is NOT
-    performed (documented deviation)."""
-    ring_list = [(i, j, get_area(xy, i, j)) for i, j in rings(ops) if get_area(xy, i, j) != 0]
-    # coverage rule: the union's area is the signed ring-area total for
-    # well-nested input; total <= 0 means the holes cancel the outers
-    # exactly (e.g. a tile covered by both an ocean ring and its
-    # continent hole) — wagyu unions that to nothing
-    if not ring_list or sum(a for _, _, a in ring_list) <= 0:
+def clean_poly_tile_scale(ops, xy, try_scaling: bool = True):
+    """clean_or_clip_poly (clip.cpp:260-388) via the Vatti/wagyu port:
+    positive-fill union of the feature's rings with snap rounding,
+    self-intersection repair, ring-nesting rebuild, and the x16
+    scale-up retry (tile.cpp:691 calls coalesce_polygon(geom, true)
+    after to_tile_scale). Output ring start vertices and ring order are
+    byte-exact vs the reference cleaner (fuzz-validated against an
+    instrumented probe of the reference binary)."""
+    from . import wagyu
+
+    ops, xy = remove_noop(ops, xy, 3, 0)
+    rings_in = []
+    for i, j in rings(ops):
+        if j - i >= 4:
+            rings_in.append([(int(x), int(y)) for x, y in xy[i:j]])
+    if not rings_in:
         return empty_geom()
-    pos = [(i, j) for i, j, a in ring_list if a > 0]
-    keep_ranges: list[tuple[int, int]] = []
-    for i, j, a in ring_list:
-        if a == 0:
-            continue
-        if a > 0:
-            keep_ranges.append((i, j))
-            continue
-        # hole: contained iff any vertex is strictly inside a kept outer
-        contained = False
-        for pi, pj in pos:
-            outer = xy[pi:pj]
-            for k in range(i, j):
-                if _pnpoly(outer, int(xy[k, 0]), int(xy[k, 1])):
-                    contained = True
-                    break
-            if contained:
-                break
-        if contained:
-            keep_ranges.append((i, j))
+    result = wagyu.union_multi(rings_in, try_scaling)
     out_ops: list[int] = []
     out_xy: list[tuple[int, int]] = []
-    for i, j in keep_ranges:
-        for k in range(i, j):
-            out_ops.append(int(ops[k]))
-            out_xy.append((int(xy[k, 0]), int(xy[k, 1])))
+    for poly in result:
+        for j, ring in enumerate(poly):
+            if ring and ring[-1] != ring[0]:
+                ring = ring + [ring[0]]  # "Had to close ring" clip.cpp:241-244
+            start = len(out_xy)
+            for k, (x, y) in enumerate(ring):
+                out_ops.append(MOVETO if k == 0 else LINETO)
+                out_xy.append((x, y))
+            area = get_area(np.array(out_xy[start:], np.int64), 0, len(ring))
+            if (j == 0 and area < 0) or (j != 0 and area > 0):
+                raise RuntimeError(
+                    f"Ring area has wrong sign: {area} for {j}")  # clip.cpp:248-251
     return np.array(out_ops, np.uint8), np.array(out_xy, np.int64).reshape(-1, 2)
 
 

@@ -60,8 +60,19 @@ def _biased(b: int) -> int:
 
 
 def values_are_equal(x: float, y: float) -> bool:
-    """almost_equal.hpp:220-227 — within 4 ULPs; NaN never equal."""
-    if math.isnan(x) or math.isnan(y):
+    """almost_equal.hpp:220-227 — within 4 ULPs; NaN never equal.
+
+    Fast paths (exact): x == y is always within 4 ULPs; and for normal
+    magnitudes, 4 ULPs spans at most 4 * 2^-52 * 2*max(|x|,|y|)
+    ≈ 1.78e-15 * m, so a gap beyond 2e-15 * m can never be equal.
+    """
+    if x == y:
+        return True
+    d = x - y
+    if d != d:  # NaN operand
+        return False
+    m = abs(x) if abs(x) > abs(y) else abs(y)
+    if m > 1e-300 and (d if d > 0 else -d) > 2e-15 * m:
         return False
     bx = _bits(x)
     by = _bits(y)
@@ -82,11 +93,15 @@ def value_is_zero(v: float) -> bool:
 
 
 def greater_than(x: float, y: float) -> bool:
-    return (not values_are_equal(x, y)) and x > y
+    if x <= y:
+        return False
+    return not values_are_equal(x, y)
 
 
 def less_than(x: float, y: float) -> bool:
-    return (not values_are_equal(x, y)) and x < y
+    if x >= y:
+        return False
+    return not values_are_equal(x, y)
 
 
 def _llround(v: float) -> int:
@@ -168,7 +183,8 @@ class Edge:
 
 
 def is_horizontal(e: Edge) -> bool:
-    return e.dx == INF or e.dx == -INF or math.isinf(e.dx)
+    # dx is +inf for horizontals (edge.hpp:53-56); never NaN
+    return e.dx == INF or e.dx == -INF
 
 
 def get_current_x(e: Edge, current_y: int) -> float:

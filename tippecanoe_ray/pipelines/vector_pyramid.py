@@ -74,9 +74,10 @@ class VectorConfig:
     # -aP: replace polygons with checkerboard label anchor points
     # (tile.cpp:1919-1937, geometry.cpp:766/947)
     generate_label_points: bool = False
-    # --drop-lines / --drop-polygons: ride the rate ladder like points
-    # (calc_feature_minzoom main.cpp:299-350 gates on these flags)
-    droprate: float = 1.0
+    # rate ladder (calc_feature_minzoom main.cpp:299-350): points ride
+    # it unconditionally; lines/polygons only with --drop-lines /
+    # --drop-polygons. Default droprate 2.5 (main.cpp:3198).
+    droprate: float = 2.5
     basezoom: int | None = None
     drop_lines: bool = False
     drop_polygons: bool = False
@@ -132,6 +133,9 @@ FEATURE_SCHEMA = pa.schema(
         ("label_x", pa.int64()),
         ("label_y", pa.int64()),
         ("minzoom", pa.int16()),
+        # explicit per-feature tippecanoe minzoom/maxzoom (-1 = unset)
+        ("fmin", pa.int16()),
+        ("fmax", pa.int16()),
     ]
 )
 
@@ -151,6 +155,8 @@ def features_table(rows: list[tuple]) -> pa.Table:
             "label_x": pa.array([r[4] if len(r) > 4 else -1 for r in rows], pa.int64()),
             "label_y": pa.array([r[5] if len(r) > 5 else -1 for r in rows], pa.int64()),
             "minzoom": pa.array([r[6] if len(r) > 6 else 0 for r in rows], pa.int16()),
+            "fmin": pa.array([r[7] if len(r) > 7 else -1 for r in rows], pa.int16()),
+            "fmax": pa.array([r[8] if len(r) > 8 else -1 for r in rows], pa.int16()),
         }
     )
 
@@ -165,12 +171,14 @@ def table_to_rows(tbl: pa.Table) -> list[tuple]:
     lx = tbl["label_x"].to_pylist() if "label_x" in tbl.column_names else [-1] * len(tbl)
     ly = tbl["label_y"].to_pylist() if "label_y" in tbl.column_names else [-1] * len(tbl)
     mz = tbl["minzoom"].to_pylist() if "minzoom" in tbl.column_names else [0] * len(tbl)
+    fmn = tbl["fmin"].to_pylist() if "fmin" in tbl.column_names else [-1] * len(tbl)
+    fmx = tbl["fmax"].to_pylist() if "fmax" in tbl.column_names else [-1] * len(tbl)
     return [
         (
             seqs[i], ts[i],
             np.frombuffer(ops_l[i], dtype=np.uint8),
             np.frombuffer(xy_l[i], dtype=np.int64).reshape(-1, 2),
-            lx[i], ly[i], mz[i],
+            lx[i], ly[i], mz[i], fmn[i], fmx[i],
         )
         for i in range(len(tbl))
     ]
@@ -180,6 +188,20 @@ def _unpack(tbl: pa.Table, i: int):
     ops = np.frombuffer(tbl["ops"][i].as_py(), dtype=np.uint8)
     xy = np.frombuffer(tbl["xy"][i].as_py(), dtype=np.int64).reshape(-1, 2)
     return ops, xy
+
+
+def _point_bbox_index(ops: np.ndarray, world: np.ndarray) -> int:
+    """Point index rule (serial.cpp:689-692): quadkey of the bbox
+    center computed as min/2 + max/2 (integer halves — loses the low
+    bit), masked into the addressable plane."""
+    from ..functions.spatial import encode_quadkey
+
+    m = ops != 7
+    xs = world[m, 0]
+    ys = world[m, 1]
+    midx = (int(xs.min()) // 2 + int(xs.max()) // 2) & ((1 << 32) - 1)
+    midy = (int(ys.min()) // 2 + int(ys.max()) // 2) & ((1 << 32) - 1)
+    return int(encode_quadkey(np.array([midx]), np.array([midy]))[0])
 
 
 def _vertex_hash_index(ops: np.ndarray, scaled: np.ndarray, g: int) -> int:
@@ -205,7 +227,11 @@ def _ingest_rows(tbl: pa.Table, cfg: VectorConfig) -> tuple[list, list[int]]:
     g = cfg.resolved_gscale()
     out = []
     idxs: list[int] = []
-    want_idx = cfg.dropping() or cfg.variable_depth
+    # the reference ALWAYS reorders geometry by the spatial index
+    # (radix sort, main.cpp:1089+) and write_tile's per-tile state
+    # (accum_area for tiny polygons, -pn node accumulation, keep slots)
+    # runs in that stream order — so the index is always needed
+    want_idx = True
     for i in range(len(tbl)):
         seq = int(tbl["seq"][i].as_py())
         t = int(tbl["t"][i].as_py())
@@ -229,9 +255,14 @@ def _ingest_rows(tbl: pa.Table, cfg: VectorConfig) -> tuple[list, list[int]]:
                 lx = (anchor[0] << g) & ((1 << 32) - 1)
                 ly = (anchor[1] << g) & ((1 << 32) - 1)
         world = scaled << g if g else scaled
-        out.append([seq, t, ops, world, lx, ly, 0])
+        fmn = int(tbl["fmin"][i].as_py()) if "fmin" in tbl.column_names else -1
+        fmx = int(tbl["fmax"][i].as_py()) if "fmax" in tbl.column_names else -1
+        out.append([seq, t, ops, world, lx, ly, 0, fmn, fmx])
         if want_idx:
-            idxs.append(_vertex_hash_index(ops, scaled, g))
+            if t == 1:
+                idxs.append(_point_bbox_index(ops, world))
+            else:
+                idxs.append(_vertex_hash_index(ops, scaled, g))
     return out, idxs
 
 
@@ -244,17 +275,19 @@ def ingest_features(tbl: pa.Table, cfg: VectorConfig) -> pa.Table:
     the parallel path is ingest_features_ds). With dropping active the
     output is sorted by (vindex, seq) and carries the vindex column."""
     out, idxs = _ingest_rows(tbl, cfg)
-    if cfg.dropping() and out:
+    has_points = any(r[1] == 1 for r in out)
+    if (cfg.dropping() or (has_points and cfg.droprate > 1)) and out:
         # the global sort key is (bbox_index, seq); ladder counters step
         # only for participating features (calc_feature_minzoom,
-        # main.cpp:299-305)
+        # main.cpp:299-305: points always, lines/polygons by flag)
         from ..stages.minzoom import minzoom_from_ranks
 
         order = sorted(range(len(out)), key=lambda i: (idxs[i], out[i][0]))
         out = [out[i] for i in order]
         idxs = [idxs[i] for i in order]
         part = [
-            (r[1] == 2 and cfg.drop_lines) or (r[1] == 3 and cfg.drop_polygons)
+            r[1] == 1
+            or (r[1] == 2 and cfg.drop_lines) or (r[1] == 3 and cfg.drop_polygons)
             for r in out
         ]
         n_part = sum(part)
@@ -267,11 +300,10 @@ def ingest_features(tbl: pa.Table, cfg: VectorConfig) -> pa.Table:
                 r[6] = int(mzs[k])
                 k += 1
         return _with_vindex(features_table([tuple(r) for r in out]), idxs)
-    if cfg.variable_depth and out:
-        # -at orders streams by the ingest sort key (index, seq) even
-        # without dropping (the initial sort always runs, main.cpp)
-        return _with_vindex(features_table([tuple(r) for r in out]), idxs)
-    return features_table([tuple(r) for r in out])
+    # the initial (index, seq) sort always runs in the reference
+    # (main.cpp radix) — vindex rides along so every per-tile scan can
+    # replay stream order
+    return _with_vindex(features_table([tuple(r) for r in out]), idxs)
 
 
 def ingest_features_ds(ds: ray.data.Dataset, cfg: VectorConfig) -> ray.data.Dataset:
@@ -282,15 +314,15 @@ def ingest_features_ds(ds: ray.data.Dataset, cfg: VectorConfig) -> ray.data.Data
     (tiny) → per-bucket rank ranges (stages/minzoom.py), with buckets =
     vindex prefixes so bucket order IS global (vindex, seq) order."""
 
+    ladder_possible = cfg.dropping() or cfg.droprate > 1
+
     def _ingest_batch(t: pa.Table) -> pa.Table:
         rows, idxs = _ingest_rows(t, cfg)
-        tb = features_table([tuple(r) for r in rows])
-        if cfg.dropping() or cfg.variable_depth:
-            tb = _with_vindex(tb, idxs)
+        tb = _with_vindex(features_table([tuple(r) for r in rows]), idxs)
         return tb.replace_schema_metadata(None)
 
     out = ds.map_batches(_ingest_batch, batch_format="pyarrow")
-    if not cfg.dropping():
+    if not ladder_possible:
         return out
     from ..stages.minzoom import minzoom_for_rank_range
 
@@ -303,8 +335,10 @@ def ingest_features_ds(ds: ray.data.Dataset, cfg: VectorConfig) -> ray.data.Data
         ).astype(np.int64)
 
     def _part_mask(t: pa.Table) -> np.ndarray:
+        # calc_feature_minzoom main.cpp:302-304: points always ride the
+        # ladder; lines/polygons only with the drop flags
         tt = t["t"].to_numpy(zero_copy_only=False)
-        m = np.zeros(len(t), dtype=bool)
+        m = tt == 1
         if cfg.drop_lines:
             m |= tt == 2
         if cfg.drop_polygons:
@@ -328,6 +362,10 @@ def ingest_features_ds(ds: ray.data.Dataset, cfg: VectorConfig) -> ray.data.Data
             [_counts(p) for p in ray.get(out.to_arrow_refs())]
         ).to_pandas().groupby("vbucket")["n"].sum().sort_index()
     )
+    if cnt.empty or int(cnt.sum()) == 0:
+        # nothing participates in the rate ladder (no points, no drop
+        # flags): skip the assignment pass
+        return out.drop_columns(["vbucket"])
     offs = cnt.cumsum().shift(fill_value=0).to_dict()
     offs_ref = ray.put(dict(offs))
 
@@ -483,18 +521,18 @@ def process_tile(cfg: VectorConfig, z: int, tx: int, ty: int, tbl,
     children: dict[tuple[int, int], list] = {}
     survivors: list = []
 
-    for seq, t, ops, xy, lab_x, lab_y, fmz in tbl:
+    for seq, t, ops, xy, lab_x, lab_y, fmz, fmn, fmx in tbl:
         step = _feature_step(cfg, z, tx, ty, t, ops, xy)
         if step is None:
             continue
         cops, cxy, child_keys, snapped, enodes = step
         if child_keys:
-            blob = (seq, t, cops, snapped, lab_x, lab_y, fmz)
+            blob = (seq, t, cops, snapped, lab_x, lab_y, fmz, fmn, fmx)
             for key in child_keys:
                 children.setdefault(key, []).append(blob)
         if z < cfg.minzoom:
             continue
-        survivors.append((seq, t, cops, cxy, (lab_x, lab_y), fmz, enodes))
+        survivors.append((seq, t, cops, cxy, (lab_x, lab_y), fmz, fmn, fmx, enodes))
 
     tile_row = _encode_with_detail_ladder(cfg, z, tx, ty, survivors,
                                           global_nodes=global_nodes, est=est)
@@ -680,10 +718,18 @@ def _encode_with_detail_ladder(cfg: VectorConfig, z, tx, ty, survivors,
         local_nodes: set[tuple[int, int]] = set()
         for row in survivors:
             seq, t, ops, xy, lab, fmz = row[:6]
-            enodes = row[6] if len(row) > 6 else ()
-            if fmz > z and pending:
+            fmn = row[6] if len(row) > 6 else -1
+            fmx = row[7] if len(row) > 7 else -1
+            enodes = row[8] if len(row) > 8 else ()
+            if (fmn >= 0 and z < fmn) or (fmx >= 0 and z > fmx):
+                # explicit per-feature zoom range (tippecanoe extension,
+                # tile.cpp:1307-1316)
+                continue
+            if fmn < 0 and fmz > z and pending:
                 # rate-dropped (keep rule tile.cpp:1970-1977: the drop
-                # needs a previous feature to accumulate onto)
+                # needs a previous feature to accumulate onto); an
+                # explicit minzoom bypasses the ladder (FEATURE_KEPT,
+                # tile.cpp:1314-1316)
                 continue
             if t == 3 and cfg.generate_label_points:
                 # polygon -> checkerboard anchor points
@@ -732,6 +778,13 @@ def _encode_with_detail_ladder(cfg: VectorConfig, z, tx, ty, survivors,
         # (simplify_feature tile.cpp:595-665)
         for seq, t, ops, xy, reduced, area in pending:
             if t == 1:
+                if ops is not None:
+                    # ingested point feature (world coords); -aP anchor
+                    # rows (ops None) arrive pre-scaled
+                    xy = dv.to_tile_scale(xy, z, line_detail)
+                    ops, xy = dv.remove_noop(ops, xy, 1, 0)
+                    if len(ops) == 0:
+                        continue
                 feats.append({"geom": encode_multipoint(xy), "type": 1, "id": seq})
                 continue
             if not reduced:
@@ -865,6 +918,8 @@ _EMIT_SCHEMA = pa.schema(
         ("label_x", pa.int64()),
         ("label_y", pa.int64()),
         ("minzoom", pa.int16()),
+        ("fmin", pa.int16()),
+        ("fmax", pa.int16()),
         # -pn tile-boundary nodes from THIS tile's clip, int64 (x, y)
         # pairs; empty otherwise (and for zoom-B subtree seed rows,
         # whose clips re-run inside the subtree cascade)
@@ -905,7 +960,7 @@ class CascadeFan:
         at = cfg.variable_depth
 
         def emit(gz, gx, gy, vi, seq, t, ops, xy, lx, ly, fmz, enodes=(),
-                 pops=None, pxy=None):
+                 pops=None, pxy=None, fmn=-1, fmx=-1):
             cols["gkey"].append(_gkey(gz, gx, gy))
             cols["vindex"].append(vi)
             cols["seq"].append(seq)
@@ -915,6 +970,8 @@ class CascadeFan:
             cols["label_x"].append(lx)
             cols["label_y"].append(ly)
             cols["minzoom"].append(fmz)
+            cols["fmin"].append(fmn)
+            cols["fmax"].append(fmx)
             cols["enodes"].append(
                 np.array(enodes, np.int64).tobytes() if enodes else b""
             )
@@ -926,11 +983,11 @@ class CascadeFan:
                 cols["pxy"].append(b"")
 
         rows = table_to_rows(tbl)
-        for i, (seq, t, ops, xy, lx, ly, fmz) in enumerate(rows):
+        for i, (seq, t, ops, xy, lx, ly, fmz, fmn, fmx) in enumerate(rows):
             vi = int(vind[i])
             if b == 0:
                 emit(0, 0, 0, vi, seq, t, ops, xy, lx, ly, fmz,
-                     pops=ops, pxy=xy)
+                     pops=ops, pxy=xy, fmn=fmn, fmx=fmx)
                 continue
             stack = [(0, 0, 0, ops, xy)]
             while stack:
@@ -944,11 +1001,11 @@ class CascadeFan:
                     # the geometry — the per-tile encode scan sees the
                     # same stream the per-tile task saw)
                     emit(z, tx, ty, vi, seq, t, cops, cxy, lx, ly, fmz, enodes,
-                         pops=o_, pxy=x_)
+                         pops=o_, pxy=x_, fmn=fmn, fmx=fmx)
                 for (cx, cy) in child_keys:
                     if z + 1 == b:
                         emit(b, cx, cy, vi, seq, t, cops, snapped, lx, ly, fmz,
-                             pops=cops, pxy=snapped)
+                             pops=cops, pxy=snapped, fmn=fmn, fmx=fmx)
                     else:
                         stack.append((z + 1, cx, cy, cops, snapped))
         arrs = {
@@ -1030,16 +1087,17 @@ class GroupEncoder:
             if cfg.prevent_shared_nodes and "enodes" in grp.column_names:
                 eno = grp["enodes"].to_pylist()
                 survivors = [
-                    (seq, t, ops, xy, (lx, ly), fmz,
+                    (seq, t, ops, xy, (lx, ly), fmz, fmn, fmx,
                      [tuple(p) for p in
                       np.frombuffer(eno[i], dtype=np.int64).reshape(-1, 2)]
                      if eno[i] else ())
-                    for i, (seq, t, ops, xy, lx, ly, fmz) in enumerate(rows)
+                    for i, (seq, t, ops, xy, lx, ly, fmz, fmn, fmx)
+                    in enumerate(rows)
                 ]
             else:
                 survivors = [
-                    (seq, t, ops, xy, (lx, ly), fmz)
-                    for seq, t, ops, xy, lx, ly, fmz in rows
+                    (seq, t, ops, xy, (lx, ly), fmz, fmn, fmx)
+                    for seq, t, ops, xy, lx, ly, fmz, fmn, fmx in rows
                 ]
             row = _encode_with_detail_ladder(cfg, z, x, y, survivors,
                                              global_nodes=gn, est=est)

@@ -27,8 +27,12 @@ def _iter_features(path: str):
     accepts FeatureCollections, bare features, newline- or
     concatenation-delimited sequences, RFC 8142 separators, and any
     pretty-printing)."""
-    op = gzip.open if path.endswith(".gz") else open
-    with op(path, "rt") as f:
+    with open(path, "rb") as f:
+        head = f.read(2)
+    is_gz = head == b"\x1f\x8b" or path.endswith(".gz")
+    op = gzip.open if is_gz else open
+    # utf-8-sig strips a leading BOM (json_pull does the same)
+    with op(path, "rt", encoding="utf-8-sig") as f:
         text = f.read()
     dec = json.JSONDecoder()
     pos = 0
@@ -79,18 +83,28 @@ def _geom_parts(geometry: dict):
             yield from _geom_parts(g)
 
 
-def read_geojson_vector(path: str) -> pa.Table:
-    """Line/polygon features as the vector pyramid's input table
-    (seq, t, ops, xy world coords). Points are skipped (they ride the
-    point pipeline — read_geojson_points)."""
+
+def _pts2(positions) -> np.ndarray:
+    """Coordinate positions -> (n, 2) float64, dropping elevation and
+    any extra ordinates (GeoJSON allows [lon, lat, z, ...])."""
+    return np.array([(p[0], p[1]) for p in positions], np.float64).reshape(-1, 2)
+
+def read_geojson_vector(path: str, include_points: bool = True) -> pa.Table:
+    """All features as the vector pyramid's input table (seq, t, ops,
+    xy world coords). Mixed corpora ride one pipeline like the
+    reference; pass include_points=False to route points to the
+    dedicated point pipeline instead (read_geojson_points)."""
     from ..pipelines.vector_pyramid import features_table
 
     rows = []
     seq = 0
     for feat in _iter_features(path):
         geom = feat.get("geometry") or {}
+        tc = feat.get("tippecanoe") or {}
+        fmin = int(float(tc.get("minzoom", -1)))
+        fmax = int(float(tc.get("maxzoom", -1)))
         for vt, parts in _geom_parts(geom):
-            if vt == VT_POINT:
+            if vt == VT_POINT and not include_points:
                 continue
             ops_l = []
             xy_l = []
@@ -101,7 +115,7 @@ def read_geojson_vector(path: str) -> pa.Table:
                 # expectation (read_json.cpp:104-116)
                 for poly in parts:
                     for ring in poly:
-                        arr = np.asarray(ring, dtype=np.float64).reshape(-1, 2)
+                        arr = _pts2(ring)
                         wx, wy = lonlat_to_world(arr[:, 0], arr[:, 1])
                         n = len(arr)
                         ops_l.append(np.array([1] + [2] * (n - 1), np.uint8))
@@ -110,13 +124,14 @@ def read_geojson_vector(path: str) -> pa.Table:
                     xy_l.append(np.zeros((1, 2), np.int64))
             else:
                 for part in parts:
-                    arr = np.asarray(part, dtype=np.float64).reshape(-1, 2)
+                    arr = _pts2(part)
                     wx, wy = lonlat_to_world(arr[:, 0], arr[:, 1])
                     n = len(arr)
                     ops_l.append(np.array([1] + [2] * (n - 1), np.uint8))
                     xy_l.append(np.stack([wx, wy], axis=1).astype(np.int64))
             if ops_l:
-                rows.append((seq, vt, np.concatenate(ops_l), np.concatenate(xy_l)))
+                rows.append((seq, vt, np.concatenate(ops_l),
+                             np.concatenate(xy_l), -1, -1, 0, fmin, fmax))
         seq += 1
     return features_table(rows)
 
@@ -213,22 +228,25 @@ def _iter_fragment_features(path: str, start: int, end: int):
                 yield from _flatten(obj)
 
 
-def _vector_rows_of(feats) -> list[tuple]:
+def _vector_rows_of(feats, include_points: bool = True) -> list[tuple]:
     """Shared geometry flattening: feature dicts → vector feature rows
     (local_seq, t, ops, xy); the seq is LOCAL to the iteration order."""
     rows = []
     seq = 0
     for feat in feats:
         geom = feat.get("geometry") or {}
+        tc = feat.get("tippecanoe") or {}
+        fmin = int(float(tc.get("minzoom", -1)))
+        fmax = int(float(tc.get("maxzoom", -1)))
         for vt, parts in _geom_parts(geom):
-            if vt == VT_POINT:
+            if vt == VT_POINT and not include_points:
                 continue
             ops_l = []
             xy_l = []
             if vt == VT_POLYGON:
                 for poly in parts:
                     for ring in poly:
-                        arr = np.asarray(ring, dtype=np.float64).reshape(-1, 2)
+                        arr = _pts2(ring)
                         wx, wy = lonlat_to_world(arr[:, 0], arr[:, 1])
                         n = len(arr)
                         ops_l.append(np.array([1] + [2] * (n - 1), np.uint8))
@@ -237,13 +255,14 @@ def _vector_rows_of(feats) -> list[tuple]:
                     xy_l.append(np.zeros((1, 2), np.int64))
             else:
                 for part in parts:
-                    arr = np.asarray(part, dtype=np.float64).reshape(-1, 2)
+                    arr = _pts2(part)
                     wx, wy = lonlat_to_world(arr[:, 0], arr[:, 1])
                     n = len(arr)
                     ops_l.append(np.array([1] + [2] * (n - 1), np.uint8))
                     xy_l.append(np.stack([wx, wy], axis=1).astype(np.int64))
             if ops_l:
-                rows.append((seq, vt, np.concatenate(ops_l), np.concatenate(xy_l)))
+                rows.append((seq, vt, np.concatenate(ops_l),
+                             np.concatenate(xy_l), -1, -1, 0, fmin, fmax))
         seq += 1
     return rows
 
@@ -293,7 +312,7 @@ def read_geojson_vector_ds(path: str, target_bytes: int = 8 << 20):
                     path, int(batch["start"][i].as_py()), int(batch["end"][i].as_py())
                 )
             )
-            rows = [(seq + base, t, ops, xy) for seq, t, ops, xy in rows]
+            rows = [(r[0] + base, *r[1:]) for r in rows]
             out.append(features_table(rows))
         if not out:
             return features_table([])
