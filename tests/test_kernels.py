@@ -124,3 +124,68 @@ def test_splitmix_dispersion():
     # low 16 bits should be near-uniform
     _, counts = np.unique(h & np.uint64(0xF), return_counts=True)
     assert counts.min() > 400
+
+
+def test_dtoa_milo_formats():
+    """milo::dtoa_milo parity (functions/text.py): Grisu2 digits +
+    prettify rules — probed 3000+ random doubles bit-exact vs the
+    reference header; these pin the format boundaries."""
+    from tippecanoe_ray.functions.text import dtoa_milo
+
+    assert dtoa_milo(0.0) == "0"
+    assert dtoa_milo(1.0) == "1"
+    assert dtoa_milo(-1.5) == "-1.5"
+    assert dtoa_milo(0.1) == "0.1"
+    assert dtoa_milo(1e20) == "100000000000000000000"
+    assert dtoa_milo(1e21) == "1e+21"          # e-notation threshold
+    assert dtoa_milo(5e-7) == "5e-7"
+    assert dtoa_milo(1e-6) == "0.000001"
+    assert dtoa_milo(1234.5678) == "1234.5678"
+    assert dtoa_milo(float("inf")) == "inf"
+    assert dtoa_milo(float("-inf")) == "-inf"
+    assert dtoa_milo(float("nan")) == "nan"
+
+
+def test_dtoa_milo_vs_probe():
+    import os
+    import random
+    import struct
+    import subprocess
+
+    import pytest
+
+    if not os.path.exists("/tmp/dtoa_probe"):
+        pytest.skip("dtoa probe not built")
+    from tippecanoe_ray.functions.text import dtoa_milo
+
+    rng = random.Random(99)
+    vals = []
+    for _ in range(400):
+        b = rng.getrandbits(64)
+        v = struct.unpack("<d", struct.pack("<Q", b))[0]
+        if v == v and abs(v) != float("inf"):
+            vals.append(v)
+    hexes = "\n".join(
+        format(struct.unpack("<Q", struct.pack("<d", v))[0], "x") for v in vals
+    )
+    out = subprocess.run(["/tmp/dtoa_probe"], input=hexes,
+                         capture_output=True, text=True)
+    for v, exp in zip(vals, out.stdout.splitlines()):
+        assert dtoa_milo(v) == exp, v
+
+
+def test_unidecode_roundtrip(tmp_path):
+    """text.cpp:191-257: NUL-separated table, 1-indexed + two empty
+    prefix entries, ASCII lowercased; smash maps codepoints and passes
+    out-of-range through."""
+    from tippecanoe_ray.functions.text import read_unidecode, unidecode_smash
+
+    data = b"A\x00B\x00\xc3\xa9\x00"  # entries for codepoints 2, 3, 4
+    p = tmp_path / "uni.bin"
+    p.write_bytes(data)
+    table = read_unidecode(str(p))
+    assert table[0] == "" and table[1] == ""
+    assert table[2] == "a" and table[3] == "b"     # lowercased ASCII
+    assert unidecode_smash(table, "\x02\x03") == "ab"
+    assert unidecode_smash(table, "zzz") == "zzz"  # out of range passes
+    assert unidecode_smash([], "abc") == "abc"     # no table = identity

@@ -75,6 +75,22 @@ def coerce_string(val: str | None) -> tuple[str, str]:
     return "string", val if val is not None else ""
 
 
+
+import re as _re
+
+_NUM_PREFIX = _re.compile(r"[ \t\n\r\f\v]*[+-]?(?:\d+\.?\d*|\.\d+)(?:[eE][+-]?\d+)?")
+
+
+def _atof(s: str) -> float:
+    """C strtod/atof: longest valid numeric prefix, 0.0 otherwise."""
+    m = _NUM_PREFIX.match(s)
+    if not m:
+        return 0.0
+    try:
+        return float(m.group(0))
+    except ValueError:
+        return 0.0
+
 def _coerce_one(vt: str, val: str, want: str) -> tuple[str, str]:
     """coerce_value (serial.cpp:924-958) for one stringified value.
     vt: the current MVT-ish type tag ('string'|'double'|'bool'|'null');
@@ -82,11 +98,11 @@ def _coerce_one(vt: str, val: str, want: str) -> tuple[str, str]:
     if want == "string":
         return "string", val
     if want == "float":
-        try:
-            f = float(val)
-        except ValueError:
-            f = 0.0
-        return "double", repr(f) if f != int(f) else str(int(f))
+        # serial.cpp:931: milo::dtoa_milo(atof(val)) — C atof parses the
+        # longest numeric prefix and yields 0 for non-numeric input
+        from .text import dtoa_milo
+
+        return "double", dtoa_milo(_atof(val))
     if want == "int":
         if len(val) == 0:
             return "double", "0"
