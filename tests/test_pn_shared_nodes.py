@@ -56,6 +56,7 @@ def _our_tiles(src, cfg):
     return {
         (int(r["z"]), int(r["x"]), int(r["y"])): bytes(r["tile"])
         for r in tiles.take_all()
+        if r["n_features"] > 0  # skip strategy-counter phantom rows
     }
 
 

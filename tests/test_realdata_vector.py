@@ -46,6 +46,7 @@ def test_real_corpus_exact(ray_session, name, maxzoom):
     ours = {
         (int(r["z"]), int(r["x"]), int(r["y"])): int(r["n_features"])
         for r in tiles.take_all()
+        if r["n_features"] > 0
     }
     bad = [
         f"{k}: ours={ours.get(k)} ref={ref.get(k)}"
@@ -80,6 +81,7 @@ def test_label_points_countries(ray_session):
     ours = {
         (int(r["z"]), int(r["x"]), int(r["y"])): int(r["n_features"])
         for r in tiles.take_all()
+        if r["n_features"] > 0
     }
     bad = [
         f"{k}: ours={ours.get(k)} ref={ref.get(k)}"
@@ -121,3 +123,60 @@ def test_real_corpus_geometry_exact(ray_session, name, maxzoom, extra):
         elif sorted(_geoms(a)) != sorted(_geoms(b)):
             bad.append(f"{k}: geometry differs")
     assert not bad, bad[:10]
+
+
+BYTE_EXACT_CORPORA = [
+    ("ne_110m_admin_0_countries", 4, []),
+    ("ne_110m_ocean", 4, []),
+    ("dateline", 5, []),       # attributes: bools, nested stringify,
+    ("loop", 5, []),           # escapes, per-feature zooms, rate drops
+    ("islands", 6, []),
+]
+
+
+@pytest.mark.skipif(not has_reference(), reason="reference binary not built")
+@pytest.mark.parametrize("name,maxzoom,extra", BYTE_EXACT_CORPORA)
+def test_real_corpus_mbtiles_byte_exact(ray_session, name, maxzoom, extra, tmp_path):
+    """Every tile's COMPRESSED bytes match the reference binary's
+    mbtiles exactly: geometry, attributes (key order, value typing,
+    pooled+sorted value tables), layer/feature field layout, and the
+    deflate stream (mvt.cpp:87-95 parameters). The strategies metadata
+    string must match too."""
+    import sqlite3
+
+    from tests.test_pn_shared_nodes import _ref_tiles
+    from tippecanoe_ray import __main__ as cli
+
+    src = _src(name)
+    with tempfile.TemporaryDirectory() as td:
+        mb = os.path.join(td, "ref.mbtiles")
+        subprocess.run(
+            [*(["/tmp/refbuild/tippecanoe"]), "-o", mb, f"-z{maxzoom}", "-f",
+             "-q", *extra, src],
+            check=True, capture_output=True,
+        )
+        con = sqlite3.connect(mb)
+        ref = {
+            (z, x, y): bytes(d)
+            for z, x, y, d in con.execute(
+                "SELECT zoom_level, tile_column, tile_row, tile_data FROM tiles")
+        }
+        ref_meta = dict(con.execute("SELECT name, value FROM metadata"))
+        con.close()
+
+        ours_mb = str(tmp_path / "ours.mbtiles")
+        cli.main([
+            "--input", src, "--out", str(tmp_path / "out"),
+            "--maxzoom", str(maxzoom), "--mbtiles", ours_mb,
+        ])
+        con = sqlite3.connect(ours_mb)
+        ours = {
+            (z, x, y): bytes(d)
+            for z, x, y, d in con.execute(
+                "SELECT zoom_level, tile_column, tile_row, tile_data FROM tiles")
+        }
+        our_meta = dict(con.execute("SELECT name, value FROM metadata"))
+        con.close()
+    bad = [k for k in sorted(set(ref) | set(ours)) if ours.get(k) != ref.get(k)]
+    assert not bad, f"{len(bad)} tiles differ: {bad[:8]}"
+    assert our_meta.get("strategies") == ref_meta.get("strategies")

@@ -18,6 +18,8 @@ def _build_ours(feats, maxzoom, **cfg_kw):
     tiles = build_vector_pyramid(tbl, cfg)
     out = {}
     for r in tiles.select_columns(["z", "x", "y", "n_features"]).take_all():
+        if r["n_features"] == 0:
+            continue  # strategy-counter phantom rows
         out[(int(r["z"]), int(r["x"]), int(r["y"]))] = int(r["n_features"])
     return out
 
@@ -108,6 +110,8 @@ def test_byte_limit_detail_ladder(ray_session):
     ours = {}
     sizes = {}
     for r in tiles.take_all():
+        if r["n_features"] == 0:
+            continue  # strategy-counter phantom rows
         key = (int(r["z"]), int(r["x"]), int(r["y"]))
         ours[key] = int(r["n_features"])
         sizes[key] = len(r["tile"])

@@ -26,6 +26,8 @@ def _build_from_geo(args, cfg):
 
     from tippecanoe_ray.functions.spatial import encode_quadkey
     from tippecanoe_ray.pipelines.pyramid import build_pyramid_from_narrow
+
+    vec_attrs: dict = {}
     from tippecanoe_ray.pipelines.tilejoin import merge_tilesets
     from tippecanoe_ray.pipelines.vector_pyramid import (
         VectorConfig, build_vector_pyramid, ingest_features,
@@ -53,8 +55,21 @@ def _build_from_geo(args, cfg):
             read_geojson_points, read_geojson_vector,
         )
 
-        pts_tbl = read_geojson_points(args.input)
-        vec_tbl = read_geojson_vector(args.input)
+        # plain runs ride ONE pipeline like the reference (the vector
+        # cascade is rate-ladder exact for points, incl. the strategies
+        # metadata counters); the point pipeline takes over when its
+        # strategies (gamma / -K cluster / as-needed drops) are asked
+        # for, since those run there
+        point_strategies = bool(getattr(cfg, "strategies", None))
+        if point_strategies:
+            pts_tbl = read_geojson_points(args.input)
+            vec_tbl = read_geojson_vector(args.input, include_points=False)
+        else:
+            pts_tbl = None
+            vec_tbl = read_geojson_vector(args.input)
+        from tippecanoe_ray.sources.geojson import read_geojson_attrs
+
+        vec_attrs.update(read_geojson_attrs(args.input))
     outs = []
     if pts_tbl is not None and len(pts_tbl):
         wx = pts_tbl["wx"].to_numpy()
@@ -74,7 +89,10 @@ def _build_from_geo(args, cfg):
             variable_depth=args.variable_depth,
             prefilter=args.prefilter,
         )
-        outs.append(build_vector_pyramid(ingest_features(vec_tbl, vcfg), vcfg))
+        outs.append(build_vector_pyramid(
+            ingest_features(vec_tbl, vcfg), vcfg,
+            attrs=vec_attrs or None,
+        ))
     if not outs:
         raise SystemExit("no features found in input")
     if len(outs) == 1:
@@ -182,9 +200,25 @@ def main(argv=None):
     if args.mbtiles:
         from tippecanoe_ray.sources.mbtiles import write_mbtiles
 
+        strategies = None
+        try:
+            cols = tiles.schema().names
+        except Exception:
+            cols = []
+        if "s_rate" in cols:
+            from tippecanoe_ray.stages.strategies import strategies_from_tile_table
+
+            strategies = strategies_from_tile_table(
+                tiles.select_columns(
+                    [c for c in ("z", "s_rate", "s_tiny", "s_detail",
+                                 "s_tsize", "s_fcount", "leafed")
+                     if c in cols]
+                ).to_pandas(),
+                cfg.maxzoom,
+            )
         out["mbtiles_tiles"] = write_mbtiles(
             tiles, args.mbtiles, minzoom=cfg.minzoom, maxzoom=cfg.maxzoom,
-            layer_name=cfg.layer_name,
+            layer_name=cfg.layer_name, strategies=strategies,
         )
     if args.pmtiles:
         from tippecanoe_ray.sources.pmtiles import write_pmtiles

@@ -957,6 +957,7 @@ def vector_pyramid_q(sf_dir: str) -> pd.DataFrame:
     cfg = VectorConfig(maxzoom=6)
     tiles = build_vector_pyramid(ingest_features(features_table(rows), cfg), cfg)
     df = tiles.select_columns(["z", "x", "y", "n_features"]).to_pandas()
+    df = df[df["n_features"] > 0]  # strategy-counter phantom rows
     g = df.groupby("z").agg(n_tiles=("z", "size"), n_features=("n_features", "sum")).reset_index()
     return g.sort_values("z").reset_index(drop=True)
 
@@ -1242,6 +1243,7 @@ def vector_squares_q(sf_dir: str) -> pd.DataFrame:
     cfg = VectorConfig(maxzoom=4, geometry_scale=0)
     tiles = build_vector_pyramid(ingest_features(features_table(rows), cfg), cfg)
     df = tiles.select_columns(["z", "x", "y", "n_features"]).to_pandas()
+    df = df[df["n_features"] > 0]  # strategy-counter phantom rows
     return df.sort_values(["z", "x", "y"]).reset_index(drop=True)
 
 

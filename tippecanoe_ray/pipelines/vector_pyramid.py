@@ -512,7 +512,7 @@ def _feature_step(cfg: VectorConfig, z: int, tx: int, ty: int,
 
 
 def process_tile(cfg: VectorConfig, z: int, tx: int, ty: int, tbl,
-                 global_nodes=None, est=None):
+                 global_nodes=None, est=None, attrs=None):
     """One write_tile (keep-all path): returns (tile_row | None,
     children: dict[(cx, cy) -> row list]). `tbl` is a feature table or
     a list of row tuples (see table_to_rows)."""
@@ -535,7 +535,8 @@ def process_tile(cfg: VectorConfig, z: int, tx: int, ty: int, tbl,
         survivors.append((seq, t, cops, cxy, (lab_x, lab_y), fmz, fmn, fmx, enodes))
 
     tile_row = _encode_with_detail_ladder(cfg, z, tx, ty, survivors,
-                                          global_nodes=global_nodes, est=est)
+                                          global_nodes=global_nodes, est=est,
+                                          attrs=attrs)
     return tile_row, children
 
 
@@ -670,8 +671,24 @@ def _run_prefilter(cfg: VectorConfig, z, tx, ty, survivors):
     return out
 
 
+def _mk_feat(geom: bytes, t: int, seq: int, attrs) -> dict:
+    """Tile feature dict: id/attributes from the broadcast side table
+    (write_tile carries full_keys/full_values per feature; plain
+    corpora without ids get none, like the reference)."""
+    f = {"geom": geom, "type": t}
+    if attrs is not None:
+        ent = attrs.get(seq)
+        if ent is not None:
+            fid, rows = ent
+            if fid is not None:
+                f["id"] = fid
+            if rows:
+                f["attrs_sv"] = rows
+    return f
+
+
 def _encode_with_detail_ladder(cfg: VectorConfig, z, tx, ty, survivors,
-                               global_nodes=None, est=None):
+                               global_nodes=None, est=None, attrs=None):
     """The write_tile detail loop (tile.cpp:1719-3079, no-strategy path):
     run reduce/simplify/scale/encode at line_detail = detail, and on
     byte overflow retry at line_detail-1 … min_detail (detail_reduced
@@ -711,9 +728,15 @@ def _encode_with_detail_ladder(cfg: VectorConfig, z, tx, ty, survivors,
     pn = cfg.prevent_shared_nodes
     from ..stages.tile_encode import encode_multipoint
 
+    n_rate = n_tiny = 0
+    over_size = 0
+    over_feats = 0
     for line_detail in details:
         feats = []
         accum_area = 0.0
+        # per-attempt strategy counters (the final attempt's counts are
+        # reported, like the reference re-inits `strategy` per pass)
+        n_rate = n_tiny = 0
         pending: list = []  # phase-1 survivors ("features" list)
         local_nodes: set[tuple[int, int]] = set()
         for row in survivors:
@@ -730,6 +753,7 @@ def _encode_with_detail_ladder(cfg: VectorConfig, z, tx, ty, survivors,
                 # needs a previous feature to accumulate onto); an
                 # explicit minzoom bypasses the ladder (FEATURE_KEPT,
                 # tile.cpp:1314-1316)
+                n_rate += 1  # strategy.dropped_by_rate tile.cpp:1973
                 continue
             if t == 3 and cfg.generate_label_points:
                 # polygon -> checkerboard anchor points
@@ -765,6 +789,8 @@ def _encode_with_detail_ladder(cfg: VectorConfig, z, tx, ty, survivors,
                 ops, xy, still, _red, accum_area = dv.reduce_tiny_poly(
                     ops, xy, z, line_detail, accum_area, cfg.tiny_polygon_size
                 )
+                if _red:
+                    n_tiny += 1  # strategy.tiny_polygons tile.cpp:2168
                 if len(ops) == 0:
                     continue
                 reduced = not still
@@ -785,7 +811,7 @@ def _encode_with_detail_ladder(cfg: VectorConfig, z, tx, ty, survivors,
                     ops, xy = dv.remove_noop(ops, xy, 1, 0)
                     if len(ops) == 0:
                         continue
-                feats.append({"geom": encode_multipoint(xy), "type": 1, "id": seq})
+                feats.append(_mk_feat(encode_multipoint(xy), 1, seq, attrs))
                 continue
             if not reduced:
                 if t == 2 and not pn:
@@ -816,16 +842,26 @@ def _encode_with_detail_ladder(cfg: VectorConfig, z, tx, ty, survivors,
             if not parts:
                 continue
             if t == 3:
-                feats.append({"geom": encode_polygon(parts), "type": 3, "id": seq})
+                feats.append(_mk_feat(encode_polygon(parts), 3, seq, attrs))
             else:
-                feats.append({"geom": encode_linestring(parts), "type": 2, "id": seq})
+                feats.append(_mk_feat(encode_linestring(parts), 2, seq, attrs))
         if not feats:
+            if n_rate or n_tiny or over_size or over_feats:
+                # counter-only phantom row: the reference counts tiny/
+                # rate drops even when the tile ends up unwritten
+                # (write_tile accumulates `strategy` before deciding);
+                # filtered from every tile consumer by n_features == 0
+                return {"z": z, "x": tx, "y": ty, "n_features": 0,
+                        "tile": b"", "leafed": 0,
+                        "s_rate": n_rate, "s_tiny": n_tiny, "s_detail": 0,
+                        "s_tsize": over_size, "s_fcount": over_feats}
             return None
         tile_bytes = b""
         if cfg.encode_tiles:
             layer = encode_layer(cfg.layer_name, feats, 1 << line_detail)
-            tile_bytes = encode_tile([layer], compress=cfg.compress)
+            tile_bytes = encode_tile([layer], compress=cfg.compress, exact_gzip=True)
         if cfg.max_tile_features is not None and len(feats) > cfg.max_tile_features:
+            over_feats = max(over_feats, len(feats))
             warnings.warn(
                 f"tile {z}/{tx}/{ty} has {len(feats)} features, >"
                 f"{cfg.max_tile_features}; use a drop strategy (reference "
@@ -834,14 +870,21 @@ def _encode_with_detail_ladder(cfg: VectorConfig, z, tx, ty, survivors,
         if mts is None or len(tile_bytes) <= mts:
             leafed = int(trying_to_stop_early and line_detail == details[0])
             return {"z": z, "x": tx, "y": ty, "n_features": len(feats),
-                    "tile": tile_bytes, "leafed": leafed}
+                    "tile": tile_bytes, "leafed": leafed,
+                    "s_rate": n_rate, "s_tiny": n_tiny,
+                    "s_detail": max(cfg.detail - line_detail, 0),
+                    "s_tsize": over_size, "s_fcount": over_feats}
+        over_size = max(over_size, len(tile_bytes))  # tile.cpp:2889-2897
     warnings.warn(
         f"could not make tile {z}/{tx}/{ty} smaller than "
         f"{mts} B even at detail {cfg.min_detail} "
         "(reference fails the tile here, tile.cpp:3075-3078)"
     )
     return {"z": z, "x": tx, "y": ty, "n_features": len(feats),
-            "tile": tile_bytes, "leafed": 0}
+            "tile": tile_bytes, "leafed": 0,
+            "s_rate": n_rate, "s_tiny": n_tiny,
+            "s_detail": max(cfg.detail - cfg.min_detail, 0),
+            "s_tsize": over_size, "s_fcount": over_feats}
 
 
 def _tile_rows_table(rows: list[dict]) -> pa.Table:
@@ -854,6 +897,12 @@ def _tile_rows_table(rows: list[dict]) -> pa.Table:
             "tile": pa.array([r["tile"] for r in rows], pa.large_binary()),
             # -at: 1 where the pyramid leafs at this tile (children pruned)
             "leafed": pa.array([r.get("leafed", 0) for r in rows], pa.int8()),
+            # per-tile strategy counters (mbtiles `strategies` metadata)
+            "s_rate": pa.array([r.get("s_rate", 0) for r in rows], pa.int32()),
+            "s_tiny": pa.array([r.get("s_tiny", 0) for r in rows], pa.int32()),
+            "s_detail": pa.array([r.get("s_detail", 0) for r in rows], pa.int32()),
+            "s_tsize": pa.array([r.get("s_tsize", 0) for r in rows], pa.int64()),
+            "s_fcount": pa.array([r.get("s_fcount", 0) for r in rows], pa.int64()),
         }
     )
 
@@ -1024,10 +1073,16 @@ class GroupEncoder:
     is returned."""
 
     def __init__(self, cfg: VectorConfig, b: int, raw_dir: str | None = None,
-                 shared_nodes_ref=None, at_origin: tuple[int, int] = (0, 0)):
+                 shared_nodes_ref=None, at_origin: tuple[int, int] = (0, 0),
+                 attrs_ref=None):
         self.cfg = cfg
         self.b = b
         self.raw_dir = raw_dir
+        # broadcast attribute side table: seq -> (fid, [(k, vt, s)...]);
+        # attributes never ride the geometry exchange (ray.put once,
+        # resolved per task)
+        self.attrs_ref = attrs_ref
+        self._attrs = None
         # -at: the serialized-stream delta origin (stream_origin)
         self.at_origin = at_origin
         # ObjectRef to (or the actual) sorted uint64 -pn node array;
@@ -1035,6 +1090,17 @@ class GroupEncoder:
         # node file analogue, main.cpp:2161-2167)
         self.shared_nodes_ref = shared_nodes_ref
         self._gn = None
+
+    def _attr_table(self):
+        if self.attrs_ref is None:
+            return None
+        if self._attrs is None:
+            self._attrs = (
+                ray.get(self.attrs_ref)
+                if isinstance(self.attrs_ref, ray.ObjectRef)
+                else self.attrs_ref
+            )
+        return self._attrs
 
     def _global_nodes(self):
         if self.shared_nodes_ref is None:
@@ -1100,7 +1166,8 @@ class GroupEncoder:
                     for seq, t, ops, xy, lx, ly, fmz, fmn, fmx in rows
                 ]
             row = _encode_with_detail_ladder(cfg, z, x, y, survivors,
-                                             global_nodes=gn, est=est)
+                                             global_nodes=gn, est=est,
+                                             attrs=self._attr_table())
             if row is not None:
                 out_rows.append(row)
                 if row.get("leafed"):
@@ -1110,7 +1177,8 @@ class GroupEncoder:
             while stack:
                 zz, tx, ty, rr, ezz = stack.pop()
                 tile_row, children = process_tile(cfg, zz, tx, ty, rr,
-                                                  global_nodes=gn, est=ezz)
+                                                  global_nodes=gn, est=ezz,
+                                                  attrs=self._attr_table())
                 if tile_row is not None:
                     out_rows.append(tile_row)
                 if tile_row is not None and tile_row.get("leafed"):
@@ -1145,7 +1213,8 @@ class GroupEncoder:
                 "gz": pa.array([z], pa.int32()),
                 "gx": pa.array([x], pa.int32()),
                 "gy": pa.array([y], pa.int32()),
-                "n_tiles": pa.array([len(tile_tbl)], pa.int64()),
+                # counter-only phantom rows (n_features 0) are not tiles
+                "n_tiles": pa.array([int((nf > 0).sum())], pa.int64()),
                 "n_features": pa.array([int(nf.sum())], pa.int64()),
                 "n_leafed": pa.array([int(lf.sum())], pa.int64()),
             }
@@ -1252,6 +1321,7 @@ def build_vector_pyramid(
     out_dir: str | None = None,
     resume: bool = False,
     n_rows: int | None = None,
+    attrs: dict | None = None,
 ) -> ray.data.Dataset:
     """Full pyramid over ingested features (see ingest_features /
     ingest_features_ds). Returns a Dataset of
@@ -1330,7 +1400,9 @@ def build_vector_pyramid(
             if first:
                 fxy = np.frombuffer(first[0]["xy"], dtype=np.int64).reshape(-1, 2)
                 at_origin = (int(fxy[0, 0]) >> g, int(fxy[0, 1]) >> g)
-    encoder = GroupEncoder(cfg, b, raw_dir, shared_ref, at_origin=at_origin)
+    attrs_ref = ray.put(attrs) if attrs else None
+    encoder = GroupEncoder(cfg, b, raw_dir, shared_ref, at_origin=at_origin,
+                           attrs_ref=attrs_ref)
     if cfg.variable_depth and b > 0:
         # -at is zoom-sequential above the bucket zoom (the reference's
         # per-zoom traverse with skip_children, tile.cpp:3179-3199,

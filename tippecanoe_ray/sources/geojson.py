@@ -391,3 +391,163 @@ def read_geojson_points_ds(path: str, target_bytes: int = 8 << 20):
     return ray.data.from_items(frags).map_batches(
         parse, batch_format="pyarrow", batch_size=1
     )
+
+
+# ------------------------------------------------------- attribute side table
+
+
+class _RawNum(str):
+    """JSON number kept as its raw token (the reference's jsonpull
+    keeps the text to preserve large integers exactly)."""
+
+    __slots__ = ()
+
+
+def _iter_features_tokens(path: str):
+    """_iter_features with numbers preserved as raw tokens (for the
+    attribute side table; geometry readers use the float parse)."""
+    with open(path, "rb") as f:
+        head = f.read(2)
+    is_gz = head == b"\x1f\x8b" or path.endswith(".gz")
+    op = gzip.open if is_gz else open
+    with op(path, "rt", encoding="utf-8-sig") as f:
+        text = f.read()
+    dec = json.JSONDecoder(parse_float=_RawNum, parse_int=_RawNum)
+    pos = 0
+    n = len(text)
+    while pos < n:
+        while pos < n and text[pos] in " \t\r\n,\x1e[]":
+            pos += 1
+        if pos >= n:
+            break
+        obj, pos = dec.raw_decode(text, pos)
+        if not isinstance(obj, dict):
+            continue
+        yield from _flatten(obj)
+
+
+_MAX_SAFE = 9007199254740991.0
+
+
+def _num_token_sv(tok: str) -> str:
+    """stringify_value's number path (read_json.cpp:140-149 +
+    jsonpull.c large int capture): integer tokens beyond ±2^53 keep
+    their exact digits; everything else prints via dtoa_milo."""
+    from ..functions.text import dtoa_milo
+
+    d = float(tok)
+    plain_int = not any(c in tok for c in ".eE")
+    if plain_int:
+        if d > _MAX_SAFE:
+            try:
+                v = int(tok, 10)
+            except ValueError:
+                v = None
+            if v is not None and 0 <= v < (1 << 64):
+                return str(v)
+        if d < -_MAX_SAFE:
+            try:
+                v = int(tok, 10)
+            except ValueError:
+                v = None
+            if v is not None and -(1 << 63) <= v < (1 << 63):
+                return str(v)
+    return dtoa_milo(d)
+
+
+def _json_stringify(o) -> str:
+    """jsonpull json_stringify (jsonpull.c:908-996): compact separators,
+    numbers via dtoa_milo / exact large ints, strings escaping only
+    backslash, quote and control chars (\\u%04x)."""
+    out: list[str] = []
+
+    def emit(v):
+        if isinstance(v, dict):
+            out.append("{")
+            for i, (k, vv) in enumerate(v.items()):
+                emit(k)
+                out.append(":")
+                emit(vv)
+                if i + 1 < len(v):
+                    out.append(",")
+            out.append("}")
+        elif isinstance(v, list):
+            out.append("[")
+            for i, vv in enumerate(v):
+                emit(vv)
+                if i + 1 < len(v):
+                    out.append(",")
+            out.append("]")
+        elif isinstance(v, _RawNum):
+            out.append(_num_token_sv(str(v)))
+        elif v is None:
+            out.append("null")
+        elif v is True:
+            out.append("true")
+        elif v is False:
+            out.append("false")
+        elif isinstance(v, str):
+            out.append('"')
+            for ch in v:
+                if ch in ('\\', '"'):
+                    out.append("\\" + ch)
+                elif ch < " ":
+                    out.append("\\u%04x" % ord(ch))
+                else:
+                    out.append(ch)
+            out.append('"')
+        else:  # plain int/float (shouldn't occur with token parsing)
+            out.append(_num_token_sv(repr(v)))
+    emit(o)
+    return "".join(out)
+
+
+def _stringify_value(value) -> tuple[str, str]:
+    """stringify_value (read_json.cpp:124-168) → (type, string) with
+    type in {'string','double','bool','null'}."""
+    if isinstance(value, _RawNum):
+        return "double", _num_token_sv(str(value))
+    if value is True:
+        return "bool", "true"
+    if value is False:
+        return "bool", "false"
+    if value is None:
+        return "null", "null"
+    if isinstance(value, str):
+        return "string", value
+    return "string", _json_stringify(value)
+
+
+def read_geojson_attrs(path: str) -> dict:
+    """Per-feature attribute side table: seq -> (feature_id | None,
+    [(key, type, stringified value), ...]) with the reference's
+    serial_val stringification. The table is broadcast to the vector
+    pipeline's encode actors (attributes never ride the geometry
+    exchange)."""
+    out: dict = {}
+    seq = 0
+    for feat in _iter_features_tokens(path):
+        props = feat.get("properties")
+        rows = []
+        if isinstance(props, dict):
+            for k, v in props.items():
+                vt, s = _stringify_value(v)
+                rows.append((k, vt, s))
+        fid = None
+        rid = feat.get("id")
+        if isinstance(rid, _RawNum):
+            tok = str(rid)
+            d = float(tok)
+            if d >= 0 and not any(c in tok for c in ".eE"):
+                try:
+                    v = int(tok, 10)
+                    if 0 <= v < (1 << 64):
+                        fid = v
+                except ValueError:
+                    pass
+            elif d >= 0 and d == int(d):
+                fid = int(d)
+        if rows or fid is not None:
+            out[seq] = (fid, rows)
+        seq += 1
+    return out

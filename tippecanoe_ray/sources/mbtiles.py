@@ -21,7 +21,8 @@ import ray.data
 def write_mbtiles(tile_ds: ray.data.Dataset, path: str, name: str = "tiles",
                   minzoom: int | None = None, maxzoom: int | None = None,
                   layer_name: str = "points",
-                  bounds: tuple[float, float, float, float] | None = None):
+                  bounds: tuple[float, float, float, float] | None = None,
+                  strategies: list[dict] | None = None):
     """Package a tile dataset (z, x, y, tile) into an mbtiles file with
     content-hash dedup (mbtiles.cpp:66-149). `layer_name` must match the
     layer id actually encoded in the tiles (PyramidConfig.layer_name);
@@ -76,6 +77,13 @@ def write_mbtiles(tile_ds: ray.data.Dataset, path: str, name: str = "tiles",
         w, s, e, nb = bounds
         meta["bounds"] = f"{w:f},{s:f},{e:f},{nb:f}"
         meta["center"] = f"{(w + e) / 2:f},{(s + nb) / 2:f},{max(zmin, 0)}"
+    if strategies is not None:
+        # per-zoom strategy counters (mbtiles.cpp:372-460; written when
+        # any counter is nonzero, like `any` gates in the reference)
+        from ..stages.strategies import stringify_strategies
+
+        if any(zc for zc in strategies):
+            meta["strategies"] = stringify_strategies(strategies)
     cur.executemany("INSERT INTO metadata VALUES (?, ?)", list(meta.items()))
     cur.execute(
         "CREATE UNIQUE INDEX IF NOT EXISTS map_index ON map (zoom_level, tile_column, tile_row)"

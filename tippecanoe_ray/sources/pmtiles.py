@@ -179,6 +179,7 @@ def write_pmtiles(
     """Package a (z, x, y, tile) dataset into a PMTiles v3 archive with
     content-hash dedup and run-length entries (pmtiles_file.cpp:154-336)."""
     rows = tile_ds.select_columns(["z", "x", "y", "tile"]).take_all()
+    rows = [r for r in rows if r["tile"] is not None and len(r["tile"])]
     zs = np.array([r["z"] for r in rows], dtype=np.int64)
     xs = np.array([r["x"] for r in rows], dtype=np.int64)
     ys = np.array([r["y"] for r in rows], dtype=np.int64)

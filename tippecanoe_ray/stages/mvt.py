@@ -19,6 +19,7 @@ compression.cpp; `-pC`).
 from __future__ import annotations
 
 import gzip
+import math
 import struct
 import zlib
 
@@ -93,14 +94,17 @@ def unzigzag(v: np.ndarray) -> np.ndarray:
     return ((v >> np.uint64(1)).astype(np.int64)) ^ -((v & np.uint64(1)).astype(np.int64))
 
 
-def gzip_tile(raw: bytes) -> bytes:
-    """Per-tile gzip with a size-adaptive deflate window: deflateInit's
-    window+hash allocation dominates compression cost for the tiny
-    tiles that make up most of a z14 pyramid (~30 µs vs ~2 µs per
-    call). A window >= payload finds every match a 32 KB window would,
-    so output quality is unchanged for small tiles; big tiles (where
-    the 500 KB byte ladder judges compressed size) keep the default
-    32 KB window."""
+def gzip_tile(raw: bytes, exact: bool = False) -> bytes:
+    """Per-tile gzip. exact=True reproduces the reference byte-for-byte
+    (deflateInit2(Z_DEFAULT_COMPRESSION, 31, memLevel 8), mvt.cpp:87-95)
+    — the vector path uses it so whole tiles stay byte-identical.
+    exact=False keeps the size-adaptive deflate window (deflateInit's
+    window+hash allocation dominates for the tiny tiles that make up
+    most of a z14 point pyramid, ~30 µs vs ~2 µs per call; same
+    decompressed content, different deflate bytes)."""
+    if exact:
+        co = zlib.compressobj(6, zlib.DEFLATED, 16 + zlib.MAX_WBITS, 8)
+        return co.compress(raw) + co.flush()
     n = len(raw)
     if n <= 512:
         co = zlib.compressobj(6, zlib.DEFLATED, 16 + 9, 2)
@@ -241,7 +245,15 @@ class ValuePool:
         return i
 
     def value(self, v) -> int:
-        enc = encode_value(v)
+        return self._intern(encode_value(v))
+
+    def value_sv(self, vt: str, s: str) -> int | None:
+        enc = encode_serial_value(vt, s)
+        if enc is None:
+            return None
+        return self._intern(enc)
+
+    def _intern(self, enc: bytes) -> int:
         i = self.val_idx.get(enc)
         if i is None:
             i = len(self.values)
@@ -256,39 +268,70 @@ def encode_layer(
     extent: int = DEFAULT_EXTENT,
 ) -> bytes:
     """features: dicts with 'geom' (bytes), 'type' (int), optional 'id'
-    (int), optional 'tags' (list[int], pre-pooled) or 'attrs' (dict)."""
+    (int), optional 'tags' (list[int], pre-pooled), 'attrs_sv'
+    (list[(key, type, string)]) or 'attrs' (dict).
+
+    Byte layout matches mvt_tile::encode (mvt.cpp:321-470): layer
+    fields version(15), name(1), extent(5), keys(3), values(4) —
+    values stable-sorted by serialized bytes and deduplicated, with
+    feature tag indexes remapped — then features(2); feature fields
+    type(3), packed tags(2), id(1), geometry(4)."""
     pool = ValuePool()
-    feats = []
+    spec = []
     for f in features:
-        body = b""
-        if f.get("id") is not None:
-            body += _tag_varint(1, int(f["id"]))
         tags = f.get("tags")
+        if tags is None and f.get("attrs_sv"):
+            tags = []
+            for k, vt, s in f["attrs_sv"]:
+                vi = pool.value_sv(vt, s)
+                if vi is None:
+                    continue  # nulls dropped (write_tile skips mvt_null)
+                tags += [pool.key(k), vi]
         if tags is None and f.get("attrs"):
             tags = []
             for k, v in f["attrs"].items():
                 if v is None:
                     continue
                 tags += [pool.key(k), pool.value(v)]
-        if tags:
-            body += _len_delim(2, varint_array(np.array(tags, dtype=np.uint64)))
-        body += _tag_varint(3, int(f["type"]))
-        body += _len_delim(4, f["geom"])
-        feats.append(_len_delim(2, body))
+        spec.append((int(f["type"]), tags or [], f.get("id"), f["geom"]))
+    # sort + dedup values by serialized bytes (mvt.cpp:385-420)
+    order = sorted(range(len(pool.values)), key=lambda v: (pool.values[v], v))
+    mapping = [0] * len(pool.values)
+    value_list: list[bytes] = []
+    i = 0
+    while i < len(order):
+        v = order[i]
+        value_list.append(pool.values[v])
+        mapping[v] = len(value_list) - 1
+        while i + 1 < len(order) and pool.values[order[i + 1]] == pool.values[v]:
+            i += 1
+            mapping[order[i]] = len(value_list) - 1
+        i += 1
     out = _tag_varint(15, 2) + _len_delim(1, name.encode("utf-8"))
-    out += b"".join(feats)
+    out += _tag_varint(5, extent)
     for k in pool.keys:
         out += _len_delim(3, k.encode("utf-8"))
-    for v in pool.values:
+    for v in value_list:
         out += _len_delim(4, v)
-    out += _tag_varint(5, extent)
+    for t, tags, fid, geom in spec:
+        body = _tag_varint(3, t)
+        if tags:
+            rt = list(tags)
+            for j in range(1, len(rt), 2):
+                rt[j] = mapping[rt[j]]
+            body += _len_delim(2, varint_array(np.array(rt, dtype=np.uint64)))
+        if fid is not None:
+            body += _tag_varint(1, int(fid))
+        body += _len_delim(4, geom)
+        out += _len_delim(2, body)
     return out
 
 
-def encode_tile(layers: list[bytes], compress: bool = True) -> bytes:
+def encode_tile(layers: list[bytes], compress: bool = True,
+                exact_gzip: bool = False) -> bytes:
     raw = b"".join(_len_delim(3, l) for l in layers)
     if compress:
-        return gzip_tile(raw)
+        return gzip_tile(raw, exact=exact_gzip)
     return raw
 
 
@@ -459,3 +502,105 @@ def _decode_geometry(vals: list[int]) -> list:
             pts.append((x, y))
         out.append((cmd, pts))
     return out
+
+
+# ------------------------------------------------ serialized attribute values
+
+
+def _c_strtoll(s: str, unsigned: bool):
+    """C strtol(l)/strtoull with base 0 (mvt.cpp:637-705 callers):
+    optional whitespace + sign, 0x hex / leading-0 octal / decimal.
+    Returns (value, end_index) or None on no parse."""
+    i = 0
+    n = len(s)
+    while i < n and s[i] in " \t\r\n\f\v":
+        i += 1
+    sign = 1
+    if i < n and s[i] in "+-":
+        if s[i] == "-":
+            sign = -1
+        i += 1
+    base = 10
+    if i + 1 < n and s[i] == "0" and s[i + 1] in "xX":
+        base = 16
+        i += 2
+    elif i < n and s[i] == "0":
+        base = 8
+    digits = "0123456789abcdef"[:base]
+    start = i
+    v = 0
+    while i < n and s[i].lower() in digits:
+        v = v * base + int(s[i], base)
+        i += 1
+    if i == start and base != 8:
+        return None
+    return sign * v, i
+
+
+def is_integer_str(s: str):
+    """mvt.cpp:637-666 — strtoll then allow a trailing .000… run.
+    Returns int64 value or None."""
+    r = _c_strtoll(s, False)
+    if r is None:
+        return None
+    v, end = r
+    if v > (1 << 63) - 1 or v < -(1 << 63):
+        return None  # ERANGE clamps to LLONG_MIN/MAX -> rejected
+    rest = s[end:]
+    if rest:
+        if not rest.startswith("."):
+            return None
+        if any(c != "0" for c in rest[1:]):
+            return None
+    return v
+
+
+def is_unsigned_integer_str(s: str):
+    """mvt.cpp:668-705. Returns uint64 value or None."""
+    i = 0
+    while i < len(s) and s[i] in " \t\r\n\f\v":
+        i += 1
+    if i < len(s) and s[i] == "-":
+        return None
+    r = _c_strtoll(s, True)
+    if r is None:
+        return None
+    v, end = r
+    if v >= (1 << 64):
+        return None  # ERANGE
+    rest = s[end:]
+    if rest:
+        if not rest.startswith("."):
+            return None
+        if any(c != "0" for c in rest[1:]):
+            return None
+    return v
+
+
+def encode_serial_value(vt: str, s: str) -> bytes | None:
+    """stringified_to_mvt_value (mvt.cpp:713-772) + the MVT value wire
+    writes (mvt.cpp:340-360): choose the smallest numeric type that
+    keeps precision. vt: 'string' | 'double' | 'bool' | 'null'.
+    Returns None for null (dropped from tags)."""
+    if vt == "double":
+        uv = is_unsigned_integer_str(s)
+        if uv is not None:
+            if uv <= (1 << 63) - 1:
+                return _tag_varint(4, uv)  # mvt_int
+            return _tag_varint(5, uv)      # mvt_uint
+        v = is_integer_str(s)
+        if v is not None:
+            return _key(6, 0) + varint(((v << 1) ^ (v >> 63)) & ((1 << 64) - 1))
+        try:
+            d = float(s)
+        except ValueError:
+            d = 0.0
+        f32 = struct.unpack("<f", struct.pack("<f", d))[0]
+        if f32 == d and not math.isinf(f32):
+            return _key(2, 5) + struct.pack("<f", d)   # mvt_float
+        return _key(3, 1) + struct.pack("<d", d)        # mvt_double
+    if vt == "bool":
+        return _tag_varint(7, 1 if s.startswith("t") else 0)
+    if vt == "null":
+        return None
+    return _len_delim(1, s.encode("utf-8"))

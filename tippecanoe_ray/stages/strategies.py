@@ -647,3 +647,76 @@ def density_glow(index: np.ndarray, kept: np.ndarray, z: int) -> np.ndarray:
         if spacing > 0:
             glow[i] = min(int(1 / spacing), 255)
     return glow
+
+
+def stringify_strategies(per_zoom: list[dict]) -> str:
+    """mbtiles.cpp:372-460 — the `strategies` metadata JSON: one hash
+    per zoom 0..maxzoom, only nonzero counters written, in the
+    reference's fixed key order."""
+    order = [
+        ("dropped_by_rate", "dropped_by_rate"),
+        ("dropped_by_gamma", "dropped_by_gamma"),
+        ("dropped_as_needed", "dropped_as_needed"),
+        ("coalesced_as_needed", "coalesced_as_needed"),
+        ("detail_reduced", "detail_reduced"),
+        ("tiny_polygons", "tiny_polygons"),
+        ("tile_size", "tile_size_desired"),
+        ("feature_count", "feature_count_desired"),
+        ("truncated_zooms", "truncated_zooms"),
+    ]
+    parts = []
+    for zc in per_zoom:
+        kv = []
+        for key, out_key in order:
+            v = int(zc.get(key, 0))
+            if v > 0:
+                kv.append(f'"{out_key}":{v}')
+        parts.append("{" + ",".join(kv) + "}")
+    return "[" + ",".join(parts) + "]"
+
+
+def strategies_from_tile_table(tbl, maxzoom: int) -> list[dict]:
+    """Aggregate the vector pipeline's per-tile counter columns
+    (s_rate/s_tiny/s_detail + leafed) into the per-zoom list. Accepts
+    a pyarrow Table or pandas DataFrame."""
+    import numpy as np
+
+    out = [dict() for _ in range(maxzoom + 1)]
+    if tbl is None or len(tbl) == 0:
+        return out
+    cols = list(tbl.column_names if hasattr(tbl, "column_names") else tbl.columns)
+
+    def col_np(c):
+        v = tbl[c]
+        return (v.to_numpy(zero_copy_only=False) if hasattr(v, "to_numpy")
+                and not hasattr(v, "values") else np.asarray(v))
+
+    zs = np.asarray(col_np("z"))
+
+    def acc(col, key):
+        if col not in cols:
+            return
+        v = np.asarray(col_np(col))
+        for z in range(maxzoom + 1):
+            s = int(v[zs == z].sum())
+            if s:
+                out[z][key] = out[z].get(key, 0) + s
+    acc("s_rate", "dropped_by_rate")
+    acc("s_tiny", "tiny_polygons")
+    acc("s_detail", "detail_reduced")
+    acc("leafed", "truncated_zooms")
+
+    def acc_max(col, key):
+        # per-zoom MAX (zoom_tile_size / zoom_feature_count,
+        # tile.cpp:3529-3534)
+        if col not in cols:
+            return
+        v = np.asarray(col_np(col))
+        for z in range(maxzoom + 1):
+            m = v[zs == z]
+            s = int(m.max()) if len(m) else 0
+            if s:
+                out[z][key] = max(out[z].get(key, 0), s)
+    acc_max("s_tsize", "tile_size")
+    acc_max("s_fcount", "feature_count")
+    return out
