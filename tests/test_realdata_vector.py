@@ -180,3 +180,40 @@ def test_real_corpus_mbtiles_byte_exact(ray_session, name, maxzoom, extra, tmp_p
     bad = [k for k in sorted(set(ref) | set(ours)) if ours.get(k) != ref.get(k)]
     assert not bad, f"{len(bad)} tiles differ: {bad[:8]}"
     assert our_meta.get("strategies") == ref_meta.get("strategies")
+
+
+@pytest.mark.skipif(not has_reference(), reason="reference binary not built")
+def test_clip_bounding_box_byte_exact(ray_session, tmp_path):
+    """--clip-bounding-box clips at ingest (serial.cpp:466-500 with the
+    rounding SHIFT_RIGHT, tile.cpp:62) — byte-identical tiles vs the
+    reference on NE countries."""
+    import sqlite3
+
+    from tippecanoe_ray import __main__ as cli
+
+    src = _src("ne_110m_admin_0_countries")
+    mb = str(tmp_path / "ref.mbtiles")
+    subprocess.run(
+        ["/tmp/refbuild/tippecanoe", "-o", mb, "-z4", "-f", "-q",
+         "--clip-bounding-box=-20,20,40,60", src],
+        check=True, capture_output=True,
+    )
+    ours_mb = str(tmp_path / "ours.mbtiles")
+    cli.main([
+        "--input", src, "--out", str(tmp_path / "out"), "--maxzoom", "4",
+        "--clip-bounding-box=-20,20,40,60", "--mbtiles", ours_mb,
+    ])
+
+    def tiles(p):
+        con = sqlite3.connect(p)
+        out = {
+            (z, x, y): bytes(d)
+            for z, x, y, d in con.execute(
+                "SELECT zoom_level, tile_column, tile_row, tile_data FROM tiles")
+        }
+        con.close()
+        return out
+
+    a, b = tiles(ours_mb), tiles(mb)
+    bad = [k for k in sorted(set(a) | set(b)) if a.get(k) != b.get(k)]
+    assert not bad, bad[:8]

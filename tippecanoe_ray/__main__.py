@@ -88,6 +88,10 @@ def _build_from_geo(args, cfg):
             prevent_shared_nodes=args.prevent_shared_nodes,
             variable_depth=args.variable_depth,
             prefilter=args.prefilter,
+            clip_bboxes=tuple(
+                tuple(float(v) for v in s.split(","))
+                for s in args.clip_bounding_box
+            ),
         )
         outs.append(build_vector_pyramid(
             ingest_features(vec_tbl, vcfg), vcfg,
@@ -122,6 +126,9 @@ def main(argv=None):
     ap.add_argument("--drop-densest", action="store_true")
     ap.add_argument("--max-tile-features", type=int, default=None,
                     help="as-needed drop limit per tile (reference -O, default 200000)")
+    ap.add_argument("--clip-bounding-box", action="append", default=[],
+                    help="minlon,minlat,maxlon,maxlat — clip every "
+                         "feature at read time (may repeat)")
     ap.add_argument("--prefilter", "-C", default=None,
                     help="per-tile shell prefilter over NDJSON GeoJSON "
                          "(-C, plugin.cpp:376-470)")

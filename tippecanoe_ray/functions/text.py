@@ -254,3 +254,49 @@ def unidecode_smash(unidecode_data: list[str], s: str) -> str:
         else:
             out.append(ch)
     return "".join(out)
+
+
+def check_utf8(b: bytes | str) -> str:
+    """text.cpp:16-60 — structural UTF-8 validation over bytes; returns
+    an error string ('"…" is not valid UTF-8 (0xXX …)') or '' when
+    valid. Python str input is already-decoded and therefore valid."""
+    if isinstance(b, str):
+        try:
+            b = b.encode("utf-8")
+        except UnicodeEncodeError:
+            return f'"{b!r}" is not valid UTF-8 (unencodable)'
+    i = 0
+    n = len(b)
+    while i < n:
+        fail = 0
+        c = b[i]
+        if c & 0x80:
+            if (c & 0xE0) == 0xC0:
+                if i + 1 >= n or (b[i + 1] & 0xC0) != 0x80:
+                    fail = 2
+                else:
+                    i += 1
+            elif (c & 0xF0) == 0xE0:
+                if i + 2 >= n or (b[i + 1] & 0xC0) != 0x80 or (b[i + 2] & 0xC0) != 0x80:
+                    fail = 3
+                else:
+                    i += 2
+            elif (c & 0xF8) == 0xF0:
+                if (i + 3 >= n or (b[i + 1] & 0xC0) != 0x80
+                        or (b[i + 2] & 0xC0) != 0x80 or (b[i + 3] & 0xC0) != 0x80):
+                    fail = 4
+                else:
+                    i += 3
+            else:
+                fail = 1
+        if fail:
+            shown = " ".join(
+                "0x%02X" % b[i + j] for j in range(fail) if i + j < n
+            )
+            try:
+                txt = b.decode("utf-8", "replace")
+            except Exception:
+                txt = repr(b)
+            return f'"{txt}" is not valid UTF-8 ({shown})'
+        i += 1
+    return ""

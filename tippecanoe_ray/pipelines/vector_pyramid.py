@@ -97,6 +97,9 @@ class VectorConfig:
     # leaf. Only meaningful without drop strategies (the reference
     # disables the gate when dropping_features()).
     variable_depth: bool = False
+    # --clip-bounding-box lon1,lat1,lon2,lat2 (may repeat): clip every
+    # feature at ingest (serial.cpp:466-500; projected main.cpp:3693)
+    clip_bboxes: tuple = ()
     # -C 'command': per-tile shell prefilter (plugin.cpp:376-470,
     # run_prefilter tile.cpp:1381-1443): the tile's (parent-clipped,
     # this-tile-clipped) features are piped to `sh -c command sh z x y`
@@ -241,6 +244,34 @@ def _ingest_rows(tbl: pa.Table, cfg: VectorConfig) -> tuple[list, list[int]]:
         scaled = dv.shift_right(xy, g)
         if t == 3:
             ops, scaled = dv.fix_polygon(ops, scaled)
+        for cb in cfg.clip_bboxes:
+            # projected world bounds -> gscale grid (serial.cpp:466-475)
+            from ..functions.spatial import lonlat_to_world
+
+            wx1, wy1 = lonlat_to_world(np.array([cb[0]]), np.array([cb[1]]))
+            wx2, wy2 = lonlat_to_world(np.array([cb[2]]), np.array([cb[3]]))
+
+            def _sr(v):  # SHIFT_RIGHT rounds half away (tile.cpp:62)
+                if not g:
+                    return int(v)
+                q = float(v) / (1 << g)
+                import math as _m
+
+                return int(_m.floor(q + 0.5)) if q >= 0 else int(_m.ceil(q - 0.5))
+
+            cminx, cmaxy = _sr(wx1[0]), _sr(wy1[0])
+            cmaxx, cminy = _sr(wx2[0]), _sr(wy2[0])
+            if t == 3:
+                ops, scaled = dv.simple_clip_poly(ops, scaled, cminx, cminy,
+                                                  cmaxx, cmaxy)
+            elif t == 2:
+                ops, scaled = dv.clip_lines(ops, scaled, cminx, cminy,
+                                            cmaxx, cmaxy)
+            else:
+                m = ((scaled[:, 0] >= cminx) & (scaled[:, 0] <= cmaxx)
+                     & (scaled[:, 1] >= cminy) & (scaled[:, 1] <= cmaxy))
+                ops, scaled = ops[m], scaled[m]
+            ops, scaled = dv.remove_noop(ops, scaled, t, 0)
         if cfg.prevent_shared_nodes and t in (2, 3) and len(ops):
             # -pn dedupes exact coordinates up front (serial.cpp:507-508)
             ops, scaled = dv.remove_noop(ops, scaled, t, 0)

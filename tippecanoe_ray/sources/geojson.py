@@ -514,6 +514,11 @@ def _stringify_value(value) -> tuple[str, str]:
     if value is None:
         return "null", "null"
     if isinstance(value, str):
+        from ..functions.text import check_utf8
+
+        err = check_utf8(value)
+        if err:
+            raise ValueError(err)  # read_json.cpp:136-139 (EXIT_UTF8)
         return "string", value
     return "string", _json_stringify(value)
 
