@@ -174,8 +174,23 @@ def choose_minattribute(values: np.ndarray, f: float, existing: float | None,
 
 
 def gamma_keep_mask(index: np.ndarray, z: int, gamma: float) -> np.ndarray:
-    """manage_gap scan (tile.cpp:720-753): True = keep."""
+    """manage_gap scan (tile.cpp:720-753): True = keep.
+
+    Fast path: when every consecutive spacing is already >= scale the
+    scan never enters the gap state and keeps everything — one
+    vectorized check instead of a Python loop (the common case for
+    sparse tiles)."""
     scale = float(1 << (64 - 2 * (z + 8)))
+    if len(index) == 0:
+        return np.ones(0, dtype=bool)
+    iu = index.astype(np.uint64)
+    d0 = np.empty(len(iu), dtype=np.float64)
+    d0[0] = float(iu[0])  # previndex starts at 0
+    d0[1:] = (iu[1:] - iu[:-1]).astype(np.float64)
+    if bool(((iu[1:] >= iu[:-1]).all() if len(iu) > 1 else True)) and bool(
+        (d0 >= scale).all()
+    ):
+        return np.ones(len(index), dtype=bool)
     keep = np.ones(len(index), dtype=bool)
     previndex = 0
     gap = 0.0
@@ -216,12 +231,48 @@ def cluster_scan(
     previous scanned feature's (verified vs the binary on chained
     points). Returns (keep mask, cx, cy, point_count per kept feature)."""
     span = 1 << (32 - z)
-    mingap = (span // 256 * cluster_distance) ** 2
+    # unsigned long long cluster_mingap (tile.cpp:1696) — Python int
+    # reproduces the unsigned wrap of the squared product exactly
+    mingap = ((span // 256 * int(cluster_distance)) ** 2) % (1 << 64)
     n = len(index)
     keep = np.ones(n, dtype=bool)
     cx = wx.astype(np.float64).copy()
     cy = wy.astype(np.float64).copy()
     count = np.ones(n, dtype=np.int64)
+    if n == 0:
+        return keep, cx, cy, count
+    iu = index.astype(np.uint64)
+    if bool((iu[1:] >= iu[:-1]).all() if n > 1 else True):
+        # sorted input (the per-tile stream order): the kept set is a
+        # greedy jump chain — next kept = first index >= kept + mingap.
+        # O(clusters * log n) instead of a Python loop over every row;
+        # the iterative running average (tile.cpp:2001-2012, NOT the
+        # arithmetic mean in floating point) folds only merged members.
+        bounds = []
+        i = 0
+        while i < n:
+            bounds.append(i)
+            target = int(iu[i]) + mingap
+            if target >= (1 << 64):
+                i = n  # prev + mingap overflows: everything left merges
+            else:
+                i = int(np.searchsorted(iu, np.uint64(target), side="left"))
+                if i <= bounds[-1]:
+                    i = bounds[-1] + 1
+        bounds.append(n)
+        for b in range(len(bounds) - 1):
+            s, e = bounds[b], bounds[b + 1]
+            if e - s > 1:
+                keep[s + 1 : e] = False
+                a_x = cx[s]
+                a_y = cy[s]
+                for t, i2 in enumerate(range(s + 1, e), start=1):
+                    a_x = (a_x * t + wx[i2]) / (t + 1)
+                    a_y = (a_y * t + wy[i2]) / (t + 1)
+                cx[s] = a_x
+                cy[s] = a_y
+                count[s] = e - s
+        return keep, cx, cy, count
     last_kept = -1
     merge_previndex = 0
     for i in range(n):
