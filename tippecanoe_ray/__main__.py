@@ -212,7 +212,15 @@ def main(argv=None):
             cols = tiles.schema().names
         except Exception:
             cols = []
-        if "s_rate" in cols:
+        import json as _json
+        import os as _os
+
+        point_counters = {}
+        sj = _os.path.join(args.out, "strategies.json")
+        if _os.path.exists(sj):
+            with open(sj) as f:
+                point_counters = {int(k): v for k, v in _json.load(f).items()}
+        if "s_rate" in cols or point_counters:
             from tippecanoe_ray.stages.strategies import strategies_from_tile_table
 
             strategies = strategies_from_tile_table(
@@ -220,9 +228,13 @@ def main(argv=None):
                     [c for c in ("z", "s_rate", "s_tiny", "s_detail",
                                  "s_tsize", "s_fcount", "leafed")
                      if c in cols]
-                ).to_pandas(),
+                ).to_pandas() if "s_rate" in cols else None,
                 cfg.maxzoom,
             )
+            for z_, cnts in point_counters.items():
+                if 0 <= z_ <= cfg.maxzoom:
+                    for k_, v_ in cnts.items():
+                        strategies[z_][k_] = strategies[z_].get(k_, 0) + v_
         out["mbtiles_tiles"] = write_mbtiles(
             tiles, args.mbtiles, minzoom=cfg.minzoom, maxzoom=cfg.maxzoom,
             layer_name=cfg.layer_name, strategies=strategies,

@@ -316,7 +316,13 @@ class ZoomEmitter:
     def __init__(self, cfg: PyramidConfig, overrides: dict | None = None):
         self.cfg = cfg
         self.overrides = overrides or {}  # z -> {threshold: value}
+        self.counters: dict = {}  # z -> {strategy counter: sum}
         self.reports: dict = {}  # z -> {threshold: max value}
+
+    def _count(self, z: int, key: str, v: int):
+        if v:
+            zc = self.counters.setdefault(z, {})
+            zc[key] = zc.get(key, 0) + int(v)
 
     def _note(self, z: int, report: dict):
         if report:
@@ -324,6 +330,9 @@ class ZoomEmitter:
             attr_desc = bool(scfg is not None and getattr(scfg, "drop_by_attribute_descending", False))
             cur = self.reports.setdefault(z, {})
             for k, v in report.items():
+                if k.startswith("_c_"):
+                    self._count(z, k[3:], int(v))
+                    continue
                 if k.startswith("_"):
                     continue
                 if k == "minattribute":
@@ -391,6 +400,7 @@ class ZoomEmitter:
                 )
                 kept[s_:e_] = k_
                 leads[s_:e_] = lead_
+        self._count(z, "dropped_by_rate", len(index) - int(kept.sum()))
         scfg = getattr(cfg, "strategies", None)
         out_x, out_y = swx, swy
         ccounts = None
@@ -595,6 +605,11 @@ class ZoomEmitter:
             if len(affected_runs):
                 un_mask[affected_runs] = False
             if un_mask.any():
+                self._count(
+                    z, "dropped_by_rate",
+                    int((ends - starts)[un_mask].sum() - counts[un_mask].sum()),
+                )
+            if un_mask.any():
                 if cfg.encode_tiles:
                     tiles = encode_point_tiles(
                         kwx, kwy, kstarts[un_mask], kends[un_mask],
@@ -658,6 +673,7 @@ class ZoomEmitter:
                 k, mlead = multiplier_keep(
                     midx, mmz, z, cfg.retain_points_multiplier, cfg.droprate
                 )
+            self._count(z, "dropped_by_rate", len(k) - int(k.sum()))
             mcnt = None
             mmembers = None  # coalesce mode: per-kept member positions
             if strat:
@@ -1154,9 +1170,13 @@ class BucketWorker:
                     pa.ListArray.from_arrays(pa.array([0, 0], pa.int32()), pa.array([], pa.int64())),
                 )
             outs.append(row)
-        if em.reports:
+        if em.reports or em.counters:
             codes = {"mingap": 0, "minextent": 1, "mindrop_sequence": 2,
                      "minattribute": 3, "gamma": 4}
+            # strategy counters ride the same channel with codes >= 10
+            # (SUM-aggregated per zoom, mbtiles `strategies` metadata)
+            ccodes = {"dropped_by_rate": 10, "dropped_by_gamma": 11,
+                      "dropped_as_needed": 12, "coalesced_as_needed": 13}
             rz, rcode, rval = [], [], []
             for z_, rep in em.reports.items():
                 for kname, v in rep.items():
@@ -1166,6 +1186,11 @@ class BucketWorker:
                         rval.append(np.float64(v).view(np.uint64))
                     else:
                         rval.append(np.uint64(v))
+            for z_, cnts in em.counters.items():
+                for kname, v in cnts.items():
+                    rz.append(z_)
+                    rcode.append(ccodes[kname])
+                    rval.append(np.uint64(v))
             outs.append(
                 pa.table(
                     {
@@ -1370,7 +1395,9 @@ def drop_denser_minzooms(narrow: ray.data.Dataset, cfg: PyramidConfig) -> np.nda
     return mz
 
 
-def lowzoom_tiles(survivor_rows: list[dict], cfg: PyramidConfig, bucket_zoom: int) -> pa.Table | None:
+def lowzoom_tiles(survivor_rows: list[dict], cfg: PyramidConfig, bucket_zoom: int,
+                  counters_out: dict | None = None,
+                  n_total: int | None = None) -> pa.Table | None:
     """Second (tiny) pass: tiles for z in [minzoom, B). Input is the
     per-bucket survivor blobs; |input| ≈ n_buckets + n/droprate^(bz-B).
 
@@ -1459,6 +1486,22 @@ def lowzoom_tiles(survivor_rows: list[dict], cfg: PyramidConfig, bucket_zoom: in
             "tiles may exceed max_tile_features (reference retries until fit, "
             "tile.cpp:3392-3572)"
         )
+    if counters_out is not None:
+        # final iteration's counters (fresh emitter per retry)
+        for z_, cnts in em.counters.items():
+            cur = counters_out.setdefault(int(z_), {})
+            for k_, v_ in cnts.items():
+                cur[k_] = cur.get(k_, 0) + int(v_)
+        if n_total is not None and n_total > len(index):
+            # features the ladder channel never carried to this pass
+            # were implicitly rate-dropped at every z < B (the reference
+            # write_tile scans the FULL stream per zoom and counts each,
+            # tile.cpp:1970-1973). fmin/fmax gating of non-survivors is
+            # not recoverable here; plain ladder corpora have none.
+            implicit = n_total - len(index)
+            for z_ in range(cfg.minzoom, bucket_zoom):
+                cur = counters_out.setdefault(int(z_), {})
+                cur["dropped_by_rate"] = cur.get("dropped_by_rate", 0) + implicit
     if not outs:
         return None
     return pa.concat_tables(_align_tables(outs))
@@ -1980,6 +2023,8 @@ def build_pyramid_from_narrow(
             code = t["min_seq"].to_numpy(zero_copy_only=False)[m]
             raw = t["min_index"].to_numpy(zero_copy_only=False).astype(np.uint64)[m]
             for z_, c_, v_ in zip(zs, code, raw):
+                if int(c_) >= 10:
+                    continue  # strategy counters (see _strategy_counters)
                 name = codes[int(c_)]
                 cur = out.setdefault(int(z_), {})
                 if name in ("minattribute", "gamma"):
@@ -1993,6 +2038,31 @@ def build_pyramid_from_narrow(
                         cur[name] = max(prev, fv)
                 else:
                     cur[name] = max(cur.get(name, 0), int(v_))
+        return out
+
+    def _strategy_counters(tbls: list[pa.Table]) -> dict:
+        """SUM per-zoom strategy counters from the code>=10 channel rows
+        (the final iteration's tables — the whole-zoom retry re-emits
+        them, so earlier passes never double count)."""
+        ccodes = {10: "dropped_by_rate", 11: "dropped_by_gamma",
+                  12: "dropped_as_needed", 13: "coalesced_as_needed"}
+        out: dict = {}
+        for t in tbls:
+            if len(t) == 0:
+                continue
+            kindc = t["kind"].to_numpy(zero_copy_only=False)
+            m = kindc == 4
+            if not m.any():
+                continue
+            zs = t["z"].to_numpy(zero_copy_only=False)[m]
+            code = t["min_seq"].to_numpy(zero_copy_only=False)[m]
+            raw = t["min_index"].to_numpy(zero_copy_only=False).astype(np.uint64)[m]
+            for z_, c_, v_ in zip(zs, code, raw):
+                name = ccodes.get(int(c_))
+                if name is None:
+                    continue
+                cur = out.setdefault(int(z_), {})
+                cur[name] = cur.get(name, 0) + int(v_)
         return out
 
     def _run_exchange() -> list[pa.Table]:
@@ -2042,6 +2112,7 @@ def build_pyramid_from_narrow(
         # the returned rows are the tiny channels (surv/side/summary) —
         # kept as Arrow tables end to end (no python row conversion)
         tbls = [t for t in _run_exchange() if len(t)]
+        counters = _strategy_counters(tbls)
         chan_tbl = (
             pa.concat_tables(
                 [_chan_norm(t) for t in tbls]
@@ -2082,7 +2153,14 @@ def build_pyramid_from_narrow(
         tile_tbl = _norm_tiles(full.filter(pa.array(kind == 0)), cfg.emit_ids)
         tile_tbl_ds = ray.data.from_arrow(tile_tbl)
     _mark("channel bookkeeping")
-    low = lowzoom_tiles(surv_rows, cfg, b)
+    low = lowzoom_tiles(surv_rows, cfg, b,
+                        counters_out=counters if raw_dir else None,
+                        n_total=n_rows)
+    if raw_dir and counters:
+        import json as _json
+
+        with open(os.path.join(out_dir, "strategies.json"), "w") as f:
+            _json.dump({str(k): v for k, v in sorted(counters.items())}, f)
     if low is not None:
         low = _norm_tiles(low, cfg.emit_ids)
         if raw_dir:

@@ -338,6 +338,7 @@ def apply_strategies(
     count = np.ones(n, dtype=np.int64)
     report: dict = {}
     ov = overrides or {}
+    n_before = n  # strategy counter checkpoints (tile.cpp:1986/2015/1643)
     gamma_eff = max(scfg.gamma, float(ov.get("gamma", 0.0)))
     if gamma_eff > 0:
         keep &= gamma_keep_mask(index, z, gamma_eff)
@@ -352,6 +353,9 @@ def apply_strategies(
         if g > gamma_eff:
             report["gamma"] = g
         keep = keep.copy()
+    n_after_gamma = int(keep.sum())
+    if n_before - n_after_gamma:
+        report["_c_dropped_by_gamma"] = n_before - n_after_gamma
     if scfg.cluster_distance and z <= scfg.cluster_maxzoom:
         sel = np.flatnonzero(keep)
         k2, cx2, cy2, cnt2 = cluster_scan(index[sel], wx[sel], wy[sel], z, scfg.cluster_distance)
@@ -359,6 +363,9 @@ def apply_strategies(
         cx[sel] = cx2
         cy[sel] = cy2
         count[sel] = cnt2
+    n_after_cluster = int(keep.sum())
+    if n_after_gamma - n_after_cluster:
+        report["_c_coalesced_as_needed"] = n_after_gamma - n_after_cluster
     # as-needed ladders (monotone thresholds; zoom-global via overrides)
     limit = scfg.max_tile_features
     if scfg.drop_densest:
@@ -497,6 +504,14 @@ def apply_strategies(
     if scfg.limit_tile_feature_count and keep.sum() > scfg.limit_tile_feature_count:
         kept_pos = np.flatnonzero(keep)
         keep[kept_pos[scfg.limit_tile_feature_count:]] = False
+    n_end = int(keep.sum())
+    as_needed = n_after_cluster - n_end
+    if as_needed:
+        # drop mode counts dropped_as_needed (tile.cpp:1643); the
+        # coalesce/cluster variants merge instead (tile.cpp:2015-2105)
+        key = ("_c_dropped_as_needed" if scfg.as_needed_mode == "drop"
+               else "_c_coalesced_as_needed")
+        report[key] = report.get(key, 0) + as_needed
     return keep, cx, cy, count, report
 
 
