@@ -126,17 +126,22 @@ def test_real_corpus_geometry_exact(ray_session, name, maxzoom, extra):
 
 
 BYTE_EXACT_CORPORA = [
-    ("ne_110m_admin_0_countries", 4, []),
-    ("ne_110m_ocean", 4, []),
-    ("dateline", 5, []),       # attributes: bools, nested stringify,
-    ("loop", 5, []),           # escapes, per-feature zooms, rate drops
-    ("islands", 6, []),
+    # (corpus, maxzoom, reference extra flags, our extra CLI flags)
+    ("ne_110m_admin_0_countries", 4, [], []),
+    ("ne_110m_ocean", 4, [], []),
+    ("dateline", 5, [], []),   # attributes: bools, nested stringify,
+    ("loop", 5, [], []),       # escapes, per-feature zooms, rate drops
+    ("islands", 6, [], []),
+    ("ne_110m_admin_0_countries", 3, ["-pn"], ["--prevent-shared-nodes"]),
+    ("ne_110m_admin_0_countries", 4, ["-M", "20000"],
+     ["--max-tile-bytes", "20000"]),
 ]
 
 
 @pytest.mark.skipif(not has_reference(), reason="reference binary not built")
-@pytest.mark.parametrize("name,maxzoom,extra", BYTE_EXACT_CORPORA)
-def test_real_corpus_mbtiles_byte_exact(ray_session, name, maxzoom, extra, tmp_path):
+@pytest.mark.parametrize("name,maxzoom,extra,ours_extra", BYTE_EXACT_CORPORA)
+def test_real_corpus_mbtiles_byte_exact(ray_session, name, maxzoom, extra,
+                                        ours_extra, tmp_path):
     """Every tile's COMPRESSED bytes match the reference binary's
     mbtiles exactly: geometry, attributes (key order, value typing,
     pooled+sorted value tables), layer/feature field layout, and the
@@ -167,7 +172,7 @@ def test_real_corpus_mbtiles_byte_exact(ray_session, name, maxzoom, extra, tmp_p
         ours_mb = str(tmp_path / "ours.mbtiles")
         cli.main([
             "--input", src, "--out", str(tmp_path / "out"),
-            "--maxzoom", str(maxzoom), "--mbtiles", ours_mb,
+            "--maxzoom", str(maxzoom), "--mbtiles", ours_mb, *ours_extra,
         ])
         con = sqlite3.connect(ours_mb)
         ours = {
