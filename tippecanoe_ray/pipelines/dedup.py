@@ -87,7 +87,10 @@ def exact_dedup_ds(ds: ray.data.Dataset, text_col: str, id_col: str) -> ray.data
         g = df.groupby(["h1", "h2"], sort=False).agg(
             keep_id=("keep_id", "min"), n_dups=("n_dups", "sum")
         ).reset_index()
-        return pa.Table.from_pandas(g, preserve_index=False)
+        # strip the b'pandas' schema metadata: pyarrow schemas carrying
+        # it are unhashable (dict), which defeats Ray's schema dedup in
+        # every downstream sort/groupby reduce (log spam + re-unify cost)
+        return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(None)
 
     def combine(g: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame(

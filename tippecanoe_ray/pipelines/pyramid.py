@@ -1725,7 +1725,7 @@ def rescan_side_tiles(
         import pandas as pd
 
         df = pd.concat([df, pd.DataFrame(new_rows)], ignore_index=True)
-    return pa.Table.from_pandas(df, preserve_index=False)
+    return pa.Table.from_pandas(df, preserve_index=False).replace_schema_metadata(None)
 
 
 def merge_side_copies(
@@ -1807,7 +1807,7 @@ def merge_side_copies(
         import pandas as pd
 
         df = pd.concat([df, pd.DataFrame(new_rows)], ignore_index=True)
-    return pa.Table.from_pandas(df, preserve_index=False)
+    return pa.Table.from_pandas(df, preserve_index=False).replace_schema_metadata(None)
 
 
 def _ghost_local(g: dict, z: int, cfg: PyramidConfig):
@@ -2224,11 +2224,11 @@ def build_pyramid_from_narrow(
                     )
                     hit_parts.append(t.filter(pa.array(_affected_mask(t))))
             hit = pa.concat_tables(hit_parts) if hit_parts else _empty_tiles()
-            hit = pa.Table.from_pandas(hit.to_pandas())
+            hit = pa.Table.from_pandas(hit.to_pandas()).replace_schema_metadata(None)
         else:
             hit = pa.Table.from_pandas(
                 tile_tbl_ds.map_batches(affected, batch_format="pyarrow").to_pandas()
-            )
+            ).replace_schema_metadata(None)
         if cfg.attr_accum or cfg.cluster_stats:
             merged = _norm_tiles(
                 rescan_side_tiles(hit, side_rows, cfg, narrow, offsets, b),
@@ -2359,7 +2359,7 @@ def pyramid_counts(tile_ds: ray.data.Dataset) -> pa.Table:
         .agg(n_tiles=("n_tiles", "sum"), n_features=("n_features", "sum"))
         .reset_index()
     )
-    return pa.Table.from_pandas(g, preserve_index=False)
+    return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(None)
 
 
 def center_tile(tile_ds: ray.data.Dataset, maxzoom: int) -> tuple[int, int]:

@@ -300,7 +300,7 @@ def semi_join_parts(sf_dir: str) -> pd.DataFrame:
         by=["l_partkey"], aggs={"n": ("l_partkey", "count")},
     )
     parts = _read(sf_dir, "part", columns=["p_partkey", "p_name"])
-    small = pa.Table.from_pandas(li_keys[["l_partkey"]])
+    small = pa.Table.from_pandas(li_keys[["l_partkey"]]).replace_schema_metadata(None)
     out = broadcast_join(parts, small, keys=["p_partkey"], right_keys=["l_partkey"],
                          join_type="left semi").to_pandas()
     return out.sort_values("p_partkey").reset_index(drop=True)
@@ -318,7 +318,7 @@ def anti_join_parts(sf_dir: str) -> pd.DataFrame:
         by=["l_partkey"], aggs={"n": ("l_partkey", "count")},
     )
     parts = _read(sf_dir, "part", columns=["p_partkey", "p_name"])
-    small = pa.Table.from_pandas(li_keys[["l_partkey"]])
+    small = pa.Table.from_pandas(li_keys[["l_partkey"]]).replace_schema_metadata(None)
     out = broadcast_join(parts, small, keys=["p_partkey"], right_keys=["l_partkey"],
                          join_type="left anti").to_pandas()
     if len(out) == 0:
