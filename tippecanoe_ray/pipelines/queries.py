@@ -618,15 +618,19 @@ def lsh_ann_q(sf_dir: str) -> pd.DataFrame:
 
 def image_pyramid_q(sf_dir: str) -> pd.DataFrame:
     """Flagship: full drop-ladder pyramid over a synthetic image table
-    sized to the sf (fnv geotag, hotspots on, MVT encoding on)."""
+    (fnv geotag, hotspots on, MVT encoding on). Sized so the SQL
+    oracle's faithful sequential ladder scan (a 4000-step recursive
+    CTE) stays cheap while still exercising hotspot skew + the rate
+    ladder at every zoom."""
     from ..sources.image_table import synthesize_image_table
     from .pyramid import PyramidConfig, build_pyramid, pyramid_counts
 
-    n = 20000
+    n = 4000
     ds = synthesize_image_table(n, with_payload=False)
-    cfg = PyramidConfig(maxzoom=10, droprate=2.5, hotspot_frac=0.2)
+    cfg = PyramidConfig(maxzoom=8, droprate=2.5, hotspot_frac=0.2)
     tiles = build_pyramid(ds, cfg, n_rows=n)
-    return pyramid_counts(tiles).to_pandas()
+    df = pyramid_counts(tiles).to_pandas()
+    return df.sort_values("z").reset_index(drop=True)
 
 
 
@@ -1216,6 +1220,215 @@ FROM p GROUP BY x, y ORDER BY x, y
 
 
 
+def _image_pyramid_sql(n: int = 4000, maxzoom: int = 8,
+                       droprate: float = 2.5,
+                       hotspot_frac: float = 0.2,
+                       n_hotspots: int = 4) -> str:
+    """Full image-pyramid oracle: fnv+splitmix geotag (with the hotspot
+    remap, boxes embedded as literals from the seeded generator), the
+    point quadkey index, and the reference's rate drop ladder
+    (calc_feature_minzoom, main.cpp:299-350) as a FAITHFUL float scan —
+    a recursive CTE stepping one feature per (index, seq) rank,
+    carrying the per-level float counters, so accumulation rounding
+    matches the engine bit-for-bit."""
+    import math
+
+    from ..stages.geotag import _hotspot_boxes
+    from ..stages.minzoom import intervals
+
+    boxes = _hotspot_boxes(n_hotspots)
+    box_rows = ", ".join(
+        f"({i}, {int(b[0])}, {int(b[1])}, {int(b[2])})"
+        for i, b in enumerate(boxes)
+    )
+    iv = intervals(maxzoom, maxzoom, droprate)
+    nl = maxzoom  # levels 0..maxzoom-1 carry counters; level maxzoom has interval 0
+    bcols = ", ".join(f"b{i}" for i in range(nl))
+    base_state = ", ".join(f"CAST({-iv[i]!r} AS DOUBLE) AS b{i}" for i in range(nl))
+    # first failing level descending = the CASE chain top-down
+    mz_expr = "CASE " + " ".join(
+        f"WHEN b{i} + m < 0 THEN {i + 1}" for i in range(nl - 1, -1, -1)
+    ) + " ELSE 0 END"
+    upd = ", ".join(
+        f"b{i} - (CASE WHEN mz <= {i} THEN CAST({iv[i]!r} AS DOUBLE) ELSE 0 END) AS b{i}"
+        for i in range(nl)
+    )
+    hot_cut = int(hotspot_frac * 10_000)
+    gs = max(0, 32 - 12 - maxzoom)  # geometry_scale (detail 12 default)
+    w = 32 - gs  # snapped-plane bit width
+    qk = _quadkey_sql("(wx - (wx % 2))", "(wy - (wy % 2))")
+    sm_h = _SPLITMIX_SQL
+    sm_h2 = _SPLITMIX_SQL.replace("HVAL", "SMH")
+    return f"""
+WITH RECURSIVE
+ids AS (SELECT unnest(range(0, {n})) AS i),
+s AS (SELECT i, printf('img-%012d', i) AS sid FROM ids),
+f AS (SELECT i, list_reduce(
+        list_prepend(CAST(14695981039346656037 AS HUGEINT),
+          list_transform(generate_series(1, LENGTH(sid)), j -> ascii(substr(sid, j, 1)))),
+        {_FNV_STEP}) AS HVAL
+      FROM s),
+m1 AS (SELECT i, {sm_h} AS SMH FROM f),
+m2 AS (SELECT i, SMH, {sm_h2} AS h2 FROM m1),
+boxes(bid, x0, y0, span) AS (VALUES {box_rows}),
+geo AS (
+  SELECT m2.i AS seq,
+         CASE WHEN (h2 % 10000) < {hot_cut}
+              THEN b.x0 + CAST(trunc((CAST(SMH % 4294967296 AS DOUBLE) / 4294967296.0) * b.span) AS BIGINT)
+              ELSE CAST(SMH % 4294967296 AS BIGINT) END AS wx,
+         CASE WHEN (h2 % 10000) < {hot_cut}
+              THEN b.y0 + CAST(trunc((CAST((SMH // 4294967296) % 4294967296 AS DOUBLE) / 4294967296.0) * b.span) AS BIGINT)
+              ELSE CAST((SMH // 4294967296) % 4294967296 AS BIGINT) END AS wy
+  FROM m2 JOIN boxes b ON b.bid = CAST((h2 // 65536) % {n_hotspots} AS BIGINT)),
+ranked AS (
+  SELECT ((wx + {1 << (gs - 1)}) >> {gs}) AS sx,
+         ((wy + {1 << (gs - 1)}) >> {gs}) AS sy,
+         ROW_NUMBER() OVER (ORDER BY {qk}, seq) AS rk
+  FROM geo),
+lad AS (
+  SELECT 1 AS m, 0 AS mz, {base_state}
+  UNION ALL
+  SELECT m, mz, {upd}
+  FROM (SELECT m + 1 AS m, {mz_expr.replace('+ m ', '+ (m + 1) ')} AS mz, {bcols}
+        FROM lad WHERE m < {n})),
+feat AS (
+  SELECT r.sx, r.sy, r.rk, l.mz FROM ranked r JOIN lad l ON l.m = r.rk),
+zs AS (SELECT unnest(range(0, {maxzoom + 1})) AS z),
+-- tile membership via SNAPPED coords with INCLUSIVE tile bounds
+-- (clip_point clip.cpp:84-104): a snapped coordinate exactly on a
+-- tile boundary belongs to BOTH adjacent tiles
+memx AS (
+  SELECT z, (sx >> ({w} - z)) AS x, sx, sy, rk, mz
+  FROM feat CROSS JOIN zs WHERE (sx >> ({w} - z)) <= (1 << z) - 1
+  UNION ALL
+  SELECT z, (sx >> ({w} - z)) - 1, sx, sy, rk, mz
+  FROM feat CROSS JOIN zs
+  WHERE sx % (1 << ({w} - z)) = 0 AND sx >= (1 << ({w} - z))),
+mem AS (
+  SELECT z, x, (sy >> ({w} - z)) AS y, rk, mz
+  FROM memx WHERE (sy >> ({w} - z)) <= (1 << z) - 1
+  UNION ALL
+  SELECT z, x, (sy >> ({w} - z)) - 1, rk, mz
+  FROM memx
+  WHERE sy % (1 << ({w} - z)) = 0 AND sy >= (1 << ({w} - z))),
+-- per tile: ladder survivors plus the always-kept FIRST feature of the
+-- tile (next_feature keep slot, tile.cpp:1290-1319)
+tiles AS (
+  SELECT z, x, y,
+         SUM(CASE WHEN mz <= z THEN 1 ELSE 0 END)
+         + (CASE WHEN MIN(CASE WHEN mz <= z THEN rk END) IS NULL
+                   OR MIN(rk) < MIN(CASE WHEN mz <= z THEN rk END)
+                 THEN 1 ELSE 0 END) AS nf
+  FROM mem GROUP BY 1, 2, 3)
+SELECT CAST(z AS INT) AS z, CAST(COUNT(*) AS BIGINT) AS n_tiles,
+       CAST(SUM(nf) AS BIGINT) AS n_features
+FROM tiles GROUP BY z ORDER BY z
+"""
+
+
+# embedding near-dup oracle: brute-force cosine over the union corpus
+# (base ∪ fp32-jittered copies). Faithful because (a) the jitter is a
+# pure fp32 scale, so DuckDB FLOAT arithmetic reproduces the engine's
+# np.float32 values bit-for-bit (validated), and (b) sign-LSH has full
+# recall for scale-identical vectors: both copies project to identical
+# signs, so they always share the primary bucket.
+EMB_NEAR_DUP_SQL = """
+WITH u AS (
+  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+  UNION ALL
+  SELECT vec_id + 100000,
+         CAST(list_transform(CAST(embedding AS FLOAT[]),
+                             x -> x * CAST(1.0001 AS FLOAT)) AS DOUBLE[])
+  FROM embeddings),
+p AS (
+  SELECT x.id AS a, y.id AS b, list_cosine_similarity(x.v, y.v) AS cos
+  FROM u x JOIN u y ON x.id < y.id)
+SELECT a, b, ROUND(cos, 6) AS cosine FROM p WHERE cos >= 0.999
+ORDER BY a, b
+"""
+
+
+def _lsh_ann_sql(dim: int = 64, n_planes: int = 6, seed: int = 42) -> str:
+    """Pruned-read LSH ANN oracle: models the ALGORITHM, not just the
+    answer — the sign-LSH bucket of every vector (projection planes
+    embedded as literals from the seeded generator, bit j of the bucket
+    at position n_planes-1-j per _bucket_of), the query's Hamming<=1
+    multi-probe neighborhood, and top-10 by cosine within the pruned
+    set. Matches lsh_topk_indexed including its recall misses."""
+    rs = np.random.RandomState(seed)
+    planes = rs.randn(dim, n_planes)
+    rows = ", ".join(
+        f"({j}, [{', '.join(repr(v) for v in planes[:, j])}])"
+        for j in range(n_planes)
+    )
+    probes = ", ".join(str(1 << j) for j in range(n_planes))
+    return f"""
+WITH planes(j, p) AS (VALUES {rows}),
+b AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+sig AS (
+  SELECT b.vec_id,
+         CAST(SUM(CASE WHEN list_inner_product(b.v, pl.p) > 0
+                       THEN (1 << ({n_planes - 1} - pl.j)) ELSE 0 END) AS BIGINT)
+           AS bucket
+  FROM b CROSS JOIN planes pl GROUP BY b.vec_id),
+q AS (SELECT s.bucket AS qb, b.v AS qv FROM sig s JOIN b ON b.vec_id = s.vec_id
+      WHERE s.vec_id = 0),
+allowed AS (
+  SELECT qb AS bkt FROM q
+  UNION ALL
+  SELECT xor(qb, f) FROM q CROSS JOIN (SELECT unnest([{probes}]) AS f)),
+pruned AS (
+  SELECT s.vec_id, b.v FROM sig s JOIN b ON b.vec_id = s.vec_id
+  WHERE s.bucket IN (SELECT bkt FROM allowed))
+SELECT CAST(0 AS BIGINT) AS query_id, vec_id,
+       ROUND(list_cosine_similarity(v, (SELECT qv FROM q)), 6) AS cosine
+FROM pruned
+ORDER BY list_cosine_similarity(v, (SELECT qv FROM q)) DESC, vec_id
+LIMIT 10
+"""
+
+
+def _simhash_sql(max_hamming: int = 3) -> str:
+    """All-pairs simhash oracle: reproduces simhash64 (whitespace
+    tokens, FNV-1a per occurrence, per-bit vote, sign) in SQL, then
+    brute-forces every pair's Hamming distance. Faithful vs the banded
+    engine because a pair within Hamming <= bands-1 (=3) ALWAYS shares
+    at least one exact band (pigeonhole) — the LSH path has 100% recall
+    at max_hamming=3/4 bands."""
+    lo_bits = " + ".join(
+        f"(CASE WHEN SUM(CASE WHEN (h // {1 << b}) % 2 = 1 THEN 1 ELSE -1 END)"
+        f" > 0 THEN {1 << b} ELSE 0 END)" for b in range(32)
+    )
+    hi_bits = " + ".join(
+        f"(CASE WHEN SUM(CASE WHEN (h // {1 << b}) % 2 = 1 THEN 1 ELSE -1 END)"
+        f" > 0 THEN {1 << (b - 32)} ELSE 0 END)" for b in range(32, 64)
+    )
+    return f"""
+WITH docs AS (
+  SELECT doc_id AS id, COALESCE(text, '') AS txt FROM documents
+  UNION ALL
+  SELECT doc_id + 100000, COALESCE(text, '') FROM documents),
+tok AS (
+  SELECT id, unnest(list_filter(regexp_split_to_array(txt, '\\s+'),
+                                x -> x <> '')) AS tk
+  FROM docs),
+th AS (
+  SELECT id, {_fnv_of_hex("hex(encode(tk))")} AS h FROM tok),
+sg0 AS (
+  SELECT id, CAST({lo_bits} AS BIGINT) AS lo, CAST({hi_bits} AS BIGINT) AS hi
+  FROM th GROUP BY id),
+sg AS (
+  SELECT d.id, COALESCE(s.lo, 0) AS lo, COALESCE(s.hi, 0) AS hi
+  FROM docs d LEFT JOIN sg0 s ON d.id = s.id)
+SELECT x.id AS a, y.id AS b,
+       CAST(bit_count(xor(x.lo, y.lo)) + bit_count(xor(x.hi, y.hi)) AS BIGINT)
+         AS hamming
+FROM sg x JOIN sg y ON x.id < y.id
+WHERE bit_count(xor(x.lo, y.lo)) + bit_count(xor(x.hi, y.hi)) <= {max_hamming}
+ORDER BY a, b
+"""
+
+
 def vector_squares_q(sf_dir: str) -> pd.DataFrame:
     """Vector pyramid over lcg-derived axis-aligned squares: for
     rectangles the cascade's per-tile survival test (parent-clipped
@@ -1317,4 +1530,8 @@ def all_oracle_sql() -> dict:
         "doc_fingerprints": FINGERPRINT_SQL,
         "raster_tiles_z2": RASTER_SQL,
         "vector_squares_z4": _vector_squares_sql(),
+        "embedding_near_dup": EMB_NEAR_DUP_SQL,
+        "lsh_ann_top10": _lsh_ann_sql(),
+        "simhash_pairs": _simhash_sql(),
+        "image_pyramid": _image_pyramid_sql(),
     }
