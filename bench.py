@@ -135,7 +135,7 @@ def vector_bench(sf: float):
         VectorConfig, build_vector_pyramid, features_table, ingest_features_ds,
     )
 
-    scale = max(sf / 0.01, 1.0)
+    scale = max(sf / 0.01, 1.0) * float(os.environ.get("BENCH_VEC_SCALE", "1"))
     n_lines = int(300 * scale)
     n_polys = int(150 * scale)
     rs = np.random.RandomState(17)
@@ -181,6 +181,30 @@ def vector_bench(sf: float):
         return n_tiles, n_lines + n_polys, el
     finally:
         shutil.rmtree(out_dir, ignore_errors=True)
+
+
+def run_vector_only() -> dict:
+    """Vector-pyramid-only phase for the compute-bound scaling metric:
+    same JSON shape as --headline-only (pyramid_z14 carries the wall
+    time, n_tiles the tile count) so the scaling harness can consume
+    either workload unchanged. The point pipeline saturates this VM's
+    DRAM bandwidth (~1.2M tiles/s ceiling, BASELINE.md); the vector
+    cascade (clip + simplify + MVT encode + gzip per tile) is
+    compute-dense, so it measures the ENGINE's scaling rather than the
+    single-socket memory wall."""
+    _init_ray()
+    n_tiles, n_feats, el = vector_bench(_sf_of(SF_DIR))
+    return {
+        "metric": "vector pyramid wall time (scaling phase)",
+        "value": round(el, 3),
+        "unit": "sec",
+        "queries": {"pyramid_z14": round(el, 3)},
+        "n_tiles": n_tiles,
+        "n_features_z14": n_feats,
+        "workload": "vector",
+        "sf": _sf_of(SF_DIR),
+        "num_cpus": NUM_CPUS,
+    }
 
 
 def run_bench(headline_only: bool = False) -> dict:
@@ -296,8 +320,11 @@ def _one_phase(cpus: int) -> dict:
     env.setdefault("BENCH_TILE_DIR", "/dev/shm")  # per-node-disk analogue
     env.setdefault("BENCH_REP", "16")  # enough work to amortize setup
     s0 = _percpu_stat()
+    phase_flag = ("--vector-only"
+                  if os.environ.get("BENCH_SCALING_WORKLOAD") == "vector"
+                  else "--headline-only")
     out = subprocess.run(
-        [sys.executable, __file__, "--headline-only"],
+        [sys.executable, __file__, phase_flag],
         capture_output=True, text=True, env=env, timeout=3600,
     )
     s1 = _percpu_stat()
@@ -405,6 +432,94 @@ def run_scaling():
     _append_baseline_median(summary, lo, hi)
 
 
+def _steal_burn(seconds: float = 6.0, nproc: int = 8) -> float:
+    """Busy-burn steal probe: hypervisor steal only accrues on BUSY
+    vcpus, so an idle pre-check is blind to co-tenants. Burn `nproc`
+    whole cores in subprocesses and measure the busy-weighted steal
+    fraction over the burn window."""
+    code = f"import time; e=time.time()+{seconds}\nwhile time.time()<e: pass"
+    s0 = _percpu_stat()
+    procs = [subprocess.Popen([sys.executable, "-c", code]) for _ in range(nproc)]
+    for p in procs:
+        p.wait()
+    return _steal_frac(s0, _percpu_stat())
+
+
+def run_scaling_collect():
+    """Opportunistic variant of the pinned v2 protocol: same phases,
+    same 0.08 validity rule, same median — but a pair is only STARTED
+    when an 8-core busy-burn probe measures steal <= 0.03 (a quiet
+    window), and collection continues until `BENCH_COLLECT_VALID`
+    (default 5) valid pairs or the `BENCH_COLLECT_MINUTES` (default 90)
+    budget runs out. This changes WHEN pairs run, never which pairs
+    count — the validity rule still filters on the measured in-phase
+    steal, so a storm arriving mid-pair is still caught."""
+    lo, hi = (int(x) for x in os.environ.get("BENCH_SCALING_CPUS", "2,8").split(","))
+    target_valid = int(os.environ.get("BENCH_COLLECT_VALID", "5"))
+    budget_s = float(os.environ.get("BENCH_COLLECT_MINUTES", "90")) * 60
+    glimit = 0.08
+    t_end = time.time() + budget_s
+    pairs = []
+    ref = None
+    k = 0
+    while time.time() < t_end:
+        pre = _steal_burn()
+        if pre > 0.03:
+            print(json.dumps({"skip_window": round(pre, 4)}), flush=True)
+            time.sleep(45)
+            continue
+        r_lo = _one_phase(lo)
+        r_hi = _one_phase(hi)
+        for r in (r_lo, r_hi):
+            if ref is None:
+                ref = (r["n_tiles"], r["n_features_z14"])
+            assert (r["n_tiles"], r["n_features_z14"]) == ref, \
+                "outputs differ across phases"
+        sec_lo, sec_hi = r_lo["queries"]["pyramid_z14"], r_hi["queries"]["pyramid_z14"]
+        thr_lo, thr_hi = r_lo["n_tiles"] / sec_lo, r_hi["n_tiles"] / sec_hi
+        cthr_lo = r_lo["n_tiles"] / (sec_lo * (1.0 - r_lo["steal_frac"]))
+        cthr_hi = r_hi["n_tiles"] / (sec_hi * (1.0 - r_hi["steal_frac"]))
+        p = {
+            "pair": k, "pre_burn_steal": round(pre, 4),
+            "guard_lo_s": 0.0, "guard_hi_s": 0.0,
+            "steal_lo": r_lo["steal_frac"], "steal_hi": r_hi["steal_frac"],
+            "sec_lo": sec_lo, "sec_hi": sec_hi,
+            "thr_lo": round(thr_lo, 1), "thr_hi": round(thr_hi, 1),
+            "eff": round(thr_hi / ((hi / lo) * thr_lo), 3),
+            "eff_steal_corrected": round(cthr_hi / ((hi / lo) * cthr_lo), 3),
+            "valid": r_lo["steal_frac"] <= glimit and r_hi["steal_frac"] <= glimit,
+        }
+        pairs.append(p)
+        k += 1
+        print(json.dumps({"pair": p}), flush=True)
+        if sum(1 for q in pairs if q["valid"]) >= target_valid:
+            break
+    valid = sorted(p["eff"] for p in pairs if p["valid"])
+    if len(valid) >= 3:
+        med = valid[len(valid) // 2] if len(valid) % 2 else (
+            round((valid[len(valid) // 2 - 1] + valid[len(valid) // 2]) / 2, 3))
+        status = "ok"
+    else:
+        med, status = None, "insufficient-valid-runs"
+    summary = {
+        "metric": f"scaling efficiency, pyramid z0-z14, {lo} -> {hi} cpus, "
+                  f"median of {len(valid)}/{len(pairs)} guard-valid pairs "
+                  f"(opportunistic quiet-window collection)",
+        "value": med, "unit": "efficiency", "status": status,
+        "guard_limit_s": glimit, "pairs": pairs,
+        "queries": {
+            f"tiles_per_sec_{lo}cpu": pairs[0]["thr_lo"] if pairs else None,
+            f"tiles_per_sec_{hi}cpu": pairs[0]["thr_hi"] if pairs else None,
+            f"sec_{lo}cpu": pairs[0]["sec_lo"] if pairs else None,
+            f"sec_{hi}cpu": pairs[0]["sec_hi"] if pairs else None,
+        },
+        "output_identical": True,
+        "num_cpus": hi,
+    }
+    print(json.dumps(summary))
+    _append_baseline_median(summary, lo, hi)
+
+
 def _append_baseline_median(summary: dict, lo: int, hi: int):
     try:
         with open(os.path.join(os.path.dirname(__file__), "BASELINE.md"), "a") as f:
@@ -451,8 +566,17 @@ def _append_baseline(summary: dict, lo: int, hi: int):
 
 
 if __name__ == "__main__":
-    if "--scaling" in sys.argv:
+    if "--scaling-collect" in sys.argv:
+        run_scaling_collect()
+    elif "--scaling" in sys.argv:
         run_scaling()
+    elif "--vector-only" in sys.argv:
+        res = run_vector_only()
+        print(json.dumps(res))
+        import ray
+
+        ray.shutdown()
+        sys.exit(0)
     else:
         res = run_bench(headline_only="--headline-only" in sys.argv)
         print(json.dumps(res))
