@@ -135,6 +135,11 @@ BYTE_EXACT_CORPORA = [
     ("ne_110m_admin_0_countries", 3, ["-pn"], ["--prevent-shared-nodes"]),
     ("ne_110m_admin_0_countries", 4, ["-M", "20000"],
      ["--max-tile-bytes", "20000"]),
+    # real points with rich attributes (names in many scripts, floats,
+    # ints, nulls) through the rate ladder
+    ("ne_110m_populated_places", 5, [], []),
+    # pure-lines corpus (admin-1 boundaries) through clip + simplify
+    ("ne_110m_admin_1_states_provinces_lines", 5, [], []),
 ]
 
 

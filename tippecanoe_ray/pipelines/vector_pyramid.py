@@ -770,6 +770,12 @@ def _encode_with_detail_ladder(cfg: VectorConfig, z, tx, ty, survivors,
         n_rate = n_tiny = 0
         pending: list = []  # phase-1 survivors ("features" list)
         local_nodes: set[tuple[int, int]] = set()
+        # the per-layer first-feature slot (multiplier_state count,
+        # tile.cpp:1294-1299): consumed by the FIRST implicit-minzoom
+        # feature in the stream — even one whose clipped geometry is
+        # empty (the "XXX should continue" husk, tile.cpp:1205-1209) —
+        # but NOT by explicit-minzoom features (tile.cpp:1290,1314)
+        kept_slot_used = False
         for row in survivors:
             seq, t, ops, xy, lab, fmz = row[:6]
             fmn = row[6] if len(row) > 6 else -1
@@ -779,13 +785,26 @@ def _encode_with_detail_ladder(cfg: VectorConfig, z, tx, ty, survivors,
                 # explicit per-feature zoom range (tippecanoe extension,
                 # tile.cpp:1307-1316)
                 continue
-            if fmn < 0 and fmz > z and pending:
-                # rate-dropped (keep rule tile.cpp:1970-1977: the drop
-                # needs a previous feature to accumulate onto); an
-                # explicit minzoom bypasses the ladder (FEATURE_KEPT,
-                # tile.cpp:1314-1316)
-                n_rate += 1  # strategy.dropped_by_rate tile.cpp:1973
-                continue
+            rate_dropped = False
+            if fmn < 0:
+                if not kept_slot_used:
+                    kept_slot_used = True  # first in layer: FEATURE_KEPT
+                elif fmz > z:
+                    rate_dropped = True
+            if rate_dropped:
+                # the drop happens only with a previous SAME-TYPE
+                # feature in the appended list to accumulate onto
+                # (find_feature_to_accumulate_onto tile.cpp:1576-1590
+                # matches t; -aP converts before the gate, so polygons
+                # gate as points, tile.cpp:1916-1919); otherwise the
+                # feature falls through and is appended-and-emitted —
+                # the first APPENDED feature of the tile is always kept
+                # (tile.cpp:2228-2236 revival after a husk consumed the
+                # nominal first slot)
+                gate_t = 1 if (t == 3 and cfg.generate_label_points) else t
+                if any(p[1] == gate_t for p in pending):
+                    n_rate += 1  # strategy.dropped_by_rate tile.cpp:1973
+                    continue
             if t == 3 and cfg.generate_label_points:
                 # polygon -> checkerboard anchor points
                 # (tile.cpp:1919-1937); excluded when invisibly small.
@@ -826,6 +845,11 @@ def _encode_with_detail_ladder(cfg: VectorConfig, z, tx, ty, survivors,
                     continue
                 reduced = not still
             if t in (2, 3) and dv.line_is_too_small(ops, xy, z, line_detail):
+                continue
+            if len(xy) == 0:
+                # empty husk (clip emptied inside the quick-check bbox):
+                # stays in the stream — it consumed the first-slot above
+                # — but never joins the appended list (tile.cpp:2188)
                 continue
             if pn and enodes:
                 local_nodes.update(enodes)  # tile.cpp:2252-2254

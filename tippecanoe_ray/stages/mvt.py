@@ -226,22 +226,49 @@ def encode_polygon(rings: list[np.ndarray]) -> bytes:
 # -------------------------------------------------------------------- layer
 
 
+def _fnv1a64_slot(s: str) -> int:
+    """fnv1a-64 of the utf-8 bytes, reduced mod the reference's
+    65536-slot key_dedup table (text.cpp:260-271, mvt.hpp:225)."""
+    h = 14695981039346656037
+    for c in s.encode("utf-8"):
+        h = ((h ^ c) * 1099511628211) & 0xFFFFFFFFFFFFFFFF
+    return h & 0xFFFF
+
+
+_KEY_SLOT_CACHE: dict[str, int] = {}
+
+
 class ValuePool:
     """Layer-scoped key/value constant pools (mvt.hpp:180-210 interning;
-    Arrow dictionary encoding makes this cheap upstream)."""
+    Arrow dictionary encoding makes this cheap upstream).
+
+    The KEY pool replicates the reference's LOSSY fixed-size dedup
+    table (mvt.cpp:617-625): slot = fnv1a64(key) % 65536; on a slot
+    collision with a different key, the key is pushed into the pool
+    AGAIN and the slot repointed — so colliding keys appear multiple
+    times in the wire key table (observed on ne_110m_populated_places:
+    POP_MIN/ADM0CAP and POP1990/CITYALT collide, giving 91 pooled keys
+    for 87 distinct). Values don't need this: mvt.cpp:383-402 re-sorts
+    and crunches value duplicates at encode time, so collision-made
+    duplicates never reach the wire."""
 
     def __init__(self):
         self.keys: list[str] = []
-        self.key_idx: dict[str, int] = {}
+        self.key_slots: dict[int, int] = {}
         self.values: list[bytes] = []
         self.val_idx: dict[bytes, int] = {}
 
     def key(self, k: str) -> int:
-        i = self.key_idx.get(k)
-        if i is None:
-            i = len(self.keys)
-            self.keys.append(k)
-            self.key_idx[k] = i
+        slot = _KEY_SLOT_CACHE.get(k)
+        if slot is None:
+            slot = _fnv1a64_slot(k)
+            _KEY_SLOT_CACHE[k] = slot
+        i = self.key_slots.get(slot, -1)
+        if i >= 0 and self.keys[i] == k:
+            return i
+        i = len(self.keys)
+        self.keys.append(k)
+        self.key_slots[slot] = i
         return i
 
     def value(self, v) -> int:
