@@ -142,6 +142,75 @@ BYTE_EXACT_CORPORA = [
     ("ne_110m_admin_1_states_provinces_lines", 5, [], []),
 ]
 
+# the reference's own edge-case corpora (tests/<name>/), byte-exact:
+# (corpus, input file, maxzoom, reference extra flags, our extra flags)
+EDGE_CORPORA = [
+    # self-intersecting polygon through the wagyu cleaner
+    ("invalid-polygon", "in.json", 0, [], []),
+    # layer name from a filename with no selector-safe characters
+    # (main.cpp:1360-1408 -> "unknown0")
+    ("nonascii", "@@@.json", 0, [], []),
+    # polygons/lines/points crossing null island with zero buffer;
+    # full-precision point bbox indexes vs snapped vertex-hash ones
+    ("nullisland", "in.json", 4, ["-b0"], ["--buffer", "0"]),
+    ("multilinestring", "in.json", 1, [], []),
+    ("invalid-linestring", "too-few.json", 0, [], []),
+    ("high-longitude", "in.json", 1, [], []),
+    # feature ids/values overflowing uint64/double (dtoa round-trip id
+    # rule, strtoull clamp)
+    ("overflow", "in.json", 0, [], []),
+    ("stringid", "in.json", 0, [], []),
+    ("polygon-winding", "in.json", 0, [], []),
+    ("curve", "in.json", 2, [], []),
+    # 4303 SF transit stops in one z11 tile + 19 features with a
+    # per-feature tippecanoe layer -> a second MVT layer per tile
+    ("muni", "muni.json", 11, ["-Z11"], ["--minzoom", "11"]),
+    # truncated JSON container with a complete geometry inside
+    ("onefeature", "in.json", 0, [], []),
+    ("onefeature-point", "in.json", 0, [], []),
+    ("empty-linestring", "in.json", 0, [], []),
+    ("nested", "in.json", 0, [], []),
+]
+
+
+@pytest.mark.skipif(not has_reference(), reason="reference binary not built")
+@pytest.mark.parametrize("name,infile,maxzoom,extra,ours_extra", EDGE_CORPORA)
+def test_edge_corpus_mbtiles_byte_exact(ray_session, name, infile, maxzoom,
+                                        extra, ours_extra, tmp_path):
+    import sqlite3
+
+    from tippecanoe_ray import __main__ as cli
+
+    src = f"/root/reference/tests/{name}/{infile}"
+    with tempfile.TemporaryDirectory() as td:
+        mb = os.path.join(td, "ref.mbtiles")
+        subprocess.run(
+            ["/tmp/refbuild/tippecanoe", "-o", mb, f"-z{maxzoom}", "-f",
+             "-q", *extra, src],
+            check=True, capture_output=True,
+        )
+        con = sqlite3.connect(mb)
+        ref = {
+            (z, x, y): bytes(d)
+            for z, x, y, d in con.execute(
+                "SELECT zoom_level, tile_column, tile_row, tile_data FROM tiles")
+        }
+        con.close()
+        ours_mb = str(tmp_path / "ours.mbtiles")
+        cli.main([
+            "--input", src, "--out", str(tmp_path / "out"),
+            "--maxzoom", str(maxzoom), "--mbtiles", ours_mb, *ours_extra,
+        ])
+        con = sqlite3.connect(ours_mb)
+        ours = {
+            (z, x, y): bytes(d)
+            for z, x, y, d in con.execute(
+                "SELECT zoom_level, tile_column, tile_row, tile_data FROM tiles")
+        }
+        con.close()
+    bad = [k for k in sorted(set(ref) | set(ours)) if ours.get(k) != ref.get(k)]
+    assert not bad, f"{len(bad)} tiles differ: {bad[:8]}"
+
 
 @pytest.mark.skipif(not has_reference(), reason="reference binary not built")
 @pytest.mark.parametrize("name,maxzoom,extra,ours_extra", BYTE_EXACT_CORPORA)

@@ -17,6 +17,36 @@ import sys
 import time
 
 
+def layer_name_from_path(path: str, source_index: int = 0) -> str:
+    """Default layer name from the input filename (main.cpp:1360-1408):
+    last path component, strip known extensions repeatedly, keep only
+    [A-Za-z0-9_] and high-bit (UTF-8 multibyte) bytes; 'unknown{i}'
+    when empty or structurally invalid UTF-8."""
+    import os
+
+    from tippecanoe_ray.functions.text import check_utf8
+
+    trunc = os.path.basename(path.rstrip("/"))
+    trims = (".json", ".geojson", ".geobuf", ".mbtiles", ".pmtiles",
+             ".csv", ".gz")
+    again = True
+    while again:
+        again = False
+        for t in trims:
+            if len(trunc) > len(t) and trunc.endswith(t):
+                trunc = trunc[: -len(t)]
+                again = True
+    raw = trunc.encode("utf-8")
+    out = bytes(
+        c for c in raw
+        if (65 <= c <= 90) or (97 <= c <= 122) or (48 <= c <= 57)
+        or c == 95 or c >= 0x80
+    )
+    if not out or check_utf8(out):
+        return f"unknown{source_index}"
+    return out.decode("utf-8")
+
+
 def _build_from_geo(args, cfg):
     """GeoJSON / geobuf / geocsv input: points ride the point pipeline,
     lines/polygons the vector cascade; the two tilesets merge."""
@@ -33,7 +63,7 @@ def _build_from_geo(args, cfg):
         VectorConfig, build_vector_pyramid, ingest_features,
     )
 
-    layer = args.layer_name or "in"
+    layer = args.layer_name or layer_name_from_path(args.input)
     cfg.layer_name = layer
     lower = args.input.lower()
     pts_tbl = None

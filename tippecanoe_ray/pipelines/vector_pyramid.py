@@ -195,15 +195,22 @@ def _unpack(tbl: pa.Table, i: int):
 
 def _point_bbox_index(ops: np.ndarray, world: np.ndarray) -> int:
     """Point index rule (serial.cpp:689-692): quadkey of the bbox
-    center computed as min/2 + max/2 (integer halves — loses the low
-    bit), masked into the addressable plane."""
+    center computed as min/2 + max/2 (C truncating halves — loses the
+    low bit), masked into the addressable plane. `world` must be the
+    bbox-source coordinates: FULL-precision pre-snap world coords
+    (scale_geometry fills sf.bbox before the gscale shift,
+    serial.cpp:339-349) unless --clip-bounding-box ran, which refills
+    the bbox from the snapped clipped geometry (serial.cpp:478-500)."""
     from ..functions.spatial import encode_quadkey
+
+    def _half(v: int) -> int:  # C99 trunc division by 2
+        return -((-v) // 2) if v < 0 else v // 2
 
     m = ops != 7
     xs = world[m, 0]
     ys = world[m, 1]
-    midx = (int(xs.min()) // 2 + int(xs.max()) // 2) & ((1 << 32) - 1)
-    midy = (int(ys.min()) // 2 + int(ys.max()) // 2) & ((1 << 32) - 1)
+    midx = (_half(int(xs.min())) + _half(int(xs.max()))) & ((1 << 32) - 1)
+    midy = (_half(int(ys.min())) + _half(int(ys.max()))) & ((1 << 32) - 1)
     return int(encode_quadkey(np.array([midx]), np.array([midy]))[0])
 
 
@@ -241,6 +248,7 @@ def _ingest_rows(tbl: pa.Table, cfg: VectorConfig) -> tuple[list, list[int]]:
         ops, xy = _unpack(tbl, i)
         if cfg.detect_wraparound:
             xy = _fix_wraparound(ops, xy)
+        raw_xy = xy  # full-precision bbox source for the point index
         scaled = dv.shift_right(xy, g)
         if t == 3:
             ops, scaled = dv.fix_polygon(ops, scaled)
@@ -291,7 +299,12 @@ def _ingest_rows(tbl: pa.Table, cfg: VectorConfig) -> tuple[list, list[int]]:
         out.append([seq, t, ops, world, lx, ly, 0, fmn, fmx])
         if want_idx:
             if t == 1:
-                idxs.append(_point_bbox_index(ops, world))
+                # full-precision bbox unless a clip refilled it from
+                # the snapped geometry (serial.cpp:478-500); a clipped
+                # multipoint may have fewer rows than raw_xy, so the
+                # snapped source is also the row-aligned one
+                src = world if cfg.clip_bboxes else raw_xy
+                idxs.append(_point_bbox_index(ops, src))
             else:
                 idxs.append(_vertex_hash_index(ops, scaled, g))
     return out, idxs
@@ -705,7 +718,8 @@ def _run_prefilter(cfg: VectorConfig, z, tx, ty, survivors):
 def _mk_feat(geom: bytes, t: int, seq: int, attrs) -> dict:
     """Tile feature dict: id/attributes from the broadcast side table
     (write_tile carries full_keys/full_values per feature; plain
-    corpora without ids get none, like the reference)."""
+    corpora without ids get none, like the reference). A per-feature
+    layer override (tippecanoe extension) rides as 'layer'."""
     f = {"geom": geom, "type": t}
     if attrs is not None:
         ent = attrs.get(seq)
@@ -715,7 +729,13 @@ def _mk_feat(geom: bytes, t: int, seq: int, attrs) -> dict:
                 f["id"] = fid
             if rows:
                 f["attrs_sv"] = rows
+        ln = attrs.get("__layers__", _EMPTY_DICT).get(seq)
+        if ln is not None:
+            f["layer"] = ln
     return f
+
+
+_EMPTY_DICT: dict = {}
 
 
 def _encode_with_detail_ladder(cfg: VectorConfig, z, tx, ty, survivors,
@@ -770,12 +790,18 @@ def _encode_with_detail_ladder(cfg: VectorConfig, z, tx, ty, survivors,
         n_rate = n_tiny = 0
         pending: list = []  # phase-1 survivors ("features" list)
         local_nodes: set[tuple[int, int]] = set()
-        # the per-layer first-feature slot (multiplier_state count,
-        # tile.cpp:1294-1299): consumed by the FIRST implicit-minzoom
-        # feature in the stream — even one whose clipped geometry is
-        # empty (the "XXX should continue" husk, tile.cpp:1205-1209) —
-        # but NOT by explicit-minzoom features (tile.cpp:1290,1314)
-        kept_slot_used = False
+        # the per-layer first-feature slot (multiplier_state count
+        # keyed by layername, tile.cpp:1294-1299): consumed by the
+        # FIRST implicit-minzoom feature of each layer in the stream —
+        # even one whose clipped geometry is empty (the "XXX should
+        # continue" husk, tile.cpp:1205-1209) — but NOT by
+        # explicit-minzoom features (tile.cpp:1290,1314)
+        kept_slots: set = set()
+        # (layer, type) pairs present in pending — the accumulate-onto
+        # search domain (find_feature_to_accumulate_onto matches BOTH,
+        # tile.cpp:1576-1590)
+        pend_lt: set = set()
+        lmap = attrs.get("__layers__", _EMPTY_DICT) if attrs else _EMPTY_DICT
         for row in survivors:
             seq, t, ops, xy, lab, fmz = row[:6]
             fmn = row[6] if len(row) > 6 else -1
@@ -785,24 +811,24 @@ def _encode_with_detail_ladder(cfg: VectorConfig, z, tx, ty, survivors,
                 # explicit per-feature zoom range (tippecanoe extension,
                 # tile.cpp:1307-1316)
                 continue
+            lname = lmap.get(seq)
             rate_dropped = False
             if fmn < 0:
-                if not kept_slot_used:
-                    kept_slot_used = True  # first in layer: FEATURE_KEPT
+                if lname not in kept_slots:
+                    kept_slots.add(lname)  # first in layer: FEATURE_KEPT
                 elif fmz > z:
                     rate_dropped = True
             if rate_dropped:
-                # the drop happens only with a previous SAME-TYPE
-                # feature in the appended list to accumulate onto
-                # (find_feature_to_accumulate_onto tile.cpp:1576-1590
-                # matches t; -aP converts before the gate, so polygons
-                # gate as points, tile.cpp:1916-1919); otherwise the
-                # feature falls through and is appended-and-emitted —
-                # the first APPENDED feature of the tile is always kept
+                # the drop happens only with a previous same-layer
+                # SAME-TYPE feature in the appended list to accumulate
+                # onto (-aP converts before the gate, so polygons gate
+                # as points, tile.cpp:1916-1919); otherwise the feature
+                # falls through and is appended-and-emitted — the first
+                # APPENDED feature of the tile is always kept
                 # (tile.cpp:2228-2236 revival after a husk consumed the
                 # nominal first slot)
                 gate_t = 1 if (t == 3 and cfg.generate_label_points) else t
-                if any(p[1] == gate_t for p in pending):
+                if (lname, gate_t) in pend_lt:
                     n_rate += 1  # strategy.dropped_by_rate tile.cpp:1973
                     continue
             if t == 3 and cfg.generate_label_points:
@@ -833,6 +859,7 @@ def _encode_with_detail_ladder(cfg: VectorConfig, z, tx, ty, survivors,
                 keep[1:] = (pts[1:] != pts[:-1]).any(axis=1)
                 pts = pts[keep]
                 pending.append((seq, 1, None, pts, False, 0.0))
+                pend_lt.add((lname, 1))
                 continue
             reduced = False
             if t == 3:
@@ -855,6 +882,7 @@ def _encode_with_detail_ladder(cfg: VectorConfig, z, tx, ty, survivors,
                 local_nodes.update(enodes)  # tile.cpp:2252-2254
             area = dv.get_mp_area(ops, xy) if t == 3 else 0.0
             pending.append((seq, t, ops, xy, reduced, area))
+            pend_lt.add((lname, t))
         # phase 2: simplification workers + encode
         # (simplify_feature tile.cpp:595-665)
         for seq, t, ops, xy, reduced, area in pending:
@@ -913,8 +941,19 @@ def _encode_with_detail_ladder(cfg: VectorConfig, z, tx, ty, survivors,
             return None
         tile_bytes = b""
         if cfg.encode_tiles:
-            layer = encode_layer(cfg.layer_name, feats, 1 << line_detail)
-            tile_bytes = encode_tile([layer], compress=cfg.compress, exact_gzip=True)
+            # tiles hold one MVT layer per layername present, in
+            # ALPHABETICAL name order (the reference's per-tile layers
+            # std::map, tile.cpp:2617-2684)
+            by_layer: dict[str, list] = {}
+            for f in feats:
+                by_layer.setdefault(f.pop("layer", None) or cfg.layer_name,
+                                    []).append(f)
+            mvt_layers = [
+                encode_layer(nm, by_layer[nm], 1 << line_detail)
+                for nm in sorted(by_layer)
+            ]
+            tile_bytes = encode_tile(mvt_layers, compress=cfg.compress,
+                                     exact_gzip=True)
         if cfg.max_tile_features is not None and len(feats) > cfg.max_tile_features:
             over_feats = max(over_feats, len(feats))
             warnings.warn(

@@ -42,7 +42,19 @@ def _iter_features(path: str):
             pos += 1
         if pos >= n:
             break
-        obj, pos = dec.raw_decode(text, pos)
+        try:
+            obj, pos = dec.raw_decode(text, pos)
+        except json.JSONDecodeError:
+            # jsonpull resilience (geojson.cpp feature callback): a
+            # malformed/truncated container doesn't kill the parse —
+            # complete objects nested inside it are still recognized
+            # as features/geometries as they close. Step into the
+            # broken region and try the next object start.
+            nxt = text.find("{", pos + 1)
+            if nxt < 0:
+                break
+            pos = nxt
+            continue
         if not isinstance(obj, dict):
             continue
         yield from _flatten(obj)
@@ -420,7 +432,14 @@ def _iter_features_tokens(path: str):
             pos += 1
         if pos >= n:
             break
-        obj, pos = dec.raw_decode(text, pos)
+        try:
+            obj, pos = dec.raw_decode(text, pos)
+        except json.JSONDecodeError:
+            nxt = text.find("{", pos + 1)  # jsonpull resilience (above)
+            if nxt < 0:
+                break
+            pos = nxt
+            continue
         if not isinstance(obj, dict):
             continue
         yield from _flatten(obj)
@@ -531,7 +550,13 @@ def read_geojson_attrs(path: str) -> dict:
     exchange)."""
     out: dict = {}
     seq = 0
+    layers: dict = {}  # seq -> per-feature layer override name
     for feat in _iter_features_tokens(path):
+        tc = feat.get("tippecanoe") or {}
+        if isinstance(tc, dict) and isinstance(tc.get("layer"), str):
+            # per-feature layer (geojson.cpp:96-100): the feature goes
+            # into its own MVT layer within each tile
+            layers[seq] = tc["layer"]
         props = feat.get("properties")
         rows = []
         if isinstance(props, dict):
@@ -541,18 +566,27 @@ def read_geojson_attrs(path: str) -> dict:
         fid = None
         rid = feat.get("id")
         if isinstance(rid, _RawNum):
+            # geojson.cpp:102-140: negative ids are dropped; an exact
+            # uint64 literal is kept verbatim (large_unsigned); any
+            # other numeric id survives only if dtoa_milo(double) is a
+            # pure integer string that strtoull round-trips (so 2.5,
+            # 1e20-style exponents, and doubles past uint64 all drop)
+            from ..functions.text import dtoa_milo
+
             tok = str(rid)
             d = float(tok)
-            if d >= 0 and not any(c in tok for c in ".eE"):
-                try:
-                    v = int(tok, 10)
-                    if 0 <= v < (1 << 64):
-                        fid = v
-                except ValueError:
-                    pass
-            elif d >= 0 and d == int(d):
-                fid = int(d)
+            if d >= 0:
+                if tok.isdigit() and int(tok) < (1 << 64):
+                    fid = int(tok)
+                else:
+                    s = dtoa_milo(d)
+                    if s.isdigit():
+                        v = min(int(s), (1 << 64) - 1)  # strtoull clamp
+                        if str(v) == s:
+                            fid = v
         if rows or fid is not None:
             out[seq] = (fid, rows)
         seq += 1
+    if layers:
+        out["__layers__"] = layers
     return out

@@ -622,8 +622,15 @@ def encode_serial_value(vt: str, s: str) -> bytes | None:
             d = float(s)
         except ValueError:
             d = 0.0
-        f32 = struct.unpack("<f", struct.pack("<f", d))[0]
-        if f32 == d and not math.isinf(f32):
+        # strtof ERANGE (value out of float range) → double; a literal
+        # Infinity parses as float-inf == double-inf → float, like the
+        # reference's f == d check (mvt.cpp:737-755)
+        try:
+            f32 = struct.unpack("<f", struct.pack("<f", d))[0]
+            use_float = f32 == d
+        except OverflowError:
+            use_float = False
+        if use_float:
             return _key(2, 5) + struct.pack("<f", d)   # mvt_float
         return _key(3, 1) + struct.pack("<d", d)        # mvt_double
     if vt == "bool":
