@@ -170,6 +170,32 @@ EDGE_CORPORA = [
     ("onefeature-point", "in.json", 0, [], []),
     ("empty-linestring", "in.json", 0, [], []),
     ("nested", "in.json", 0, [], []),
+    ("minzoom", "in.json", 6, [], []),
+    # bare geometries nested in arbitrary containers (jsonpull walk)
+    ("geometry", "bare.json", 3, [], []),
+    ("geometry", "geometrycollection.json", 3, [], []),
+    ("longlayer", "in.json", 0, [], []),
+    ("longjson", "sherlock.json", 0, [], []),
+    ("longattr", "sherlock.json", 0, [], []),
+    ("overture-235", "in.json", 0, [], []),
+    ("overlap", "in.json", 0, [], []),
+    # z20 pyramid (detail clamp 32-z) and explicit basezoom 0
+    ("stable", "in.json", 20, ["-Z20"], ["--minzoom", "20"]),
+    ("stable", "in.json", 3, ["-B0"], ["--basezoom", "0"]),
+    # -z30 clamps to MAX_ZOOM 24 with full detail 8 / low detail 9
+    ("highzoom", "in.json", 30, [], []),
+    ("wyalkatchem", "in.json", 12, ["-pk", "-pf", "-Z9", "-ldata"],
+     ["--minzoom", "9", "--layer-name", "data"]),
+    # -aw longitude wraparound repair
+    ("wraparound", "in.json", 5, ["--detect-longitude-wraparound"],
+     ["--detect-longitude-wraparound"]),
+    ("wraparound2", "in.json", 0, ["--detect-longitude-wraparound"],
+     ["--detect-longitude-wraparound"]),
+    ("bathymetry-6000", "in.json", 0, ["--detect-longitude-wraparound"],
+     ["--detect-longitude-wraparound"]),
+    # -y attribute include filter
+    ("ne_110m_populated_places-minzoom", "in.json", 5,
+     ["-yNAME", "-ySCALERANK"], ["-y", "NAME", "-y", "SCALERANK"]),
 ]
 
 

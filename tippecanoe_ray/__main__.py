@@ -100,6 +100,14 @@ def _build_from_geo(args, cfg):
         from tippecanoe_ray.sources.geojson import read_geojson_attrs
 
         vec_attrs.update(read_geojson_attrs(args.input))
+    if getattr(args, "include", None):
+        # -y: keep ONLY the named attributes (include set); ids and
+        # the layer map are untouched
+        inc = set(args.include)
+        for k, v in list(vec_attrs.items()):
+            if isinstance(k, int):
+                fid, rows = v
+                vec_attrs[k] = (fid, [r for r in rows if r[0] in inc])
     outs = []
     if pts_tbl is not None and len(pts_tbl):
         wx = pts_tbl["wx"].to_numpy()
@@ -113,11 +121,18 @@ def _build_from_geo(args, cfg):
     if vec_tbl is not None and len(vec_tbl):
         vcfg = VectorConfig(
             minzoom=cfg.minzoom, maxzoom=cfg.maxzoom, layer_name=layer,
+            # "Highest supported detail with maxzoom z is 32-z"
+            # (main.cpp:3734-3741); maxzoom itself is clamped to
+            # MAX_ZOOM=24 in main()
+            detail=min(12, 32 - cfg.maxzoom),
+            low_detail=min(12, 33 - cfg.maxzoom),
             buffer=args.buffer, droprate=cfg.droprate,
+            basezoom=args.basezoom,
             max_tile_size=args.max_tile_bytes,
             prevent_shared_nodes=args.prevent_shared_nodes,
             variable_depth=args.variable_depth,
             prefilter=args.prefilter,
+            detect_wraparound=args.detect_wraparound,
             clip_bboxes=tuple(
                 tuple(float(v) for v in s.split(","))
                 for s in args.clip_bounding_box
@@ -169,12 +184,24 @@ def main(argv=None):
     ap.add_argument("--prevent-shared-nodes", "-pn", action="store_true",
                     help="preserve shared vertices through simplification "
                          "(-pn, main.cpp:2015-2169)")
+    ap.add_argument("--detect-longitude-wraparound", "-aw",
+                    dest="detect_wraparound", action="store_true",
+                    help="repair >180-degree longitude jumps between "
+                         "consecutive vertices (-aw, serial.cpp:313-337)")
+    ap.add_argument("--include", "-y", action="append", default=[],
+                    help="keep ONLY these attributes (-y, may repeat; "
+                         "main.cpp include set)")
     ap.add_argument("--resume", action="store_true")
     ap.add_argument("--num-cpus", type=int, default=None)
     ap.add_argument("--mbtiles", default=None, help="also package to this mbtiles file")
     ap.add_argument("--pmtiles", default=None, help="also package to this pmtiles archive")
     ap.add_argument("--dirtiles", default=None, help="also write z/x/y.pbf dirtiles here")
     args = ap.parse_args(argv)
+    if args.maxzoom > 24:
+        # "Highest supported zoom is -z24" (MAX_ZOOM, main.hpp:77,
+        # clamp main.cpp:3723-3725)
+        print("Highest supported zoom is -z24", file=sys.stderr)
+        args.maxzoom = 24
 
     import ray
 

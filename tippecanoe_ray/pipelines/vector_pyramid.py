@@ -58,6 +58,10 @@ class VectorConfig:
     minzoom: int = 0
     maxzoom: int = 14
     detail: int = 12
+    # -D: detail for tiles BELOW maxzoom (write_tile gets
+    # `z == maxzoom ? full_detail : low_detail`, tile.cpp:3206);
+    # None = same as detail. Clamped by the CLI to 33 - maxzoom.
+    low_detail: int | None = None
     buffer: int = 5  # tile buffer in 256ths (main.cpp:3200)
     simplification: float = 1.0
     tiny_polygon_size: float = 2.0  # main.cpp:88
@@ -483,7 +487,9 @@ def _feature_step(cfg: VectorConfig, z: int, tx: int, ty: int,
     span = 1 << span_shift
     buf = cfg.buffer * span // 256
     origin = np.array([tx << span_shift, ty << span_shift], dtype=np.int64) if z else np.zeros(2, np.int64)
-    child_div = 1 << (WORLD_BITS - (z + 1) - 8)
+    # only consumed when z+1 <= maxzoom (≤ MAX_ZOOM 24, so the shift is
+    # ≥ 0 there; the max() keeps maxzoom-tile steps from raising)
+    child_div = 1 << max(0, WORLD_BITS - (z + 1) - 8)
     cspan = 2  # nextzoom - z == 1
 
     local = xy - origin
@@ -772,9 +778,13 @@ def _encode_with_detail_ladder(cfg: VectorConfig, z, tx, ty, survivors,
         # like it might fit and extra detail is actually available
         if 0.6693 * est - 3.36e4 < 0.9 * mts and 30 - z > cfg.detail:
             trying_to_stop_early = True
-    details = ([30 - z] if trying_to_stop_early else []) + [cfg.detail]
+    # z == maxzoom -> full detail; below -> low_detail (tile.cpp:3206)
+    base_detail = cfg.detail
+    if z < cfg.maxzoom and cfg.low_detail is not None:
+        base_detail = cfg.low_detail
+    details = ([30 - z] if trying_to_stop_early else []) + [base_detail]
     if mts is not None:
-        details += list(range(cfg.detail - 1, cfg.min_detail - 1, -1))
+        details += list(range(base_detail - 1, cfg.min_detail - 1, -1))
     feats: list = []
     pn = cfg.prevent_shared_nodes
     from ..stages.tile_encode import encode_multipoint
@@ -966,7 +976,7 @@ def _encode_with_detail_ladder(cfg: VectorConfig, z, tx, ty, survivors,
             return {"z": z, "x": tx, "y": ty, "n_features": len(feats),
                     "tile": tile_bytes, "leafed": leafed,
                     "s_rate": n_rate, "s_tiny": n_tiny,
-                    "s_detail": max(cfg.detail - line_detail, 0),
+                    "s_detail": max(base_detail - line_detail, 0),
                     "s_tsize": over_size, "s_fcount": over_feats}
         over_size = max(over_size, len(tile_bytes))  # tile.cpp:2889-2897
     warnings.warn(
@@ -977,7 +987,7 @@ def _encode_with_detail_ladder(cfg: VectorConfig, z, tx, ty, survivors,
     return {"z": z, "x": tx, "y": ty, "n_features": len(feats),
             "tile": tile_bytes, "leafed": 0,
             "s_rate": n_rate, "s_tiny": n_tiny,
-            "s_detail": max(cfg.detail - cfg.min_detail, 0),
+            "s_detail": max(base_detail - cfg.min_detail, 0),
             "s_tsize": over_size, "s_fcount": over_feats}
 
 

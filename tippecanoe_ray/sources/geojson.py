@@ -35,6 +35,7 @@ def _iter_features(path: str):
     with op(path, "rt", encoding="utf-8-sig") as f:
         text = f.read()
     dec = json.JSONDecoder()
+    state = {"found_features": 0}  # per-file bare-geometry gate
     pos = 0
     n = len(text)
     while pos < n:
@@ -57,20 +58,64 @@ def _iter_features(path: str):
             continue
         if not isinstance(obj, dict):
             continue
-        yield from _flatten(obj)
+        yield from _flatten(obj, state)
 
 
-def _flatten(obj: dict):
-    t = obj.get("type")
-    if t == "FeatureCollection":
-        # recurse: tippecanoe-decode emits nested FeatureCollections
-        for f in obj.get("features", []):
-            if isinstance(f, dict):
-                yield from _flatten(f)
+_GEOM_TYPE_NAMES = frozenset(
+    ("Point", "MultiPoint", "LineString", "MultiLineString",
+     "Polygon", "MultiPolygon"))
+
+
+def _flatten(obj: dict, _state=None):
+    """jsonpull close-order walk (parse_json, geojson-loop.cpp:39-146):
+    Features and bare geometries are recognized wherever they appear in
+    the object tree — children before their containers. A bare
+    geometry is skipped inside a "geometries" array, inside a hash
+    that has a "geometry" key (a Feature), under any "properties"
+    value, or once ANY Feature has been found in the file; only the
+    six concrete geometry type names count (a bare GeometryCollection
+    contributes nothing). A Feature needs a geometry key and a
+    hash-or-null properties key."""
+    state = _state if _state is not None else {"found_features": 0}
+    yield from _walk_json(obj, None, None, False, state)
+
+
+def _walk_json(v, parent, grandparent, in_properties, state):
+    if isinstance(v, list):
+        for e in v:
+            yield from _walk_json(e, v, parent, in_properties, state)
+        return
+    if not isinstance(v, dict):
+        return
+    for k, vv in v.items():
+        yield from _walk_json(vv, v, parent,
+                              in_properties or k == "properties", state)
+    t = v.get("type")
+    if not isinstance(t, str):
+        return
+    if t in _GEOM_TYPE_NAMES and state["found_features"] == 0:
+        if in_properties:
+            return
+        if isinstance(parent, list) and isinstance(grandparent, dict) \
+                and "geometries" in grandparent:
+            return  # inside a GeometryCollection
+        if isinstance(parent, dict) and "geometry" in parent:
+            return  # inside a Feature
+        yield {"type": "Feature", "properties": {}, "geometry": v}
     elif t == "Feature":
-        yield obj
-    elif t is not None:  # bare geometry
-        yield {"type": "Feature", "properties": {}, "geometry": obj}
+        if in_properties:
+            return  # Features under a properties value are data, not
+            #         input (geojson-loop.cpp:158-173)
+        if "geometry" not in v or v["geometry"] is None:
+            return  # "feature with no geometry" (warn + skip)
+        props = v.get("properties", _MISSING)
+        if props is _MISSING or not (props is None or isinstance(props, dict)):
+            return  # "feature without properties hash" (warn + skip)
+        state["found_features"] += 1
+        yield v
+
+
+_MISSING = object()
 
 
 def _geom_parts(geometry: dict):
@@ -425,6 +470,7 @@ def _iter_features_tokens(path: str):
     with op(path, "rt", encoding="utf-8-sig") as f:
         text = f.read()
     dec = json.JSONDecoder(parse_float=_RawNum, parse_int=_RawNum)
+    state = {"found_features": 0}  # per-file bare-geometry gate
     pos = 0
     n = len(text)
     while pos < n:
@@ -442,7 +488,7 @@ def _iter_features_tokens(path: str):
             continue
         if not isinstance(obj, dict):
             continue
-        yield from _flatten(obj)
+        yield from _flatten(obj, state)
 
 
 _MAX_SAFE = 9007199254740991.0
