@@ -196,6 +196,26 @@ EDGE_CORPORA = [
     # -y attribute include filter
     ("ne_110m_populated_places-minzoom", "in.json", 5,
      ["-yNAME", "-ySCALERANK"], ["-y", "NAME", "-y", "SCALERANK"]),
+    # --accumulate-attribute: rate-dropped features fold onto the kept
+    # one (mean with the count rider; comma concat with set-attribute)
+    ("mean-accumulation", "in.json", 1,
+     ["--accumulate-attribute", "value:mean"],
+     ["--accumulate-attribute", "value:mean"]),
+    ("ne_110m_populated_places_nulls", "in.json", 1,
+     ["--accumulate-attribute", "POP2000:mean", "-yNAME", "-yPOP2000"],
+     ["--accumulate-attribute", "POP2000:mean", "-y", "NAME", "-y", "POP2000"]),
+    ("accumulate", "in.json", 14,
+     ["--set-attribute", "thecomma:NEWVALUE",
+      "--accumulate-attribute", "thecomma:comma"],
+     ["--set-attribute", "thecomma:NEWVALUE",
+      "--accumulate-attribute", "thecomma:comma"]),
+    ("accumulate", "in.json", 0,
+     ["--set-attribute", '{"num":5,"str":"abc"}'],
+     ["--set-attribute", '{"num":5,"str":"abc"}']),
+    # real TIGER roads (lines) with shared-node preservation
+    ("tl_2018_51685_roads", "in.json", 11,
+     ["-Z11", "--no-simplification-of-shared-nodes"],
+     ["--minzoom", "11", "--prevent-shared-nodes"]),
 ]
 
 

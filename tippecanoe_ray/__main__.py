@@ -100,6 +100,38 @@ def _build_from_geo(args, cfg):
         from tippecanoe_ray.sources.geojson import read_geojson_attrs
 
         vec_attrs.update(read_geojson_attrs(args.input))
+    if getattr(args, "set_attribute", None):
+        import json as _json
+
+        from tippecanoe_ray.sources.geojson import _RawNum, stringify_value_sv
+        _dec = _json.JSONDecoder(parse_float=_RawNum, parse_int=_RawNum)
+
+        # std::map ordering: keys sorted; existing keys replaced in
+        # place, new ones appended after the real attributes
+        # (serial.cpp:785-799)
+        sets: dict = {}
+        for arg in args.set_attribute:
+            if arg.startswith("{"):
+                for k, v in _dec.decode(arg).items():
+                    sets[k] = stringify_value_sv(v)
+            else:
+                name, _, value = arg.partition(":")
+                vt = ("double" if value[:1].isdigit() or value[:1] == "-"
+                      else "string")
+                sets[name] = (vt, value)
+        sets = dict(sorted(sets.items()))
+        n_feat = vec_attrs.get("__n__") or (
+            max((k for k in vec_attrs if isinstance(k, int)), default=-1) + 1)
+        for seq in range(n_feat):
+            fid, rows = vec_attrs.get(seq, (None, []))
+            rows = list(rows)
+            have = {r[0]: i for i, r in enumerate(rows)}
+            for k, (vt, s) in sets.items():
+                if k in have:
+                    rows[have[k]] = (k, vt, s)
+                else:
+                    rows.append((k, vt, s))
+            vec_attrs[seq] = (fid, rows)
     if getattr(args, "include", None):
         # -y: keep ONLY the named attributes (include set); ids and
         # the layer map are untouched
@@ -133,6 +165,9 @@ def _build_from_geo(args, cfg):
             variable_depth=args.variable_depth,
             prefilter=args.prefilter,
             detect_wraparound=args.detect_wraparound,
+            attribute_accum=tuple(
+                tuple(s.split(":", 1)) for s in args.accumulate_attribute
+            ),
             clip_bboxes=tuple(
                 tuple(float(v) for v in s.split(","))
                 for s in args.clip_bounding_box
@@ -191,6 +226,17 @@ def main(argv=None):
     ap.add_argument("--include", "-y", action="append", default=[],
                     help="keep ONLY these attributes (-y, may repeat; "
                          "main.cpp include set)")
+    ap.add_argument("--set-attribute", action="append", default=[],
+                    help="name:value or a JSON object — set the "
+                         "attribute on every feature (replaces an "
+                         "existing value in place, appends new keys; "
+                         "main.cpp:2885-2936, serial.cpp:785-799)")
+    ap.add_argument("--accumulate-attribute", "-E", action="append",
+                    default=[],
+                    help="key:op — fold this attribute of rate-dropped "
+                         "features onto the kept feature (op: sum, "
+                         "product, mean, max, min, concat, comma, "
+                         "count; attribute.cpp:16-56)")
     ap.add_argument("--resume", action="store_true")
     ap.add_argument("--num-cpus", type=int, default=None)
     ap.add_argument("--mbtiles", default=None, help="also package to this mbtiles file")

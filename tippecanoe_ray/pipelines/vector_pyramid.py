@@ -104,6 +104,11 @@ class VectorConfig:
     # --clip-bounding-box lon1,lat1,lon2,lat2 (may repeat): clip every
     # feature at ingest (serial.cpp:466-500; projected main.cpp:3693)
     clip_bboxes: tuple = ()
+    # --accumulate-attribute key:op pairs (set_attribute_accum,
+    # attribute.cpp:16-56): when a feature is rate-dropped, these
+    # attributes fold onto the accumulate target (preserve_attributes
+    # tile.cpp:1544-1569, ops attribute.cpp:92-181)
+    attribute_accum: tuple = ()
     # -C 'command': per-tile shell prefilter (plugin.cpp:376-470,
     # run_prefilter tile.cpp:1381-1443): the tile's (parent-clipped,
     # this-tile-clipped) features are piped to `sh -c command sh z x y`
@@ -721,7 +726,84 @@ def _run_prefilter(cfg: VectorConfig, z, tx, ty, survivors):
     return out
 
 
-def _mk_feat(geom: bytes, t: int, seq: int, attrs) -> dict:
+def _atof(s: str) -> float:
+    """C atof: parse the leading numeric prefix, 0 on none; stops at
+    an embedded NUL (the mean/count rider separator, serial.hpp:83)."""
+    import re
+
+    s = s.split("\0", 1)[0]
+    m = re.match(r"[ \t]*[-+]?(\d+\.?\d*([eE][-+]?\d+)?|\.\d+([eE][-+]?\d+)?"
+                 r"|inf(inity)?|nan)", s, re.IGNORECASE)
+    if not m:
+        return 0.0
+    try:
+        return float(m.group(0))
+    except ValueError:
+        return 0.0
+
+
+def _acc_count(s: str) -> int:
+    """serial_val.get_count (serial.hpp:74): count rider after a NUL."""
+    if "\0" not in s:
+        return 0
+    try:
+        return int(s.split("\0", 1)[1] or "0")
+    except ValueError:
+        return 0
+
+
+def _accumulate_attr(acc: dict, op: str, key: str, vt: str, s: str):
+    """One preserve_attribute1 application (attribute.cpp:92-181) into
+    the target's accumulation store acc = {key: [vt, s]} (+ acc
+    preserves insertion order = promote order)."""
+    from ..functions.text import dtoa_milo
+
+    ex = acc.get(key)
+    if ex is None:
+        # not-found branch (attribute.cpp:156-180)
+        if op in ("sum", "max", "min"):
+            acc[key] = [vt, s]
+        elif op == "count":
+            acc[key] = ["double", dtoa_milo(1.0) + "\0" + "1"]
+        elif op == "mean":
+            acc[key] = ["double", dtoa_milo(_atof(s)) + "\0" + "1"]
+        else:
+            # product/concat/comma have no not-found branch in the
+            # reference (the key always pre-exists there); start from
+            # the incoming value rather than dying
+            acc[key] = [vt, s]
+        return
+    if op == "sum":
+        ex[:] = ["double", dtoa_milo(_atof(ex[1]) + _atof(s))]
+    elif op == "product":
+        ex[:] = ["double", dtoa_milo(_atof(ex[1]) * _atof(s))]
+    elif op == "max":
+        if _atof(s) > _atof(ex[1]):
+            ex[:] = [vt, s]
+    elif op == "min":
+        if _atof(s) < _atof(ex[1]):
+            ex[:] = [vt, s]
+    elif op == "mean":
+        count = _acc_count(ex[1])
+        if count <= 1:
+            ex[:] = ["double",
+                     dtoa_milo((_atof(ex[1]) + _atof(s)) / 2) + "\0" + "2"]
+        else:
+            total = _atof(ex[1]) * count + _atof(s)
+            count += 1
+            ex[:] = ["double",
+                     dtoa_milo(total / count) + "\0" + str(count)]
+    elif op == "concat":
+        ex[:] = ["string", ex[1] + s]
+    elif op == "comma":
+        ex[:] = ["string", ex[1] + "," + s]
+    elif op == "count":
+        c = _acc_count(ex[1])
+        c = 2 if c <= 1 else c + 1
+        ex[:] = ["double", dtoa_milo(float(c)) + "\0" + str(c)]
+
+
+def _mk_feat(geom: bytes, t: int, seq: int, attrs, acc: dict | None = None) -> dict:
     """Tile feature dict: id/attributes from the broadcast side table
     (write_tile carries full_keys/full_values per feature; plain
     corpora without ids get none, like the reference). A per-feature
@@ -729,12 +811,22 @@ def _mk_feat(geom: bytes, t: int, seq: int, attrs) -> dict:
     f = {"geom": geom, "type": t}
     if attrs is not None:
         ent = attrs.get(seq)
+        rows = []
         if ent is not None:
             fid, rows = ent
             if fid is not None:
                 f["id"] = fid
-            if rows:
-                f["attrs_sv"] = rows
+        if acc:
+            # accumulated keys were PROMOTED out of the normal
+            # attribute list and appended after it in promote order
+            # (promote_attribute tile.cpp:1465-1484 + decode_meta then
+            # full_keys, tile.cpp:2646-2651); the count rider after
+            # the NUL is invisible to the wire
+            rows = [r for r in rows if r[0] not in acc] + [
+                (k, v[0], v[1].split("\0", 1)[0]) for k, v in acc.items()
+            ]
+        if rows:
+            f["attrs_sv"] = rows
         ln = attrs.get("__layers__", _EMPTY_DICT).get(seq)
         if ln is not None:
             f["layer"] = ln
@@ -807,10 +899,14 @@ def _encode_with_detail_ladder(cfg: VectorConfig, z, tx, ty, survivors,
         # continue" husk, tile.cpp:1205-1209) — but NOT by
         # explicit-minzoom features (tile.cpp:1290,1314)
         kept_slots: set = set()
-        # (layer, type) pairs present in pending — the accumulate-onto
-        # search domain (find_feature_to_accumulate_onto matches BOTH,
-        # tile.cpp:1576-1590)
-        pend_lt: set = set()
+        # (layer, type) -> most recent pending index — the
+        # accumulate-onto search domain and target
+        # (find_feature_to_accumulate_onto matches BOTH and returns
+        # the most recently added, tile.cpp:1576-1590)
+        pend_lt: dict = {}
+        # pending index -> accumulated-attribute store {key: [vt, s]}
+        acc_by_idx: dict[int, dict] = {}
+        accum = dict(cfg.attribute_accum) if cfg.attribute_accum else None
         lmap = attrs.get("__layers__", _EMPTY_DICT) if attrs else _EMPTY_DICT
         for row in survivors:
             seq, t, ops, xy, lab, fmz = row[:6]
@@ -838,7 +934,33 @@ def _encode_with_detail_ladder(cfg: VectorConfig, z, tx, ty, survivors,
                 # (tile.cpp:2228-2236 revival after a husk consumed the
                 # nominal first slot)
                 gate_t = 1 if (t == 3 and cfg.generate_label_points) else t
-                if (lname, gate_t) in pend_lt:
+                ti = pend_lt.get((lname, gate_t))
+                if ti is not None:
+                    if accum and attrs is not None:
+                        # fold this feature's accumulated attributes
+                        # onto the target (preserve_attributes,
+                        # tile.cpp:1972); nulls are already gone by
+                        # this point in the reference scan
+                        # (tile.cpp:1322-1330)
+                        ent = attrs.get(seq)
+                        d_rows = ent[1] if ent else ()
+                        acc = acc_by_idx.get(ti)
+                        if acc is None:
+                            acc = acc_by_idx[ti] = {}
+                        t_seq = pending[ti][0]
+                        t_ent = attrs.get(t_seq)
+                        t_rows = {r[0]: r for r in (t_ent[1] if t_ent else ())}
+                        for k, vt_d, s_d in d_rows:
+                            if k not in accum or vt_d == "null":
+                                continue
+                            if (k not in acc and k in t_rows
+                                    and t_rows[k][1] != "null"):
+                                # promote: seed from the target's own
+                                # value (tile.cpp:1465-1484; the
+                                # target's nulls were removed in ITS
+                                # scan pass before appending)
+                                acc[k] = [t_rows[k][1], t_rows[k][2]]
+                            _accumulate_attr(acc, accum[k], k, vt_d, s_d)
                     n_rate += 1  # strategy.dropped_by_rate tile.cpp:1973
                     continue
             if t == 3 and cfg.generate_label_points:
@@ -868,8 +990,8 @@ def _encode_with_detail_ladder(cfg: VectorConfig, z, tx, ty, survivors,
                 keep = np.ones(len(pts), bool)
                 keep[1:] = (pts[1:] != pts[:-1]).any(axis=1)
                 pts = pts[keep]
+                pend_lt[(lname, 1)] = len(pending)
                 pending.append((seq, 1, None, pts, False, 0.0))
-                pend_lt.add((lname, 1))
                 continue
             reduced = False
             if t == 3:
@@ -891,11 +1013,12 @@ def _encode_with_detail_ladder(cfg: VectorConfig, z, tx, ty, survivors,
             if pn and enodes:
                 local_nodes.update(enodes)  # tile.cpp:2252-2254
             area = dv.get_mp_area(ops, xy) if t == 3 else 0.0
+            pend_lt[(lname, t)] = len(pending)
             pending.append((seq, t, ops, xy, reduced, area))
-            pend_lt.add((lname, t))
         # phase 2: simplification workers + encode
         # (simplify_feature tile.cpp:595-665)
-        for seq, t, ops, xy, reduced, area in pending:
+        for pi, (seq, t, ops, xy, reduced, area) in enumerate(pending):
+            acc = acc_by_idx.get(pi)
             if t == 1:
                 if ops is not None:
                     # ingested point feature (world coords); -aP anchor
@@ -904,7 +1027,7 @@ def _encode_with_detail_ladder(cfg: VectorConfig, z, tx, ty, survivors,
                     ops, xy = dv.remove_noop(ops, xy, 1, 0)
                     if len(ops) == 0:
                         continue
-                feats.append(_mk_feat(encode_multipoint(xy), 1, seq, attrs))
+                feats.append(_mk_feat(encode_multipoint(xy), 1, seq, attrs, acc))
                 continue
             if not reduced:
                 if t == 2 and not pn:
@@ -935,9 +1058,9 @@ def _encode_with_detail_ladder(cfg: VectorConfig, z, tx, ty, survivors,
             if not parts:
                 continue
             if t == 3:
-                feats.append(_mk_feat(encode_polygon(parts), 3, seq, attrs))
+                feats.append(_mk_feat(encode_polygon(parts), 3, seq, attrs, acc))
             else:
-                feats.append(_mk_feat(encode_linestring(parts), 2, seq, attrs))
+                feats.append(_mk_feat(encode_linestring(parts), 2, seq, attrs, acc))
         if not feats:
             if n_rate or n_tiny or over_size or over_feats:
                 # counter-only phantom row: the reference counts tiny/

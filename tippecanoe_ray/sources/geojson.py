@@ -635,4 +635,11 @@ def read_geojson_attrs(path: str) -> dict:
         seq += 1
     if layers:
         out["__layers__"] = layers
+    out["__n__"] = seq  # total feature count (incl. attribute-less)
     return out
+
+
+def stringify_value_sv(value) -> tuple:
+    """Public alias for the serial_val stringification (CLI
+    --set-attribute JSON form)."""
+    return _stringify_value(value)
