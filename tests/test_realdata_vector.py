@@ -216,6 +216,28 @@ EDGE_CORPORA = [
     ("tl_2018_51685_roads", "in.json", 11,
      ["-Z11", "--no-simplification-of-shared-nodes"],
      ["--minzoom", "11", "--prevent-shared-nodes"]),
+    # web-mercator-meters input (-s)
+    ("epsg-3857", "in.json", 5, ["-yNAME", "-sEPSG:3857"],
+     ["-y", "NAME", "-s", "EPSG:3857"]),
+    # clip_to_tile prevent modes (also switch off the simplifier's
+    # tile-boundary node imposition)
+    ("curve", "in.json", 2, ["--no-clipping"], ["--no-clipping"]),
+    ("curve", "in.json", 2, ["--no-duplication"], ["--no-duplication"]),
+    # -ag density tags (incl. the exp(log(x)) manage_gap round trip)
+    # and hilbert indexing over the 4303-stop tile
+    ("muni", "muni.json", 11,
+     ["-Z11", "--calculate-feature-density"],
+     ["--minzoom", "11", "--calculate-feature-density"]),
+    ("muni", "muni.json", 11, ["-Z11", "--hilbert"],
+     ["--minzoom", "11", "--hilbert"]),
+    # -ao/-ac: attribute-sorted features and adjacent-identical merge
+    # into multigeometries (coalcmp; the order-dependent wagyu union
+    # of 112 id-less country polygons is the hard case)
+    ("coalesce-id", "in.json", 1, ["--reorder"], ["--reorder"]),
+    ("coalesce-id", "in.json", 1, ["--coalesce", "--reorder"],
+     ["--coalesce", "--reorder"]),
+    ("overlap", "in.json", 0, ["--coalesce"], ["--coalesce"]),
+    ("empty-linestring", "in.json", 14, ["-ac"], ["--coalesce"]),
 ]
 
 

@@ -93,10 +93,12 @@ def _build_from_geo(args, cfg):
         point_strategies = bool(getattr(cfg, "strategies", None))
         if point_strategies:
             pts_tbl = read_geojson_points(args.input)
-            vec_tbl = read_geojson_vector(args.input, include_points=False)
+            vec_tbl = read_geojson_vector(args.input, include_points=False,
+                                          projection=args.projection)
         else:
             pts_tbl = None
-            vec_tbl = read_geojson_vector(args.input)
+            vec_tbl = read_geojson_vector(args.input,
+                                          projection=args.projection)
         from tippecanoe_ray.sources.geojson import read_geojson_attrs
 
         vec_attrs.update(read_geojson_attrs(args.input))
@@ -165,6 +167,12 @@ def _build_from_geo(args, cfg):
             variable_depth=args.variable_depth,
             prefilter=args.prefilter,
             detect_wraparound=args.detect_wraparound,
+            prevent_clipping=args.prevent_clipping,
+            prevent_duplication=args.prevent_duplication,
+            calculate_density=args.calculate_feature_density,
+            reorder=args.reorder,
+            coalesce=args.coalesce,
+            index_scheme="hilbert" if args.hilbert else "quadkey",
             attribute_accum=tuple(
                 tuple(s.split(":", 1)) for s in args.accumulate_attribute
             ),
@@ -173,9 +181,14 @@ def _build_from_geo(args, cfg):
                 for s in args.clip_bounding_box
             ),
         )
+        feats = ingest_features(vec_tbl, vcfg)
+        if args.calculate_feature_density:
+            # the density scan needs each feature's spatial index
+            vec_attrs["__vindex__"] = dict(
+                zip(feats["seq"].to_pylist(), feats["vindex"].to_pylist())
+            )
         outs.append(build_vector_pyramid(
-            ingest_features(vec_tbl, vcfg), vcfg,
-            attrs=vec_attrs or None,
+            feats, vcfg, attrs=vec_attrs or None,
         ))
     if not outs:
         raise SystemExit("no features found in input")
@@ -226,6 +239,29 @@ def main(argv=None):
     ap.add_argument("--include", "-y", action="append", default=[],
                     help="keep ONLY these attributes (-y, may repeat; "
                          "main.cpp include set)")
+    ap.add_argument("--reorder", "-ao", action="store_true",
+                    help="sort each tile's features by attributes "
+                         "(tile.cpp:2518-2521)")
+    ap.add_argument("--coalesce", "-ac", action="store_true",
+                    help="merge adjacent identical-attribute features "
+                         "into one multigeometry (tile.cpp:2524-2546)")
+    ap.add_argument("--calculate-feature-density", action="store_true",
+                    help="-ag: tag each feature with its density "
+                         "(0-255, tile.cpp:2146-2157)")
+    ap.add_argument("--hilbert", action="store_true",
+                    help="hilbert spatial indexes instead of quadkey "
+                         "(main.cpp:3680-3687)")
+    ap.add_argument("--no-clipping", dest="prevent_clipping",
+                    action="store_true",
+                    help="-pc: don't clip geometry to tile boundaries "
+                         "(tile.cpp:1045-1050)")
+    ap.add_argument("--no-duplication", dest="prevent_duplication",
+                    action="store_true",
+                    help="-pD: emit each feature only in the tile "
+                         "holding its bbox midpoint (tile.cpp:1039-1044)")
+    ap.add_argument("--projection", "-s", default="EPSG:4326",
+                    choices=["EPSG:4326", "EPSG:3857"],
+                    help="input coordinate system (projection.cpp:13-17)")
     ap.add_argument("--set-attribute", action="append", default=[],
                     help="name:value or a JSON object — set the "
                          "attribute on every feature (replaces an "

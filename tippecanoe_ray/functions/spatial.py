@@ -57,6 +57,24 @@ def lonlat_to_world(lon, lat) -> tuple[np.ndarray, np.ndarray]:
     return wx, wy
 
 
+def epsg3857_to_world(mx, my) -> tuple[np.ndarray, np.ndarray]:
+    """Web-Mercator meters → zoom-32 world coordinates
+    (epsg3857totile, projection.cpp:74-94): NaN/∞ coordinates pushed
+    off the plane (40000000 m), std::round (half away) semantics."""
+    mx = np.asarray(mx, dtype=np.float64).copy()
+    my = np.asarray(my, dtype=np.float64).copy()
+    mx[~np.isfinite(mx)] = 40000000.0
+    my[~np.isfinite(my)] = 40000000.0
+    r = float(1 << 31) / 6378137.0 / np.pi
+    fx = mx * r + float(1 << 31)
+    fy = (float(1 << 32) - 1.0) - (my * r + float(1 << 31))
+
+    def _rnd(v):
+        return np.where(v >= 0, np.floor(v + 0.5), np.ceil(v - 0.5))
+
+    return _rnd(fx).astype(np.int64), _rnd(fy).astype(np.int64)
+
+
 def world_to_lonlat(wx, wy) -> tuple[np.ndarray, np.ndarray]:
     """Inverse projection (projection.cpp:68-73, zoom 32)."""
     wx = np.asarray(wx, dtype=np.float64)

@@ -41,6 +41,7 @@ is active (serial.cpp:753-762); with dropping active, groups order by
 from __future__ import annotations
 
 import dataclasses
+import math
 
 import numpy as np
 import pyarrow as pa
@@ -101,6 +102,25 @@ class VectorConfig:
     # leaf. Only meaningful without drop strategies (the reference
     # disables the gate when dropping_features()).
     variable_depth: bool = False
+    # -ag: attach tippecanoe_feature_density (0-255 sint) per feature
+    # (tile.cpp:2146-2157 spacing scan, 2656-2676 tag); needs the
+    # attrs side table to carry the per-seq spatial index (__vindex__)
+    calculate_density: bool = False
+    # --hilbert: spatial indexes use hilbert order instead of quadkey
+    # (main.cpp:3680-3687)
+    index_scheme: str = "quadkey"
+    # -ao / --reorder: stable-sort each tile's features by attributes
+    # (coalindexcmp, tile.cpp:113-200); -ac / --coalesce: merge
+    # adjacent identical-attribute features into one multigeometry
+    # (tile.cpp:2520-2580)
+    reorder: bool = False
+    coalesce: bool = False
+    # -pc / --no-clipping: keep the whole geometry in every tile whose
+    # clip would be non-empty; -pD / --no-duplication: keep it only in
+    # the tile holding the bbox midpoint (clip_to_tile,
+    # tile.cpp:1039-1053; both still clip at z0 for the dateline)
+    prevent_clipping: bool = False
+    prevent_duplication: bool = False
     # --clip-bounding-box lon1,lat1,lon2,lat2 (may repeat): clip every
     # feature at ingest (serial.cpp:466-500; projected main.cpp:3693)
     clip_bboxes: tuple = ()
@@ -202,7 +222,7 @@ def _unpack(tbl: pa.Table, i: int):
     return ops, xy
 
 
-def _point_bbox_index(ops: np.ndarray, world: np.ndarray) -> int:
+def _point_bbox_index(ops: np.ndarray, world: np.ndarray, enc=None) -> int:
     """Point index rule (serial.cpp:689-692): quadkey of the bbox
     center computed as min/2 + max/2 (C truncating halves — loses the
     low bit), masked into the addressable plane. `world` must be the
@@ -220,10 +240,12 @@ def _point_bbox_index(ops: np.ndarray, world: np.ndarray) -> int:
     ys = world[m, 1]
     midx = (_half(int(xs.min())) + _half(int(xs.max()))) & ((1 << 32) - 1)
     midy = (_half(int(ys.min())) + _half(int(ys.max()))) & ((1 << 32) - 1)
-    return int(encode_quadkey(np.array([midx]), np.array([midy]))[0])
+    enc = enc or encode_quadkey
+    return int(enc(np.array([midx]), np.array([midy]))[0])
 
 
-def _vertex_hash_index(ops: np.ndarray, scaled: np.ndarray, g: int) -> int:
+def _vertex_hash_index(ops: np.ndarray, scaled: np.ndarray, g: int,
+                       enc=None) -> int:
     """Vertex-hash index point (serial.cpp:700-722): size_t sum of all
     scaled coordinates (uint64 wraparound — numpy-wrap-identical to the
     C++ for any real geometry size) mod the draw count (CLOSEPATH rows
@@ -234,7 +256,8 @@ def _vertex_hash_index(ops: np.ndarray, scaled: np.ndarray, g: int) -> int:
     ix = total % len(ops)
     mx = (int(scaled[ix, 0]) << g) & ((1 << 32) - 1)
     my = (int(scaled[ix, 1]) << g) & ((1 << 32) - 1)
-    return int(encode_quadkey(np.array([mx]), np.array([my]))[0])
+    enc = enc or encode_quadkey
+    return int(enc(np.array([mx]), np.array([my]))[0])
 
 
 def _ingest_rows(tbl: pa.Table, cfg: VectorConfig) -> tuple[list, list[int]]:
@@ -244,6 +267,10 @@ def _ingest_rows(tbl: pa.Table, cfg: VectorConfig) -> tuple[list, list[int]]:
     scale_geometry, serial.cpp:459-465); features whose geometry
     vanishes are dropped. Returns (rows, vertex-hash indexes)."""
     g = cfg.resolved_gscale()
+    idx_enc = None
+    if cfg.index_scheme == "hilbert":
+        from ..functions.spatial import encode_hilbert
+        idx_enc = encode_hilbert
     out = []
     idxs: list[int] = []
     # the reference ALWAYS reorders geometry by the spatial index
@@ -313,9 +340,9 @@ def _ingest_rows(tbl: pa.Table, cfg: VectorConfig) -> tuple[list, list[int]]:
                 # multipoint may have fewer rows than raw_xy, so the
                 # snapped source is also the row-aligned one
                 src = world if cfg.clip_bboxes else raw_xy
-                idxs.append(_point_bbox_index(ops, src))
+                idxs.append(_point_bbox_index(ops, src, enc=idx_enc))
             else:
-                idxs.append(_vertex_hash_index(ops, scaled, g))
+                idxs.append(_vertex_hash_index(ops, scaled, g, enc=idx_enc))
     return out, idxs
 
 
@@ -524,7 +551,7 @@ def _feature_step(cfg: VectorConfig, z: int, tx: int, ty: int,
     if quick == 0:
         return None
     enodes: list[tuple[int, int]] = []
-    if quick != 1:
+    if quick != 1 or cfg.prevent_duplication:
         if t == 2:
             cops, cxy = dv.clip_lines(ops, local, -buf, -buf, span + buf, span + buf)
         elif t == 3:
@@ -542,6 +569,24 @@ def _feature_step(cfg: VectorConfig, z: int, tx: int, ty: int,
             )
             cops, cxy = ops[keep], local[keep]
         cops, cxy = dv.remove_noop(cops, cxy, t, 0)
+        if cfg.prevent_duplication and z != 0:
+            # keep the WHOLE geometry only in the tile that holds the
+            # bbox midpoint (clip_to_tile tile.cpp:1039-1044; C trunc
+            # division for the midpoint halves)
+            def _half2(v: int) -> int:
+                return -((-v) // 2) if v < 0 else v // 2
+
+            mx = _half2(int(bbox[0]) + int(bbox[2]))
+            my = _half2(int(bbox[1]) + int(bbox[3]))
+            if 0 <= mx < span and 0 <= my < span:
+                cops, cxy = ops, local
+            else:
+                cops, cxy = dv.empty_geom()
+        elif cfg.prevent_clipping and z != 0:
+            # unclipped geometry everywhere the clip is non-empty
+            # (tile.cpp:1045-1050)
+            if len(cops):
+                cops, cxy = ops, local
     else:
         cops, cxy = ops, local
 
@@ -803,7 +848,39 @@ def _accumulate_attr(acc: dict, op: str, key: str, vt: str, s: str):
         ex[:] = ["double", dtoa_milo(float(c)) + "\0" + str(c)]
 
 
-def _mk_feat(geom: bytes, t: int, seq: int, attrs, acc: dict | None = None) -> dict:
+_MVT_TYPE_RANK = {"string": 0, "float": 1, "double": 2, "int": 3,
+                  "uint": 4, "sint": 5, "bool": 6, "null": 7}
+
+
+def _coal_key(t, fid, rows, acc):
+    """coalcmp sort/equality key (tile.cpp:113-171): type, id
+    presence+value, pooled attributes via metacmp (count, then per
+    entry key/type/value), then the accumulated full entries."""
+    meta = tuple(
+        (k, _MVT_TYPE_RANK.get(vt, 0), s) for k, vt, s in rows
+        if vt != "null" and (not acc or k not in acc)
+    )
+    full = tuple(
+        (k, _MVT_TYPE_RANK.get(v[0], 0), v[1]) for k, v in acc.items()
+    ) if acc else ()
+    return (t, fid is not None, fid if fid is not None else 0,
+            len(meta), meta, len(full), full)
+
+
+def _geom_key(xy: np.ndarray):
+    """drawvec lexicographic order: per-draw (y, x) (geometry.hpp:46)."""
+    return tuple(map(tuple, xy[:, ::-1].tolist()))
+
+
+def _glow(spacing: float) -> int:
+    """-ag glow from the scan-time spacing (tile.cpp:2656-2663)."""
+    if spacing > 0:
+        return min(int(1 / spacing), 255)
+    return 255
+
+
+def _mk_feat(geom: bytes, t: int, seq: int, attrs, acc: dict | None = None,
+             glow: int | None = None) -> dict:
     """Tile feature dict: id/attributes from the broadcast side table
     (write_tile carries full_keys/full_values per feature; plain
     corpora without ids get none, like the reference). A per-feature
@@ -825,6 +902,11 @@ def _mk_feat(geom: bytes, t: int, seq: int, attrs, acc: dict | None = None) -> d
             rows = [r for r in rows if r[0] not in acc] + [
                 (k, v[0], v[1].split("\0", 1)[0]) for k, v in acc.items()
             ]
+        if glow is not None:
+            # -ag: appended last, after the accumulated attrs
+            # (tile.cpp:2656-2676)
+            rows = list(rows) + [("tippecanoe_feature_density", "sint",
+                                  str(glow))]
         if rows:
             f["attrs_sv"] = rows
         ln = attrs.get("__layers__", _EMPTY_DICT).get(seq)
@@ -879,6 +961,9 @@ def _encode_with_detail_ladder(cfg: VectorConfig, z, tx, ty, survivors,
         details += list(range(base_detail - 1, cfg.min_detail - 1, -1))
     feats: list = []
     pn = cfg.prevent_shared_nodes
+    # tile-boundary nodes are imposed only when clipping/duplication is
+    # on (simplify_feature tile.cpp:642-648)
+    mark_bounds = not (cfg.prevent_clipping or cfg.prevent_duplication)
     from ..stages.tile_encode import encode_multipoint
 
     n_rate = n_tiny = 0
@@ -908,6 +993,14 @@ def _encode_with_detail_ladder(cfg: VectorConfig, z, tx, ty, survivors,
         acc_by_idx: dict[int, dict] = {}
         accum = dict(cfg.attribute_accum) if cfg.attribute_accum else None
         lmap = attrs.get("__layers__", _EMPTY_DICT) if attrs else _EMPTY_DICT
+        # -ag density scan state (tile.cpp:2146-2157; manage_gap with
+        # gamma fixed at 1): spacing is STICKY across the scan
+        vmap = attrs.get("__vindex__", _EMPTY_DICT) if attrs else _EMPTY_DICT
+        dens_by_idx: dict[int, int] = {}
+        dens_prev = 0
+        dens_gap = 0.0
+        dens_spacing = 0.0
+        dens_scale = float(1 << (64 - 2 * (z + 8)))
         for row in survivors:
             seq, t, ops, xy, lab, fmz = row[:6]
             fmn = row[6] if len(row) > 6 else -1
@@ -963,6 +1056,35 @@ def _encode_with_detail_ladder(cfg: VectorConfig, z, tx, ty, survivors,
                             _accumulate_attr(acc, accum[k], k, vt_d, s_d)
                     n_rate += 1  # strategy.dropped_by_rate tile.cpp:1973
                     continue
+            if cfg.calculate_density:
+                vix = int(vmap.get(seq, 0))
+                o_prev = dens_prev
+                # inline manage_gap(gamma=1) (tile.cpp:720-753)
+                dropd = False
+                if dens_gap > 0:
+                    if vix == dens_prev:
+                        dropd = True
+                    elif vix < dens_prev or math.exp(math.log(
+                            (vix - dens_prev) / dens_scale)) >= dens_gap:
+                        # exp(log(x)*gamma) with gamma=1 — kept verbatim
+                        # because the round trip is not exact and the
+                        # boundary flips matter (manage_gap
+                        # tile.cpp:727)
+                        dens_gap = 0.0
+                    else:
+                        dropd = True
+                elif vix >= dens_prev:
+                    gg = (vix - dens_prev) / dens_scale
+                    if gg == 0:
+                        dropd = True
+                    elif gg < 1:
+                        dens_gap = gg
+                        dropd = True
+                    else:
+                        dens_gap = 0.0
+                if not dropd:
+                    dens_prev = vix
+                    dens_spacing = (vix - o_prev) / dens_scale
             if t == 3 and cfg.generate_label_points:
                 # polygon -> checkerboard anchor points
                 # (tile.cpp:1919-1937); excluded when invisibly small.
@@ -974,7 +1096,8 @@ def _encode_with_detail_ladder(cfg: VectorConfig, z, tx, ty, survivors,
                 if dv.get_mp_area(ops, xy) <= 0:
                     continue
                 nops, nxy = dv.simplify_lines(
-                    ops, xy, z, line_detail, True, cfg.simplification, 4,
+                    ops, xy, z, line_detail, mark_bounds,
+                    cfg.simplification, 4,
                     pn=pn, tx=tx, ty=ty, local_nodes=local_nodes or None,
                 )
                 if len(nops) == 0:
@@ -991,6 +1114,8 @@ def _encode_with_detail_ladder(cfg: VectorConfig, z, tx, ty, survivors,
                 keep[1:] = (pts[1:] != pts[:-1]).any(axis=1)
                 pts = pts[keep]
                 pend_lt[(lname, 1)] = len(pending)
+                if cfg.calculate_density:
+                    dens_by_idx[len(pending)] = _glow(dens_spacing)
                 pending.append((seq, 1, None, pts, False, 0.0))
                 continue
             reduced = False
@@ -1014,11 +1139,16 @@ def _encode_with_detail_ladder(cfg: VectorConfig, z, tx, ty, survivors,
                 local_nodes.update(enodes)  # tile.cpp:2252-2254
             area = dv.get_mp_area(ops, xy) if t == 3 else 0.0
             pend_lt[(lname, t)] = len(pending)
+            if cfg.calculate_density:
+                dens_by_idx[len(pending)] = _glow(dens_spacing)
             pending.append((seq, t, ops, xy, reduced, area))
         # phase 2: simplification workers + encode
         # (simplify_feature tile.cpp:595-665)
+        do_rc = cfg.reorder or cfg.coalesce
+        post: list = []  # worker-complete features for reorder/coalesce
         for pi, (seq, t, ops, xy, reduced, area) in enumerate(pending):
             acc = acc_by_idx.get(pi)
+            glow = dens_by_idx.get(pi)
             if t == 1:
                 if ops is not None:
                     # ingested point feature (world coords); -aP anchor
@@ -1027,7 +1157,12 @@ def _encode_with_detail_ladder(cfg: VectorConfig, z, tx, ty, survivors,
                     ops, xy = dv.remove_noop(ops, xy, 1, 0)
                     if len(ops) == 0:
                         continue
-                feats.append(_mk_feat(encode_multipoint(xy), 1, seq, attrs, acc))
+                elif do_rc:
+                    ops = np.ones(len(xy), np.uint8)
+                if do_rc:
+                    post.append([seq, 1, ops, xy, acc, glow, False])
+                else:
+                    feats.append(_mk_feat(encode_multipoint(xy), 1, seq, attrs, acc, glow))
                 continue
             if not reduced:
                 if t == 2 and not pn:
@@ -1035,7 +1170,7 @@ def _encode_with_detail_ladder(cfg: VectorConfig, z, tx, ty, survivors,
                     # intersection (tile.cpp:617-624)
                     ops, xy = dv.remove_noop(ops, xy, t, WORLD_BITS - z - line_detail)
                 nops, nxy = dv.simplify_lines(
-                    ops, xy, z, line_detail, True, cfg.simplification,
+                    ops, xy, z, line_detail, mark_bounds, cfg.simplification,
                     4 if t == 3 else 0,
                     pn=pn, tx=tx, ty=ty,
                     local_nodes=local_nodes or None, global_nodes=global_nodes,
@@ -1051,6 +1186,12 @@ def _encode_with_detail_ladder(cfg: VectorConfig, z, tx, ty, survivors,
                         ops, xy = dv.revive_polygon(b_ops, b_xy, area, z, line_detail)
                     else:
                         ops, xy = dv.empty_geom()
+            if do_rc:
+                # worker-end state: reorder/coalesce sit between the
+                # simplification workers and the final cleanup
+                # (tile.cpp:2518-2580)
+                post.append([seq, t, ops, xy, acc, glow, False])
+                continue
             ops, xy = dv.remove_noop(ops, xy, t, 0)
             if len(ops) == 0:
                 continue
@@ -1058,9 +1199,68 @@ def _encode_with_detail_ladder(cfg: VectorConfig, z, tx, ty, survivors,
             if not parts:
                 continue
             if t == 3:
-                feats.append(_mk_feat(encode_polygon(parts), 3, seq, attrs, acc))
+                feats.append(_mk_feat(encode_polygon(parts), 3, seq, attrs, acc, glow))
             else:
-                feats.append(_mk_feat(encode_linestring(parts), 2, seq, attrs, acc))
+                feats.append(_mk_feat(encode_linestring(parts), 2, seq, attrs, acc, glow))
+        if do_rc and post:
+            def _ckey(e):
+                seq_, t_ = e[0], e[1]
+                ent = attrs.get(seq_) if attrs else None
+                fid = ent[0] if ent else None
+                rows = ent[1] if ent else ()
+                return _coal_key(t_, fid, rows, e[4])
+
+            if cfg.reorder:
+                # stable sort by coalcmp; the index tiebreak
+                # (coalindexcmp tile.cpp:173-200) compares stream
+                # POSITION for features without a spatial index (the
+                # worker assigns index=i when 0, tile.cpp:707-709), so
+                # equal-attribute features keep stream order — the
+                # geometry tiebreak only fires for duplicate real
+                # indexes, which cannot happen without drop flags
+                post.sort(key=_ckey)
+            if cfg.coalesce:
+                merged: list = []
+                for e in post:
+                    if merged and _ckey(merged[-1]) == _ckey(e)                             and merged[-1][1] == e[1]:
+                        m = merged[-1]
+                        m[2] = np.concatenate([m[2], e[2]])
+                        m[3] = np.concatenate([m[3], e[3]])
+                        m[6] = True  # coalesced
+                    else:
+                        merged.append(e)
+                post = merged
+            for seq, t, ops, xy, acc, glow, coalesced in post:
+                if coalesced and t == 2:
+                    # cleanup: re-simplify coalesced linestrings at
+                    # tile scale (z=32 detail=0, tile.cpp:2556-2562)
+                    ops, xy = dv.remove_noop(ops, xy, t, 0)
+                    ops, xy = dv.simplify_lines(
+                        ops, xy, 32, 0, mark_bounds, cfg.simplification, 0,
+                    )
+                if t == 3:
+                    if coalesced:
+                        # re-clean the unioned polygon (tile.cpp:2566-2570)
+                        ops, xy = dv.clean_poly_tile_scale(ops, xy)
+                    if len(ops) == 0:
+                        continue
+                if t in (2, 3):
+                    ops, xy = dv.remove_noop(ops, xy, t, 0)
+                if len(ops) == 0:
+                    continue
+                if t == 1:
+                    feats.append(_mk_feat(encode_multipoint(xy), 1, seq,
+                                          attrs, acc, glow))
+                    continue
+                parts = [xy[i:j] for i, j in dv.rings(ops)]
+                if not parts:
+                    continue
+                if t == 3:
+                    feats.append(_mk_feat(encode_polygon(parts), 3, seq,
+                                          attrs, acc, glow))
+                else:
+                    feats.append(_mk_feat(encode_linestring(parts), 2, seq,
+                                          attrs, acc, glow))
         if not feats:
             if n_rate or n_tiny or over_size or over_feats:
                 # counter-only phantom row: the reference counts tiny/

@@ -146,12 +146,19 @@ def _pts2(positions) -> np.ndarray:
     any extra ordinates (GeoJSON allows [lon, lat, z, ...])."""
     return np.array([(p[0], p[1]) for p in positions], np.float64).reshape(-1, 2)
 
-def read_geojson_vector(path: str, include_points: bool = True) -> pa.Table:
+def read_geojson_vector(path: str, include_points: bool = True,
+                        projection: str = "EPSG:4326") -> pa.Table:
     """All features as the vector pyramid's input table (seq, t, ops,
     xy world coords). Mixed corpora ride one pipeline like the
     reference; pass include_points=False to route points to the
-    dedicated point pipeline instead (read_geojson_points)."""
+    dedicated point pipeline instead (read_geojson_points).
+    projection: EPSG:4326 (lon/lat, default) or EPSG:3857 (meters,
+    -s, projection.cpp:13-17)."""
+    from ..functions.spatial import epsg3857_to_world
     from ..pipelines.vector_pyramid import features_table
+
+    project = (epsg3857_to_world if projection == "EPSG:3857"
+               else lonlat_to_world)
 
     rows = []
     seq = 0
@@ -173,7 +180,7 @@ def read_geojson_vector(path: str, include_points: bool = True) -> pa.Table:
                 for poly in parts:
                     for ring in poly:
                         arr = _pts2(ring)
-                        wx, wy = lonlat_to_world(arr[:, 0], arr[:, 1])
+                        wx, wy = project(arr[:, 0], arr[:, 1])
                         n = len(arr)
                         ops_l.append(np.array([1] + [2] * (n - 1), np.uint8))
                         xy_l.append(np.stack([wx, wy], axis=1).astype(np.int64))
@@ -182,7 +189,7 @@ def read_geojson_vector(path: str, include_points: bool = True) -> pa.Table:
             else:
                 for part in parts:
                     arr = _pts2(part)
-                    wx, wy = lonlat_to_world(arr[:, 0], arr[:, 1])
+                    wx, wy = project(arr[:, 0], arr[:, 1])
                     n = len(arr)
                     ops_l.append(np.array([1] + [2] * (n - 1), np.uint8))
                     xy_l.append(np.stack([wx, wy], axis=1).astype(np.int64))

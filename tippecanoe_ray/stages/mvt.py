@@ -633,6 +633,10 @@ def encode_serial_value(vt: str, s: str) -> bytes | None:
         if use_float:
             return _key(2, 5) + struct.pack("<f", d)   # mvt_float
         return _key(3, 1) + struct.pack("<d", d)        # mvt_double
+    if vt == "sint":
+        # mvt_sint zigzag (the -ag density tag, tile.cpp:2668-2671)
+        v = int(s)
+        return _key(6, 0) + varint(((v << 1) ^ (v >> 63)) & ((1 << 64) - 1))
     if vt == "bool":
         return _tag_varint(7, 1 if s.startswith("t") else 0)
     if vt == "null":

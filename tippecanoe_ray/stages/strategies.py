@@ -694,7 +694,10 @@ def density_glow(index: np.ndarray, kept: np.ndarray, z: int) -> np.ndarray:
         if gap > 0:
             if ix == previndex:
                 drop = True
-            elif ix < previndex or (ix - previndex) / scale >= gap:
+            elif ix < previndex or math.exp(math.log(
+                    (ix - previndex) / scale)) >= gap:
+                # exp(log(x)*1) verbatim: the round trip is inexact and
+                # boundary flips matter (manage_gap tile.cpp:727)
                 gap = 0.0
             else:
                 drop = True
