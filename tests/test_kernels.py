@@ -108,14 +108,48 @@ def test_minzoom_vec_matches_scan(n, maxzoom, basezoom, droprate):
     np.testing.assert_array_equal(a, b)
 
 
-def test_minzoom_rank_range_matches_full():
+@pytest.mark.parametrize(
+    "maxzoom,basezoom,droprate",
+    [(6, 4, 2.5), (14, 14, 2.5), (10, 7, 1.5), (6, 4, 2.37862)],
+)
+def test_minzoom_matches_cpp_interleave(maxzoom, basezoom, droprate):
+    """Bit-faithful emulation of calc_feature_minzoom's INTERLEAVED
+    float state (main.cpp:299-325: seq++ per feature per level, then
+    descending test-and-subtract with break) must equal the vectorized
+    cascade — the repeated-subtraction thresholds are the exact model."""
+    from tippecanoe_ray.stages.minzoom import intervals
+
+    n = 1500
+    iv = intervals(maxzoom, basezoom, droprate)
+    seq = [0.0] * (maxzoom + 1)
+    cpp = np.zeros(n, np.uint8)
+    for m in range(n):
+        for i in range(maxzoom, -1, -1):
+            seq[i] += 1.0
+        for i in range(maxzoom, -1, -1):
+            if seq[i] < 0:
+                cpp[m] = i + 1
+                break
+            seq[i] -= iv[i]
+    np.testing.assert_array_equal(cpp, minzoom_from_ranks(n, maxzoom, basezoom, droprate))
+
+
+@pytest.mark.parametrize(
+    "maxzoom,basezoom,droprate",
+    # incl. basezoom BELOW maxzoom (apron windows must build the full
+    # global threshold ladder, not len(surv)+2 entries) and a sub-2
+    # droprate (steady-state never pins — exercises the from-origin
+    # fallback)
+    [(14, 14, 2.5), (6, 4, 2.5), (10, 7, 1.5), (8, 4, 5.0), (6, 4, 3.7)],
+)
+def test_minzoom_rank_range_matches_full(maxzoom, basezoom, droprate):
     n = 200_000
-    full = minzoom_from_ranks(n, 14, 14, 2.5)
+    full = minzoom_from_ranks(n, maxzoom, basezoom, droprate)
     rs = np.random.RandomState(5)
     for _ in range(12):
         r0 = int(rs.randint(0, n - 100))
         r1 = min(n, r0 + int(rs.randint(1, 40000)))
-        part = minzoom_for_rank_range(r0, r1, 14, 14, 2.5)
+        part = minzoom_for_rank_range(r0, r1, maxzoom, basezoom, droprate)
         np.testing.assert_array_equal(part, full[r0:r1])
 
 

@@ -238,6 +238,23 @@ EDGE_CORPORA = [
      ["--coalesce", "--reorder"]),
     ("overlap", "in.json", 0, ["--coalesce"], ["--coalesce"]),
     ("empty-linestring", "in.json", 14, ["-ac"], ["--coalesce"]),
+    # -zg maxzoom guess (Welford over sorted-index log-gaps + the
+    # within-feature vertex-spacing branch for lines), -rp fitted
+    # droprate with the integer-division duplicate bump, and the
+    # exact repeated-subtraction rate-ladder thresholds it exposed
+    ("knox", "in.json", "g", [], []),
+    ("wineries", "in.json", "g", ["-rp"], ["--droprate", "p"]),
+    ("single-polygons", "in.json", "g", ["-Z21", "-D10", "-d10"],
+     ["--minzoom", "21", "-D", "10", "-d", "10"]),
+    # --grid-low-zooms Bresenham stairstep rasterization below maxzoom
+    ("grid-aligned", "in.json", 11, ["-D7", "--grid-low-zooms"],
+     ["-D", "7", "--grid-low-zooms"]),
+    ("grid-unaligned", "in.json", 11, ["-D7", "--grid-low-zooms"],
+     ["-D", "7", "--grid-low-zooms"]),
+    # --extra-detail: deeper encode grid at maxzoom, normal simplify
+    ("intersection", "in.json", 11,
+     ["-Z11", "--extra-detail", "13", "--no-simplification-of-shared-nodes"],
+     ["--minzoom", "11", "--extra-detail", "13", "--prevent-shared-nodes"]),
 ]
 
 

@@ -153,13 +153,31 @@ def _build_from_geo(args, cfg):
         }))
         outs.append(build_pyramid_from_narrow(narrow, cfg, n_rows=len(pts_tbl)))
     if vec_tbl is not None and len(vec_tbl):
+        if getattr(args, "guess_zoom", False):
+            # -zg two-phase: ingest at geometry_scale 0 (the provisional
+            # MAX_ZOOM leaves gscale 0, main.cpp:3765-3770), guess from
+            # the index/vertex spacing, then re-ingest with the final
+            # ladder parameters — gscale STAYS 0 for the whole run
+            from tippecanoe_ray.stages.stats import guess_vector_zoom
+
+            pv = VectorConfig(maxzoom=24, layer_name=layer,
+                              geometry_scale=0, droprate=1.0)
+            mz, dr, bz = guess_vector_zoom(
+                ingest_features(vec_tbl, pv), cfg.droprate,
+                full_detail=args.full_detail or 12,
+                low_detail=args.low_detail or 12)
+            cfg.maxzoom = args.maxzoom = mz
+            cfg.droprate = dr
+            if args.basezoom is None:
+                args.basezoom = bz
         vcfg = VectorConfig(
             minzoom=cfg.minzoom, maxzoom=cfg.maxzoom, layer_name=layer,
             # "Highest supported detail with maxzoom z is 32-z"
             # (main.cpp:3734-3741); maxzoom itself is clamped to
             # MAX_ZOOM=24 in main()
-            detail=min(12, 32 - cfg.maxzoom),
-            low_detail=min(12, 33 - cfg.maxzoom),
+            detail=min(args.full_detail or 12, 32 - cfg.maxzoom),
+            low_detail=min(args.low_detail or 12, 33 - cfg.maxzoom),
+            geometry_scale=0 if getattr(args, "guess_zoom", False) else None,
             buffer=args.buffer, droprate=cfg.droprate,
             basezoom=args.basezoom,
             max_tile_size=args.max_tile_bytes,
@@ -172,6 +190,9 @@ def _build_from_geo(args, cfg):
             calculate_density=args.calculate_feature_density,
             reorder=args.reorder,
             coalesce=args.coalesce,
+            grid_low_zooms=args.grid_low_zooms,
+            extra_detail=(args.extra_detail if args.extra_detail is not None
+                          else -1),
             index_scheme="hilbert" if args.hilbert else "quadkey",
             attribute_accum=tuple(
                 tuple(s.split(":", 1)) for s in args.accumulate_attribute
@@ -211,9 +232,13 @@ def main(argv=None):
     ap.add_argument("--id-col", default="image_id")
     ap.add_argument("--rule", default="fnv", choices=["fnv", "lcg"])
     ap.add_argument("--minzoom", type=int, default=0)
-    ap.add_argument("--maxzoom", type=int, default=14)
+    ap.add_argument("--maxzoom", default="14",
+                    help="maximum zoom, or 'g' to guess from feature "
+                         "spacing (-zg, main.cpp:2279-2470)")
     ap.add_argument("--basezoom", type=int, default=None)
-    ap.add_argument("--droprate", type=float, default=2.5)
+    ap.add_argument("--droprate", default="2.5",
+                    help="rate ladder base, or 'p' to fit it from the "
+                         "spacing spread (-rp, main.cpp:2390-2412)")
     ap.add_argument("--gamma", type=float, default=0.0)
     ap.add_argument("--cluster-distance", type=int, default=0)
     ap.add_argument("--drop-densest", action="store_true")
@@ -239,6 +264,16 @@ def main(argv=None):
     ap.add_argument("--include", "-y", action="append", default=[],
                     help="keep ONLY these attributes (-y, may repeat; "
                          "main.cpp include set)")
+    ap.add_argument("--grid-low-zooms", action="store_true",
+                    help="rasterize low-zoom geometry onto the pixel "
+                         "grid (geometry.cpp:438-544)")
+    ap.add_argument("--extra-detail", type=int, default=None,
+                    help="re-encode maxzoom tiles at this detail "
+                         "(tile.cpp:2265-2285)")
+    ap.add_argument("--full-detail", "-d", type=int, default=None,
+                    help="tile detail at maxzoom (default 12)")
+    ap.add_argument("--low-detail", "-D", type=int, default=None,
+                    help="tile detail below maxzoom (default 12)")
     ap.add_argument("--reorder", "-ao", action="store_true",
                     help="sort each tile's features by attributes "
                          "(tile.cpp:2518-2521)")
@@ -279,6 +314,10 @@ def main(argv=None):
     ap.add_argument("--pmtiles", default=None, help="also package to this pmtiles archive")
     ap.add_argument("--dirtiles", default=None, help="also write z/x/y.pbf dirtiles here")
     args = ap.parse_args(argv)
+    args.guess_zoom = str(args.maxzoom) == "g"
+    # the reference guesses from a provisional MAX_ZOOM (main.cpp:3391)
+    args.maxzoom = 24 if args.guess_zoom else int(args.maxzoom)
+    args.droprate = -3.0 if str(args.droprate) == "p" else float(args.droprate)
     if args.maxzoom > 24:
         # "Highest supported zoom is -z24" (MAX_ZOOM, main.hpp:77,
         # clamp main.cpp:3723-3725)

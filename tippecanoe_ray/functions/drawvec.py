@@ -1206,3 +1206,72 @@ def checkerboard_anchors(ops: np.ndarray, xy: np.ndarray, tx: int, ty: int,
                     out.append((x - tx1, y - ty1))
                     break
     return out
+
+
+def stairstep_ops(ops: np.ndarray, xy: np.ndarray, z: int, detail: int):
+    """--grid-low-zooms rasterization (stairstep, geometry.cpp:438-544):
+    snap every vertex to the z-pixel grid (std::round), then walk each
+    segment with Bresenham — collinear runs collapse to their endpoints
+    via the `last`-direction merge; segments are walked in a canonical
+    orientation (swapped so y descends) and un-swapped on output —
+    then scale back up. CLOSEPATH rows pass through."""
+    unit = 1 << (32 - detail - z)
+    g = np.empty_like(xy)
+    q = xy.astype(np.float64) / unit
+    g = np.where(q >= 0, np.floor(q + 0.5), np.ceil(q - 0.5)).astype(np.int64)
+    out_ops: list[int] = []
+    out_xy: list[tuple[int, int]] = []
+    for i in range(len(ops)):
+        op = int(ops[i])
+        if op == 7:
+            out_ops.append(7)
+            out_xy.append((0, 0))
+            continue
+        x1, y1 = int(g[i, 0]), int(g[i, 1])
+        if op == 1 or not out_xy:
+            out_ops.append(1 if op == 1 else op)
+            out_xy.append((x1, y1))
+            continue
+        x0, y0 = out_xy[-1]
+        swap = False
+        if y0 < y1:
+            swap = True
+            x0, x1 = x1, x0
+            y0, y1 = y1, y0
+        xx, yy = x0, y0
+        dx = abs(x1 - x0)
+        sx = 1 if x0 < x1 else -1
+        dy = abs(y1 - y0)
+        sy = 1 if y0 < y1 else -1
+        # C integer division truncates toward zero
+        e0 = dx if dx > dy else -dy
+        err = e0 // 2 if e0 >= 0 else -((-e0) // 2)
+        last = -1
+        tmp: list[tuple[int, int]] = [(xx, yy)]
+        while xx != x1 or yy != y1:
+            e2 = err
+            if e2 > -dx:
+                err -= dy
+                xx += sx
+                if last == 1:
+                    tmp[-1] = (xx, yy)
+                else:
+                    tmp.append((xx, yy))
+                last = 1
+            if e2 < dy:
+                err += dx
+                yy += sy
+                if last == 2:
+                    tmp[-1] = (xx, yy)
+                else:
+                    tmp.append((xx, yy))
+                last = 2
+        if swap:
+            tmp.reverse()
+        for p in tmp:
+            out_ops.append(2)
+            out_xy.append(p)
+    oo = np.array(out_ops, np.uint8)
+    ox = np.array(out_xy, np.int64).reshape(-1, 2) * unit
+    ox[oo == 7] = 0
+    return oo, ox

@@ -109,6 +109,14 @@ class VectorConfig:
     # --hilbert: spatial indexes use hilbert order instead of quadkey
     # (main.cpp:3680-3687)
     index_scheme: str = "quadkey"
+    # --grid-low-zooms (-aL's sibling): below maxzoom, rasterize
+    # geometry onto the zoom's pixel grid with Bresenham stairsteps
+    # instead of simplifying; tiny-polygon reduction is off entirely
+    # (simplify_feature tile.cpp:602-611, scan tile.cpp:2163-2166)
+    grid_low_zooms: bool = False
+    # --extra-detail: re-encode maxzoom tiles at this detail (clamped
+    # to 30-z) while simplifying to the normal detail (tile.cpp:2265+)
+    extra_detail: int = -1
     # -ao / --reorder: stable-sort each tile's features by attributes
     # (coalindexcmp, tile.cpp:113-200); -ac / --coalesce: merge
     # adjacent identical-attribute features into one multigeometry
@@ -970,6 +978,13 @@ def _encode_with_detail_ladder(cfg: VectorConfig, z, tx, ty, survivors,
     over_size = 0
     over_feats = 0
     for line_detail in details:
+        # --extra-detail: maxzoom tiles encode at the deeper grid while
+        # still simplifying to line_detail (tile.cpp:2265-2285, worker
+        # to_tile_scale at extra_detail tile.cpp:678-681)
+        out_detail = line_detail
+        if (cfg.extra_detail >= 0 and z == cfg.maxzoom
+                and line_detail == cfg.detail):
+            out_detail = min(cfg.extra_detail, 30 - z)
         feats = []
         accum_area = 0.0
         # per-attempt strategy counters (the final attempt's counts are
@@ -1108,7 +1123,7 @@ def _encode_with_detail_ladder(cfg: VectorConfig, z, tx, ty, survivors,
                 if not anchors:
                     continue
                 pts = np.array(anchors, dtype=np.int64).reshape(-1, 2)
-                pts = dv.to_tile_scale(pts, z, line_detail)
+                pts = dv.to_tile_scale(pts, z, out_detail)
                 # remove_noop for points: dedupe identical consecutive
                 keep = np.ones(len(pts), bool)
                 keep[1:] = (pts[1:] != pts[:-1]).any(axis=1)
@@ -1119,7 +1134,7 @@ def _encode_with_detail_ladder(cfg: VectorConfig, z, tx, ty, survivors,
                 pending.append((seq, 1, None, pts, False, 0.0))
                 continue
             reduced = False
-            if t == 3:
+            if t == 3 and not cfg.grid_low_zooms:
                 ops, xy, still, _red, accum_area = dv.reduce_tiny_poly(
                     ops, xy, z, line_detail, accum_area, cfg.tiny_polygon_size
                 )
@@ -1153,7 +1168,7 @@ def _encode_with_detail_ladder(cfg: VectorConfig, z, tx, ty, survivors,
                 if ops is not None:
                     # ingested point feature (world coords); -aP anchor
                     # rows (ops None) arrive pre-scaled
-                    xy = dv.to_tile_scale(xy, z, line_detail)
+                    xy = dv.to_tile_scale(xy, z, out_detail)
                     ops, xy = dv.remove_noop(ops, xy, 1, 0)
                     if len(ops) == 0:
                         continue
@@ -1164,7 +1179,14 @@ def _encode_with_detail_ladder(cfg: VectorConfig, z, tx, ty, survivors,
                 else:
                     feats.append(_mk_feat(encode_multipoint(xy), 1, seq, attrs, acc, glow))
                 continue
-            if not reduced:
+            if cfg.grid_low_zooms and z < cfg.maxzoom and t in (2, 3):
+                # rasterize onto the grid; no simplification, and the
+                # revive-area comes from the STAIRSTEPPED geometry
+                # (simplify_feature computes area after stairstep)
+                ops, xy = dv.stairstep_ops(ops, xy, z, line_detail)
+                if t == 3:
+                    area = dv.get_mp_area(ops, xy)
+            elif not reduced:
                 if t == 2 and not pn:
                     # skipped under -pn: might wipe out the
                     # intersection (tile.cpp:617-624)
@@ -1177,13 +1199,13 @@ def _encode_with_detail_ladder(cfg: VectorConfig, z, tx, ty, survivors,
                 )
                 if t != 3 or len(nops) >= 3:
                     ops, xy = nops, nxy
-            xy = dv.to_tile_scale(xy, z, line_detail)
+            xy = dv.to_tile_scale(xy, z, out_detail)
             if t == 3:
                 b_ops, b_xy = ops, xy
                 ops, xy = dv.clean_poly_tile_scale(ops, xy)
                 if len(ops) < 3:
                     if area > 0:
-                        ops, xy = dv.revive_polygon(b_ops, b_xy, area, z, line_detail)
+                        ops, xy = dv.revive_polygon(b_ops, b_xy, area, z, out_detail)
                     else:
                         ops, xy = dv.empty_geom()
             if do_rc:
@@ -1282,7 +1304,7 @@ def _encode_with_detail_ladder(cfg: VectorConfig, z, tx, ty, survivors,
                 by_layer.setdefault(f.pop("layer", None) or cfg.layer_name,
                                     []).append(f)
             mvt_layers = [
-                encode_layer(nm, by_layer[nm], 1 << line_detail)
+                encode_layer(nm, by_layer[nm], 1 << out_detail)
                 for nm in sorted(by_layer)
             ]
             tile_bytes = encode_tile(mvt_layers, compress=cfg.compress,

@@ -81,12 +81,53 @@ def drop_ladder_scan(
 
 def _threshold_count(x: np.ndarray, d: float) -> np.ndarray:
     """#{j >= 0 : j*d <= x} for x >= 1, with float-floor correction; 0
-    where x <= 0 (sentinel: no previous member)."""
+    where x <= 0 (sentinel: no previous member). Memory-free count for
+    the windowed scale path (thresholds modeled as j*d; the repeated-
+    subtraction drift is ~j*ulp, far below any real index gap)."""
     j = np.floor(x / d).astype(np.int64)
     # correct possible off-by-one from float division
     j = np.where((j + 1) * d <= x, j + 1, j)
     j = np.where(j * d > x, j - 1, j)
     return np.where(x <= 0, 0, j + 1)
+
+
+# exact accumulated thresholds are built only up to this many ranks;
+# past it the multiplicative form is used (the float drift of repeated
+# subtraction vs j*d is ~k*ulp — far below any real index gap at scale)
+_EXACT_ACC_MAX = 1 << 23
+
+
+def _level_thresholds(d: float, hi: float, n: int | None, exact: bool) -> np.ndarray:
+    """T_0=0, T_j = the reference's j-times-repeated float subtraction
+    of the interval (base[i] -= iv[i]); left-to-right np.add.accumulate
+    reproduces it bit-exactly (IEEE: -x - y == -(x + y)). Enough
+    entries to cover values up to hi plus one per possible pass. The
+    `n` cap (passes ≤ features seen) is only valid from the global
+    origin — windowed callers must pass n=None, since their pass count
+    entering the window is ~hi/d regardless of window length."""
+    nacc = int(hi / d) + 3
+    if n is not None:
+        nacc = min(n + 2, nacc)
+    if exact:
+        acc = np.add.accumulate(np.full(nacc, d))
+    else:
+        acc = np.arange(1, nacc + 1, dtype=np.float64) * d
+    return np.concatenate(([0.0], acc))
+
+
+def _greedy_passes(m: np.ndarray, T: np.ndarray, j0: int) -> np.ndarray:
+    """Indexes into m of the features that pass a ladder level: the
+    scan's k-th pass is the first remaining feature with value >= T_k
+    (calc_feature_minzoom: pass iff base + m >= 0, base = -T_k). Both
+    sequences ascend, so the greedy chain f_j = max(f_{j-1}+1,
+    first index with m >= T_j) vectorizes as j + running-max(sp_j - j).
+    j0 = already-consumed thresholds before this window."""
+    J = min(len(T) - j0, len(m) + 1)
+    Tw = T[j0 : j0 + J]
+    sp = np.searchsorted(m, Tw, side="left")
+    f = np.arange(J) + np.maximum.accumulate(sp - np.arange(J))
+    f = f[f < len(m)]
+    return f
 
 
 def _cascade(
@@ -96,27 +137,57 @@ def _cascade(
     basezoom: int,
     droprate: float,
 ) -> np.ndarray:
-    """Run the level-descending pass cascade over 1-based ranks (sorted,
-    contiguous or not) given each rank's previous-member value (0 = no
-    previous). Returns minzoom per rank."""
+    """Run the level-descending pass cascade over 1-based GLOBAL ranks
+    (sorted). `prev` is kept for signature compatibility; prev[0] == 0
+    means the window starts at global rank 1 (exact from the origin),
+    anything else means an apron window — the pass count entering the
+    window is estimated at the no-lag steady state, with the first
+    apron member forced to pass (the old sentinel semantics; the apron
+    length lets the chain pin before the range of interest)."""
     iv = intervals(maxzoom, basezoom, droprate)
     out = np.zeros(len(ranks), dtype=np.uint8)
+    if not len(ranks):
+        return out
     surv_idx = np.arange(len(ranks), dtype=np.int64)
     surv = ranks.astype(np.float64)
     sprev = prev.astype(np.float64)
+    from_origin = int(prev[0]) == 0 and int(ranks[0]) == 1
+    hi = float(ranks[-1])
+    exact = hi <= _EXACT_ACC_MAX
     for i in range(maxzoom, -1, -1):
         d = iv[i]
         if d == 0.0 or len(surv) == 0:
             continue  # interval 0 ⇒ counter never negative ⇒ all pass
         if d == 1.0:
             continue  # droprate 1 ⇒ a threshold in every unit gap ⇒ all pass
-        cm = _threshold_count(surv, d)
-        cp = _threshold_count(sprev, d)
-        passed = cm > cp
+        if from_origin:
+            # exact greedy matching from the global origin
+            T = _level_thresholds(d, hi, len(surv) + 1, exact)
+            f = _greedy_passes(surv, T, 0)
+            passed = np.zeros(len(surv), dtype=bool)
+            passed[f] = True
+        else:
+            # apron window: the steady-state threshold-increment
+            # criterion (a new T in (prev, m] ⇒ pass; the sentinel
+            # prev=0 forces the first apron member to pass) — the
+            # apron length lets the chain pin before the range of
+            # interest (validated for the default droprate; windowed
+            # mode is only reached by the distributed rank-range path).
+            # Threshold count is ~hi/d INDEPENDENT of window length, so
+            # exact mode materializes the full ladder (hi ≤ 2^23) while
+            # the scale path counts thresholds arithmetically.
+            if exact:
+                T = _level_thresholds(d, hi, None, exact)
+                cm = np.searchsorted(T, surv, side="right")
+                cp = np.where(sprev <= 0, 0,
+                              np.searchsorted(T, sprev, side="right"))
+            else:
+                cm = _threshold_count(surv, d)
+                cp = _threshold_count(sprev, d)
+            passed = cm > cp
         out[surv_idx[~passed]] = i + 1
         surv_idx = surv_idx[passed]
         surv = surv[passed]
-        # previous member within the new pass set
         sprev = np.concatenate(([0.0], surv[:-1])) if len(surv) else surv
     return out
 
@@ -161,6 +232,15 @@ def minzoom_for_rank_range(
         basezoom = maxzoom
     if apron is None:
         apron = default_apron(basezoom, droprate)
+    if 1.0 < droprate < 2.0 and apron == default_apron(basezoom, droprate):
+        # below droprate 2 the threshold gaps are never empty of
+        # survivors, so the steady-state chain lag persists and NO
+        # apron pins it (validated in tests) — compute exactly from
+        # the origin instead. O(r1) per partition, parallel across
+        # partitions; acceptable because sub-2 droprates are rare and
+        # explicit. Droprate ≥ 2 pins within the default apron
+        # (validated sweep: dr ∈ [2,8] × (maxzoom, basezoom) grid).
+        return minzoom_from_ranks(r1, maxzoom, basezoom, droprate)[r0:r1]
     a0 = max(0, r0 - apron)
     if a0 == 0:
         return minzoom_from_ranks(r1, maxzoom, basezoom, droprate)[r0:r1]

@@ -248,3 +248,99 @@ def cluster_distance_maxzoom(
             break
         maxzoom += 1
     return maxzoom
+
+
+def guess_vector_zoom(tbl, droprate: float, full_detail: int = 12,
+                      low_detail: int = 12, minimum_maxzoom: int = 0,
+                      cluster_distance: int = 0) -> tuple[int, float, int]:
+    """-zg over an ingested vector feature table (main.cpp:2279-2470):
+    Welford over log-gaps of the SORTED per-feature spatial indexes
+    (dupes counted), per-feature within-geometry vertex spacing
+    (serial.cpp:608-634), polygon area_sum for the 2M-tile cap, the
+    -rp fitted droprate (sentinel -3) with the duplicate-location
+    maxzoom bump. Ingest must be at geometry_scale 0 (the reference
+    computes gscale from the provisional MAX_ZOOM before guessing).
+    Returns (maxzoom, droprate, basezoom)."""
+    import numpy as np
+
+    from ..functions.spatial import encode_quadkey
+
+    idx = np.sort(tbl["vindex"].to_numpy(zero_copy_only=False).astype(np.uint64))
+    gaps = np.diff(idx)
+    nz = gaps[gaps != 0].astype(np.float64)
+    dupes = int((gaps == 0).sum())
+    count = len(nz)
+    if count:
+        logs = np.log(nz)
+        mean = float(logs.mean())
+        m2 = float(((logs - mean) ** 2).sum())
+    else:
+        mean = m2 = 0.0
+
+    dist_sum = 0.0
+    dist_count = 0
+    area_sum = 0.0
+    ts = tbl["t"].to_pylist()
+    for i in range(len(tbl)):
+        ops = np.frombuffer(tbl["ops"][i].as_py(), dtype=np.uint8)
+        xy = np.frombuffer(tbl["xy"][i].as_py(), dtype=np.int64).reshape(-1, 2)
+        m = ops != 7
+        if m.sum() > 1:
+            locs = np.sort(encode_quadkey(
+                (xy[m, 0] & ((1 << 32) - 1)).astype(np.uint64),
+                (xy[m, 1] & ((1 << 32) - 1)).astype(np.uint64),
+            ))
+            g = np.diff(locs)
+            g = g[g != 0].astype(np.float64)
+            n = len(g)
+            if n:
+                avg = math.exp(float(np.log(g).mean()))
+                dist_ft = math.sqrt(avg) / 33
+                dist_sum += math.log(dist_ft) * n
+                dist_count += n
+        if ts[i] == 3:
+            from ..functions import drawvec as dv
+
+            area_sum += dv.get_mp_area(ops, xy)
+
+    maxzoom = 0
+    if count == 0 and dist_count == 0:
+        maxzoom = minimum_maxzoom
+        if droprate < 0:
+            droprate = 1
+    elif count > 0:
+        stddev = math.sqrt(m2 / count)
+        nearby = math.exp(mean - 1.5 * stddev)
+        nearby_ft = math.sqrt(nearby) / 33
+        want = nearby_ft / 2
+        maxzoom = max(0, math.ceil(
+            math.log(360 / (0.00000274 * want)) / math.log(2) - full_detail))
+        if droprate == -3:
+            stddev = max(stddev, 1e-300)
+            droprate = round(math.exp(-0.7681 * math.log(stddev) + 1.582)
+                             * 100000.0) / 100000.0
+            if droprate < 0:
+                droprate = 0
+            if dupes != 0 and droprate != 0:
+                # (dupes + count) / count is size_t INTEGER division in
+                # the reference (main.cpp:2404)
+                maxzoom += round(
+                    math.log((dupes + count) // count) / math.log(droprate))
+    if dist_count != 0:
+        want2 = math.exp(dist_sum / dist_count) / 8
+        mz = math.ceil(
+            math.log(360 / (0.00000274 * want2)) / math.log(2) - full_detail)
+        if mz > maxzoom or count <= 0:
+            maxzoom = mz
+    maxzoom = max(0, maxzoom)
+    maxzoom = min(maxzoom, 32 - full_detail, 33 - low_detail)
+    total = 0.0
+    for i in range(1, maxzoom + 1):
+        total += math.ceil(area_sum / float((1 << (32 - i)) ** 2))
+        if total > 2 * 1024 * 1024:
+            maxzoom = i - 1
+            break
+    maxzoom = max(maxzoom, minimum_maxzoom)
+    if droprate < 0:
+        droprate = 2.5
+    return maxzoom, droprate, maxzoom
