@@ -39,3 +39,27 @@ def test_cli_build_and_mbtiles(ray_session, tmp_path, capsys):
     assert rc == 0
     res2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert res2["n_tiles"] == res["n_tiles"]
+
+
+def test_cli_existing_output_semantics(ray_session, tmp_path, capsys):
+    """Existing tileset output: error without -f/-F, -f overwrites,
+    -F adds to it (main.cpp -f/-F, tests/allow-existing)."""
+    import pytest
+
+    n = 50
+    tbl = pa.table({"image_id": [f"img-{i:012d}" for i in range(n)]})
+    inp = str(tmp_path / "in.parquet")
+    pq.write_table(tbl, inp)
+    mb = str(tmp_path / "out.mbtiles")
+
+    from tippecanoe_ray.__main__ import main
+
+    base = ["--input", inp, "--maxzoom", "2", "--mbtiles", mb]
+    assert main(base + ["--out", str(tmp_path / "t1")]) == 0
+    capsys.readouterr()
+    n1 = read_mbtiles(mb).count()
+    with pytest.raises(SystemExit):
+        main(base + ["--out", str(tmp_path / "t2")])
+    assert main(base + ["--out", str(tmp_path / "t3"), "--force"]) == 0
+    capsys.readouterr()
+    assert read_mbtiles(mb).count() == n1

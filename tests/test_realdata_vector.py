@@ -255,6 +255,29 @@ EDGE_CORPORA = [
     ("intersection", "in.json", 11,
      ["-Z11", "--extra-detail", "13", "--no-simplification-of-shared-nodes"],
      ["--minzoom", "11", "--extra-detail", "13", "--prevent-shared-nodes"]),
+    # -T attribute coercion truthiness/rounding table (its own corpus)
+    # and -pN float32 re-rounding of float attributes
+    ("attribute-type", "in.json", 0,
+     ["-Tinttype:int", "-Tfloattype:float", "-Tbooltype:bool",
+      "-Tstringtype:string"],
+     ["-T", "inttype:int", "-T", "floattype:float", "-T", "booltype:bool",
+      "-T", "stringtype:string"]),
+    ("attribute-type", "in.json", 0, ["-pN"], ["--single-precision"]),
+    # feature ids incl. overflow/fraction/string cases
+    ("id", "in.json", 14, ["-Z11"], ["--minzoom", "11"]),
+    # -at variable-depth pyramid on the reference's own -at corpus
+    ("minzoom-variable-depth", "in.json", 11,
+     ["-Z10", "--generate-variable-depth-tile-pyramid"],
+     ["--minzoom", "10", "--generate-variable-depth-tile-pyramid"]),
+    # real TIGER census tracts: coalesce + reorder + include set at a
+    # single zoom (the reference's own golden flags)
+    ("coalesce-tract", "tl_2010_06001_tract10.json", 11,
+     ["-Z11", "--coalesce", "--reorder", "-ySTATEFP10", "-yCOUNTYFP10",
+      "-lmerged"],
+     ["--minzoom", "11", "--coalesce", "--reorder", "-y", "STATEFP10",
+      "-y", "COUNTYFP10", "--layer-name", "merged"]),
+    # 7k Indiana point landmarks (gz) through the default rate ladder
+    ("pointlm", "tl_2021_18_pointlm.shp.json.gz", 9, [], []),
 ]
 
 

@@ -134,6 +134,30 @@ def _build_from_geo(args, cfg):
                 else:
                     rows.append((k, vt, s))
             vec_attrs[seq] = (fid, rows)
+    if getattr(args, "attribute_type", None) or getattr(args, "single_precision", False):
+        # -T name:type coercion, then -pN float32 re-format — applied
+        # after --set-attribute and before -y, matching the reference's
+        # per-key pass order (serial.cpp:800-811)
+        import struct
+
+        from tippecanoe_ray.functions.attributes import _atof, _coerce_one
+        from tippecanoe_ray.functions.text import dtoa_milo
+
+        want = dict(s.split(":", 1) for s in (args.attribute_type or []))
+        for k, v in list(vec_attrs.items()):
+            if not isinstance(k, int):
+                continue
+            fid, rows = v
+            nrows = []
+            for name, vt, sval in rows:
+                if name in want:
+                    vt, sval = _coerce_one(vt, sval, want[name])
+                if args.single_precision and vt == "double" and "." in sval:
+                    # (float) atof(val) then dtoa_milo (serial.cpp:806)
+                    f32 = struct.unpack("f", struct.pack("f", _atof(sval)))[0]
+                    sval = dtoa_milo(f32)
+                nrows.append((name, vt, sval))
+            vec_attrs[k] = (fid, nrows)
     if getattr(args, "include", None):
         # -y: keep ONLY the named attributes (include set); ids and
         # the layer map are untouched
@@ -264,6 +288,12 @@ def main(argv=None):
     ap.add_argument("--include", "-y", action="append", default=[],
                     help="keep ONLY these attributes (-y, may repeat; "
                          "main.cpp include set)")
+    ap.add_argument("--attribute-type", "-T", action="append", default=[],
+                    help="name:type coercion (-T, may repeat; "
+                         "coerce_value serial.cpp:924-958)")
+    ap.add_argument("--single-precision", action="store_true",
+                    help="-pN: re-round float attributes through "
+                         "float32 (serial.cpp:804-811)")
     ap.add_argument("--grid-low-zooms", action="store_true",
                     help="rasterize low-zoom geometry onto the pixel "
                          "grid (geometry.cpp:438-544)")
@@ -313,7 +343,26 @@ def main(argv=None):
     ap.add_argument("--mbtiles", default=None, help="also package to this mbtiles file")
     ap.add_argument("--pmtiles", default=None, help="also package to this pmtiles archive")
     ap.add_argument("--dirtiles", default=None, help="also write z/x/y.pbf dirtiles here")
+    ap.add_argument("--force", "-f", action="store_true",
+                    help="delete existing tileset outputs first "
+                         "(main.cpp -f; without it an existing output "
+                         "is an error)")
+    ap.add_argument("--allow-existing", "-F", action="store_true",
+                    help="write into an existing tileset output "
+                         "(main.cpp -F)")
     args = ap.parse_args(argv)
+    import os as _os
+
+    for _target in (args.mbtiles, args.pmtiles):
+        if _target and _os.path.exists(_target):
+            if args.force:
+                _os.remove(_target)
+            elif not args.allow_existing:
+                # mbtiles.cpp:50-60 / pmtiles: existing output without
+                # -f/-F is a hard error (tests/allow-existing)
+                raise SystemExit(
+                    f"{_target}: file exists; use --force to overwrite "
+                    "or --allow-existing to add to it")
     args.guess_zoom = str(args.maxzoom) == "g"
     # the reference guesses from a provisional MAX_ZOOM (main.cpp:3391)
     args.maxzoom = 24 if args.guess_zoom else int(args.maxzoom)

@@ -45,6 +45,7 @@ import math
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray
 import ray.data
 
@@ -628,6 +629,7 @@ def process_tile(cfg: VectorConfig, z: int, tx: int, ty: int, tbl,
         tbl = table_to_rows(tbl)
     children: dict[tuple[int, int], list] = {}
     survivors: list = []
+    poison_children = False
 
     for seq, t, ops, xy, lab_x, lab_y, fmz, fmn, fmx in tbl:
         step = _feature_step(cfg, z, tx, ty, t, ops, xy)
@@ -640,12 +642,19 @@ def process_tile(cfg: VectorConfig, z: int, tx: int, ty: int, tbl,
                 children.setdefault(key, []).append(blob)
         if z < cfg.minzoom:
             continue
+        if cfg.variable_depth and z < cfg.maxzoom and (
+            (fmn != -1 and z < fmn)
+            or ((fmx == -1 or z <= fmx) and fmz > z + 1)
+        ):
+            # minzoom_feature_pending / dropping_by_rate in this scan:
+            # children must not try to stop early (tile.cpp:2346-2349)
+            poison_children = True
         survivors.append((seq, t, cops, cxy, (lab_x, lab_y), fmz, fmn, fmx, enodes))
 
     tile_row = _encode_with_detail_ladder(cfg, z, tx, ty, survivors,
                                           global_nodes=global_nodes, est=est,
                                           attrs=attrs)
-    return tile_row, children
+    return tile_row, children, poison_children
 
 
 def _survivor_to_geojson(cfg: VectorConfig, z, tx, ty, seq, t, ops, xy):
@@ -990,6 +999,12 @@ def _encode_with_detail_ladder(cfg: VectorConfig, z, tx, ty, survivors,
         # per-attempt strategy counters (the final attempt's counts are
         # reported, like the reference re-inits `strategy` per pass)
         n_rate = n_tiny = 0
+        # -at leaf validity: a leaf must carry FULL content, so any
+        # rate-dropped feature clears can_stop_early (tile.cpp:1955)
+        # and a feature excluded by a deeper explicit minzoom blocks
+        # leafing (minzoom_feature_pending, tile.cpp:1220-1225)
+        can_stop_early = True
+        mz_pending = False
         pending: list = []  # phase-1 survivors ("features" list)
         local_nodes: set[tuple[int, int]] = set()
         # the per-layer first-feature slot (multiplier_state count
@@ -1021,9 +1036,14 @@ def _encode_with_detail_ladder(cfg: VectorConfig, z, tx, ty, survivors,
             fmn = row[6] if len(row) > 6 else -1
             fmx = row[7] if len(row) > 7 else -1
             enodes = row[8] if len(row) > 8 else ()
-            if (fmn >= 0 and z < fmn) or (fmx >= 0 and z > fmx):
-                # explicit per-feature zoom range (tippecanoe extension,
-                # tile.cpp:1307-1316)
+            if fmn >= 0 and z < fmn:
+                # explicit per-feature minzoom (tile.cpp:1220-1225): the
+                # excluded feature belongs to a deeper zoom, so this
+                # tile cannot leaf the pyramid
+                mz_pending = True
+                continue
+            if fmx >= 0 and z > fmx:
+                # explicit per-feature maxzoom (tile.cpp:1307-1316)
                 continue
             lname = lmap.get(seq)
             rate_dropped = False
@@ -1033,6 +1053,10 @@ def _encode_with_detail_ladder(cfg: VectorConfig, z, tx, ty, survivors,
                 elif fmz > z:
                     rate_dropped = True
             if rate_dropped:
+                # a marked feature invalidates the leaf even if it is
+                # later revived (tile.cpp:1950-1956 clears before the
+                # accumulate/revival branches)
+                can_stop_early = False
                 # the drop happens only with a previous same-layer
                 # SAME-TYPE feature in the appended list to accumulate
                 # onto (-aP converts before the gate, so polygons gate
@@ -1283,6 +1307,13 @@ def _encode_with_detail_ladder(cfg: VectorConfig, z, tx, ty, survivors,
                 else:
                     feats.append(_mk_feat(encode_linestring(parts), 2, seq,
                                           attrs, acc, glow))
+        if (trying_to_stop_early and line_detail == details[0]
+                and (not can_stop_early or mz_pending)):
+            # the stop-early attempt is invalid (content was dropped or
+            # deferred to a deeper zoom): abandon it BEFORE any size /
+            # feature-limit bookkeeping and re-encode at normal detail
+            # (tile.cpp:2708-2711)
+            continue
         if not feats:
             if n_rate or n_tiny or over_size or over_feats:
                 # counter-only phantom row: the reference counts tiny/
@@ -1480,6 +1511,14 @@ class CascadeFan:
                 cols["pops"].append(b"")
                 cols["pxy"].append(b"")
 
+        # -at: child tiles whose stop-early attempt the PARENT scan
+        # forbids (estimated_complexity_out = 1<<32, tile.cpp:2346-2349:
+        # a parent-stream feature first appearing beyond the next zoom,
+        # or one deferred by an explicit deeper minzoom, means children
+        # cannot measure their full content) — emitted as t=0 marker
+        # rows so the flag reaches sibling tiles fed by OTHER features
+        poison_keys: set[tuple[int, int, int]] = set()
+
         rows = table_to_rows(tbl)
         for i, (seq, t, ops, xy, lx, ly, fmz, fmn, fmx) in enumerate(rows):
             vi = int(vind[i])
@@ -1500,12 +1539,26 @@ class CascadeFan:
                     # same stream the per-tile task saw)
                     emit(z, tx, ty, vi, seq, t, cops, cxy, lx, ly, fmz, enodes,
                          pops=o_, pxy=x_, fmn=fmn, fmx=fmx)
+                    if at and z < cfg.maxzoom and (
+                        (fmn != -1 and z < fmn)
+                        or ((fmx == -1 or z <= fmx) and fmz > z + 1)
+                    ):
+                        # minzoom_feature_pending (tile.cpp:1222-1225) /
+                        # dropping_by_rate (tile.cpp:1944-1948): poison
+                        # ALL children of this parent (within shards)
+                        for dx in (0, 1):
+                            for dy in (0, 1):
+                                poison_keys.add(
+                                    (z + 1, 2 * tx + dx, 2 * ty + dy))
                 for (cx, cy) in child_keys:
                     if z + 1 == b:
                         emit(b, cx, cy, vi, seq, t, cops, snapped, lx, ly, fmz,
                              pops=cops, pxy=snapped, fmn=fmn, fmx=fmx)
                     else:
                         stack.append((z + 1, cx, cy, cops, snapped))
+        for (pz, px, py) in poison_keys:
+            emit(pz, px, py, 0, -1, 0, np.zeros(0, np.uint8),
+                 np.zeros((0, 2), np.int64), -1, -1, 0)
         arrs = {
             n: pa.array(cols[n], _EMIT_SCHEMA.field(n).type) for n in _EMIT_SCHEMA.names
         }
@@ -1571,13 +1624,24 @@ class GroupEncoder:
         z = gkey >> 56
         x = (gkey >> 28) & ((1 << 28) - 1)
         y = gkey & ((1 << 28) - 1)
+        est_poisoned = False
+        t_np = grp["t"].to_numpy(zero_copy_only=False)
+        if (t_np == 0).any():
+            # -at poison markers from the parent scan (see CascadeFan):
+            # this tile must not try to stop early
+            est_poisoned = True
+            grp = grp.filter(pc.not_equal(grp["t"], 0))
+            if len(grp) == 0:
+                return self.empty()
         vi = grp["vindex"].to_numpy(zero_copy_only=False).astype(np.uint64)
         sq = grp["seq"].to_numpy(zero_copy_only=False)
         grp = grp.take(pa.array(np.lexsort((sq, vi))))
         rows = table_to_rows(grp)
         at = cfg.variable_depth
         est = None
-        if at and "pxy" in grp.column_names:
+        if at and est_poisoned:
+            est = 1 << 32  # tile.cpp:2346-2349
+        elif at and "pxy" in grp.column_names:
             # this tile's input-stream complexity from the incoming
             # (parent-clipped) geometry the cascade carried alongside
             pops_l = grp["pops"].to_pylist()
@@ -1625,9 +1689,10 @@ class GroupEncoder:
             stack = [(z, x, y, rows, est)]
             while stack:
                 zz, tx, ty, rr, ezz = stack.pop()
-                tile_row, children = process_tile(cfg, zz, tx, ty, rr,
-                                                  global_nodes=gn, est=ezz,
-                                                  attrs=self._attr_table())
+                tile_row, children, poison = process_tile(
+                    cfg, zz, tx, ty, rr,
+                    global_nodes=gn, est=ezz,
+                    attrs=self._attr_table())
                 if tile_row is not None:
                     out_rows.append(tile_row)
                 if tile_row is not None and tile_row.get("leafed"):
@@ -1637,7 +1702,9 @@ class GroupEncoder:
                 if zz + 1 <= cfg.maxzoom:
                     for (cx, cy), blob_rows in children.items():
                         e_child = None
-                        if at:
+                        if at and poison:
+                            e_child = 1 << 32  # tile.cpp:2346-2349
+                        elif at:
                             e_child = _stream_est(
                                 cfg, zz + 1, cx, cy,
                                 [(b_[0], b_[1], b_[2], b_[3], b_[6])
