@@ -278,6 +278,26 @@ EDGE_CORPORA = [
       "-y", "COUNTYFP10", "--layer-name", "merged"]),
     # 7k Indiana point landmarks (gz) through the default rate ladder
     ("pointlm", "tl_2021_18_pointlm.shp.json.gz", 9, [], []),
+    # MULTIPLE input files: merged into one layer (-l) and as separate
+    # per-file layers (filename-derived names, interleaved seq order)
+    ("multilayer", ("lines.json", "places.json"), 3,
+     ["-ltogether"], ["--layer-name", "together"]),
+    ("multilayer", ("lines.json", "places.json"), 3, [], []),
+    # two TIGER county files, default separate layers
+    ("tl_2015_us_county", ("piscataquis.json", "somerset.json"), 8, [], []),
+    # -L name:file named layers over extensionless geojson inputs,
+    # separate and merged (-l overrides the -L names)
+    ("named", (), 0,
+     ["-Lalgeria:/root/reference/tests/named/alg",
+      "-Lalbania:/root/reference/tests/named/alb"],
+     ["-L", "algeria:/root/reference/tests/named/alg",
+      "-L", "albania:/root/reference/tests/named/alb"]),
+    ("named", (), 0,
+     ["-Lalgeria:/root/reference/tests/named/alg",
+      "-Lalbania:/root/reference/tests/named/alb", "-lunified"],
+     ["-L", "algeria:/root/reference/tests/named/alg",
+      "-L", "albania:/root/reference/tests/named/alb",
+      "--layer-name", "unified"]),
 ]
 
 
@@ -289,12 +309,13 @@ def test_edge_corpus_mbtiles_byte_exact(ray_session, name, infile, maxzoom,
 
     from tippecanoe_ray import __main__ as cli
 
-    src = f"/root/reference/tests/{name}/{infile}"
+    files = infile if isinstance(infile, (list, tuple)) else [infile]
+    srcs = [f"/root/reference/tests/{name}/{f}" for f in files]
     with tempfile.TemporaryDirectory() as td:
         mb = os.path.join(td, "ref.mbtiles")
         subprocess.run(
             ["/tmp/refbuild/tippecanoe", "-o", mb, f"-z{maxzoom}", "-f",
-             "-q", *extra, src],
+             "-q", *extra, *srcs],
             check=True, capture_output=True,
         )
         con = sqlite3.connect(mb)
@@ -305,8 +326,9 @@ def test_edge_corpus_mbtiles_byte_exact(ray_session, name, infile, maxzoom,
         }
         con.close()
         ours_mb = str(tmp_path / "ours.mbtiles")
+        ins = [a for s in srcs for a in ("--input", s)]
         cli.main([
-            "--input", src, "--out", str(tmp_path / "out"),
+            *ins, "--out", str(tmp_path / "out"),
             "--maxzoom", str(maxzoom), "--mbtiles", ours_mb, *ours_extra,
         ])
         con = sqlite3.connect(ours_mb)

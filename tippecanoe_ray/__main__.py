@@ -63,45 +63,86 @@ def _build_from_geo(args, cfg):
         VectorConfig, build_vector_pyramid, ingest_features,
     )
 
-    layer = args.layer_name or layer_name_from_path(args.input)
+    inputs = args.input if isinstance(args.input, list) else [args.input]
+    named = dict(getattr(args, "named_layers", None) or {})  # path -> -L name
+    layer = (args.layer_name or named.get(inputs[0])
+             or layer_name_from_path(inputs[0]))
     cfg.layer_name = layer
-    lower = args.input.lower()
-    pts_tbl = None
-    vec_tbl = None
-    if lower.endswith(".csv"):
-        from tippecanoe_ray.sources.geocsv import read_geocsv_points
 
-        pts_tbl = read_geocsv_points(args.input)
-    elif lower.endswith(".fgb"):
-        from tippecanoe_ray.sources.flatgeobuf import read_flatgeobuf
+    def _offset_seq(t, off):
+        if t is None or off == 0 or len(t) == 0:
+            return t
+        import pyarrow.compute as _pc
 
-        pts_tbl, vec_tbl = read_flatgeobuf(args.input)
-    elif lower.endswith(".geobuf"):
-        from tippecanoe_ray.sources.geobuf import read_geobuf_vector
+        i = t.column_names.index("seq")
+        return t.set_column(i, "seq", _pc.add(t["seq"], off).cast(t["seq"].type))
 
-        vec_tbl = read_geobuf_vector(args.input)
-    else:
-        from tippecanoe_ray.sources.geojson import (
-            read_geojson_points, read_geojson_vector,
-        )
+    pts_parts: list = []
+    vec_parts: list = []
+    merged_layers: dict = {}
+    total = 0
+    for src_i, path in enumerate(inputs):
+        lower = path.lower()
+        pts_i = None
+        vec_i = None
+        n_i = None
+        if lower.endswith(".csv"):
+            from tippecanoe_ray.sources.geocsv import read_geocsv_points
 
-        # plain runs ride ONE pipeline like the reference (the vector
-        # cascade is rate-ladder exact for points, incl. the strategies
-        # metadata counters); the point pipeline takes over when its
-        # strategies (gamma / -K cluster / as-needed drops) are asked
-        # for, since those run there
-        point_strategies = bool(getattr(cfg, "strategies", None))
-        if point_strategies:
-            pts_tbl = read_geojson_points(args.input)
-            vec_tbl = read_geojson_vector(args.input, include_points=False,
-                                          projection=args.projection)
+            pts_i = read_geocsv_points(path)
+            n_i = len(pts_i)
+        elif lower.endswith(".fgb"):
+            from tippecanoe_ray.sources.flatgeobuf import read_flatgeobuf
+
+            pts_i, vec_i = read_flatgeobuf(path)
+            n_i = (len(pts_i) if pts_i is not None else 0) + (
+                len(vec_i) if vec_i is not None else 0)
+        elif lower.endswith(".geobuf"):
+            from tippecanoe_ray.sources.geobuf import read_geobuf_vector
+
+            vec_i = read_geobuf_vector(path)
+            n_i = len(vec_i)
         else:
-            pts_tbl = None
-            vec_tbl = read_geojson_vector(args.input,
-                                          projection=args.projection)
-        from tippecanoe_ray.sources.geojson import read_geojson_attrs
+            from tippecanoe_ray.sources.geojson import (
+                read_geojson_attrs, read_geojson_points, read_geojson_vector,
+            )
 
-        vec_attrs.update(read_geojson_attrs(args.input))
+            # plain runs ride ONE pipeline like the reference (the
+            # vector cascade is rate-ladder exact for points, incl. the
+            # strategies metadata counters); the point pipeline takes
+            # over when its strategies (gamma / -K cluster / as-needed
+            # drops) are asked for, since those run there
+            point_strategies = bool(getattr(cfg, "strategies", None))
+            if point_strategies:
+                pts_i = read_geojson_points(path)
+                vec_i = read_geojson_vector(path, include_points=False,
+                                            projection=args.projection)
+            else:
+                vec_i = read_geojson_vector(path, projection=args.projection)
+            attrs_i = read_geojson_attrs(path)
+            n_i = attrs_i.pop("__n__", 0)
+            lay_i = attrs_i.pop("__layers__", {})
+            for s, v in attrs_i.items():
+                vec_attrs[s + total] = v
+            for s, nm in lay_i.items():
+                merged_layers[s + total] = nm
+        if len(inputs) > 1 and not args.layer_name:
+            # per-file layer: -L name, else the filename (main.cpp
+            # multi-source layer map); per-feature tippecanoe layers
+            # (already in merged_layers) take precedence
+            file_layer = named.get(path) or layer_name_from_path(path, src_i)
+            for s in range(n_i or 0):
+                merged_layers.setdefault(s + total, file_layer)
+        pts_parts.append(_offset_seq(pts_i, total))
+        vec_parts.append(_offset_seq(vec_i, total))
+        total += n_i or 0
+    vec_attrs["__n__"] = total
+    if merged_layers:
+        vec_attrs["__layers__"] = merged_layers
+    pts_parts = [t for t in pts_parts if t is not None]
+    vec_parts = [t for t in vec_parts if t is not None]
+    pts_tbl = pa.concat_tables(pts_parts) if pts_parts else None
+    vec_tbl = pa.concat_tables(vec_parts) if vec_parts else None
     if getattr(args, "set_attribute", None):
         import json as _json
 
@@ -244,10 +285,14 @@ def _build_from_geo(args, cfg):
 
 def main(argv=None):
     ap = argparse.ArgumentParser(prog="tippecanoe_ray")
-    ap.add_argument("--input", required=True,
+    ap.add_argument("--input", default=[], action="append",
                     help="parquet/lance feature table, or .geojson/.json[.gz], "
                          ".geobuf, .csv (geocsv points)")
     ap.add_argument("--layer-name", default=None)
+    ap.add_argument("--named-layer", "-L", action="append", default=[],
+                    help="name:file — read file into layer `name` "
+                         "(-L, may repeat; main.cpp multi-source "
+                         "layer map); the file is added to the inputs")
     ap.add_argument("--buffer", type=int, default=5,
                     help="tile buffer in 256ths (lines/polygons)")
     ap.add_argument("--max-tile-bytes", type=int, default=None,
@@ -351,6 +396,13 @@ def main(argv=None):
                     help="write into an existing tileset output "
                          "(main.cpp -F)")
     args = ap.parse_args(argv)
+    args.named_layers = {}
+    for spec in args.named_layer:
+        name, _, path = spec.partition(":")
+        args.named_layers[path] = name
+        args.input.append(path)
+    if not args.input:
+        ap.error("--input (or -L name:file) is required")
     import os as _os
 
     for _target in (args.mbtiles, args.pmtiles):
@@ -412,13 +464,16 @@ def main(argv=None):
         strategies=scfg,
     )
     t0 = time.time()
-    lower = args.input.lower()
-    geoish = lower.endswith((".json", ".geojson", ".json.gz", ".geojson.gz",
-                             ".geobuf", ".csv", ".fgb"))
+    lower = args.input[0].lower()
+    # anything that isn't a parquet/lance table is a geometry source
+    # (the reference sniffs content; extensionless geojson is common,
+    # e.g. tests/named/alg)
+    geoish = not (lower.endswith((".parquet", ".lance"))
+                  or _os.path.isdir(args.input[0]))
     if geoish:
         tiles = _build_from_geo(args, cfg)
     else:
-        ds = read_image_table(args.input)
+        ds = read_image_table(args.input[0])
         tiles = build_pyramid(ds, cfg, out_dir=args.out, resume=args.resume)
     n_tiles = tiles.count()
     out = {
