@@ -298,6 +298,11 @@ EDGE_CORPORA = [
      ["-L", "algeria:/root/reference/tests/named/alg",
       "-L", "albania:/root/reference/tests/named/alb",
       "--layer-name", "unified"]),
+    # -J per-layer feature-filter conformance table (every operator ×
+    # layer/notlayer "none" inversions, the reference's own corpus)
+    ("feature-filter", "in.json", 0,
+     ["-J/root/reference/tests/feature-filter/filter"],
+     ["-J", "/root/reference/tests/feature-filter/filter"]),
 ]
 
 

@@ -47,6 +47,23 @@ def layer_name_from_path(path: str, source_index: int = 0) -> str:
     return out.decode("utf-8")
 
 
+def _parse_feature_filter(args) -> dict | None:
+    """-j inline / -J file (read_filter / parse_filter,
+    evaluator.cpp:368-398): the document must be a {layer: expr} hash
+    (evaluate() exits on non-hash filters)."""
+    doc = None
+    if getattr(args, "feature_filter_file", None):
+        with open(args.feature_filter_file) as f:
+            doc = json.load(f)
+    elif getattr(args, "feature_filter", None):
+        doc = json.loads(args.feature_filter)
+    if doc is None:
+        return None
+    if not isinstance(doc, dict):
+        raise SystemExit(f"filter is not a hash: {doc!r}")
+    return doc
+
+
 def _build_from_geo(args, cfg):
     """GeoJSON / geobuf / geocsv input: points ride the point pipeline,
     lines/polygons the vector cascade; the two tilesets merge."""
@@ -258,6 +275,7 @@ def _build_from_geo(args, cfg):
             grid_low_zooms=args.grid_low_zooms,
             extra_detail=(args.extra_detail if args.extra_detail is not None
                           else -1),
+            filter=_parse_feature_filter(args),
             index_scheme="hilbert" if args.hilbert else "quadkey",
             attribute_accum=tuple(
                 tuple(s.split(":", 1)) for s in args.accumulate_attribute
@@ -333,6 +351,11 @@ def main(argv=None):
     ap.add_argument("--include", "-y", action="append", default=[],
                     help="keep ONLY these attributes (-y, may repeat; "
                          "main.cpp include set)")
+    ap.add_argument("--feature-filter", "-j", default=None,
+                    help="feature filter JSON expression or {layer: "
+                         "expr} hash (-j, evaluator.cpp)")
+    ap.add_argument("--feature-filter-file", "-J", default=None,
+                    help="read the feature filter from this file (-J)")
     ap.add_argument("--attribute-type", "-T", action="append", default=[],
                     help="name:type coercion (-T, may repeat; "
                          "coerce_value serial.cpp:924-958)")

@@ -150,3 +150,121 @@ def filter_dataset(ds, doc, zoom: int = 0, layer: str = "*"):
         return df[f.mask(df, zoom=zoom, layer=layer)]
 
     return ds.map_batches(fn, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# Row-wise evaluation over stringified serial values (the vector
+# pipeline's -j/-J gate, evaluator.cpp:94-412 + tile.cpp:1231-1288).
+
+_NO_KEY = ("__no_such_key__", "")
+_TYPE_NAME = {1: "Point", 2: "LineString", 3: "Polygon"}
+
+
+def _compare_sv(vt: str, s: str, two) -> tuple[int, bool]:
+    """compare() (evaluator.cpp:12-89): (cmp, fail). `two` is a parsed
+    JSON literal. Classes never mix (fail=True). Reproduces the
+    reference's asymmetric bool compare (`one > two` as the cmp)."""
+    if vt == "string":
+        if not isinstance(two, str):
+            return 0, True
+        return (s > two) - (s < two), False
+    if vt == "double":
+        if isinstance(two, bool) or not isinstance(two, (int, float)):
+            return 0, True
+        v = float(s)
+        w = float(two)
+        return (v > w) - (v < w), False
+    if vt == "bool":
+        if not isinstance(two, bool):
+            return 0, True
+        return int((s == "true") > two), False
+    if vt == "null":
+        if two is not None:
+            return 0, True
+        return 0, False
+    raise ValueError(f"bad serial value type {vt!r}")
+
+
+def _eval_sv(get, f, excl: set) -> int:
+    """eval() (evaluator.cpp:94-343) over a key->(<vt>,<s>) getter."""
+    if f is True or f is None:
+        return 1
+    if f is False:
+        return 0
+    if isinstance(f, (int, float)):
+        return 0 if f == 0 else 1
+    if isinstance(f, str):
+        return 0 if f == "" else 1
+    if not isinstance(f, list) or not f or not isinstance(f[0], str):
+        raise ValueError(f"bad filter expression: {f!r}")
+    op = f[0]
+    if op in ("has", "!has"):
+        present = get(f[1]) is not _NO_KEY
+        return int(present if op == "has" else not present)
+    if op in ("==", "!=", "<", "<=", ">", ">="):
+        ff = get(f[1])
+        if ff is _NO_KEY:
+            return int(op == "!=")  # not found: only != is true
+        cmp, fail = _compare_sv(ff[0], ff[1], f[2])
+        if fail:
+            return int(op == "!=")  # mismatched classes are not equal
+        return int({"==": cmp == 0, "!=": cmp != 0, ">": cmp > 0,
+                    ">=": cmp >= 0, "<": cmp < 0, "<=": cmp <= 0}[op])
+    if op in ("all", "any", "none"):
+        v = op == "all"
+        for sub in f[1:]:
+            out = _eval_sv(get, sub, excl)
+            if op == "all":
+                v = v and out > 0
+                if not v:
+                    break
+            else:
+                v = v or out > 0
+                if v:
+                    break
+        return int(not v) if op == "none" else int(v)
+    if op in ("in", "!in"):
+        ff = get(f[1])
+        if ff is _NO_KEY:
+            return int(op == "!in")
+        found = False
+        for two in f[2:]:
+            cmp, fail = _compare_sv(ff[0], ff[1], two)
+            if not fail and cmp == 0:
+                found = True
+                break
+        return int(found if op == "in" else not found)
+    if op == "attribute-filter":
+        if _eval_sv(get, f[2], excl) <= 0:
+            excl.add(f[1])
+        return 1
+    raise ValueError(f"unknown filter op {op!r}")
+
+
+def evaluate_feature(filter_doc: dict, layer: str, rows, t: int,
+                     fid, zoom: int) -> tuple[bool, set]:
+    """evaluate() (evaluator.cpp:345-412) for one feature: the layer's
+    expression AND the "*" expression must both pass. rows are the
+    feature's stringified (key, vt, s) attributes; $id/$type/$zoom are
+    added insert-if-absent AFTER them (tile.cpp:1254-1279 unordered_map
+    insert keeps the first value). Returns (keep, exclude_attributes)."""
+    attrs: dict = {}
+    for k, vt, s in rows:
+        attrs.setdefault(k, (vt, s))
+    if fid is not None:
+        attrs.setdefault("$id", ("double", str(fid)))
+    attrs.setdefault("$type", ("string", _TYPE_NAME.get(t, "Point")))
+    attrs.setdefault("$zoom", ("double", str(zoom)))
+
+    def get(key: str):
+        return attrs.get(key, _NO_KEY)
+
+    excl: set = set()
+    ok = True
+    f = filter_doc.get(layer)
+    if ok and f is not None:
+        ok = _eval_sv(get, f, excl) > 0
+    f = filter_doc.get("*")
+    if ok and f is not None:
+        ok = _eval_sv(get, f, excl) > 0
+    return ok, excl

@@ -110,6 +110,10 @@ class VectorConfig:
     # --hilbert: spatial indexes use hilbert order instead of quadkey
     # (main.cpp:3680-3687)
     index_scheme: str = "quadkey"
+    # -j/-J feature filter: {layer: expr} hash evaluated per feature
+    # per tile with $zoom = the tile's z (tile.cpp:1231-1288,
+    # evaluator.cpp:345-412)
+    filter: dict | None = None
     # --grid-low-zooms (-aL's sibling): below maxzoom, rasterize
     # geometry onto the zoom's pixel grid with Bresenham stairsteps
     # instead of simplifying; tiny-polygon reduction is off entirely
@@ -958,6 +962,45 @@ def _encode_with_detail_ladder(cfg: VectorConfig, z, tx, ty, survivors,
         survivors = _run_prefilter(cfg, z, tx, ty, survivors)
         if not survivors:
             return None
+    if cfg.filter is not None:
+        # -j/-J gate (tile.cpp:1231-1288): evaluated with $zoom = z for
+        # every feature the scan would see — BEFORE the first-slot /
+        # rate gates, so a filtered feature consumes nothing. Features
+        # the explicit per-feature zoom gates exclude are never
+        # evaluated (next_feature continues first) but stay in the
+        # stream for the pending-minzoom leaf flag.
+        from ..functions.filters import evaluate_feature
+
+        _lmap = (attrs.get("__layers__", _EMPTY_DICT)
+                 if attrs is not None else _EMPTY_DICT)
+        kept_rows = []
+        excl_by_seq: dict[int, set] = {}
+        for row in survivors:
+            seq_, t_, fmn_ = row[0], row[1], (row[6] if len(row) > 6 else -1)
+            fmx_ = row[7] if len(row) > 7 else -1
+            if (fmn_ >= 0 and z < fmn_) or (fmx_ >= 0 and z > fmx_):
+                kept_rows.append(row)
+                continue
+            ent = attrs.get(seq_) if attrs is not None else None
+            rows_ = ent[1] if ent else ()
+            fid_ = ent[0] if ent else None
+            ok, excl = evaluate_feature(
+                cfg.filter, _lmap.get(seq_) or cfg.layer_name,
+                rows_, t_, fid_, z)
+            if not ok:
+                continue
+            if excl:
+                excl_by_seq[seq_] = excl
+            kept_rows.append(row)
+        survivors = kept_rows
+        if not survivors:
+            return None
+        if excl_by_seq and attrs is not None:
+            # remove_attributes (tile.cpp:1286-1288), tile-locally
+            attrs = dict(attrs)
+            for seq_, excl in excl_by_seq.items():
+                fid_, rows_ = attrs.get(seq_) or (None, ())
+                attrs[seq_] = (fid_, [r for r in rows_ if r[0] not in excl])
     mts = cfg.resolved_max_tile_size()
     trying_to_stop_early = False
     if (
