@@ -303,6 +303,43 @@ EDGE_CORPORA = [
     ("feature-filter", "in.json", 0,
      ["-J/root/reference/tests/feature-filter/filter"],
      ["-J", "/root/reference/tests/feature-filter/filter"]),
+    # ---- gamma/-K/as-needed strategies through the zoom-consensus
+    # driver (tile.cpp:1981-2144 gates + traverse_zooms retry passes
+    # 3382-3572 + the choose_first_zoom/zoom-jump schedule below
+    # minzoom, main.cpp:1147-1206 / tile.cpp:1686-1697)
+    ("loop", "in.json", 0, ["-O200", "--drop-densest-as-needed"],
+     ["--max-tile-features", "200", "--drop-densest-as-needed"]),
+    ("loop", "in.json", 0, ["-O200", "--cluster-densest-as-needed"],
+     ["--max-tile-features", "200", "--cluster-densest-as-needed"]),
+    ("loop", "in.json", 0, ["-O200", "--drop-fraction-as-needed"],
+     ["--max-tile-features", "200", "--drop-fraction-as-needed"]),
+    ("ne_110m_populated_places", "in.json", 1,
+     ["-M10000", "--drop-smallest-as-needed"],
+     ["--max-tile-bytes", "10000", "--drop-smallest-as-needed"]),
+    ("ne_110m_populated_places", "in.json", 1,
+     ["-M10000", "--coalesce-smallest-as-needed"],
+     ["--max-tile-bytes", "10000", "--coalesce-smallest-as-needed"]),
+    ("ne_110m_populated_places", "in.json", 5,
+     ["-yNAME", "--drop-by-attribute-as-needed=SCALERANK",
+      "--drop-by-attribute-order=desc"],
+     ["-y", "NAME", "--drop-by-attribute-as-needed", "SCALERANK",
+      "--drop-by-attribute-order", "desc"]),
+    ("ne_110m_populated_places", "in.json", 5,
+     ["-yNAME", "--drop-smallest-as-needed"],
+     ["-y", "NAME", "--drop-smallest-as-needed"]),
+    # polygons through coalesce-fraction (wagyu-unioned merges)
+    ("ne_110m_admin_0_countries", "in.json.gz", 5,
+     ["-M5000", "--coalesce-fraction-as-needed"],
+     ["--max-tile-bytes", "5000", "--coalesce-fraction-as-needed"]),
+    # -K clustering + -g gamma with the -Z11 zoom-jump ladder
+    ("muni", "muni.json", 13,
+     ["-Z11", "-O100", "--cluster-densest-as-needed"],
+     ["--minzoom", "11", "--max-tile-features", "100",
+      "--cluster-densest-as-needed"]),
+    ("muni", "muni.json", 11, ["-Z11", "-g2"],
+     ["--minzoom", "11", "--gamma", "2"]),
+    ("muni", "muni.json", 11, ["-Z11", "-K50"],
+     ["--minzoom", "11", "--cluster-distance", "50"]),
 ]
 
 

@@ -121,21 +121,13 @@ def _build_from_geo(args, cfg):
             n_i = len(vec_i)
         else:
             from tippecanoe_ray.sources.geojson import (
-                read_geojson_attrs, read_geojson_points, read_geojson_vector,
+                read_geojson_attrs, read_geojson_vector,
             )
 
-            # plain runs ride ONE pipeline like the reference (the
-            # vector cascade is rate-ladder exact for points, incl. the
-            # strategies metadata counters); the point pipeline takes
-            # over when its strategies (gamma / -K cluster / as-needed
-            # drops) are asked for, since those run there
-            point_strategies = bool(getattr(cfg, "strategies", None))
-            if point_strategies:
-                pts_i = read_geojson_points(path)
-                vec_i = read_geojson_vector(path, include_points=False,
-                                            projection=args.projection)
-            else:
-                vec_i = read_geojson_vector(path, projection=args.projection)
+            # all geometry runs ride ONE pipeline like the reference;
+            # gamma / -K / as-needed strategies run in the vector
+            # pipeline's zoom-consensus driver (tile.cpp:3272-3623)
+            vec_i = read_geojson_vector(path, projection=args.projection)
             attrs_i = read_geojson_attrs(path)
             n_i = attrs_i.pop("__n__", 0)
             lay_i = attrs_i.pop("__layers__", {})
@@ -284,6 +276,22 @@ def _build_from_geo(args, cfg):
                 tuple(float(v) for v in s.split(","))
                 for s in args.clip_bounding_box
             ),
+            max_tile_features=args.max_tile_features,
+            drop_densest=args.drop_densest_as_needed,
+            coalesce_densest=args.coalesce_densest_as_needed,
+            cluster_densest=args.cluster_densest_as_needed,
+            drop_smallest=args.drop_smallest_as_needed,
+            coalesce_smallest=args.coalesce_smallest_as_needed,
+            drop_fraction=args.drop_fraction_as_needed,
+            coalesce_fraction=args.coalesce_fraction_as_needed,
+            dynamic_drop=args.force_feature_limit,
+            drop_by_attribute=args.drop_by_attribute_as_needed,
+            drop_by_attribute_descending=args.drop_by_attribute_order == "desc",
+            increase_gamma=args.increase_gamma_as_needed,
+            gamma=args.gamma,
+            cluster_distance=args.cluster_distance,
+            cluster_maxzoom=args.cluster_maxzoom,
+            keep_point_cluster_position=args.keep_point_cluster_position,
         )
         feats = ingest_features(vec_tbl, vcfg)
         if args.calculate_feature_density:
@@ -329,6 +337,24 @@ def main(argv=None):
     ap.add_argument("--gamma", type=float, default=0.0)
     ap.add_argument("--cluster-distance", type=int, default=0)
     ap.add_argument("--drop-densest", action="store_true")
+    # as-needed strategies in the vector pipeline (tile.cpp:1993-2144 +
+    # the whole-zoom threshold consensus, tile.cpp:3392-3572)
+    ap.add_argument("--drop-densest-as-needed", action="store_true")
+    ap.add_argument("--coalesce-densest-as-needed", action="store_true")
+    ap.add_argument("--cluster-densest-as-needed", action="store_true")
+    ap.add_argument("--drop-smallest-as-needed", action="store_true")
+    ap.add_argument("--coalesce-smallest-as-needed", action="store_true")
+    ap.add_argument("--drop-fraction-as-needed", action="store_true")
+    ap.add_argument("--coalesce-fraction-as-needed", action="store_true")
+    ap.add_argument("--force-feature-limit", action="store_true",
+                    help="-pd: per-tile drop-fraction thresholds only")
+    ap.add_argument("--drop-by-attribute-as-needed", default=None,
+                    help="attribute name to drop by when tiles overflow")
+    ap.add_argument("--drop-by-attribute-order", default="asc",
+                    choices=["asc", "desc"])
+    ap.add_argument("--increase-gamma-as-needed", action="store_true")
+    ap.add_argument("--cluster-maxzoom", "-k", type=int, default=24)
+    ap.add_argument("--keep-point-cluster-position", action="store_true")
     ap.add_argument("--max-tile-features", type=int, default=None,
                     help="as-needed drop limit per tile (reference -O, default 200000)")
     ap.add_argument("--clip-bounding-box", action="append", default=[],

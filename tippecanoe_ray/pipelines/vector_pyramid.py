@@ -149,9 +149,53 @@ class VectorConfig:
     # with the tippecanoe envelope; stdout GeoJSON replaces the tile's
     # features before the encode scan. Runs inside the encode task.
     prefilter: str | None = None
+    # ---- as-needed drop strategies (the write_tile gate chain
+    # tile.cpp:1993-2144 + the threshold retry ladder 2723-3036 + the
+    # per-zoom whole-zoom consensus passes tile.cpp:3392-3572). Each
+    # zoom starts with fresh thresholds (zoom_mingap=0 etc.,
+    # tile.cpp:3382-3390); a tile that overflows its byte/feature cap
+    # raises its LOCAL threshold and keeps retrying at the same detail;
+    # the zoom re-runs with the merged maxima until no tile raises.
+    drop_densest: bool = False        # --drop-densest-as-needed
+    coalesce_densest: bool = False    # --coalesce-densest-as-needed
+    cluster_densest: bool = False     # --cluster-densest-as-needed
+    drop_smallest: bool = False       # --drop-smallest-as-needed
+    coalesce_smallest: bool = False   # --coalesce-smallest-as-needed
+    drop_fraction: bool = False       # --drop-fraction-as-needed
+    coalesce_fraction: bool = False   # --coalesce-fraction-as-needed
+    dynamic_drop: bool = False        # -pd (per-tile thresholds only)
+    drop_by_attribute: str | None = None  # --drop-by-attribute-as-needed
+    drop_by_attribute_descending: bool = False
+    increase_gamma: bool = False      # --increase-gamma-as-needed
+    # -g gamma dot-thinning and -K clustering run in the same scan
+    # (tile.cpp:1981-2019); cluster_maxzoom default MAX_ZOOM
+    # (main.cpp:89)
+    gamma: float = 0.0
+    cluster_distance: int = 0
+    cluster_maxzoom: int = 24
+    keep_point_cluster_position: bool = False  # -aa
+
+    def densest_active(self) -> bool:
+        return self.drop_densest or self.coalesce_densest or self.cluster_densest
+
+    def smallest_active(self) -> bool:
+        return self.drop_smallest or self.coalesce_smallest
+
+    def fraction_active(self) -> bool:
+        return self.drop_fraction or self.coalesce_fraction or self.dynamic_drop
+
+    def strategies_active(self) -> bool:
+        """Any gate that needs the zoom-consensus orchestration."""
+        return bool(
+            self.densest_active() or self.smallest_active()
+            or self.fraction_active() or self.drop_by_attribute
+            or self.increase_gamma or self.gamma > 0 or self.cluster_distance
+        )
 
     def resolved_max_tile_size(self) -> int | None:
-        if self.max_tile_size is None and self.variable_depth:
+        if self.max_tile_size is None and (
+            self.variable_depth or self.strategies_active()
+        ):
             return 500000  # reference default (main.cpp:85)
         return self.max_tile_size
 
@@ -273,6 +317,49 @@ def _vertex_hash_index(ops: np.ndarray, scaled: np.ndarray, g: int,
     return int(enc(np.array([mx]), np.array([my]))[0])
 
 
+def _llround(v: float) -> int:
+    return int(math.floor(v + 0.5)) if v >= 0 else int(math.ceil(v - 0.5))
+
+
+def _trunc(v: float) -> int:
+    return int(v)  # C double→long long truncates toward zero
+
+
+def _center_of_mass_mp(ops: np.ndarray, xy: np.ndarray) -> tuple[int, int]:
+    """center_of_mass_mp (geometry.cpp:601-634): per-ring turf center
+    of mass, weighted by the signed ring area. `ringcount` is a size_t
+    in the reference, so each `ringcount += area` TRUNCATES the double
+    area (a faithful quirk); the final division truncates toward zero
+    through the draw() long long conversion."""
+    ringx = ringy = 0.0
+    ringcount = 0
+    i, n = 0, len(ops)
+    while i < n:
+        if ops[i] == 1:  # MOVETO
+            xsum = float(xy[i, 0])
+            ysum = float(xy[i, 1])
+            count = 1
+            j = i + 1
+            while j < n and ops[j] == 2:
+                xsum += float(xy[j, 0])
+                ysum += float(xy[j, 1])
+                count += 1
+                j += 1
+            area = dv.get_area(xy, i, j)
+            cx = _llround(xsum / count)
+            cy = _llround(ysum / count)
+            mx, my = dv.center_of_mass(xy, i, j, cx, cy)
+            ringx += mx * area
+            ringy += my * area
+            ringcount = _trunc(float(ringcount) + area)  # size_t += double
+            i = j - 1
+        i += 1
+    if ringcount == 0:
+        # the reference divides by zero here (UB); keep deterministic
+        return 0, 0
+    return _trunc(ringx / ringcount), _trunc(ringy / ringcount)
+
+
 def _ingest_rows(tbl: pa.Table, cfg: VectorConfig) -> tuple[list, list[int]]:
     """Per-batch ingest kernel (serialize_feature, serial.cpp:455-510):
     snap to the geometry_scale grid (round half away), then fix polygon
@@ -354,6 +441,17 @@ def _ingest_rows(tbl: pa.Table, cfg: VectorConfig) -> tuple[list, list[int]]:
                 # snapped source is also the row-aligned one
                 src = world if cfg.clip_bboxes else raw_xy
                 idxs.append(_point_bbox_index(ops, src, enc=idx_enc))
+            elif t == 3 and (cfg.drop_densest or cfg.coalesce_densest):
+                # under the densest drop modes the polygon index point
+                # is the center of mass, not the hashed vertex
+                # (serial.cpp:693-699)
+                from ..functions.spatial import encode_quadkey
+
+                cmx, cmy = _center_of_mass_mp(ops, scaled)
+                mx = (cmx << g) & ((1 << 32) - 1)
+                my = (cmy << g) & ((1 << 32) - 1)
+                enc2 = idx_enc or encode_quadkey
+                idxs.append(int(enc2(np.array([mx]), np.array([my]))[0]))
             else:
                 idxs.append(_vertex_hash_index(ops, scaled, g, enc=idx_enc))
     return out, idxs
@@ -516,8 +614,279 @@ def _fix_wraparound(ops: np.ndarray, xy: np.ndarray) -> np.ndarray:
     return out
 
 
+# ------------------------------------------------- as-needed strategies
+#
+# The write_tile gate chain (tile.cpp:1993-2144), its threshold-retry
+# ladder (tile.cpp:2723-3036) and the per-zoom consensus passes
+# (traverse_zooms tile.cpp:3382-3572). Thresholds reset at every zoom
+# (zoom_mingap = 0 etc., tile.cpp:3383-3390); within a zoom they only
+# rise, and any rise re-runs the whole zoom with the merged maxima.
+
+_U64 = (1 << 64) - 1
+
+
+class _Samples:
+    """add_sample_to (tile.cpp:1596-1611): keep ~100K samples by
+    doubling the sampling increment and halving the list."""
+
+    __slots__ = ("vals", "inc")
+
+    def __init__(self):
+        self.vals: list = []
+        self.inc = 1
+
+    def add(self, v, seq: int):
+        if seq % self.inc == 0:
+            self.vals.append(v)
+            if len(self.vals) > 100000:
+                self.vals = self.vals[::2]
+                self.inc *= 2
+
+
+def _choose_threshold(vals: list, f: float, existing) -> int:
+    """choose_mingap / choose_minextent / choose_mindrop_sequence
+    (tile.cpp:754-765, 795-803, 806-819): (1-f) quantile of the sorted
+    samples, stepped strictly past the existing threshold."""
+    g = sorted(vals)
+    ix = int((len(g) - 1) * (1 - f))
+    while ix + 1 < len(g) and g[ix] <= existing:
+        ix += 1
+    return g[ix]
+
+
+def _choose_minattr(vals: list, f: float, existing: float, desc: bool) -> float:
+    """choose_minattribute (tile.cpp:821-857); existing is ±HUGE_VAL
+    when no threshold has been chosen yet."""
+    if not vals:
+        return existing
+    v = sorted(vals)
+    n = len(v)
+    if desc:
+        ix = int((n - 1) * f)
+        while ix > 0 and v[ix] >= existing:
+            ix -= 1
+        if v[ix] >= existing:
+            return existing
+        return v[ix]
+    ix = int(math.ceil((n - 1) * (1 - f)))
+    if ix >= n:
+        ix = n - 1
+    while ix + 1 < n and v[ix] <= existing:
+        ix += 1
+    if v[ix] <= existing:
+        return existing
+    return v[ix]
+
+
+def _drop_sequence1(fmz: int, index: int) -> int:
+    """calculate_drop_sequence (tile.cpp:859-864) for one feature."""
+    from ..stages.strategies import bit_reverse
+
+    zoom = min(max(int(fmz), 0), 31)
+    out = zoom << 59
+    out |= int(bit_reverse(np.array([index], np.uint64))[0]) & ~(31 << 59) & _U64
+    return (~out) & _U64
+
+
+def _dropping_features(s: dict) -> bool:
+    """dropping_features (tile.cpp:963-969)."""
+    da = (s["minattribute"] != math.inf if s.get("desc")
+          else s["minattribute"] != -math.inf)
+    return bool(s["mingap"] or s["minextent"] or s["mindrop_sequence"] or da)
+
+
+def _fresh_thresholds(cfg: VectorConfig) -> dict:
+    """Per-zoom starting thresholds (traverse_zooms tile.cpp:3382-3390)."""
+    return {
+        "gamma": cfg.gamma,
+        "mingap": 0,
+        "minextent": 0,
+        "mindrop_sequence": 0,
+        "minattribute": math.inf if cfg.drop_by_attribute_descending else -math.inf,
+        "desc": cfg.drop_by_attribute_descending,
+    }
+
+
+def _merge_proposals(base: dict, outs: list[dict]) -> tuple[dict, bool]:
+    """The zoom driver's *_out merge (tile.cpp:3506-3527): take maxima,
+    report whether any threshold rose (-> whole-zoom retry)."""
+    cur = dict(base)
+    again = False
+    for o in outs:
+        if o.get("gamma", 0) > cur["gamma"]:
+            cur["gamma"] = o["gamma"]
+            again = True
+        for k in ("mingap", "minextent", "mindrop_sequence"):
+            if o.get(k, 0) > cur[k]:
+                cur[k] = o[k]
+                again = True
+        ma = o.get("minattribute")
+        if ma is not None:
+            better = ma < cur["minattribute"] if cur["desc"] else ma > cur["minattribute"]
+            if better:
+                cur["minattribute"] = ma
+                again = True
+    return cur, again
+
+
+def _z0_gaps(rows: list, vidx: np.ndarray, scheme: str = "quadkey",
+             origin: tuple[int, int] = (0, 0)) -> np.ndarray:
+    """sf.gap as filled by the z0 next_feature scan (tile.cpp:1180-1199)
+    over the globally (index, seq)-sorted stream: the max squared
+    distance (uint64 wraparound) from the PREVIOUS feature's decoded
+    index point to every draw of this feature's snapped geometry —
+    including CLOSEPATH rows, whose stored (0, 0) contributes the
+    distance to the tile origin (the z0 origin is the world origin).
+    previndex starts at 0, so the first feature measures against the
+    decoded (0, 0) index unless its own index is 0."""
+    if scheme == "hilbert":
+        from ..functions.spatial import decode_hilbert as _dec
+    else:
+        from ..functions.spatial import decode_quadkey as _dec
+
+    n = len(rows)
+    gaps = np.zeros(n, np.uint64)
+    prev = np.uint64(0)
+    for i in range(n):
+        ix = np.uint64(vidx[i])
+        if ix != prev:
+            px, py = _dec(np.array([prev], np.uint64))
+            px, py = int(px[0]), int(py[0])
+            ops, xy = rows[i][2], rows[i][3]
+            best = 0
+            for k in range(len(ops)):
+                if ops[k] == 3:  # CLOSEPATH: stored coordinate is (0,0)
+                    gx, gy = origin
+                else:
+                    gx, gy = int(xy[k, 0]), int(xy[k, 1])
+                d = (((px - gx) * (px - gx)) + ((py - gy) * (py - gy))) & _U64
+                if d > best:
+                    best = d
+            gaps[i] = np.uint64(best)
+        prev = ix
+    return gaps
+
+
+def _ingest_extent(t: int, ops: np.ndarray, world: np.ndarray, g: int) -> int:
+    """serial_feature.extent at serialization (serial.cpp:636-680):
+    polygons sum 2^2g × the signed shoelace ring areas of the SCALED
+    geometry; lines get π(dist/2)² over SHIFT_LEFT'd deltas; points 0
+    (their extent comes from spacing inside write_tile). Clamped to
+    int64 with the reference's asymmetric bounds."""
+    if t == 1:
+        return 0
+    scaled = world >> g if g else world
+    extent = 0.0
+    if t == 3:
+        mul = float((1 << g) * (1 << g))
+        i = 0
+        n = len(ops)
+        while i < n:
+            if ops[i] == 1:  # MOVETO
+                j = i + 1
+                while j < n and ops[j] == 2:
+                    j += 1
+                extent += mul * dv.get_area(scaled, i, j)
+                i = j - 1
+            i += 1
+    else:
+        dist = 0.0
+        for i in range(1, len(ops)):
+            if ops[i] == 2:
+                xd = float((int(world[i, 0]) - int(world[i - 1, 0])))
+                yd = float((int(world[i, 1]) - int(world[i - 1, 1])))
+                dist += math.sqrt(xd * xd + yd * yd)
+        extent = math.pi * (dist / 2) * (dist / 2)
+    if extent >= -9.223372036854776e18 and extent < 9.223372036854776e18:
+        return int(extent)
+    if extent < 0:
+        return -(1 << 63)
+    return (1 << 63) - 1  # also NaN
+
+
+def _find_small_target(pending, pend_lname, pend_extent, lname, tt, maxextent):
+    """find_feature_to_accumulate_onto with a finite maxextent
+    (tile.cpp:1576-1590, coalesce-smallest): the most recently appended
+    same-layer same-type feature whose extent is <= maxextent."""
+    for i in range(len(pending) - 1, -1, -1):
+        if (pending[i][1] == tt and pend_lname[i] == lname
+                and pend_extent[i] <= maxextent):
+            return i
+    return None
+
+
+def _numeric_attr_by_seq(attrs: dict, name: str) -> dict[int, float]:
+    """find_attribute_value → numeric (tile.cpp:2110-2130): the
+    attribute's serial value is typed exactly like the MVT encoder
+    (stringified_to_mvt_value) and only int/uint/sint and FINITE
+    float/double values participate; mvt_float compares as the
+    float32-rounded value."""
+    import struct as _struct
+
+    from ..stages.mvt import is_integer_str, is_unsigned_integer_str
+
+    out: dict[int, float] = {}
+    for seq, ent in attrs.items():
+        if not isinstance(seq, int):
+            continue
+        for k, vt, s in ent[1]:
+            if k != name:
+                continue
+            if vt == "sint":
+                out[seq] = float(int(s))
+            elif vt == "double":
+                uv = is_unsigned_integer_str(s)
+                if uv is not None:
+                    out[seq] = float(uv)
+                else:
+                    v = is_integer_str(s)
+                    if v is not None:
+                        out[seq] = float(v)
+                    else:
+                        try:
+                            d = float(s)
+                        except ValueError:
+                            d = 0.0
+                        try:
+                            f32 = _struct.unpack("<f", _struct.pack("<f", d))[0]
+                            if f32 == d:
+                                d = f32
+                        except OverflowError:
+                            pass
+                        if math.isfinite(d):
+                            out[seq] = d
+            break  # first matching key; string/bool/null are not numeric
+    return out
+
+
+def _manage_gap(index: int, state: list, scale: float, gamma: float) -> bool:
+    """manage_gap (tile.cpp:720-753); state = [previndex, gap]."""
+    if gamma > 0:
+        if state[1] > 0:
+            if index == state[0]:
+                return True
+            if index < state[0] or math.exp(
+                math.log((index - state[0]) / scale) * gamma
+            ) >= state[1]:
+                state[1] = 0.0
+            else:
+                return True
+        elif index >= state[0]:
+            g = (index - state[0]) / scale
+            if g == 0:
+                return True
+            elif g < 1:
+                state[1] = g
+                return True
+            else:
+                state[1] = 0.0
+        state[0] = index
+    return False
+
+
 def _feature_step(cfg: VectorConfig, z: int, tx: int, ty: int,
-                  t: int, ops: np.ndarray, xy: np.ndarray):
+                  t: int, ops: np.ndarray, xy: np.ndarray,
+                  nextzoom: int | None = None):
     """One cascade step for ONE feature at tile (z, tx, ty): clip to
     tile+buffer (clip_to_tile, tile.cpp:974-1057, incl. the z0 dateline
     ±360° duplication :977-1001) and compute the child tiles the
@@ -532,10 +901,13 @@ def _feature_step(cfg: VectorConfig, z: int, tx: int, ty: int,
     span = 1 << span_shift
     buf = cfg.buffer * span // 256
     origin = np.array([tx << span_shift, ty << span_shift], dtype=np.int64) if z else np.zeros(2, np.int64)
-    # only consumed when z+1 <= maxzoom (≤ MAX_ZOOM 24, so the shift is
-    # ≥ 0 there; the max() keeps maxzoom-tile steps from raising)
-    child_div = 1 << max(0, WORLD_BITS - (z + 1) - 8)
-    cspan = 2  # nextzoom - z == 1
+    # nextzoom > z + 1 happens only below minzoom (write_tile
+    # tile.cpp:1686-1697 zoom jumps); ≤ MAX_ZOOM 24, so the shift is
+    # ≥ 0 there; the max() keeps maxzoom-tile steps from raising
+    if nextzoom is None:
+        nextzoom = z + 1
+    child_div = 1 << max(0, WORLD_BITS - nextzoom - 8)
+    cspan = 1 << (nextzoom - z)
 
     local = xy - origin
     bbox = dv.geom_bbox(local, ops)
@@ -605,7 +977,7 @@ def _feature_step(cfg: VectorConfig, z: int, tx: int, ty: int,
 
     child_keys: list[tuple[int, int]] = []
     snapped = None
-    if len(cops) > 0 and z + 1 <= cfg.maxzoom:
+    if len(cops) > 0 and nextzoom <= cfg.maxzoom:
         b2 = [dv._tdiv(bbox[k], child_div) for k in range(4)]
         b2[0] -= cfg.buffer + 1
         b2[1] -= cfg.buffer + 1
@@ -620,31 +992,77 @@ def _feature_step(cfg: VectorConfig, z: int, tx: int, ty: int,
         snapped = dv.snap_world(cxy + origin, cfg.resolved_gscale())
         for xo in range(b2[0], b2[2] + 1):
             for yo in range(b2[1], b2[3] + 1):
-                child_keys.append((tx * 2 + xo, ty * 2 + yo))
+                child_keys.append((tx * cspan + xo, ty * cspan + yo))
     return cops, cxy, child_keys, snapped, enodes
 
 
 def process_tile(cfg: VectorConfig, z: int, tx: int, ty: int, tbl,
-                 global_nodes=None, est=None, attrs=None):
+                 global_nodes=None, est=None, attrs=None,
+                 strat: dict | None = None, nextzoom: int | None = None,
+                 fanout_only: bool = False):
     """One write_tile (keep-all path): returns (tile_row | None,
     children: dict[(cx, cy) -> row list]). `tbl` is a feature table or
-    a list of row tuples (see table_to_rows)."""
+    a list of row tuples (see table_to_rows). `fanout_only` is the
+    z < minzoom pass: rewrite children, no gates, no encode
+    (next_feature tile.cpp:1216-1218)."""
     if isinstance(tbl, pa.Table):
         tbl = table_to_rows(tbl)
     children: dict[tuple[int, int], list] = {}
     survivors: list = []
     poison_children = False
 
-    for seq, t, ops, xy, lab_x, lab_y, fmz, fmn, fmx in tbl:
-        step = _feature_step(cfg, z, tx, ty, t, ops, xy)
+    if strat is not None:
+        # next_feature's lazy gap fill (tile.cpp:1180-1199): a feature
+        # whose serialized gap is still 0 (duplicate index in the z0
+        # stream) measures against THIS tile's previous stream feature,
+        # over its pre-clip geometry; CLOSEPATH rows contribute the
+        # tile origin. previndex advances for every stream feature,
+        # including ones the clip rejects entirely.
+        gap_of = (attrs or {}).get("__gap__", _EMPTY_DICT)
+        vix_of = (attrs or {}).get("__vindex__", _EMPTY_DICT)
+        ovr: dict[int, int] = {}
+        if z > 0:
+            if cfg.index_scheme == "hilbert":
+                from ..functions.spatial import decode_hilbert as _dec
+            else:
+                from ..functions.spatial import decode_quadkey as _dec
+            prev = 0
+            span_shift = WORLD_BITS - z
+            ox, oy = tx << span_shift, ty << span_shift
+            for row in tbl:
+                sq_, vx_ = row[0], int(vix_of.get(row[0], 0))
+                if int(gap_of.get(sq_, 0)) == 0 and vx_ != prev:
+                    px, py = _dec(np.array([prev], np.uint64))
+                    px, py = int(px[0]), int(py[0])
+                    best = 0
+                    ops_, xy_ = row[2], row[3]
+                    for k in range(len(ops_)):
+                        if ops_[k] == 3:
+                            gx, gy = ox, oy
+                        else:
+                            gx, gy = int(xy_[k, 0]), int(xy_[k, 1])
+                        d = (((px - gx) * (px - gx))
+                             + ((py - gy) * (py - gy))) & ((1 << 64) - 1)
+                        if d > best:
+                            best = d
+                    ovr[sq_] = best
+                prev = vx_
+        strat["_gap_override"] = ovr
+
+    nz = (z + 1) if nextzoom is None else nextzoom
+    for row in tbl:
+        seq, t, ops, xy, lab_x, lab_y, fmz, fmn, fmx = row[:9]
+        step = _feature_step(cfg, z, tx, ty, t, ops, xy, nextzoom=nz)
         if step is None:
             continue
         cops, cxy, child_keys, snapped, enodes = step
-        if child_keys:
+        if child_keys and (fmx == -1 or fmx >= nz):
+            # rewrite is gated on the per-feature maxzoom reaching the
+            # next zoom (next_feature tile.cpp:1211-1214)
             blob = (seq, t, cops, snapped, lab_x, lab_y, fmz, fmn, fmx)
             for key in child_keys:
                 children.setdefault(key, []).append(blob)
-        if z < cfg.minzoom:
+        if fanout_only or z < cfg.minzoom:
             continue
         if cfg.variable_depth and z < cfg.maxzoom and (
             (fmn != -1 and z < fmn)
@@ -655,9 +1073,11 @@ def process_tile(cfg: VectorConfig, z: int, tx: int, ty: int, tbl,
             poison_children = True
         survivors.append((seq, t, cops, cxy, (lab_x, lab_y), fmz, fmn, fmx, enodes))
 
+    if fanout_only:
+        return None, children, False
     tile_row = _encode_with_detail_ladder(cfg, z, tx, ty, survivors,
                                           global_nodes=global_nodes, est=est,
-                                          attrs=attrs)
+                                          attrs=attrs, strat=strat)
     return tile_row, children, poison_children
 
 
@@ -900,15 +1320,35 @@ def _glow(spacing: float) -> int:
     return 255
 
 
+def _cluster_attr_rows(cluster_n: int) -> list:
+    """-K / cluster-densest stats attributes (tile.cpp:2420-2451):
+    appended to the feature's full_keys at the start of phase 2."""
+    pc_ = cluster_n + 1
+    if pc_ >= 10000:
+        abbrev = f"{pc_ / 1000.0:.0f}k"
+    elif pc_ >= 1000:
+        abbrev = f"{pc_ / 1000.0:.1f}k"
+    else:
+        abbrev = str(pc_)
+    # std::to_string(double) is "%f" — 6 fixed decimals
+    sq = f"{round(100 * math.sqrt(pc_)) / 100.0:.6f}"
+    return [
+        ("clustered", "bool", "true"),
+        ("point_count", "double", str(pc_)),
+        ("sqrt_point_count", "double", sq),
+        ("point_count_abbreviated", "string", abbrev),
+    ]
+
+
 def _mk_feat(geom: bytes, t: int, seq: int, attrs, acc: dict | None = None,
-             glow: int | None = None) -> dict:
+             glow: int | None = None, cluster_n: int = 0) -> dict:
     """Tile feature dict: id/attributes from the broadcast side table
     (write_tile carries full_keys/full_values per feature; plain
     corpora without ids get none, like the reference). A per-feature
     layer override (tippecanoe extension) rides as 'layer'."""
     f = {"geom": geom, "type": t}
-    if attrs is not None:
-        ent = attrs.get(seq)
+    if attrs is not None or cluster_n:
+        ent = attrs.get(seq) if attrs is not None else None
         rows = []
         if ent is not None:
             fid, rows = ent
@@ -923,6 +1363,8 @@ def _mk_feat(geom: bytes, t: int, seq: int, attrs, acc: dict | None = None,
             rows = [r for r in rows if r[0] not in acc] + [
                 (k, v[0], v[1].split("\0", 1)[0]) for k, v in acc.items()
             ]
+        if cluster_n:
+            rows = list(rows) + _cluster_attr_rows(cluster_n)
         if glow is not None:
             # -ag: appended last, after the accumulated attrs
             # (tile.cpp:2656-2676)
@@ -930,7 +1372,8 @@ def _mk_feat(geom: bytes, t: int, seq: int, attrs, acc: dict | None = None,
                                   str(glow))]
         if rows:
             f["attrs_sv"] = rows
-        ln = attrs.get("__layers__", _EMPTY_DICT).get(seq)
+        ln = (attrs.get("__layers__", _EMPTY_DICT).get(seq)
+              if attrs is not None else None)
         if ln is not None:
             f["layer"] = ln
     return f
@@ -940,7 +1383,8 @@ _EMPTY_DICT: dict = {}
 
 
 def _encode_with_detail_ladder(cfg: VectorConfig, z, tx, ty, survivors,
-                               global_nodes=None, est=None, attrs=None):
+                               global_nodes=None, est=None, attrs=None,
+                               strat: dict | None = None):
     """The write_tile detail loop (tile.cpp:1719-3079, no-strategy path):
     run reduce/simplify/scale/encode at line_detail = detail, and on
     byte overflow retry at line_detail-1 … min_detail (detail_reduced
@@ -1002,10 +1446,47 @@ def _encode_with_detail_ladder(cfg: VectorConfig, z, tx, ty, survivors,
                 fid_, rows_ = attrs.get(seq_) or (None, ())
                 attrs[seq_] = (fid_, [r for r in rows_ if r[0] not in excl])
     mts = cfg.resolved_max_tile_size()
+    # ---- as-needed strategy state (write_tile locals + entry params):
+    # thresholds enter at the zoom's consensus values and only rise
+    # locally within this tile's retry loop; rises are reported through
+    # strat["out"] for the zoom driver's merge (tile.cpp:3506-3527).
+    # The *_fraction values live across retries (tile.cpp:1666-1670).
+    if strat is not None:
+        s_gamma = float(strat.get("gamma", cfg.gamma))
+        s_mingap = int(strat.get("mingap", 0))
+        s_minextent = int(strat.get("minextent", 0))
+        s_mindropseq = int(strat.get("mindrop_sequence", 0))
+        s_minattr = float(
+            strat.get(
+                "minattribute",
+                math.inf if cfg.drop_by_attribute_descending else -math.inf,
+            )
+        )
+        f_mingap = f_minextent = f_mindropseq = f_minattr = 1.0
+        out = strat.setdefault("out", {})
+        feat_cap = cfg.max_tile_features if cfg.max_tile_features is not None else 200000
+        # -K cluster gap for this zoom (tile.cpp:1697)
+        cluster_mingap = (
+            ((1 << (32 - z)) // 256 * cfg.cluster_distance)
+            * ((1 << (32 - z)) // 256 * cfg.cluster_distance)
+        )
+        desc = cfg.drop_by_attribute_descending
+        # per-feature numeric value for --drop-by-attribute-as-needed
+        # (find_attribute_value + the mvt numeric types, tile.cpp:2110-2130)
+        attr_num: dict[int, float] = {}
+        if cfg.drop_by_attribute and attrs is not None:
+            attr_num = _numeric_attr_by_seq(attrs, cfg.drop_by_attribute)
+        gap_of = (attrs or {}).get("__gap__", _EMPTY_DICT)
+        ext_of = (attrs or {}).get("__extent__", _EMPTY_DICT)
+        vix_of = (attrs or {}).get("__vindex__", _EMPTY_DICT)
+    else:
+        s_gamma = cfg.gamma
+        feat_cap = cfg.max_tile_features
     trying_to_stop_early = False
     if (
         cfg.variable_depth and est is not None and mts is not None
         and not cfg.dropping()
+        and not (strat is not None and _dropping_features(strat))
     ):
         # empirical size estimate from the input-stream byte count
         # (tile.cpp:1706-1713); only attempt a leaf tile when it looks
@@ -1027,9 +1508,21 @@ def _encode_with_detail_ladder(cfg: VectorConfig, z, tx, ty, survivors,
     from ..stages.tile_encode import encode_multipoint
 
     n_rate = n_tiny = 0
+    n_gamma = n_need_d = n_need_c = 0
     over_size = 0
     over_feats = 0
-    for line_detail in details:
+    # fraction-active: precompute each feature's drop_sequence (a pure
+    # function of (feature_minzoom, index), tile.cpp:859-864)
+    dseq_of: dict[int, int] = {}
+    if strat is not None and cfg.fraction_active():
+        for row in survivors:
+            sq_ = row[0]
+            dseq_of[sq_] = _drop_sequence1(row[5], int(vix_of.get(sq_, 0)))
+    gap_override = strat.get("_gap_override", _EMPTY_DICT) if strat else _EMPTY_DICT
+    li = 0
+    retries = 0
+    while li < len(details):
+        line_detail = details[li]
         # --extra-detail: maxzoom tiles encode at the deeper grid while
         # still simplifying to line_detail (tile.cpp:2265-2285, worker
         # to_tile_scale at extra_detail tile.cpp:678-681)
@@ -1074,6 +1567,91 @@ def _encode_with_detail_ladder(cfg: VectorConfig, z, tx, ty, survivors,
         dens_gap = 0.0
         dens_spacing = 0.0
         dens_scale = float(1 << (64 - 2 * (z + 8)))
+        # ---- per-attempt strategy scan state (declared inside the
+        # detail loop in the reference, tile.cpp:1722-1752)
+        n_gamma = n_need_d = n_need_c = 0
+        gamma_state = [0, 0.0]  # manage_gap previndex/gap
+        merge_previndex = 0
+        extent_previndex = 0
+        coalesced_area = 0.0
+        scan_seq = 0  # the write_tile read-loop counter (next_feature returns)
+        gaps_s = _Samples()
+        extents_s = _Samples()
+        dseqs_s = _Samples()
+        attrs_s = _Samples()
+        too_many_bytes = False
+        too_many_features = False
+        skipped = 0
+        kept = 0
+        lead_count = 0
+        other_count = 0
+        pend_lname: list = []  # layer name per pending entry
+        pend_extent: list = []  # serial extent per pending entry
+        pend_cluster: list = []  # clustered count per pending entry
+        pend_coalesced: list = []  # coalesced flag per pending entry
+
+        def _fold_onto(ti: int, d_seq: int):
+            """preserve_attributes (tile.cpp:1544-1569): fold the
+            dropped feature's accumulate-attributes onto pending[ti]."""
+            if not accum or attrs is None:
+                return
+            ent = attrs.get(d_seq)
+            d_rows = ent[1] if ent else ()
+            acc = acc_by_idx.get(ti)
+            if acc is None:
+                acc = acc_by_idx[ti] = {}
+            t_seq = pending[ti][0]
+            t_ent = attrs.get(t_seq)
+            t_rows = {r[0]: r for r in (t_ent[1] if t_ent else ())}
+            for k, vt_d, s_d in d_rows:
+                if k not in accum or vt_d == "null":
+                    continue
+                if (k not in acc and k in t_rows
+                        and t_rows[k][1] != "null"):
+                    # promote: seed from the target's own value
+                    # (tile.cpp:1465-1484)
+                    acc[k] = [t_rows[k][1], t_rows[k][2]]
+                _accumulate_attr(acc, accum[k], k, vt_d, s_d)
+
+        layer_npend: dict = {}
+
+        def _account_append(lname, rate_dropped) -> bool:
+            """The append block's over-limit early exit
+            (tile.cpp:2186-2224): once the (multiplier-inflated) caps
+            are exceeded by the (skip-extrapolated) feature count, stop
+            appending and count skips instead. Returns True to append."""
+            nonlocal skipped, kept, lead_count, other_count
+            nonlocal too_many_bytes, too_many_features
+            adj_ms = mts
+            adj_mf = feat_cap
+            if lead_count > 0:
+                if adj_ms is not None:
+                    adj_ms = adj_ms * (lead_count + other_count) // lead_count
+                if adj_mf is not None:
+                    adj_mf = adj_mf * (lead_count + other_count) // lead_count
+            afc = lead_count + other_count
+            if kept > 0:
+                afc = afc * (skipped + kept) // kept
+            if too_many_bytes or (adj_ms is not None and afc > adj_ms):
+                # every feature is at least one output byte
+                skipped += 1
+                too_many_bytes = True
+                return False
+            if too_many_features or (adj_mf is not None and afc > adj_mf):
+                skipped += 1
+                too_many_features = True
+                return False
+            kept += 1
+            # the first feature appended to a layer is always a lead
+            # (tile.cpp:2228-2236 revival)
+            n_in_layer = layer_npend.get(lname, 0)
+            layer_npend[lname] = n_in_layer + 1
+            if not rate_dropped or n_in_layer == 0:
+                lead_count += 1
+            else:
+                other_count += 1
+            return True
+
         for row in survivors:
             seq, t, ops, xy, lab, fmz = row[:6]
             fmn = row[6] if len(row) > 6 else -1
@@ -1088,6 +1666,27 @@ def _encode_with_detail_ladder(cfg: VectorConfig, z, tx, ty, survivors,
             if fmx >= 0 and z > fmx:
                 # explicit per-feature maxzoom (tile.cpp:1307-1316)
                 continue
+            # the write_tile read-loop counter: every feature
+            # next_feature RETURNS consumes one (the explicit-zoom
+            # gates above skip inside next_feature and do not)
+            my_seq = scan_seq
+            scan_seq += 1
+            if strat is not None:
+                vix = int(vix_of.get(seq, 0))
+                sf_gap = int(gap_override.get(seq, gap_of.get(seq, 0)))
+                sf_extent = int(ext_of.get(seq, 0))
+                if t == 1:
+                    # VT_POINT extent from spacing to the previous
+                    # point's index (tile.cpp:1896-1908); sf.extent is a
+                    # long long, so the πr² double truncates on store
+                    if extent_previndex >= vix:
+                        sf_extent = 1
+                    else:
+                        radius = math.sqrt(vix - extent_previndex) / 4.0
+                        sf_extent = int(math.pi * radius * radius)
+                        if sf_extent < 1:
+                            sf_extent = 1
+                    extent_previndex = vix
             lname = lmap.get(seq)
             rate_dropped = False
             if fmn < 0:
@@ -1111,32 +1710,175 @@ def _encode_with_detail_ladder(cfg: VectorConfig, z, tx, ty, survivors,
                 gate_t = 1 if (t == 3 and cfg.generate_label_points) else t
                 ti = pend_lt.get((lname, gate_t))
                 if ti is not None:
-                    if accum and attrs is not None:
-                        # fold this feature's accumulated attributes
-                        # onto the target (preserve_attributes,
-                        # tile.cpp:1972); nulls are already gone by
-                        # this point in the reference scan
-                        # (tile.cpp:1322-1330)
-                        ent = attrs.get(seq)
-                        d_rows = ent[1] if ent else ()
-                        acc = acc_by_idx.get(ti)
-                        if acc is None:
-                            acc = acc_by_idx[ti] = {}
-                        t_seq = pending[ti][0]
-                        t_ent = attrs.get(t_seq)
-                        t_rows = {r[0]: r for r in (t_ent[1] if t_ent else ())}
-                        for k, vt_d, s_d in d_rows:
-                            if k not in accum or vt_d == "null":
-                                continue
-                            if (k not in acc and k in t_rows
-                                    and t_rows[k][1] != "null"):
-                                # promote: seed from the target's own
-                                # value (tile.cpp:1465-1484; the
-                                # target's nulls were removed in ITS
-                                # scan pass before appending)
-                                acc[k] = [t_rows[k][1], t_rows[k][2]]
-                            _accumulate_attr(acc, accum[k], k, vt_d, s_d)
+                    # fold accumulate-attributes onto the target
+                    # (preserve_attributes, tile.cpp:1972); nulls are
+                    # already gone by this point in the reference scan
+                    # (tile.cpp:1322-1330)
+                    _fold_onto(ti, seq)
                     n_rate += 1  # strategy.dropped_by_rate tile.cpp:1973
+                    continue
+            if strat is not None and not rate_dropped:
+                # -- the gamma / -K / as-needed gate chain
+                # (tile.cpp:1981-2144): only FEATURE_KEPT (lead)
+                # features reach it; a rate-dropped feature that found
+                # no accumulate target above stays FEATURE_DROPPED and
+                # skips the gates. drop_rest is inert without
+                # --retain-points-multiplier (every kept feature resets
+                # it before any gate could consult it).
+                gate_t = 1 if (t == 3 and cfg.generate_label_points) else t
+
+                def _try_drop() -> bool:
+                    # drop_feature_unless_it_can_be_added_to_a_
+                    # multiplier_cluster (tile.cpp:1645-1662): without a
+                    # same-layer same-type target the feature is KEPT
+                    nonlocal n_need_d
+                    ti2 = pend_lt.get((lname, gate_t))
+                    if ti2 is None:
+                        return False
+                    n_need_d += 1  # strategy.dropped_as_needed
+                    _fold_onto(ti2, seq)
+                    return True
+
+                def _coalesce_onto(ti2: int):
+                    # coalesce_geometry (tile.cpp:1613-1632) + flags
+                    nonlocal n_need_c
+                    m = pending[ti2]
+                    if m[2] is None:
+                        # -aP anchor target: geometry rows are
+                        # pre-scaled anchors; appending raw clipped
+                        # geometry is not meaningful — skip the merge
+                        # but still fold attributes (unsupported combo)
+                        pass
+                    else:
+                        m[2] = np.concatenate([m[2], ops])
+                        m[3] = np.concatenate([m[3], xy])
+                    pend_coalesced[ti2] = True
+                    _fold_onto(ti2, seq)
+                    n_need_c += 1  # strategy.coalesced_as_needed
+
+                dropped_here = False
+                if s_gamma > 0:
+                    if _manage_gap(vix, gamma_state, dens_scale, s_gamma):
+                        ti2 = pend_lt.get((lname, gate_t))
+                        if ti2 is not None:
+                            _fold_onto(ti2, seq)
+                            n_gamma += 1  # strategy.dropped_by_gamma
+                            can_stop_early = False
+                            dropped_here = True
+                if not dropped_here:
+                    if z <= cfg.cluster_maxzoom and cfg.cluster_distance != 0:
+                        # -K cluster scan (tile.cpp:1993-2019): compares
+                        # against the last KEPT feature's index
+                        if vix < merge_previndex or vix - merge_previndex < cluster_mingap:
+                            ti2 = pend_lt.get((lname, gate_t))
+                            if ti2 is not None:
+                                pend_cluster[ti2] += 1
+                                m = pending[ti2]
+                                if (not cfg.keep_point_cluster_position
+                                        and m[1] == 1 and m[2] is not None
+                                        and len(m[2]) == 1 and len(ops) == 1):
+                                    c = pend_cluster[ti2]
+                                    ax = float(m[3][0, 0]) * c + float(xy[0, 0])
+                                    ay = float(m[3][0, 1]) * c + float(xy[0, 1])
+                                    m[3] = np.array(
+                                        [[int(ax / (c + 1)), int(ay / (c + 1))]],
+                                        np.int64)
+                                _fold_onto(ti2, seq)
+                                n_need_c += 1
+                                can_stop_early = False
+                                dropped_here = True
+                    elif cfg.drop_densest:
+                        gaps_s.add(sf_gap, my_seq)
+                        if sf_gap < s_mingap:
+                            can_stop_early = False
+                            dropped_here = _try_drop()
+                    elif z <= cfg.cluster_maxzoom and cfg.cluster_densest:
+                        # like coalesce-densest but averaging positions
+                        # (tile.cpp:2028-2050)
+                        gaps_s.add(sf_gap, my_seq)
+                        if sf_gap < s_mingap:
+                            ti2 = pend_lt.get((lname, gate_t))
+                            if ti2 is not None:
+                                pend_cluster[ti2] += 1
+                                m = pending[ti2]
+                                if (m[1] == 1 and m[2] is not None
+                                        and len(m[2]) == 1 and len(ops) == 1):
+                                    c = pend_cluster[ti2]
+                                    ax = float(m[3][0, 0]) * c + float(xy[0, 0])
+                                    ay = float(m[3][0, 1]) * c + float(xy[0, 1])
+                                    m[3] = np.array(
+                                        [[int(ax / (c + 1)), int(ay / (c + 1))]],
+                                        np.int64)
+                                _fold_onto(ti2, seq)
+                                n_need_c += 1
+                                dropped_here = True
+                    elif cfg.coalesce_densest:
+                        gaps_s.add(sf_gap, my_seq)
+                        if sf_gap < s_mingap:
+                            ti2 = pend_lt.get((lname, gate_t))
+                            if ti2 is not None:
+                                if t == 1 or not dv.line_is_too_small(
+                                        ops, xy, z, line_detail):
+                                    _coalesce_onto(ti2)
+                                else:
+                                    pend_coalesced[ti2] = True
+                                    _fold_onto(ti2, seq)
+                                    n_need_c += 1
+                                coalesced_area += sf_extent
+                                can_stop_early = False
+                                dropped_here = True
+                    elif cfg.drop_smallest:
+                        extents_s.add(sf_extent, my_seq)
+                        if s_minextent != 0 and sf_extent + coalesced_area <= s_minextent:
+                            can_stop_early = False
+                            dropped_here = _try_drop()
+                    elif cfg.coalesce_smallest:
+                        extents_s.add(sf_extent, my_seq)
+                        if s_minextent != 0 and sf_extent + coalesced_area <= s_minextent:
+                            ti2 = _find_small_target(
+                                pending, pend_lname, pend_extent, lname,
+                                gate_t, s_minextent)
+                            if ti2 is not None:
+                                if t == 1 or not dv.line_is_too_small(
+                                        ops, xy, z, line_detail):
+                                    _coalesce_onto(ti2)
+                                else:
+                                    pend_coalesced[ti2] = True
+                                    _fold_onto(ti2, seq)
+                                    n_need_c += 1
+                                coalesced_area += sf_extent
+                                can_stop_early = False
+                                dropped_here = True
+                    elif cfg.drop_fraction or cfg.dynamic_drop:
+                        dsq = dseq_of.get(seq, 0)
+                        dseqs_s.add(dsq, my_seq)
+                        if s_mindropseq != 0 and dsq <= s_mindropseq:
+                            can_stop_early = False
+                            dropped_here = _try_drop()
+                    elif cfg.coalesce_fraction:
+                        dsq = dseq_of.get(seq, 0)
+                        dseqs_s.add(dsq, my_seq)
+                        if s_mindropseq != 0 and dsq <= s_mindropseq:
+                            ti2 = pend_lt.get((lname, gate_t))
+                            if ti2 is not None:
+                                if t == 1 or not dv.line_is_too_small(
+                                        ops, xy, z, line_detail):
+                                    _coalesce_onto(ti2)
+                                else:
+                                    pend_coalesced[ti2] = True
+                                    _fold_onto(ti2, seq)
+                                    n_need_c += 1
+                                can_stop_early = False
+                                dropped_here = True
+                    elif cfg.drop_by_attribute:
+                        av = attr_num.get(seq)
+                        if av is not None:
+                            attrs_s.add(av, my_seq)
+                            should = (av > s_minattr) if desc else (av < s_minattr)
+                            if should and math.isfinite(s_minattr):
+                                can_stop_early = False
+                                dropped_here = _try_drop()
+                if dropped_here:
                     continue
             if cfg.calculate_density:
                 vix = int(vmap.get(seq, 0))
@@ -1195,10 +1937,21 @@ def _encode_with_detail_ladder(cfg: VectorConfig, z, tx, ty, survivors,
                 keep = np.ones(len(pts), bool)
                 keep[1:] = (pts[1:] != pts[:-1]).any(axis=1)
                 pts = pts[keep]
+                if strat is not None and not _account_append(lname, rate_dropped):
+                    merge_previndex = vix
+                    coalesced_area = 0.0
+                    continue
                 pend_lt[(lname, 1)] = len(pending)
                 if cfg.calculate_density:
                     dens_by_idx[len(pending)] = _glow(dens_spacing)
-                pending.append((seq, 1, None, pts, False, 0.0))
+                pending.append([seq, 1, None, pts, False, 0.0])
+                pend_lname.append(lname)
+                pend_extent.append(sf_extent if strat is not None else 0)
+                pend_cluster.append(0)
+                pend_coalesced.append(False)
+                if strat is not None:
+                    merge_previndex = vix
+                    coalesced_area = 0.0
                 continue
             reduced = False
             if t == 3 and not cfg.grid_low_zooms:
@@ -1215,7 +1968,16 @@ def _encode_with_detail_ladder(cfg: VectorConfig, z, tx, ty, survivors,
             if len(xy) == 0:
                 # empty husk (clip emptied inside the quick-check bbox):
                 # stays in the stream — it consumed the first-slot above
-                # — but never joins the appended list (tile.cpp:2188)
+                # — but never joins the appended list (tile.cpp:2188);
+                # it still reaches the loop bottom (merge_previndex
+                # update + coalesced_area reset, tile.cpp:2311-2312)
+                if strat is not None:
+                    merge_previndex = vix
+                    coalesced_area = 0.0
+                continue
+            if strat is not None and not _account_append(lname, rate_dropped):
+                merge_previndex = vix
+                coalesced_area = 0.0
                 continue
             if pn and enodes:
                 local_nodes.update(enodes)  # tile.cpp:2252-2254
@@ -1223,7 +1985,14 @@ def _encode_with_detail_ladder(cfg: VectorConfig, z, tx, ty, survivors,
             pend_lt[(lname, t)] = len(pending)
             if cfg.calculate_density:
                 dens_by_idx[len(pending)] = _glow(dens_spacing)
-            pending.append((seq, t, ops, xy, reduced, area))
+            pending.append([seq, t, ops, xy, reduced, area])
+            pend_lname.append(lname)
+            pend_extent.append(sf_extent if strat is not None else 0)
+            pend_cluster.append(0)
+            pend_coalesced.append(False)
+            if strat is not None:
+                merge_previndex = vix
+                coalesced_area = 0.0
         # phase 2: simplification workers + encode
         # (simplify_feature tile.cpp:595-665)
         do_rc = cfg.reorder or cfg.coalesce
@@ -1231,6 +2000,8 @@ def _encode_with_detail_ladder(cfg: VectorConfig, z, tx, ty, survivors,
         for pi, (seq, t, ops, xy, reduced, area) in enumerate(pending):
             acc = acc_by_idx.get(pi)
             glow = dens_by_idx.get(pi)
+            clu = pend_cluster[pi]
+            was_coalesced = pend_coalesced[pi]
             if t == 1:
                 if ops is not None:
                     # ingested point feature (world coords); -aP anchor
@@ -1242,9 +2013,10 @@ def _encode_with_detail_ladder(cfg: VectorConfig, z, tx, ty, survivors,
                 elif do_rc:
                     ops = np.ones(len(xy), np.uint8)
                 if do_rc:
-                    post.append([seq, 1, ops, xy, acc, glow, False])
+                    post.append([seq, 1, ops, xy, acc, glow, False, clu])
                 else:
-                    feats.append(_mk_feat(encode_multipoint(xy), 1, seq, attrs, acc, glow))
+                    feats.append(_mk_feat(encode_multipoint(xy), 1, seq,
+                                          attrs, acc, glow, clu))
                 continue
             if cfg.grid_low_zooms and z < cfg.maxzoom and t in (2, 3):
                 # rasterize onto the grid; no simplification, and the
@@ -1258,12 +2030,32 @@ def _encode_with_detail_ladder(cfg: VectorConfig, z, tx, ty, survivors,
                     # skipped under -pn: might wipe out the
                     # intersection (tile.cpp:617-624)
                     ops, xy = dv.remove_noop(ops, xy, t, WORLD_BITS - z - line_detail)
+                if was_coalesced and t == 3:
+                    # clean coalesced polygons BEFORE simplification, at
+                    # world coordinates without scale-up, so shapes that
+                    # would union exactly don't leave shards
+                    # (simplify_feature tile.cpp:633-643 →
+                    # coalesce_polygon(geom, false))
+                    ops, xy = dv.clean_poly_tile_scale(ops, xy, try_scaling=False)
                 nops, nxy = dv.simplify_lines(
-                    ops, xy, z, line_detail, mark_bounds, cfg.simplification,
+                    ops, xy, z, line_detail, mark_bounds,
+                    # the stop-early attempt only removes collinearities
+                    # (sf.simplification = 0, tile.cpp:2268-2272)
+                    0.0 if (trying_to_stop_early and line_detail == details[0])
+                    else cfg.simplification,
                     4 if t == 3 else 0,
                     pn=pn, tx=tx, ty=ty,
                     local_nodes=local_nodes or None, global_nodes=global_nodes,
                 )
+                if was_coalesced and pn:
+                    # extra pass to remove collinearities left at the
+                    # former corners between coalesced geometries
+                    # (simplify_feature tile.cpp:648-652)
+                    nops, nxy = dv.simplify_lines(
+                        nops, nxy, z, line_detail, mark_bounds, 0.1,
+                        4 if t == 3 else 0,
+                        pn=pn, tx=tx, ty=ty, local_nodes=local_nodes or None,
+                    )
                 if t != 3 or len(nops) >= 3:
                     ops, xy = nops, nxy
             xy = dv.to_tile_scale(xy, z, out_detail)
@@ -1279,7 +2071,7 @@ def _encode_with_detail_ladder(cfg: VectorConfig, z, tx, ty, survivors,
                 # worker-end state: reorder/coalesce sit between the
                 # simplification workers and the final cleanup
                 # (tile.cpp:2518-2580)
-                post.append([seq, t, ops, xy, acc, glow, False])
+                post.append([seq, t, ops, xy, acc, glow, False, clu])
                 continue
             ops, xy = dv.remove_noop(ops, xy, t, 0)
             if len(ops) == 0:
@@ -1288,9 +2080,9 @@ def _encode_with_detail_ladder(cfg: VectorConfig, z, tx, ty, survivors,
             if not parts:
                 continue
             if t == 3:
-                feats.append(_mk_feat(encode_polygon(parts), 3, seq, attrs, acc, glow))
+                feats.append(_mk_feat(encode_polygon(parts), 3, seq, attrs, acc, glow, clu))
             else:
-                feats.append(_mk_feat(encode_linestring(parts), 2, seq, attrs, acc, glow))
+                feats.append(_mk_feat(encode_linestring(parts), 2, seq, attrs, acc, glow, clu))
         if do_rc and post:
             def _ckey(e):
                 seq_, t_ = e[0], e[1]
@@ -1319,7 +2111,7 @@ def _encode_with_detail_ladder(cfg: VectorConfig, z, tx, ty, survivors,
                     else:
                         merged.append(e)
                 post = merged
-            for seq, t, ops, xy, acc, glow, coalesced in post:
+            for seq, t, ops, xy, acc, glow, coalesced, clu in post:
                 if coalesced and t == 2:
                     # cleanup: re-simplify coalesced linestrings at
                     # tile scale (z=32 detail=0, tile.cpp:2556-2562)
@@ -1339,75 +2131,206 @@ def _encode_with_detail_ladder(cfg: VectorConfig, z, tx, ty, survivors,
                     continue
                 if t == 1:
                     feats.append(_mk_feat(encode_multipoint(xy), 1, seq,
-                                          attrs, acc, glow))
+                                          attrs, acc, glow, clu))
                     continue
                 parts = [xy[i:j] for i, j in dv.rings(ops)]
                 if not parts:
                     continue
                 if t == 3:
                     feats.append(_mk_feat(encode_polygon(parts), 3, seq,
-                                          attrs, acc, glow))
+                                          attrs, acc, glow, clu))
                 else:
                     feats.append(_mk_feat(encode_linestring(parts), 2, seq,
-                                          attrs, acc, glow))
+                                          attrs, acc, glow, clu))
         if (trying_to_stop_early and line_detail == details[0]
                 and (not can_stop_early or mz_pending)):
             # the stop-early attempt is invalid (content was dropped or
             # deferred to a deeper zoom): abandon it BEFORE any size /
             # feature-limit bookkeeping and re-encode at normal detail
             # (tile.cpp:2708-2711)
+            li += 1
             continue
+
+        def _row(nf, tb, leafed, detail_drop):
+            return {"z": z, "x": tx, "y": ty, "n_features": nf,
+                    "tile": tb, "leafed": leafed,
+                    "s_rate": n_rate, "s_tiny": n_tiny,
+                    "s_detail": detail_drop,
+                    "s_tsize": over_size, "s_fcount": over_feats,
+                    "s_gamma": n_gamma, "s_need_d": n_need_d,
+                    "s_need_c": n_need_c}
+
         if not feats:
-            if n_rate or n_tiny or over_size or over_feats:
+            if (n_rate or n_tiny or over_size or over_feats or n_gamma
+                    or n_need_d or n_need_c):
                 # counter-only phantom row: the reference counts tiny/
                 # rate drops even when the tile ends up unwritten
                 # (write_tile accumulates `strategy` before deciding);
                 # filtered from every tile consumer by n_features == 0
-                return {"z": z, "x": tx, "y": ty, "n_features": 0,
-                        "tile": b"", "leafed": 0,
-                        "s_rate": n_rate, "s_tiny": n_tiny, "s_detail": 0,
-                        "s_tsize": over_size, "s_fcount": over_feats}
+                return _row(0, b"", 0, 0)
             return None
-        tile_bytes = b""
-        if cfg.encode_tiles:
-            # tiles hold one MVT layer per layername present, in
-            # ALPHABETICAL name order (the reference's per-tile layers
-            # std::map, tile.cpp:2617-2684)
-            by_layer: dict[str, list] = {}
-            for f in feats:
-                by_layer.setdefault(f.pop("layer", None) or cfg.layer_name,
-                                    []).append(f)
-            mvt_layers = [
-                encode_layer(nm, by_layer[nm], 1 << out_detail)
-                for nm in sorted(by_layer)
-            ]
-            tile_bytes = encode_tile(mvt_layers, compress=cfg.compress,
-                                     exact_gzip=True)
-        if cfg.max_tile_features is not None and len(feats) > cfg.max_tile_features:
+        # layer partitioning is needed both for the encode and for the
+        # fraction-gate condition feature_count > layers.size()
+        by_layer: dict[str, list] = {}
+        for f in feats:
+            by_layer.setdefault(f.pop("layer", None) or cfg.layer_name,
+                                []).append(f)
+
+        def _retry(kind: str, adj_cap, adj_val) -> str:
+            """The overflow recourse chain (tile.cpp:2737-2875 for the
+            feature count, 2910-3040 for the byte size): raise the
+            LOCAL threshold from the sampled quantile and retry the
+            same detail. Returns 'same' (retry), 'giveup' (the
+            reference exits EXIT_INCOMPLETE — we emit the over-limit
+            tile with a warning) or 'none' (no strategy applies: the
+            detail ladder, or the reference's fatal feature-count
+            message)."""
+            nonlocal s_gamma, s_mingap, s_minextent, s_mindropseq, s_minattr
+            nonlocal f_mingap, f_minextent, f_mindropseq, f_minattr
+            if cfg.increase_gamma and s_gamma < 10:
+                s_gamma = 1.0 if s_gamma < 1 else s_gamma * 1.25
+                if s_gamma > out.get("gamma", 0):
+                    out["gamma"] = s_gamma
+                    out["still_dropping"] = True
+                return "same"
+            if s_mingap < _U64 and cfg.densest_active():
+                f_mingap = min(f_mingap * adj_cap / adj_val * 0.80, 0.80)
+                if not gaps_s.vals:
+                    return "giveup"
+                m = _choose_threshold(gaps_s.vals, f_mingap, s_mingap)
+                if m > s_mingap:
+                    s_mingap = m
+                    if m > out.get("mingap", 0):
+                        out["mingap"] = m
+                        out["still_dropping"] = True
+                    return "same"
+                warnings.warn("Can't increase feature gap threshold further")
+                return "giveup"
+            if cfg.smallest_active():
+                f_minextent = min(f_minextent * adj_cap / adj_val * 0.75, 0.80)
+                if not extents_s.vals:
+                    return "giveup"
+                m = _choose_threshold(extents_s.vals, f_minextent, s_minextent)
+                if m > s_minextent:
+                    s_minextent = m
+                    if m > out.get("minextent", 0):
+                        out["minextent"] = m
+                        out["still_dropping"] = True
+                    return "same"
+                warnings.warn("Can't increase feature area threshold further")
+                return "giveup"
+            if cfg.drop_by_attribute:
+                f_minattr = min(f_minattr * adj_cap / adj_val * 0.75, 0.80)
+                if not attrs_s.vals:
+                    warnings.warn(
+                        f"no features had a numeric value for attribute "
+                        f"'{cfg.drop_by_attribute}'")
+                m = _choose_minattr(attrs_s.vals, f_minattr, s_minattr, desc)
+                better = m < s_minattr if desc else m > s_minattr
+                if better:
+                    s_minattr = m
+                    prev = out.get("minattribute")
+                    if prev is None or (m < prev if desc else m > prev):
+                        out["minattribute"] = m
+                        out["still_dropping"] = True
+                    return "same"
+                warnings.warn("Can't increase attribute threshold further")
+                return "giveup"
+            if len(feats) > len(by_layer) and cfg.fraction_active():
+                mult = 0.95 if kind == "features" else 0.75
+                f_mindropseq = min(f_mindropseq * adj_cap / adj_val * mult, 0.80)
+                m = (_choose_threshold(dseqs_s.vals, f_mindropseq, s_mindropseq)
+                     if dseqs_s.vals else _U64)
+                if m > s_mindropseq:
+                    s_mindropseq = m
+                    if m > out.get("mindrop_sequence", 0):
+                        # -pd keeps the threshold tile-local
+                        # (tile.cpp:3020-3023)
+                        if not cfg.dynamic_drop:
+                            out["mindrop_sequence"] = m
+                        out["still_dropping"] = True
+                    return "same"
+                warnings.warn("Can't increase feature count threshold further")
+                return "giveup"
+            return "none"
+
+        if strat is not None:
+            # feature-count recourse BEFORE encoding the bytes
+            # (tile.cpp:2717-2875), with the skip-extrapolated count
+            # against the multiplier-inflated cap
+            adj_mf = feat_cap
+            if lead_count > 0 and adj_mf is not None:
+                adj_mf = adj_mf * (lead_count + other_count) // lead_count
+            afc = len(feats)
+            if kept > 0:
+                afc = afc * (skipped + kept) // kept
+            if too_many_features or (adj_mf is not None and afc > adj_mf):
+                over_feats = max(over_feats, afc)  # feature_count_out
+                if trying_to_stop_early and line_detail == details[0]:
+                    li += 1
+                    continue
+                r = _retry("features", adj_mf, afc)
+                retries += 1
+                if r == "same" and retries < 500:
+                    continue
+                if r == "none":
+                    warnings.warn(
+                        f"tile {z}/{tx}/{ty} has {len(feats)} features, >"
+                        f"{adj_mf}; try --drop-fraction-as-needed or "
+                        "--drop-densest-as-needed (tile.cpp:2871-2874)")
+                # giveup/none/retry-cap: emit the over-limit tile below
+        elif (cfg.max_tile_features is not None
+                and len(feats) > cfg.max_tile_features):
             over_feats = max(over_feats, len(feats))
             warnings.warn(
                 f"tile {z}/{tx}/{ty} has {len(feats)} features, >"
                 f"{cfg.max_tile_features}; use a drop strategy (reference "
                 "exits here, tile.cpp:2723-2730)"
             )
-        if mts is None or len(tile_bytes) <= mts:
+        tile_bytes = b""
+        if cfg.encode_tiles:
+            # tiles hold one MVT layer per layername present, in
+            # ALPHABETICAL name order (the reference's per-tile layers
+            # std::map, tile.cpp:2617-2684)
+            mvt_layers = [
+                encode_layer(nm, by_layer[nm], 1 << out_detail)
+                for nm in sorted(by_layer)
+            ]
+            tile_bytes = encode_tile(mvt_layers, compress=cfg.compress,
+                                     exact_gzip=True)
+        adj_ts = len(tile_bytes)
+        if strat is not None and kept > 0:
+            adj_ts = adj_ts * (skipped + kept) // kept
+        adj_ms = mts
+        if strat is not None and lead_count > 0 and adj_ms is not None:
+            adj_ms = adj_ms * (lead_count + other_count) // lead_count
+        if mts is None or (not too_many_bytes and adj_ts <= adj_ms):
             leafed = int(trying_to_stop_early and line_detail == details[0])
-            return {"z": z, "x": tx, "y": ty, "n_features": len(feats),
-                    "tile": tile_bytes, "leafed": leafed,
-                    "s_rate": n_rate, "s_tiny": n_tiny,
-                    "s_detail": max(base_detail - line_detail, 0),
-                    "s_tsize": over_size, "s_fcount": over_feats}
-        over_size = max(over_size, len(tile_bytes))  # tile.cpp:2889-2897
+            return _row(len(feats), tile_bytes, leafed,
+                        max(base_detail - line_detail, 0))
+        over_size = max(over_size, adj_ts)  # tile_size_out, tile.cpp:2889-2897
+        if strat is not None:
+            if trying_to_stop_early and line_detail == details[0]:
+                li += 1
+                continue
+            r = _retry("bytes", adj_ms, adj_ts)
+            retries += 1
+            if r == "same" and retries < 500:
+                continue
+            if r == "giveup" or retries >= 500:
+                warnings.warn(
+                    f"emitting over-limit tile {z}/{tx}/{ty} "
+                    "(reference exits EXIT_INCOMPLETE here)")
+                return _row(len(feats), tile_bytes, 0,
+                            max(base_detail - line_detail, 0))
+            # r == "none": detail_reduced++ — fall to the next detail
+        li += 1
     warnings.warn(
         f"could not make tile {z}/{tx}/{ty} smaller than "
         f"{mts} B even at detail {cfg.min_detail} "
         "(reference fails the tile here, tile.cpp:3075-3078)"
     )
-    return {"z": z, "x": tx, "y": ty, "n_features": len(feats),
-            "tile": tile_bytes, "leafed": 0,
-            "s_rate": n_rate, "s_tiny": n_tiny,
-            "s_detail": max(base_detail - cfg.min_detail, 0),
-            "s_tsize": over_size, "s_fcount": over_feats}
+    return _row(len(feats), tile_bytes, 0, max(base_detail - cfg.min_detail, 0))
 
 
 def _tile_rows_table(rows: list[dict]) -> pa.Table:
@@ -1874,6 +2797,299 @@ def auto_vector_bucket_zoom(n_rows: int, maxzoom: int, n_cpus: int | None = None
     return max(1, min(max(b, b_cpu), maxzoom, 6))
 
 
+def _tippecanoe_cpus_tempfiles() -> tuple[int, int]:
+    """init_cpus (main.cpp:186-245): CPUS = online processors rounded
+    down to a power of 2 (TIPPECANOE_MAX_THREADS overrides); MAX_FILES
+    = min(open-file limit, 2000) × 3/4; TEMP_FILES = (MAX_FILES-10)/2
+    capped at CPUS*4. These drive the zoom-jump schedule below minzoom,
+    so exact-match runs must mirror the reference's values on the same
+    machine."""
+    import os as _os
+    import resource
+
+    env = _os.environ.get("TIPPECANOE_MAX_THREADS")
+    cpus = int(env) if env else (_os.cpu_count() or 1)
+    cpus = max(1, min(cpus, 32767))
+    cpus = 1 << int(math.log(cpus) / math.log(2))
+    try:
+        max_files = resource.getrlimit(resource.RLIMIT_NOFILE)[0]
+    except Exception:
+        max_files = 1024
+    max_files = min(max_files, 2000)
+    max_files = max_files * 3 // 4
+    temp_files = (max_files - 10) // 2
+    if temp_files > cpus * 4:
+        temp_files = cpus * 4
+    return cpus, temp_files
+
+
+def _choose_first_zoom(rows: list, minzoom: int, buffer: int) -> tuple[int, int, int]:
+    """choose_first_zoom (main.cpp:1147-1206): the pyramid's root is
+    the deepest zoom ≤ minzoom whose single (buffered) tile covers the
+    whole dataset bbox. Dateline-crossing data clamps to the full world
+    width, forcing the z0 root."""
+    minx = miny = (1 << 62)
+    maxx = maxy = -(1 << 62)
+    for r in rows:
+        ops, xy = r[2], r[3]
+        real = xy[ops != 3]
+        if len(real) == 0:
+            continue
+        minx = min(minx, int(real[:, 0].min()))
+        miny = min(miny, int(real[:, 1].min()))
+        maxx = max(maxx, int(real[:, 0].max()))
+        maxy = max(maxy, int(real[:, 1].max()))
+    if maxx < minx:
+        return 0, 0, 0
+    if minx < 0 or maxx > (1 << 32) - 1:
+        minx, maxx = 0, (1 << 32) - 1
+    miny = max(miny, 0)
+    maxy = min(maxy, (1 << 32) - 1)
+
+    def tdiv(a: int, b: int) -> int:  # C trunc division
+        q = abs(a) // b
+        return -q if (a < 0) != (b < 0) else q
+
+    for z in range(minzoom, -1, -1):
+        shift = 1 << (32 - z)
+        left = tdiv(minx - buffer * shift // 256, shift)
+        top = tdiv(miny - buffer * shift // 256, shift)
+        right = tdiv(maxx + buffer * shift // 256, shift)
+        bottom = tdiv(maxy + buffer * shift // 256, shift)
+        if left == right and top == bottom:
+            return z, left, top
+    return 0, 0, 0
+
+
+def _zoom_plan_step(z: int, minzoom: int, n_useful: int,
+                    cpus: int, temp_files: int) -> tuple[int, int, int]:
+    """One traverse_zooms scheduling step: threads for this zoom
+    (tile.cpp:3335-3360), child_shards = TEMP_FILES/threads, and the
+    nextzoom the tiles' children are written at (write_tile
+    tile.cpp:1686-1697: single steps at/above minzoom, jumps of up to
+    max_zoom_increment = log4(child_shards) below it). Returns
+    (nextzoom, max_zoom_increment, child_shards)."""
+    threads = min(cpus, temp_files // 4, max(1, n_useful))
+    threads = 1 << int(math.log(threads) / math.log(2)) if threads > 1 else 1
+    child_shards = temp_files // threads
+    mzi = int(math.log(child_shards) / math.log(4))
+    nextzoom = z + 1
+    if nextzoom < minzoom:
+        if z + mzi > minzoom:
+            nextzoom = minzoom
+        else:
+            nextzoom = z + mzi
+    return nextzoom, mzi, child_shards
+
+
+@ray.remote(num_returns=3)
+def _strat_zoom_task(cfg: VectorConfig, z: int, my_keys, child_refs, entry,
+                     leaf_set, is_dropping, attrs_ref, gn_ref, at_origin,
+                     poisoned_keys, nextzoom=None, fanout_only=False,
+                     parent_shift=1):
+    """One zoom pass over a subset of the zoom's tiles (run_thread,
+    tile.cpp:3081-3199): skip tiles under a leafed parent unless the
+    zoom is dropping (revival), process the rest, and report (tile
+    rows, children blobs, threshold proposals). Below minzoom the pass
+    is fan-out only: next_feature rewrites children then `continue`s
+    before any gate or encode (tile.cpp:1216-1218)."""
+    attrs = ray.get(attrs_ref) if isinstance(attrs_ref, ray.ObjectRef) else attrs_ref
+    gn = ray.get(gn_ref) if isinstance(gn_ref, ray.ObjectRef) else gn_ref
+    parts = [ray.get(r) if isinstance(r, ray.ObjectRef) else r for r in child_refs]
+    vix_of = (attrs or {}).get("__vindex__", _EMPTY_DICT)
+    rows_by_key: dict = {}
+    for part in parts:
+        for k in my_keys:
+            blobs = part.get(k)
+            if blobs:
+                rows_by_key.setdefault(k, []).extend(blobs)
+    strat = None if fanout_only else {**entry, "out": {}}
+    out_rows: list = []
+    children: dict = {}
+    children_of: dict = {}
+    leafed: list = []
+    child_poison: set = set()
+    for (x, y) in sorted(rows_by_key):
+        if (z > 0 and leaf_set and not is_dropping
+                and (x >> parent_shift, y >> parent_shift) in leaf_set):
+            # parent truncated its pyramid and the zoom is not dropping:
+            # skip_tile — no tile, no children (tile.cpp:3186-3195)
+            continue
+        rows = rows_by_key[(x, y)]
+        rows.sort(key=lambda r: (vix_of.get(r[0], 0), r[0]))
+        est = None
+        if cfg.variable_depth and not fanout_only:
+            if (x, y) in poisoned_keys:
+                est = 1 << 32  # tile.cpp:2346-2349
+            else:
+                est = _stream_est(
+                    cfg, z, x, y,
+                    [(r[0], r[1], r[2], r[3], r[6]) for r in rows], at_origin)
+        tile_row, ch, poison = process_tile(
+            cfg, z, x, y, rows, global_nodes=gn, est=est, attrs=attrs,
+            strat=strat, nextzoom=nextzoom, fanout_only=fanout_only)
+        if tile_row is not None:
+            out_rows.append(tile_row)
+            if tile_row.get("leafed"):
+                leafed.append((x, y))
+        if ch:
+            children_of[(x, y)] = sorted(ch.keys())
+        for ck, blobs in ch.items():
+            children.setdefault(ck, []).extend(blobs)
+            if poison:
+                child_poison.add(ck)
+    meta = {
+        "out": strat["out"] if strat is not None else {},
+        "leafed": leafed,
+        "child_keys": sorted(children.keys()),
+        "children_of": children_of,
+        "child_poison": sorted(child_poison),
+    }
+    return _tile_rows_table(out_rows), children, meta
+
+
+def _build_strategy_pyramid(
+    feat_tbl: "pa.Table | ray.data.Dataset",
+    cfg: VectorConfig,
+    attrs: dict | None = None,
+) -> ray.data.Dataset:
+    """Zoom-sequential pyramid for the as-needed drop strategies — the
+    reference's traverse_zooms shape (tile.cpp:3272-3623): tiles of one
+    zoom run in parallel against the zoom's threshold set; if any tile
+    overflows and raises a threshold, the WHOLE zoom re-runs with the
+    merged maxima (thresholds reset at each new zoom); the surviving
+    pass's children become the next zoom's input streams. The per-zoom
+    barrier is inherent to the semantics — the reference has the same
+    structure. Children blobs move between zooms as object-store refs;
+    the driver holds only tile keys, proposals and leaf sets.
+
+    Scale note: each task currently fetches every parent task's
+    children dict and selects its keys; at cluster scale this exchange
+    should hash-partition children per next-zoom task (the
+    _vp_partition pattern) — the semantics are unaffected."""
+    if not isinstance(feat_tbl, pa.Table):
+        tbls = [t for t in ray.get(feat_tbl.to_arrow_refs()) if t.num_rows]
+        feat_tbl = (pa.concat_tables(tbls) if tbls
+                    else features_table([]))
+    if len(feat_tbl) == 0:
+        return ray.data.from_arrow(_tile_rows_table([]))
+    rows0 = table_to_rows(feat_tbl)
+    vind = (
+        feat_tbl["vindex"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        if "vindex" in feat_tbl.column_names
+        else np.zeros(len(feat_tbl), np.uint64)
+    )
+    seqs = np.array([r[0] for r in rows0], np.int64)
+    order = np.lexsort((seqs, vind))
+    rows0 = [rows0[i] for i in order]
+    vind = vind[order]
+    attrs2 = dict(attrs) if attrs else {}
+    attrs2["__vindex__"] = {rows0[i][0]: int(vind[i]) for i in range(len(rows0))}
+    iz, ix, iy = _choose_first_zoom(rows0, cfg.minzoom, cfg.buffer)
+    if cfg.densest_active():
+        gaps = _z0_gaps(rows0, vind, cfg.index_scheme,
+                        origin=(ix << (WORLD_BITS - iz), iy << (WORLD_BITS - iz))
+                        if iz else (0, 0))
+        attrs2["__gap__"] = {rows0[i][0]: int(gaps[i]) for i in range(len(rows0))}
+    if cfg.smallest_active():
+        g = cfg.resolved_gscale()
+        attrs2["__extent__"] = {
+            r[0]: _ingest_extent(r[1], r[2], r[3], g) for r in rows0
+        }
+    gn_ref = None
+    if cfg.prevent_shared_nodes:
+        from ..stages.nodes import shared_nodes_global
+
+        gn_ref = ray.put(shared_nodes_global(ray.data.from_arrow(feat_tbl)))
+    at_origin = (0, 0)
+    if cfg.variable_depth:
+        at_origin = stream_origin(feat_tbl, cfg.resolved_gscale())
+    attrs_ref = ray.put(attrs2)
+    n_cpus = int(ray.cluster_resources().get("CPU", 8))
+
+    # ---- the reference's zoom schedule (choose_first_zoom
+    # main.cpp:1147-1206; threads/shards traverse_zooms
+    # tile.cpp:3327-3360,3437; nextzoom jumps write_tile
+    # tile.cpp:1686-1697): the root is the deepest single covering tile
+    # ≤ minzoom; zooms below minzoom are fan-out-only passes
+    # (next_feature rewrites children, then `continue`s before any
+    # gate, tile.cpp:1216-1218) and may jump by up to
+    # log4(child_shards) levels. child_shards = TEMP_FILES/threads
+    # where threads is data-dependent (the number of non-empty geom
+    # shard files), so the shard placement of children is emulated on
+    # the driver: child (jx, jy) of a tile processed by thread T lands
+    # in file T*child_shards + ((jx << mzi) | (jy & (2^mzi - 1))) &
+    # (child_shards - 1) (rewrite, tile.cpp:488-510); the dispatch
+    # queue is fileno-sorted and popped from the back
+    # (run_thread tile.cpp:3093-3099).
+    cpus, temp_files = _tippecanoe_cpus_tempfiles()
+    child_refs: list = [ray.put({(ix, iy): rows0})]
+    keys: list = [(ix, iy)]
+    key_file: dict = {(ix, iy): 0}
+    poisoned: set = set()
+    leaf_set: frozenset = frozenset()
+    tile_refs: list = []
+    z = iz
+    prev_z = max(iz - 1, 0)
+    while z <= cfg.maxzoom and keys:
+        useful = sorted({key_file.get(k, 0) for k in keys})
+        threads = max(1, min(cpus, temp_files // 4, len(useful)))
+        if threads > 1:
+            threads = 1 << int(math.log(threads) / math.log(2))
+        child_shards = temp_files // threads
+        mzi = max(1, int(math.log(child_shards) / math.log(4)))
+        nextzoom = z + 1
+        if nextzoom < cfg.minzoom:
+            nextzoom = cfg.minzoom if z + mzi > cfg.minzoom else z + mzi
+        thread_of_file = {
+            f: i % threads
+            for i, f in enumerate(sorted(useful, reverse=True))
+        }
+        fanout_only = z < cfg.minzoom
+        parent_shift = z - prev_z if z > iz else 1
+
+        entry = _fresh_thresholds(cfg)
+        task_out: list = []
+        metas: list = []
+        for _pass in range(1 if fanout_only else 64):
+            is_dropping = _dropping_features(entry)
+            ntasks = max(1, min(n_cpus, len(keys)))
+            assign: list[list] = [[] for _ in range(ntasks)]
+            for k in keys:
+                assign[hash(k) % ntasks].append(k)
+            task_out = [
+                _strat_zoom_task.remote(
+                    cfg, z, a, child_refs, entry, leaf_set, is_dropping,
+                    attrs_ref, gn_ref, at_origin, poisoned,
+                    nextzoom=nextzoom, fanout_only=fanout_only,
+                    parent_shift=parent_shift)
+                for a in assign if a
+            ]
+            metas = ray.get([t[2] for t in task_out])
+            entry, again = _merge_proposals(entry, [m["out"] for m in metas])
+            if not again:
+                break
+        tile_refs.extend(t[0] for t in task_out)
+        child_refs = [t[1] for t in task_out]
+        new_key_file: dict = {}
+        span = 1 << mzi
+        for m in metas:
+            for pk, cks in m["children_of"].items():
+                t_of = thread_of_file.get(key_file.get(pk, 0), 0)
+                for (cx, cy) in cks:
+                    j = ((cx << mzi) | (cy & (span - 1))) & (child_shards - 1)
+                    new_key_file[(cx, cy)] = t_of * child_shards + j
+        key_file = new_key_file
+        keys = sorted({k for m in metas for k in m["child_keys"]})
+        poisoned = {k for m in metas for k in m["child_poison"]}
+        leaf_set = frozenset(
+            (x, y) for m in metas for (x, y) in m["leafed"]
+        )
+        prev_z = z
+        z = nextzoom
+    return ray.data.from_arrow_refs(tile_refs)
+
+
 def build_vector_pyramid(
     feat_tbl: "pa.Table | ray.data.Dataset",
     cfg: VectorConfig | None = None,
@@ -1895,6 +3111,20 @@ def build_vector_pyramid(
     import os
 
     cfg = cfg or VectorConfig()
+    if cfg.strategies_active():
+        # gamma/-K/as-needed strategies need the zoom-sequential
+        # consensus orchestration (whole-zoom retries with shared
+        # thresholds); the subtree cascade cannot express it
+        ds_out = _build_strategy_pyramid(feat_tbl, cfg, attrs=attrs)
+        if out_dir:
+            raw_dir = os.path.join(out_dir, "raw")
+            os.makedirs(raw_dir, exist_ok=True)
+            ds_out = ds_out.materialize()
+            ds_out.write_parquet(raw_dir)
+            return ray.data.read_parquet(raw_dir).map_batches(
+                lambda t: t.replace_schema_metadata(None),
+                batch_format="pyarrow")
+        return ds_out
     if isinstance(feat_tbl, pa.Table):
         if n_rows is None:
             n_rows = len(feat_tbl)
