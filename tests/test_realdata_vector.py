@@ -340,6 +340,39 @@ EDGE_CORPORA = [
      ["--minzoom", "11", "--gamma", "2"]),
     ("muni", "muni.json", 11, ["-Z11", "-K50"],
      ["--minzoom", "11", "--cluster-distance", "50"]),
+    # hard per-layer truncation after ordering (tile.cpp:2595-2611)
+    ("ne_110m_populated_places", "in.json", 3,
+     ["-r1", "--limit-tile-feature-count", "3"],
+     ["--droprate", "1", "--limit-tile-feature-count", "3"]),
+    ("ne_110m_populated_places", "in.json", 3,
+     ["-r1", "--limit-tile-feature-count", "3",
+      "--limit-tile-feature-count-at-maximum-zoom", "10"],
+     ["--droprate", "1", "--limit-tile-feature-count", "3",
+      "--limit-tile-feature-count-at-maximum-zoom", "10"]),
+    ("ne_110m_populated_places", "in.json", 3,
+     ["-r1", "--limit-tile-feature-count", "3",
+      "--maximum-tile-features", "10", "--drop-densest-as-needed"],
+     ["--droprate", "1", "--limit-tile-feature-count", "3",
+      "--max-tile-features", "10", "--drop-densest-as-needed"]),
+    # -ae extend-zooms (gscale 0, per-pass maxzoom growth,
+    # traverse_zooms tile.cpp:3544-3556)
+    ("ne_110m_populated_places", "in.json", 0,
+     ["-M10000", "--drop-densest-as-needed",
+      "--extend-zooms-if-still-dropping-maximum", "2"],
+     ["--max-tile-bytes", "10000", "--drop-densest-as-needed",
+      "--extend-zooms-if-still-dropping-maximum", "2"]),
+    ("ne_110m_admin_0_countries", "in.json.gz", "g",
+     ["-ae", "-M5000", "--drop-densest-as-needed"],
+     ["--extend-zooms-if-still-dropping", "--max-tile-bytes", "5000",
+      "--drop-densest-as-needed"]),
+    ("ne_110m_admin_0_countries", "in.json.gz", "g",
+     ["-ae", "-M5000", "--drop-smallest-as-needed"],
+     ["--extend-zooms-if-still-dropping", "--max-tile-bytes", "5000",
+      "--drop-smallest-as-needed"]),
+    ("ne_110m_admin_0_countries", "in.json.gz", "g",
+     ["-ae", "-M5000", "--force-feature-limit"],
+     ["--extend-zooms-if-still-dropping", "--max-tile-bytes", "5000",
+      "--force-feature-limit"]),
 ]
 
 

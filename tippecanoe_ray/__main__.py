@@ -292,6 +292,11 @@ def _build_from_geo(args, cfg):
             cluster_distance=args.cluster_distance,
             cluster_maxzoom=args.cluster_maxzoom,
             keep_point_cluster_position=args.keep_point_cluster_position,
+            extend_zooms=args.extend_zooms_if_still_dropping,
+            extend_zooms_max=args.extend_zooms_if_still_dropping_maximum,
+            limit_tile_feature_count=args.limit_tile_feature_count,
+            limit_tile_feature_count_at_maxzoom=(
+                args.limit_tile_feature_count_at_maximum_zoom),
         )
         feats = ingest_features(vec_tbl, vcfg)
         if args.calculate_feature_density:
@@ -355,6 +360,16 @@ def main(argv=None):
     ap.add_argument("--increase-gamma-as-needed", action="store_true")
     ap.add_argument("--cluster-maxzoom", "-k", type=int, default=24)
     ap.add_argument("--keep-point-cluster-position", action="store_true")
+    ap.add_argument("--extend-zooms-if-still-dropping", action="store_true",
+                    help="-ae: grow maxzoom while the deepest zoom is "
+                         "still raising drop thresholds")
+    ap.add_argument("--extend-zooms-if-still-dropping-maximum", type=int,
+                    default=0, help="bounded -ae (main.cpp:91)")
+    ap.add_argument("--limit-tile-feature-count", type=int, default=0,
+                    help="hard per-layer truncation after ordering "
+                         "(tile.cpp:2595-2611)")
+    ap.add_argument("--limit-tile-feature-count-at-maximum-zoom", type=int,
+                    default=0)
     ap.add_argument("--max-tile-features", type=int, default=None,
                     help="as-needed drop limit per tile (reference -O, default 200000)")
     ap.add_argument("--clip-bounding-box", action="append", default=[],

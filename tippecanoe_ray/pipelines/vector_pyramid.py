@@ -174,6 +174,14 @@ class VectorConfig:
     cluster_distance: int = 0
     cluster_maxzoom: int = 24
     keep_point_cluster_position: bool = False  # -aa
+    # hard per-layer truncation after ordering (tile.cpp:2595-2611)
+    limit_tile_feature_count: int = 0
+    limit_tile_feature_count_at_maxzoom: int = 0
+    # -ae / --extend-zooms-if-still-dropping-maximum N: add zooms while
+    # the deepest zoom is still raising thresholds (main.cpp:90-91,
+    # traverse_zooms tile.cpp:3541-3556)
+    extend_zooms: bool = False
+    extend_zooms_max: int = 0
 
     def densest_active(self) -> bool:
         return self.drop_densest or self.coalesce_densest or self.cluster_densest
@@ -206,7 +214,10 @@ class VectorConfig:
         return (self.drop_lines or self.drop_polygons) and self.droprate > 1
 
     def resolved_gscale(self) -> int:
-        if self.prevent_shared_nodes:
+        # gscale 0 under -pn / --extra-detail / -ae (the extended zooms
+        # need full precision), main.cpp:3764-3770
+        if (self.prevent_shared_nodes or self.extra_detail >= 0
+                or self.extend_zooms or self.extend_zooms_max > 0):
             return 0
         if self.geometry_scale is not None:
             return self.geometry_scale
@@ -977,7 +988,8 @@ def _feature_step(cfg: VectorConfig, z: int, tx: int, ty: int,
 
     child_keys: list[tuple[int, int]] = []
     snapped = None
-    if len(cops) > 0 and nextzoom <= cfg.maxzoom:
+    if len(cops) > 0 and (nextzoom <= cfg.maxzoom or cfg.extend_zooms
+                          or cfg.extend_zooms_max > 0):
         b2 = [dv._tdiv(bbox[k], child_div) for k in range(4)]
         b2[0] -= cfg.buffer + 1
         b2[1] -= cfg.buffer + 1
@@ -2175,6 +2187,26 @@ def _encode_with_detail_ladder(cfg: VectorConfig, z, tx, ty, survivors,
         for f in feats:
             by_layer.setdefault(f.pop("layer", None) or cfg.layer_name,
                                 []).append(f)
+        # hard per-layer truncation AFTER the orderings and BEFORE the
+        # byte/feature-cap accounting (tile.cpp:2595-2611); truncation
+        # cancels the overflow recourse for this attempt
+        if (z == cfg.maxzoom and cfg.limit_tile_feature_count_at_maxzoom):
+            lim = cfg.limit_tile_feature_count_at_maxzoom
+            for nm in by_layer:
+                if len(by_layer[nm]) > lim:
+                    by_layer[nm] = by_layer[nm][:lim]
+                    too_many_features = too_many_bytes = False
+                    skipped = 0
+            feats = [f for nm in by_layer for f in by_layer[nm]]
+        elif cfg.limit_tile_feature_count:
+            lim = cfg.limit_tile_feature_count
+            for nm in by_layer:
+                if len(by_layer[nm]) > lim:
+                    can_stop_early = False
+                    by_layer[nm] = by_layer[nm][:lim]
+                    too_many_features = too_many_bytes = False
+                    skipped = 0
+            feats = [f for nm in by_layer for f in by_layer[nm]]
 
         def _retry(kind: str, adj_cap, adj_val) -> str:
             """The overflow recourse chain (tile.cpp:2737-2875 for the
@@ -3031,7 +3063,11 @@ def _build_strategy_pyramid(
     tile_refs: list = []
     z = iz
     prev_z = max(iz - 1, 0)
-    while z <= cfg.maxzoom and keys:
+    eff_maxzoom = cfg.maxzoom
+    # -ae is unbounded; --extend-zooms-if-still-dropping-maximum N is a
+    # decrementing budget (main.cpp:90-91)
+    ez_budget = None if cfg.extend_zooms else cfg.extend_zooms_max
+    while z <= eff_maxzoom and keys:
         useful = sorted({key_file.get(k, 0) for k in keys})
         threads = max(1, min(cpus, temp_files // 4, len(useful)))
         if threads > 1:
@@ -3052,6 +3088,8 @@ def _build_strategy_pyramid(
         task_out: list = []
         metas: list = []
         for _pass in range(1 if fanout_only else 64):
+            cfg_pass = (cfg if eff_maxzoom == cfg.maxzoom
+                        else dataclasses.replace(cfg, maxzoom=eff_maxzoom))
             is_dropping = _dropping_features(entry)
             ntasks = max(1, min(n_cpus, len(keys)))
             assign: list[list] = [[] for _ in range(ntasks)]
@@ -3059,13 +3097,23 @@ def _build_strategy_pyramid(
                 assign[hash(k) % ntasks].append(k)
             task_out = [
                 _strat_zoom_task.remote(
-                    cfg, z, a, child_refs, entry, leaf_set, is_dropping,
+                    cfg_pass, z, a, child_refs, entry, leaf_set, is_dropping,
                     attrs_ref, gn_ref, at_origin, poisoned,
                     nextzoom=nextzoom, fanout_only=fanout_only,
                     parent_shift=parent_shift)
                 for a in assign if a
             ]
             metas = ray.get([t[2] for t in task_out])
+            # the extension check runs per pass, BEFORE the again/break
+            # (traverse_zooms tile.cpp:3544-3556): a still-dropping
+            # deepest zoom grows maxzoom by one — even when no shared
+            # threshold rose (-pd keeps thresholds tile-local)
+            if (any(m["out"].get("still_dropping") for m in metas)
+                    and (cfg.extend_zooms or (ez_budget or 0) > 0)
+                    and z == eff_maxzoom and eff_maxzoom < 24):
+                eff_maxzoom += 1
+                if ez_budget:
+                    ez_budget -= 1
             entry, again = _merge_proposals(entry, [m["out"] for m in metas])
             if not again:
                 break
