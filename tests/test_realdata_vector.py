@@ -373,6 +373,45 @@ EDGE_CORPORA = [
      ["-ae", "-M5000", "--force-feature-limit"],
      ["--extend-zooms-if-still-dropping", "--max-tile-bytes", "5000",
       "--force-feature-limit"]),
+    # --retain-points-multiplier: secondary cluster members with
+    # first/sequence tags (tile.cpp:1290-1319, 2237-2250, 2395-2415)
+    ("muni", "muni.json", 11,
+     ["--retain-points-multiplier", "2", "--extend-zooms-if-still-dropping"],
+     ["--retain-points-multiplier", "2", "--extend-zooms-if-still-dropping"]),
+    ("muni", "muni.json", 11,
+     ["--retain-points-multiplier", "2",
+      "--preserve-multiplier-density-threshold", "512"],
+     ["--retain-points-multiplier", "2",
+      "--preserve-multiplier-density-threshold", "512"]),
+    ("muni", "muni.json", 10,
+     ["--retain-points-multiplier", "10", "-M10000",
+      "--drop-smallest-as-needed"],
+     ["--retain-points-multiplier", "10", "--max-tile-bytes", "10000",
+      "--drop-smallest-as-needed"]),
+    ("muni", "muni.json", "g", ["--retain-points-multiplier", "2"],
+     ["--retain-points-multiplier", "2"]),
+    ("muni", "muni.json", 11,
+     ["-ycount", "--set-attribute", "count:1",
+      "--accumulate-attribute", "count:sum",
+      "--retain-points-multiplier", "5"],
+     ["-y", "count", "--set-attribute", "count:1",
+      "--accumulate-attribute", "count:sum",
+      "--retain-points-multiplier", "5"]),
+    ("ne_110m_admin_0_countries", "in.json.gz", 0,
+     ["-B10", "--retain-points-multiplier", "10", "-d8", "-yNAME"],
+     ["--basezoom", "10", "--retain-points-multiplier", "10",
+      "--full-detail", "8", "-y", "NAME"]),
+    # whole-cluster per-tile orderings (tile.cpp:2583-2593)
+    ("ne_110m_populated_places", "in.json", 0,
+     ["-r2", "-B3", "-yNAME", "--retain-points-multiplier", "3",
+      "--order-by", "NAME"],
+     ["--droprate", "2", "--basezoom", "3", "-y", "NAME",
+      "--retain-points-multiplier", "3", "--order-by", "NAME"]),
+    ("ne_110m_populated_places", "in.json", 0,
+     ["-r2", "-B3", "-yNAME", "--retain-points-multiplier", "3",
+      "--preserve-input-order"],
+     ["--droprate", "2", "--basezoom", "3", "-y", "NAME",
+      "--retain-points-multiplier", "3", "--preserve-input-order"]),
 ]
 
 

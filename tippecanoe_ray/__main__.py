@@ -297,6 +297,16 @@ def _build_from_geo(args, cfg):
             limit_tile_feature_count=args.limit_tile_feature_count,
             limit_tile_feature_count_at_maxzoom=(
                 args.limit_tile_feature_count_at_maximum_zoom),
+            retain_points_multiplier=args.retain_points_multiplier,
+            preserve_multiplier_density=(
+                args.preserve_multiplier_density_threshold),
+            order_by=tuple(
+                [(n, False) for n in args.order_by]
+                + [(n, True) for n in args.order_descending_by]
+                + ([(":size", False)] if args.order_smallest_first else [])
+                + ([(":size", True)] if args.order_largest_first else [])
+            ),
+            preserve_input_order=args.preserve_input_order,
         )
         feats = ingest_features(vec_tbl, vcfg)
         if args.calculate_feature_density:
@@ -370,6 +380,18 @@ def main(argv=None):
                          "(tile.cpp:2595-2611)")
     ap.add_argument("--limit-tile-feature-count-at-maximum-zoom", type=int,
                     default=0)
+    ap.add_argument("--retain-points-multiplier", "-m", type=int, default=1,
+                    help="keep rate-dropped features as secondary "
+                         "multiplier-cluster members (tile.cpp:1290-1319)")
+    ap.add_argument("--preserve-multiplier-density-threshold", type=int,
+                    default=0)
+    # per-tile orderings (tile.cpp:2583-2593); repeatable, keys compared
+    # in the order given
+    ap.add_argument("--order-by", action="append", default=[])
+    ap.add_argument("--order-descending-by", action="append", default=[])
+    ap.add_argument("--order-smallest-first", action="store_true")
+    ap.add_argument("--order-largest-first", action="store_true")
+    ap.add_argument("--preserve-input-order", "-pi", action="store_true")
     ap.add_argument("--max-tile-features", type=int, default=None,
                     help="as-needed drop limit per tile (reference -O, default 200000)")
     ap.add_argument("--clip-bounding-box", action="append", default=[],

@@ -177,6 +177,18 @@ class VectorConfig:
     # hard per-layer truncation after ordering (tile.cpp:2595-2611)
     limit_tile_feature_count: int = 0
     limit_tile_feature_count_at_maxzoom: int = 0
+    # --retain-points-multiplier N: rate-dropped features ride along as
+    # secondary multiplier-cluster members (next_feature
+    # tile.cpp:1290-1319, append tagging 2237-2250)
+    retain_points_multiplier: int = 1
+    # --preserve-multiplier-density-threshold D (tile.cpp:1307-1309)
+    preserve_multiplier_density: int = 0
+    # per-tile orderings (tile.cpp:2583-2593): -pi restores input seq,
+    # --order-by sorts by attribute values; both operate on whole
+    # multiplier clusters. ((name, descending), ...); the pseudo-name
+    # ":size" is ORDER_BY_SIZE (extent)
+    order_by: tuple = ()
+    preserve_input_order: bool = False
     # -ae / --extend-zooms-if-still-dropping-maximum N: add zooms while
     # the deepest zoom is still raising thresholds (main.cpp:90-91,
     # traverse_zooms tile.cpp:3541-3556)
@@ -193,11 +205,13 @@ class VectorConfig:
         return self.drop_fraction or self.coalesce_fraction or self.dynamic_drop
 
     def strategies_active(self) -> bool:
-        """Any gate that needs the zoom-consensus orchestration."""
+        """Any gate that needs the zoom-consensus orchestration (the
+        multiplier needs the __vindex__/stream machinery it carries)."""
         return bool(
             self.densest_active() or self.smallest_active()
             or self.fraction_active() or self.drop_by_attribute
             or self.increase_gamma or self.gamma > 0 or self.cluster_distance
+            or self.retain_points_multiplier > 1
         )
 
     def resolved_max_tile_size(self) -> int | None:
@@ -634,6 +648,10 @@ def _fix_wraparound(ops: np.ndarray, xy: np.ndarray) -> np.ndarray:
 # rise, and any rise re-runs the whole zoom with the merged maxima.
 
 _U64 = (1 << 64) - 1
+
+# serial_feature.dropped states (serial.hpp:146-148); multiplier-cluster
+# members carry their ordinal 1..multiplier-1
+_ADDED_FOR_DENSITY = 1 << 30  # FEATURE_ADDED_FOR_MULTIPLIER_DENSITY (INT_MAX)
 
 
 class _Samples:
@@ -1352,20 +1370,114 @@ def _cluster_attr_rows(cluster_n: int) -> list:
     ]
 
 
+def _order_value(rows, name: str, extent: int):
+    """find_attribute_value + coerce_double (tile.cpp:285-337): the
+    feature's typed value for one --order-by field as a comparable
+    (enum rank, value) pair — numeric types coerce to double (rank 2);
+    strings compare as UTF-8 bytes (rank 0); bool rank 6; absent/null
+    rank 7."""
+    if name == ":size":  # ORDER_BY_SIZE
+        return (2, float(extent))
+    from ..stages.mvt import is_integer_str, is_unsigned_integer_str
+
+    for k, vt, s in rows or ():
+        if k != name:
+            continue
+        if vt == "string":
+            return (0, s.encode("utf-8"))
+        if vt == "bool":
+            return (6, s == "true")
+        if vt == "null":
+            return (7, 0)
+        if vt == "sint":
+            return (2, float(int(s)))
+        # vt 'double': stringified_to_mvt_value numeric ladder
+        # (mvt.cpp:713-772), every branch coerces to double
+        uv = is_unsigned_integer_str(s)
+        if uv is not None:
+            return (2, float(uv))
+        v = is_integer_str(s)
+        if v is not None:
+            return (2, float(v))
+        try:
+            return (2, float(s))
+        except ValueError:
+            return (2, 0.0)
+    return (7, 0)
+
+
+def _assemble_clusters(lst: list, m_mult: int) -> list[list]:
+    """assemble_multiplier_clusters (tile.cpp:373-404): consecutive
+    runs starting at each tippecanoe:retain_points_multiplier_first
+    tag."""
+    if m_mult == 1:
+        return [[f] for f in lst]
+    clusters: list[list] = []
+    for f in lst:
+        is_start = any(
+            r[0] == "tippecanoe:retain_points_multiplier_first"
+            for r in f.get("attrs_sv", ())
+        )
+        if is_start or not clusters:
+            clusters.append([])
+        clusters[-1].append(f)
+    return clusters
+
+
+def _disassemble_clusters(clusters: list[list], dseq_of_seq: dict) -> list:
+    """disassemble_multiplier_clusters (tile.cpp:406-440): move the
+    _first tag onto the cluster head (appended at the END of its
+    attribute rows, matching the push_back), then stable-sort the tail
+    by drop_sequence DESCENDING."""
+    out: list = []
+    for cluster in clusters:
+        for i, f in enumerate(cluster):
+            rows = f.get("attrs_sv")
+            if not rows:
+                continue
+            hit = next((j for j, r in enumerate(rows)
+                        if r[0] == "tippecanoe:retain_points_multiplier_first"),
+                       None)
+            if hit is not None:
+                tag = rows[hit]
+                f["attrs_sv"] = rows[:hit] + rows[hit + 1:]
+                if not f["attrs_sv"]:
+                    del f["attrs_sv"]
+                head = cluster[0]
+                head["attrs_sv"] = list(head.get("attrs_sv", ())) + [tag]
+                break
+        if len(cluster) > 1:
+            tail = sorted(
+                cluster[1:],
+                key=lambda f: dseq_of_seq.get(f.get("_seq"), 0),
+                reverse=True,
+            )
+            cluster = [cluster[0]] + tail
+        out.extend(cluster)
+    return out
+
+
 def _mk_feat(geom: bytes, t: int, seq: int, attrs, acc: dict | None = None,
-             glow: int | None = None, cluster_n: int = 0) -> dict:
+             glow: int | None = None, cluster_n: int = 0,
+             mfirst: bool = False, mseq: int | None = None) -> dict:
     """Tile feature dict: id/attributes from the broadcast side table
     (write_tile carries full_keys/full_values per feature; plain
     corpora without ids get none, like the reference). A per-feature
     layer override (tippecanoe extension) rides as 'layer'."""
-    f = {"geom": geom, "type": t}
-    if attrs is not None or cluster_n:
+    f = {"geom": geom, "type": t, "_seq": seq}
+    if attrs is not None or cluster_n or mfirst or mseq is not None:
         ent = attrs.get(seq) if attrs is not None else None
         rows = []
         if ent is not None:
             fid, rows = ent
             if fid is not None:
                 f["id"] = fid
+        if mfirst:
+            # pushed at append time, before any later fold appends
+            # (tile.cpp:2237-2240)
+            rows = list(rows) + [
+                ("tippecanoe:retain_points_multiplier_first", "bool", "true")
+            ]
         if acc:
             # accumulated keys were PROMOTED out of the normal
             # attribute list and appended after it in promote order
@@ -1374,6 +1486,13 @@ def _mk_feat(geom: bytes, t: int, seq: int, attrs, acc: dict | None = None,
             # the NUL is invisible to the wire
             rows = [r for r in rows if r[0] not in acc] + [
                 (k, v[0], v[1].split("\0", 1)[0]) for k, v in acc.items()
+            ]
+        if mseq is not None:
+            # per-layer input-order sequence tag, added at phase-2 start
+            # after the scan-time folds (tile.cpp:2395-2415)
+            rows = list(rows) + [
+                ("tippecanoe:retain_points_multiplier_sequence", "double",
+                 str(mseq))
             ]
         if cluster_n:
             rows = list(rows) + _cluster_attr_rows(cluster_n)
@@ -1601,6 +1720,29 @@ def _encode_with_detail_ladder(cfg: VectorConfig, z, tx, ty, survivors,
         pend_extent: list = []  # serial extent per pending entry
         pend_cluster: list = []  # clustered count per pending entry
         pend_coalesced: list = []  # coalesced flag per pending entry
+        pend_first: list = []  # multiplier-cluster lead flag per entry
+        pend_seq: list = []  # input seq per pending entry (sequence tags)
+        # --retain-points-multiplier scan state (multiplier_state +
+        # next_feature_state, tile.cpp:1866-1870, per detail attempt):
+        # per-layer rate-run counter, the last not-dropped index, the
+        # per-layer current cluster size at the appended end, and
+        # drop_rest (a dropped lead drags its cluster down,
+        # tile.cpp:1867,1953)
+        m_mult = cfg.retain_points_multiplier
+        mult_count: dict = {}
+        prev_not_dropped = 0
+        layer_csize: dict = {}
+        drop_rest = False
+        ordering = bool(cfg.preserve_input_order or cfg.order_by)
+        ord_dseq: dict = {}  # seq -> drop_sequence (cluster tail sort)
+        ord_ext: dict = {}  # seq -> serial extent (ORDER_BY_SIZE)
+        if m_mult > 1:
+            try:
+                extra_mz = math.log(m_mult) / math.log(cfg.droprate)
+            except (ValueError, ZeroDivisionError):
+                extra_mz = math.inf
+        else:
+            extra_mz = 0.0
 
         def _fold_onto(ti: int, d_seq: int):
             """preserve_attributes (tile.cpp:1544-1569): fold the
@@ -1627,11 +1769,12 @@ def _encode_with_detail_ladder(cfg: VectorConfig, z, tx, ty, survivors,
 
         layer_npend: dict = {}
 
-        def _account_append(lname, rate_dropped) -> bool:
-            """The append block's over-limit early exit
-            (tile.cpp:2186-2224): once the (multiplier-inflated) caps
-            are exceeded by the (skip-extrapolated) feature count, stop
-            appending and count skips instead. Returns True to append."""
+        def _account_append(lname, dropped):
+            """The append block (tile.cpp:2186-2250): the over-limit
+            early exit against the (multiplier-inflated) caps with the
+            (skip-extrapolated) feature count, then the first-in-layer
+            revival and the multiplier-cluster accounting. Returns the
+            (possibly revived) dropped state, or None to skip."""
             nonlocal skipped, kept, lead_count, other_count
             nonlocal too_many_bytes, too_many_features
             adj_ms = mts
@@ -1648,21 +1791,27 @@ def _encode_with_detail_ladder(cfg: VectorConfig, z, tx, ty, survivors,
                 # every feature is at least one output byte
                 skipped += 1
                 too_many_bytes = True
-                return False
+                return None
             if too_many_features or (adj_mf is not None and afc > adj_mf):
                 skipped += 1
                 too_many_features = True
-                return False
+                return None
             kept += 1
-            # the first feature appended to a layer is always a lead
-            # (tile.cpp:2228-2236 revival)
+            # the first feature appended to a layer is always kept —
+            # the nominal first may have clipped away (tile.cpp:2228-2236)
             n_in_layer = layer_npend.get(lname, 0)
             layer_npend[lname] = n_in_layer + 1
-            if not rate_dropped or n_in_layer == 0:
+            if n_in_layer == 0:
+                dropped = 0
+            if dropped == 0:
+                layer_csize[lname] = 1
                 lead_count += 1
-            else:
+            elif dropped == _ADDED_FOR_DENSITY:
                 other_count += 1
-            return True
+            else:
+                layer_csize[lname] = layer_csize.get(lname, 0) + 1
+                other_count += 1
+            return dropped
 
         for row in survivors:
             seq, t, ops, xy, lab, fmz = row[:6]
@@ -1699,18 +1848,57 @@ def _encode_with_detail_ladder(cfg: VectorConfig, z, tx, ty, survivors,
                         if sf_extent < 1:
                             sf_extent = 1
                     extent_previndex = vix
+                if ordering:
+                    ord_dseq[seq] = _drop_sequence1(fmz, vix)
+                    ord_ext[seq] = sf_extent
             lname = lmap.get(seq)
-            rate_dropped = False
+            # serial_feature.dropped derivation (next_feature
+            # tile.cpp:1290-1319): the per-layer first-feature slot, the
+            # rate ladder, the multiplier run counter, and the
+            # --preserve-multiplier-density-threshold revival; explicit
+            # per-feature minzoom features are always KEPT
+            dropped = 0
             if fmn < 0:
+                dropped = -1
                 if lname not in kept_slots:
                     kept_slots.add(lname)  # first in layer: FEATURE_KEPT
-                elif fmz > z:
-                    rate_dropped = True
-            if rate_dropped:
-                # a marked feature invalidates the leaf even if it is
-                # later revived (tile.cpp:1950-1956 clears before the
-                # accumulate/revival branches)
+                    mult_count[lname] = 0
+                    dropped = 0
+                if dropped == 0 or fmz <= z:
+                    mult_count[lname] = 0
+                    dropped = 0
+                elif m_mult > 1:
+                    # fractional feature_minzoom (tile.cpp:1163): the
+                    # serialized integer minus a bit-reversed jitter
+                    from ..stages.strategies import bit_reverse as _brev
+
+                    frac = float(
+                        _brev(np.array([vix >> 2], np.uint64))[0]
+                    ) / 18446744073709551616.0
+                    cn = mult_count.get(lname, 0)
+                    if z + extra_mz >= fmz - frac and cn + 1 < m_mult:
+                        mult_count[lname] = cn + 1
+                        dropped = cn + 1
+                    elif cfg.preserve_multiplier_density > 0 and (
+                        (vix - prev_not_dropped) & _U64
+                        > ((1 << (32 - z)) // cfg.preserve_multiplier_density)
+                        ** 2
+                    ):
+                        dropped = _ADDED_FOR_DENSITY
+            if m_mult > 1 and dropped != -1:
+                prev_not_dropped = vix  # tile.cpp:1317-1319
+            # the write_tile state block (tile.cpp:1950-1978): a kept
+            # lead starts a new cluster; anything else invalidates the
+            # leaf, and an ordinal member of an already-full cluster is
+            # demoted to dropped
+            if dropped == 0:
+                drop_rest = False
+            else:
                 can_stop_early = False
+                if dropped not in (-1, _ADDED_FOR_DENSITY):
+                    if layer_csize.get(lname, 0) >= m_mult:
+                        dropped = -1
+            if dropped == -1 or drop_rest:
                 # the drop happens only with a previous same-layer
                 # SAME-TYPE feature in the appended list to accumulate
                 # onto (-aP converts before the gate, so polygons gate
@@ -1728,8 +1916,10 @@ def _encode_with_detail_ladder(cfg: VectorConfig, z, tx, ty, survivors,
                     # (tile.cpp:1322-1330)
                     _fold_onto(ti, seq)
                     n_rate += 1  # strategy.dropped_by_rate tile.cpp:1973
+                    can_stop_early = False
                     continue
-            if strat is not None and not rate_dropped:
+            rate_dropped = dropped != 0
+            if strat is not None and dropped == 0:
                 # -- the gamma / -K / as-needed gate chain
                 # (tile.cpp:1981-2144): only FEATURE_KEPT (lead)
                 # features reach it; a rate-dropped feature that found
@@ -1741,14 +1931,20 @@ def _encode_with_detail_ladder(cfg: VectorConfig, z, tx, ty, survivors,
 
                 def _try_drop() -> bool:
                     # drop_feature_unless_it_can_be_added_to_a_
-                    # multiplier_cluster (tile.cpp:1645-1662): without a
-                    # same-layer same-type target the feature is KEPT
-                    nonlocal n_need_d
+                    # multiplier_cluster (tile.cpp:1639-1662): without a
+                    # same-layer same-type target the feature is KEPT;
+                    # with capacity in the current cluster it is
+                    # CONVERTED to a secondary member instead of dropped
+                    nonlocal n_need_d, dropped, drop_rest
                     ti2 = pend_lt.get((lname, gate_t))
                     if ti2 is None:
                         return False
                     n_need_d += 1  # strategy.dropped_as_needed
+                    if layer_csize.get(lname, 0) < m_mult:
+                        dropped = layer_csize.get(lname, 0) + 1
+                        return False
                     _fold_onto(ti2, seq)
+                    drop_rest = True
                     return True
 
                 def _coalesce_onto(ti2: int):
@@ -1775,6 +1971,7 @@ def _encode_with_detail_ladder(cfg: VectorConfig, z, tx, ty, survivors,
                         if ti2 is not None:
                             _fold_onto(ti2, seq)
                             n_gamma += 1  # strategy.dropped_by_gamma
+                            drop_rest = True
                             can_stop_early = False
                             dropped_here = True
                 if not dropped_here:
@@ -1797,6 +1994,7 @@ def _encode_with_detail_ladder(cfg: VectorConfig, z, tx, ty, survivors,
                                         np.int64)
                                 _fold_onto(ti2, seq)
                                 n_need_c += 1
+                                drop_rest = True
                                 can_stop_early = False
                                 dropped_here = True
                     elif cfg.drop_densest:
@@ -1823,6 +2021,7 @@ def _encode_with_detail_ladder(cfg: VectorConfig, z, tx, ty, survivors,
                                         np.int64)
                                 _fold_onto(ti2, seq)
                                 n_need_c += 1
+                                drop_rest = True
                                 dropped_here = True
                     elif cfg.coalesce_densest:
                         gaps_s.add(sf_gap, my_seq)
@@ -1837,6 +2036,7 @@ def _encode_with_detail_ladder(cfg: VectorConfig, z, tx, ty, survivors,
                                     _fold_onto(ti2, seq)
                                     n_need_c += 1
                                 coalesced_area += sf_extent
+                                drop_rest = True
                                 can_stop_early = False
                                 dropped_here = True
                     elif cfg.drop_smallest:
@@ -1859,6 +2059,7 @@ def _encode_with_detail_ladder(cfg: VectorConfig, z, tx, ty, survivors,
                                     _fold_onto(ti2, seq)
                                     n_need_c += 1
                                 coalesced_area += sf_extent
+                                drop_rest = True
                                 can_stop_early = False
                                 dropped_here = True
                     elif cfg.drop_fraction or cfg.dynamic_drop:
@@ -1880,6 +2081,7 @@ def _encode_with_detail_ladder(cfg: VectorConfig, z, tx, ty, survivors,
                                     pend_coalesced[ti2] = True
                                     _fold_onto(ti2, seq)
                                     n_need_c += 1
+                                drop_rest = True
                                 can_stop_early = False
                                 dropped_here = True
                     elif cfg.drop_by_attribute:
@@ -1949,10 +2151,13 @@ def _encode_with_detail_ladder(cfg: VectorConfig, z, tx, ty, survivors,
                 keep = np.ones(len(pts), bool)
                 keep[1:] = (pts[1:] != pts[:-1]).any(axis=1)
                 pts = pts[keep]
-                if strat is not None and not _account_append(lname, rate_dropped):
-                    merge_previndex = vix
-                    coalesced_area = 0.0
-                    continue
+                if strat is not None:
+                    upd = _account_append(lname, dropped)
+                    if upd is None:
+                        merge_previndex = vix
+                        coalesced_area = 0.0
+                        continue
+                    dropped = upd
                 pend_lt[(lname, 1)] = len(pending)
                 if cfg.calculate_density:
                     dens_by_idx[len(pending)] = _glow(dens_spacing)
@@ -1961,6 +2166,8 @@ def _encode_with_detail_ladder(cfg: VectorConfig, z, tx, ty, survivors,
                 pend_extent.append(sf_extent if strat is not None else 0)
                 pend_cluster.append(0)
                 pend_coalesced.append(False)
+                pend_first.append(dropped == 0 and m_mult > 1)
+                pend_seq.append(seq)
                 if strat is not None:
                     merge_previndex = vix
                     coalesced_area = 0.0
@@ -1987,10 +2194,13 @@ def _encode_with_detail_ladder(cfg: VectorConfig, z, tx, ty, survivors,
                     merge_previndex = vix
                     coalesced_area = 0.0
                 continue
-            if strat is not None and not _account_append(lname, rate_dropped):
-                merge_previndex = vix
-                coalesced_area = 0.0
-                continue
+            if strat is not None:
+                upd = _account_append(lname, dropped)
+                if upd is None:
+                    merge_previndex = vix
+                    coalesced_area = 0.0
+                    continue
+                dropped = upd
             if pn and enodes:
                 local_nodes.update(enodes)  # tile.cpp:2252-2254
             area = dv.get_mp_area(ops, xy) if t == 3 else 0.0
@@ -2002,18 +2212,34 @@ def _encode_with_detail_ladder(cfg: VectorConfig, z, tx, ty, survivors,
             pend_extent.append(sf_extent if strat is not None else 0)
             pend_cluster.append(0)
             pend_coalesced.append(False)
+            pend_first.append(dropped == 0 and m_mult > 1)
+            pend_seq.append(seq)
             if strat is not None:
                 merge_previndex = vix
                 coalesced_area = 0.0
         # phase 2: simplification workers + encode
         # (simplify_feature tile.cpp:595-665)
         do_rc = cfg.reorder or cfg.coalesce
+        # per-layer input-order sequence tags for the multiplier
+        # (tile.cpp:2395-2415): rank of each feature's seq within its
+        # layer, stable
+        mseq_by_idx: dict[int, int] = {}
+        if m_mult > 1:
+            _by_l: dict = {}
+            for pi in range(len(pending)):
+                _by_l.setdefault(pend_lname[pi], []).append(pi)
+            for _lst in _by_l.values():
+                for rank, oi in enumerate(
+                        sorted(range(len(_lst)), key=lambda i: pend_seq[_lst[i]])):
+                    mseq_by_idx[_lst[oi]] = rank
         post: list = []  # worker-complete features for reorder/coalesce
         for pi, (seq, t, ops, xy, reduced, area) in enumerate(pending):
             acc = acc_by_idx.get(pi)
             glow = dens_by_idx.get(pi)
             clu = pend_cluster[pi]
             was_coalesced = pend_coalesced[pi]
+            mfirst = pend_first[pi]
+            mseq = mseq_by_idx.get(pi)
             if t == 1:
                 if ops is not None:
                     # ingested point feature (world coords); -aP anchor
@@ -2025,10 +2251,12 @@ def _encode_with_detail_ladder(cfg: VectorConfig, z, tx, ty, survivors,
                 elif do_rc:
                     ops = np.ones(len(xy), np.uint8)
                 if do_rc:
-                    post.append([seq, 1, ops, xy, acc, glow, False, clu])
+                    post.append([seq, 1, ops, xy, acc, glow, False, clu,
+                                 mfirst, mseq])
                 else:
                     feats.append(_mk_feat(encode_multipoint(xy), 1, seq,
-                                          attrs, acc, glow, clu))
+                                          attrs, acc, glow, clu,
+                                          mfirst, mseq))
                 continue
             if cfg.grid_low_zooms and z < cfg.maxzoom and t in (2, 3):
                 # rasterize onto the grid; no simplification, and the
@@ -2083,7 +2311,8 @@ def _encode_with_detail_ladder(cfg: VectorConfig, z, tx, ty, survivors,
                 # worker-end state: reorder/coalesce sit between the
                 # simplification workers and the final cleanup
                 # (tile.cpp:2518-2580)
-                post.append([seq, t, ops, xy, acc, glow, False, clu])
+                post.append([seq, t, ops, xy, acc, glow, False, clu,
+                             mfirst, mseq])
                 continue
             ops, xy = dv.remove_noop(ops, xy, t, 0)
             if len(ops) == 0:
@@ -2092,9 +2321,11 @@ def _encode_with_detail_ladder(cfg: VectorConfig, z, tx, ty, survivors,
             if not parts:
                 continue
             if t == 3:
-                feats.append(_mk_feat(encode_polygon(parts), 3, seq, attrs, acc, glow, clu))
+                feats.append(_mk_feat(encode_polygon(parts), 3, seq, attrs,
+                                      acc, glow, clu, mfirst, mseq))
             else:
-                feats.append(_mk_feat(encode_linestring(parts), 2, seq, attrs, acc, glow, clu))
+                feats.append(_mk_feat(encode_linestring(parts), 2, seq, attrs,
+                                      acc, glow, clu, mfirst, mseq))
         if do_rc and post:
             def _ckey(e):
                 seq_, t_ = e[0], e[1]
@@ -2123,7 +2354,7 @@ def _encode_with_detail_ladder(cfg: VectorConfig, z, tx, ty, survivors,
                     else:
                         merged.append(e)
                 post = merged
-            for seq, t, ops, xy, acc, glow, coalesced, clu in post:
+            for seq, t, ops, xy, acc, glow, coalesced, clu, mfirst, mseq in post:
                 if coalesced and t == 2:
                     # cleanup: re-simplify coalesced linestrings at
                     # tile scale (z=32 detail=0, tile.cpp:2556-2562)
@@ -2143,17 +2374,20 @@ def _encode_with_detail_ladder(cfg: VectorConfig, z, tx, ty, survivors,
                     continue
                 if t == 1:
                     feats.append(_mk_feat(encode_multipoint(xy), 1, seq,
-                                          attrs, acc, glow, clu))
+                                          attrs, acc, glow, clu,
+                                          mfirst, mseq))
                     continue
                 parts = [xy[i:j] for i, j in dv.rings(ops)]
                 if not parts:
                     continue
                 if t == 3:
                     feats.append(_mk_feat(encode_polygon(parts), 3, seq,
-                                          attrs, acc, glow, clu))
+                                          attrs, acc, glow, clu,
+                                          mfirst, mseq))
                 else:
                     feats.append(_mk_feat(encode_linestring(parts), 2, seq,
-                                          attrs, acc, glow, clu))
+                                          attrs, acc, glow, clu,
+                                          mfirst, mseq))
         if (trying_to_stop_early and line_detail == details[0]
                 and (not can_stop_early or mz_pending)):
             # the stop-early attempt is invalid (content was dropped or
@@ -2187,6 +2421,47 @@ def _encode_with_detail_ladder(cfg: VectorConfig, z, tx, ty, survivors,
         for f in feats:
             by_layer.setdefault(f.pop("layer", None) or cfg.layer_name,
                                 []).append(f)
+        if ordering:
+            # per-tile orderings over whole multiplier clusters
+            # (tile.cpp:2583-2593): -pi first, then --order-by; each is
+            # its own assemble → stable sort → disassemble round
+            import functools
+
+            vm_ = vmap
+
+            def _ordcmp(ca, cb):
+                fa, fb = ca[0], cb[0]
+                for name, desc_ in cfg.order_by:
+                    va = _order_value(fa.get("attrs_sv"), name,
+                                      ord_ext.get(fa["_seq"], 0))
+                    vb = _order_value(fb.get("attrs_sv"), name,
+                                      ord_ext.get(fb["_seq"], 0))
+                    if desc_:
+                        if vb < va:
+                            return -1
+                        if va < vb:
+                            return 1
+                    else:
+                        if va < vb:
+                            return -1
+                        if vb < va:
+                            return 1
+                ia = vm_.get(fa["_seq"], 0)
+                ib = vm_.get(fb["_seq"], 0)
+                return -1 if ia < ib else 0
+
+            for nm in by_layer:
+                lst = by_layer[nm]
+                if cfg.preserve_input_order:
+                    clusters = _assemble_clusters(lst, m_mult)
+                    clusters.sort(key=lambda c: c[0]["_seq"])
+                    lst = _disassemble_clusters(clusters, ord_dseq)
+                if cfg.order_by:
+                    clusters = _assemble_clusters(lst, m_mult)
+                    clusters.sort(key=functools.cmp_to_key(_ordcmp))
+                    lst = _disassemble_clusters(clusters, ord_dseq)
+                by_layer[nm] = lst
+            feats = [f for nm in by_layer for f in by_layer[nm]]
         # hard per-layer truncation AFTER the orderings and BEFORE the
         # byte/feature-cap accounting (tile.cpp:2595-2611); truncation
         # cancels the overflow recourse for this attempt
