@@ -412,6 +412,22 @@ EDGE_CORPORA = [
       "--preserve-input-order"],
      ["--droprate", "2", "--basezoom", "3", "-y", "NAME",
       "--retain-points-multiplier", "3", "--preserve-input-order"]),
+    # -at variable depth combined with as-needed strategies on real
+    # TIGER tracts (leaf revival on the first dropping pass,
+    # tile.cpp:3186-3195); the -z17 -Z10/-Z12 coalesce variants were
+    # verified byte-exact manually and are omitted for suite runtime
+    ("tl_2022_11_tract", "in.json.gz", 14,
+     ["-Z12", "--coalesce-densest-as-needed",
+      "--generate-variable-depth-tile-pyramid", "-M25000"],
+     ["--minzoom", "12", "--coalesce-densest-as-needed",
+      "--generate-variable-depth-tile-pyramid", "--max-tile-bytes",
+      "25000"]),
+    ("tl_2022_11_tract", "in.json.gz", 17,
+     ["-Z10", "--generate-variable-depth-tile-pyramid",
+      "--drop-by-attribute-as-needed=ALAND", "-M15000"],
+     ["--minzoom", "10", "--generate-variable-depth-tile-pyramid",
+      "--drop-by-attribute-as-needed", "ALAND", "--max-tile-bytes",
+      "15000"]),
 ]
 
 
