@@ -131,10 +131,21 @@ def _build_from_geo(args, cfg):
             attrs_i = read_geojson_attrs(path)
             n_i = attrs_i.pop("__n__", 0)
             lay_i = attrs_i.pop("__layers__", {})
+            sid_i = attrs_i.pop("__strids__", {})
             for s, v in attrs_i.items():
                 vec_attrs[s + total] = v
             for s, nm in lay_i.items():
                 merged_layers[s + total] = nm
+            if getattr(args, "convert_stringified_ids", False):
+                # -aI: string ids that strtoull fully consumes and that
+                # round-trip exactly become numeric ids
+                # (geojson.cpp:143-166)
+                for s, sid in sid_i.items():
+                    fid = _strtoull_id(sid, exact=True)
+                    if fid is not None:
+                        old = vec_attrs.get(s + total)
+                        rows = old[1] if old else []
+                        vec_attrs[s + total] = (fid, rows)
         if len(inputs) > 1 and not args.layer_name:
             # per-file layer: -L name, else the filename (main.cpp
             # multi-source layer map); per-feature tippecanoe layers
@@ -208,6 +219,33 @@ def _build_from_geo(args, cfg):
                     sval = dtoa_milo(f32)
                 nrows.append((name, vt, sval))
             vec_attrs[k] = (fid, nrows)
+    if getattr(args, "use_attribute_for_id", None):
+        # take the feature id from a numeric attribute and remove it
+        # (serial.cpp:812-847); -aI also admits string-typed values
+        name = args.use_attribute_for_id
+        conv = getattr(args, "convert_stringified_ids", False)
+        for k, v in list(vec_attrs.items()):
+            if not isinstance(k, int):
+                continue
+            fid, rows = v
+            nrows = []
+            for row in rows:
+                if row[0] == name and (row[1] == "double" or conv):
+                    nid = _strtoull_id(row[2], exact=False)
+                    if nid is not None:
+                        fid = nid
+                        continue  # attribute consumed by the id
+                nrows.append(row)
+            vec_attrs[k] = (fid, nrows)
+    if getattr(args, "generate_ids", False):
+        # --generate-ids: id = seq + 1 for features without one
+        # (serial.cpp:601-605)
+        for s in range(vec_attrs.get("__n__", 0)):
+            old = vec_attrs.get(s)
+            if old is None:
+                vec_attrs[s] = (s + 1, [])
+            elif old[0] is None:
+                vec_attrs[s] = (s + 1, old[1])
     if getattr(args, "include", None):
         # -y: keep ONLY the named attributes (include set); ids and
         # the layer map are untouched
@@ -216,6 +254,17 @@ def _build_from_geo(args, cfg):
             if isinstance(k, int):
                 fid, rows = v
                 vec_attrs[k] = (fid, [r for r in rows if r[0] in inc])
+    if getattr(args, "exclude_all", False):
+        # -X: drop every attribute (ids stay, main.cpp exclude_all)
+        for k, v in list(vec_attrs.items()):
+            if isinstance(k, int):
+                vec_attrs[k] = (v[0], [])
+    elif getattr(args, "exclude", None):
+        exc = set(args.exclude)
+        for k, v in list(vec_attrs.items()):
+            if isinstance(k, int):
+                fid, rows = v
+                vec_attrs[k] = (fid, [r for r in rows if r[0] not in exc])
     outs = []
     if pts_tbl is not None and len(pts_tbl):
         wx = pts_tbl["wx"].to_numpy()
@@ -227,6 +276,8 @@ def _build_from_geo(args, cfg):
         }))
         outs.append(build_pyramid_from_narrow(narrow, cfg, n_rows=len(pts_tbl)))
     if vec_tbl is not None and len(vec_tbl):
+        scheme = "hilbert" if args.hilbert else "quadkey"
+        prov_feats = None
         if getattr(args, "guess_zoom", False):
             # -zg two-phase: ingest at geometry_scale 0 (the provisional
             # MAX_ZOOM leaves gscale 0, main.cpp:3765-3770), guess from
@@ -235,15 +286,55 @@ def _build_from_geo(args, cfg):
             from tippecanoe_ray.stages.stats import guess_vector_zoom
 
             pv = VectorConfig(maxzoom=24, layer_name=layer,
-                              geometry_scale=0, droprate=1.0)
-            mz, dr, bz = guess_vector_zoom(
-                ingest_features(vec_tbl, pv), cfg.droprate,
+                              geometry_scale=0, droprate=1.0,
+                              index_scheme=scheme)
+            prov_feats = ingest_features(vec_tbl, pv)
+            mz, dr, bz, premin_mz = guess_vector_zoom(
+                prov_feats, cfg.droprate,
                 full_detail=args.full_detail or 12,
-                low_detail=args.low_detail or 12)
+                low_detail=args.low_detail or 12,
+                minimum_maxzoom=args.smallest_maximum_zoom_guess or 0,
+                cluster_distance=args.cluster_distance,
+                cluster_maxzoom=args.cluster_maxzoom)
+            if args.basezoom == -2 and args.basezoom_marker_width == 1:
+                # plain -Bg under -zg binds to the PRE-floor maxzoom
+                # (main.cpp:2457-2462)
+                args.basezoom = premin_mz
+            if mz < args.minzoom:
+                mz = args.minzoom  # main.cpp:2471-2476
             cfg.maxzoom = args.maxzoom = mz
             cfg.droprate = dr
-            if args.basezoom is None:
-                args.basezoom = bz
+            if args.basezoom == -1:
+                args.basezoom = mz  # main.cpp:2480-2482
+        if (getattr(args, "guess_cluster_maxzoom", False)
+                and args.cluster_maxzoom >= cfg.maxzoom):
+            # -kg: stop clustering one zoom before maxzoom
+            # (main.cpp:2485-2488)
+            args.cluster_maxzoom = cfg.maxzoom - 1
+        if args.basezoom < 0 or cfg.droprate < 0:
+            # -Bg/-Bf/-rg/-rf (or -rp with nothing to fit): the densest-
+            # tile scan over the sorted index stream (main.cpp:2490-2634)
+            from tippecanoe_ray.stages.stats import (
+                guess_basezoom_droprate_exact,
+            )
+
+            if prov_feats is None:
+                pv = VectorConfig(maxzoom=cfg.maxzoom, layer_name=layer,
+                                  geometry_scale=0, droprate=1.0,
+                                  index_scheme=scheme)
+                prov_feats = ingest_features(vec_tbl, pv)
+            ix = np.sort(prov_feats["vindex"].to_numpy(
+                zero_copy_only=False).astype(np.uint64))
+            bz2, dr2 = guess_basezoom_droprate_exact(
+                ix, cfg.maxzoom, gamma=args.gamma,
+                marker_width=args.basezoom_marker_width,
+                basezoom=None if args.basezoom < 0 else args.basezoom,
+                droprate=None if cfg.droprate < 0 else cfg.droprate,
+                prevent_basezoom_above=getattr(
+                    args, "limit_base_zoom_to_maximum_zoom", False),
+                scheme=scheme)
+            args.basezoom = bz2
+            cfg.droprate = dr2
         vcfg = VectorConfig(
             minzoom=cfg.minzoom, maxzoom=cfg.maxzoom, layer_name=layer,
             # "Highest supported detail with maxzoom z is 32-z"
@@ -269,9 +360,7 @@ def _build_from_geo(args, cfg):
                           else -1),
             filter=_parse_feature_filter(args),
             index_scheme="hilbert" if args.hilbert else "quadkey",
-            attribute_accum=tuple(
-                tuple(s.split(":", 1)) for s in args.accumulate_attribute
-            ),
+            attribute_accum=_parse_accum(args.accumulate_attribute),
             clip_bboxes=tuple(
                 tuple(float(v) for v in s.split(","))
                 for s in args.clip_bounding_box
@@ -300,13 +389,23 @@ def _build_from_geo(args, cfg):
             retain_points_multiplier=args.retain_points_multiplier,
             preserve_multiplier_density=(
                 args.preserve_multiplier_density_threshold),
-            order_by=tuple(
-                [(n, False) for n in args.order_by]
-                + [(n, True) for n in args.order_descending_by]
-                + ([(":size", False)] if args.order_smallest_first else [])
-                + ([(":size", True)] if args.order_largest_first else [])
-            ),
+            order_by=tuple(args.order_fields),
             preserve_input_order=args.preserve_input_order,
+            reverse_lines=args.reverse,
+            simplification=args.simplification,
+            min_detail=args.minimum_detail,
+            tiny_polygon_size=args.tiny_polygon_size,
+            generate_label_points=args.convert_polygons_to_label_points,
+            drop_lines=args.drop_lines,
+            drop_polygons=args.drop_polygons,
+            no_simplify=args.no_line_simplification,
+            simplify_only_low=args.simplify_only_low_zooms,
+            no_tiny_poly=args.no_tiny_polygon_reduction,
+            no_tiny_poly_maxzoom=(
+                args.no_tiny_polygon_reduction_at_maximum_zoom),
+            no_feature_limit=args.no_feature_limit,
+            no_size_limit=args.no_tile_size_limit,
+            compress=not args.no_tile_compression,
         )
         feats = ingest_features(vec_tbl, vcfg)
         if args.calculate_feature_density:
@@ -322,6 +421,44 @@ def _build_from_geo(args, cfg):
     if len(outs) == 1:
         return outs[0]
     return merge_tilesets(*outs)
+
+
+def _strtoull_id(s: str, exact: bool) -> int | None:
+    """C strtoull(s, &err, 10) + the round-trip id checks: None unless
+    the whole string parses and to_string(value) equals the input
+    (exact, geojson.cpp:155) or the input with leading zeros stripped
+    (strip_zeroes, serial.cpp:381-390)."""
+    import re
+
+    mm = re.match(r"[ \t\r\n]*[+-]?[0-9]+", s)
+    if mm is None or mm.end() != len(s):
+        return None  # "non-integer feature ID" warning in the reference
+    body = mm.group(0).lstrip()
+    neg = body.startswith("-")
+    mag = int(body.lstrip("+-"))
+    if mag >= (1 << 64):
+        val = (1 << 64) - 1  # strtoull ERANGE clamp
+    elif neg:
+        val = (-mag) % (1 << 64)
+    else:
+        val = mag
+    ref = s if exact else s.lstrip("0")
+    return val if str(val) == ref else None
+
+
+def _parse_accum(specs: list[str]) -> tuple:
+    """-E name:op, or a JSON object {"name": "op", ...}
+    (set_attribute_accum, attribute.cpp:43-90)."""
+    import json as _json
+
+    out = []
+    for s in specs:
+        if s.startswith("{"):
+            for k, v in _json.loads(s).items():
+                out.append((k, v))
+        else:
+            out.append(tuple(s.split(":", 1)))
+    return tuple(out)
 
 
 def main(argv=None):
@@ -345,10 +482,14 @@ def main(argv=None):
     ap.add_argument("--maxzoom", default="14",
                     help="maximum zoom, or 'g' to guess from feature "
                          "spacing (-zg, main.cpp:2279-2470)")
-    ap.add_argument("--basezoom", type=int, default=None)
+    ap.add_argument("--basezoom", default=None,
+                    help="zoom from which the rate ladder drops, or "
+                         "'g'/'g<width>'/'f<count>' to guess from the "
+                         "densest tile (-Bg/-Bf, main.cpp:3416-3432)")
     ap.add_argument("--droprate", default="2.5",
-                    help="rate ladder base, or 'p' to fit it from the "
-                         "spacing spread (-rp, main.cpp:2390-2412)")
+                    help="rate ladder base; 'p' fits it from the spacing "
+                         "spread (-rp), 'g'/'g<width>'/'f<count>' from "
+                         "the densest tile (-rg/-rf, main.cpp:3535-3553)")
     ap.add_argument("--gamma", type=float, default=0.0)
     ap.add_argument("--cluster-distance", type=int, default=0)
     ap.add_argument("--drop-densest", action="store_true")
@@ -368,7 +509,10 @@ def main(argv=None):
     ap.add_argument("--drop-by-attribute-order", default="asc",
                     choices=["asc", "desc"])
     ap.add_argument("--increase-gamma-as-needed", action="store_true")
-    ap.add_argument("--cluster-maxzoom", "-k", type=int, default=24)
+    ap.add_argument("--cluster-maxzoom", "-k", default="24",
+                    help="deepest zoom that clusters, or 'g' to stop "
+                         "clustering one zoom before maxzoom (-kg, "
+                         "main.cpp:3447-3452,2485-2488)")
     ap.add_argument("--keep-point-cluster-position", action="store_true")
     ap.add_argument("--extend-zooms-if-still-dropping", action="store_true",
                     help="-ae: grow maxzoom while the deepest zoom is "
@@ -386,12 +530,52 @@ def main(argv=None):
     ap.add_argument("--preserve-multiplier-density-threshold", type=int,
                     default=0)
     # per-tile orderings (tile.cpp:2583-2593); repeatable, keys compared
-    # in the order given
-    ap.add_argument("--order-by", action="append", default=[])
-    ap.add_argument("--order-descending-by", action="append", default=[])
-    ap.add_argument("--order-smallest-first", action="store_true")
-    ap.add_argument("--order-largest-first", action="store_true")
+    # in COMMAND-LINE order across all four spellings (the reference
+    # appends to one order_by vector, main.cpp:3293-3303)
+    class _OrderAction(argparse.Action):
+        def __call__(self, parser, ns, values, option_string=None):
+            lst = getattr(ns, "order_fields", None) or []
+            desc = option_string in ("--order-descending-by",
+                                     "--order-largest-first")
+            name = ":size" if option_string in (
+                "--order-smallest-first", "--order-largest-first") else values
+            lst.append((name, desc))
+            ns.order_fields = lst
+
+    ap.add_argument("--order-by", action=_OrderAction)
+    ap.add_argument("--order-descending-by", action=_OrderAction)
+    ap.add_argument("--order-smallest-first", action=_OrderAction, nargs=0)
+    ap.add_argument("--order-largest-first", action=_OrderAction, nargs=0)
+    ap.set_defaults(order_fields=[])
     ap.add_argument("--preserve-input-order", "-pi", action="store_true")
+    ap.add_argument("--smallest-maximum-zoom-guess", type=int, default=None,
+                    help="-zg with a floor (main.cpp:3275-3282)")
+    ap.add_argument("--simplification", "-S", type=float, default=1.0)
+    ap.add_argument("--exclude", "-x", action="append", default=[],
+                    help="drop the named attribute everywhere")
+    ap.add_argument("--exclude-all", "-X", action="store_true")
+    ap.add_argument("--minimum-detail", type=int, default=7)
+    ap.add_argument("--tiny-polygon-size", type=int, default=2)
+    ap.add_argument("--convert-polygons-to-label-points", action="store_true")
+    ap.add_argument("--drop-lines", action="store_true")
+    ap.add_argument("--drop-polygons", action="store_true")
+    ap.add_argument("--use-attribute-for-id", default=None)
+    ap.add_argument("--convert-stringified-ids-to-numbers",
+                    dest="convert_stringified_ids", action="store_true")
+    ap.add_argument("--generate-ids", action="store_true")
+    ap.add_argument("--reverse", action="store_true",
+                    help="-ar: reverse lines that run up-and-left so "
+                         "they coalesce better (tile.cpp:657-660)")
+    ap.add_argument("--no-line-simplification", action="store_true")
+    ap.add_argument("--simplify-only-low-zooms", action="store_true")
+    ap.add_argument("--no-tiny-polygon-reduction", action="store_true")
+    ap.add_argument("--no-tiny-polygon-reduction-at-maximum-zoom",
+                    action="store_true")
+    ap.add_argument("--no-feature-limit", action="store_true")
+    ap.add_argument("--no-tile-size-limit", action="store_true")
+    ap.add_argument("--no-tile-compression", action="store_true")
+    ap.add_argument("--limit-base-zoom-to-maximum-zoom", action="store_true",
+                    help="-pb (main.cpp:2585-2588)")
     ap.add_argument("--max-tile-features", type=int, default=None,
                     help="as-needed drop limit per tile (reference -O, default 200000)")
     ap.add_argument("--clip-bounding-box", action="append", default=[],
@@ -501,10 +685,50 @@ def main(argv=None):
                 raise SystemExit(
                     f"{_target}: file exists; use --force to overwrite "
                     "or --allow-existing to add to it")
-    args.guess_zoom = str(args.maxzoom) == "g"
+    args.guess_zoom = (str(args.maxzoom) == "g"
+                       or args.smallest_maximum_zoom_guess is not None)
+    if args.smallest_maximum_zoom_guess is not None:
+        args.maxzoom = "g"
     # the reference guesses from a provisional MAX_ZOOM (main.cpp:3391)
     args.maxzoom = 24 if args.guess_zoom else int(args.maxzoom)
-    args.droprate = -3.0 if str(args.droprate) == "p" else float(args.droprate)
+    # -B / -r guess forms (main.cpp:3416-3432,3535-3553): sentinel -1 =
+    # unspecified, -2 = guess from the densest tile; 'g<width>' sets the
+    # marker width directly, 'f<count>' via sqrt(50000/count)
+    import math as _math
+
+    args.basezoom_marker_width = 1.0
+    b = args.basezoom
+    if b is None:
+        args.basezoom = -1
+    elif str(b) == "g":
+        args.basezoom = -2
+    elif str(b)[0] in "gf":
+        args.basezoom = -2
+        v = float(str(b)[1:])
+        args.basezoom_marker_width = (
+            v if str(b)[0] == "g" else _math.sqrt(50000 / v))
+    else:
+        args.basezoom = int(b)
+    d = str(args.droprate)
+    if d == "g":
+        args.droprate = -2.0
+    elif d == "p":
+        args.droprate = -3.0
+    elif d[0] in "gf":
+        args.droprate = -2.0
+        v = float(d[1:])
+        args.basezoom_marker_width = (
+            v if d[0] == "g" else _math.sqrt(50000 / v))
+    else:
+        args.droprate = float(d)
+    args.guess_cluster_maxzoom = str(args.cluster_maxzoom) == "g"
+    # -kg: provisional MAX_ZOOM-1 until the real maxzoom is known
+    args.cluster_maxzoom = (23 if args.guess_cluster_maxzoom
+                            else int(args.cluster_maxzoom))
+    if args.basezoom == -1 and not args.guess_zoom:
+        # unspecified basezoom = maxzoom (main.cpp:3758-3762); only -zg
+        # defers the decision
+        args.basezoom = args.maxzoom if args.maxzoom <= 24 else 24
     if args.maxzoom > 24:
         # "Highest supported zoom is -z24" (MAX_ZOOM, main.hpp:77,
         # clamp main.cpp:3723-3725)
@@ -542,7 +766,7 @@ def main(argv=None):
     cfg = PyramidConfig(
         minzoom=args.minzoom,
         maxzoom=args.maxzoom,
-        basezoom=args.basezoom,
+        basezoom=None if args.basezoom < 0 else args.basezoom,
         droprate=args.droprate,
         id_col=args.id_col,
         rule=args.rule,

@@ -189,6 +189,17 @@ class VectorConfig:
     # ":size" is ORDER_BY_SIZE (extent)
     order_by: tuple = ()
     preserve_input_order: bool = False
+    # -ar: reverse simple linestrings whose endpoint index precedes
+    # their start index, for better coalescing (tile.cpp:657-660,
+    # reorder_lines geometry.cpp:315-360)
+    reverse_lines: bool = False
+    # -ps / -pS / -pt / -pT / -pf / -pk prevents (options.hpp:34-52)
+    no_simplify: bool = False
+    simplify_only_low: bool = False
+    no_tiny_poly: bool = False
+    no_tiny_poly_maxzoom: bool = False
+    no_feature_limit: bool = False
+    no_size_limit: bool = False
     # -ae / --extend-zooms-if-still-dropping-maximum N: add zooms while
     # the deepest zoom is still raising thresholds (main.cpp:90-91,
     # traverse_zooms tile.cpp:3541-3556)
@@ -204,14 +215,18 @@ class VectorConfig:
     def fraction_active(self) -> bool:
         return self.drop_fraction or self.coalesce_fraction or self.dynamic_drop
 
+    def order_by_size(self) -> bool:
+        return any(n == ":size" for n, _ in self.order_by)
+
     def strategies_active(self) -> bool:
         """Any gate that needs the zoom-consensus orchestration (the
-        multiplier needs the __vindex__/stream machinery it carries)."""
+        multiplier and ORDER_BY_SIZE need the __vindex__/__extent__
+        stream machinery it carries)."""
         return bool(
             self.densest_active() or self.smallest_active()
             or self.fraction_active() or self.drop_by_attribute
             or self.increase_gamma or self.gamma > 0 or self.cluster_distance
-            or self.retain_points_multiplier > 1
+            or self.retain_points_multiplier > 1 or self.order_by_size()
         )
 
     def resolved_max_tile_size(self) -> int | None:
@@ -1576,7 +1591,7 @@ def _encode_with_detail_ladder(cfg: VectorConfig, z, tx, ty, survivors,
             for seq_, excl in excl_by_seq.items():
                 fid_, rows_ = attrs.get(seq_) or (None, ())
                 attrs[seq_] = (fid_, [r for r in rows_ if r[0] not in excl])
-    mts = cfg.resolved_max_tile_size()
+    mts = None if cfg.no_size_limit else cfg.resolved_max_tile_size()
     # ---- as-needed strategy state (write_tile locals + entry params):
     # thresholds enter at the zoom's consensus values and only rise
     # locally within this tile's retry loop; rises are reported through
@@ -1596,6 +1611,8 @@ def _encode_with_detail_ladder(cfg: VectorConfig, z, tx, ty, survivors,
         f_mingap = f_minextent = f_mindropseq = f_minattr = 1.0
         out = strat.setdefault("out", {})
         feat_cap = cfg.max_tile_features if cfg.max_tile_features is not None else 200000
+        if cfg.no_feature_limit:
+            feat_cap = None  # -pf (tile.cpp:2222,2723)
         # -K cluster gap for this zoom (tile.cpp:1697)
         cluster_mingap = (
             ((1 << (32 - z)) // 256 * cfg.cluster_distance)
@@ -1612,7 +1629,7 @@ def _encode_with_detail_ladder(cfg: VectorConfig, z, tx, ty, survivors,
         vix_of = (attrs or {}).get("__vindex__", _EMPTY_DICT)
     else:
         s_gamma = cfg.gamma
-        feat_cap = cfg.max_tile_features
+        feat_cap = None if cfg.no_feature_limit else cfg.max_tile_features
     trying_to_stop_early = False
     if (
         cfg.variable_depth and est is not None and mts is not None
@@ -2173,7 +2190,9 @@ def _encode_with_detail_ladder(cfg: VectorConfig, z, tx, ty, survivors,
                     coalesced_area = 0.0
                 continue
             reduced = False
-            if t == 3 and not cfg.grid_low_zooms:
+            prevent_tiny = cfg.no_tiny_poly or (
+                cfg.no_tiny_poly_maxzoom and z == cfg.maxzoom)
+            if t == 3 and not cfg.grid_low_zooms and not prevent_tiny:
                 ops, xy, still, _red, accum_area = dv.reduce_tiny_poly(
                     ops, xy, z, line_detail, accum_area, cfg.tiny_polygon_size
                 )
@@ -2265,7 +2284,10 @@ def _encode_with_detail_ladder(cfg: VectorConfig, z, tx, ty, survivors,
                 ops, xy = dv.stairstep_ops(ops, xy, z, line_detail)
                 if t == 3:
                     area = dv.get_mp_area(ops, xy)
-            elif not reduced:
+            elif not reduced and not (
+                cfg.no_simplify
+                or (z == cfg.maxzoom and cfg.simplify_only_low)
+            ):
                 if t == 2 and not pn:
                     # skipped under -pn: might wipe out the
                     # intersection (tile.cpp:617-624)
@@ -2298,6 +2320,27 @@ def _encode_with_detail_ladder(cfg: VectorConfig, z, tx, ty, survivors,
                     )
                 if t != 3 or len(nops) >= 3:
                     ops, xy = nops, nxy
+            if t == 2 and cfg.reverse_lines:
+                # -ar (tile.cpp:657-660 → reorder_lines
+                # geometry.cpp:315-360): reverse a simple linestring
+                # whose last point's spatial index precedes its first's
+                ops, xy = dv.remove_noop(ops, xy, 2, 0)
+                if (len(ops) > 0 and ops[0] == 1
+                        and bool((ops[1:] == 2).all())):
+                    if cfg.index_scheme == "hilbert":
+                        from ..functions.spatial import (
+                            encode_hilbert as _enc_i,
+                        )
+                    else:
+                        from ..functions.spatial import (
+                            encode_quadkey as _enc_i,
+                        )
+                    ends = _enc_i(
+                        (xy[[0, -1], 0] & 0xFFFFFFFF).astype(np.uint64),
+                        (xy[[0, -1], 1] & 0xFFFFFFFF).astype(np.uint64),
+                    )
+                    if int(ends[0]) > int(ends[1]):
+                        xy = xy[::-1].copy()
             xy = dv.to_tile_scale(xy, z, out_detail)
             if t == 3:
                 b_ops, b_xy = ops, xy
@@ -3298,7 +3341,7 @@ def _build_strategy_pyramid(
                         origin=(ix << (WORLD_BITS - iz), iy << (WORLD_BITS - iz))
                         if iz else (0, 0))
         attrs2["__gap__"] = {rows0[i][0]: int(gaps[i]) for i in range(len(rows0))}
-    if cfg.smallest_active():
+    if cfg.smallest_active() or cfg.order_by_size():
         g = cfg.resolved_gscale()
         attrs2["__extent__"] = {
             r[0]: _ingest_extent(r[1], r[2], r[3], g) for r in rows0

@@ -604,6 +604,7 @@ def read_geojson_attrs(path: str) -> dict:
     out: dict = {}
     seq = 0
     layers: dict = {}  # seq -> per-feature layer override name
+    strids: dict = {}  # seq -> raw string feature id (for -aI)
     for feat in _iter_features_tokens(path):
         tc = feat.get("tippecanoe") or {}
         if isinstance(tc, dict) and isinstance(tc.get("layer"), str):
@@ -618,6 +619,11 @@ def read_geojson_attrs(path: str) -> dict:
                 rows.append((k, vt, s))
         fid = None
         rid = feat.get("id")
+        if isinstance(rid, str):
+            # string ids drop with a warning unless -aI converts them
+            # later (geojson.cpp:141-166); keep the raw string so the
+            # CLI can apply the conversion
+            strids[seq] = rid
         if isinstance(rid, _RawNum):
             # geojson.cpp:102-140: negative ids are dropped; an exact
             # uint64 literal is kept verbatim (large_unsigned); any
@@ -642,6 +648,8 @@ def read_geojson_attrs(path: str) -> dict:
         seq += 1
     if layers:
         out["__layers__"] = layers
+    if strids:
+        out["__strids__"] = strids
     out["__n__"] = seq  # total feature count (incl. attribute-less)
     return out
 

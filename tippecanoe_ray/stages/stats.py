@@ -250,9 +250,133 @@ def cluster_distance_maxzoom(
     return maxzoom
 
 
+def guess_basezoom_droprate_exact(
+    ix_sorted, maxzoom: int, gamma: float = 0.0,
+    marker_width: float = 1.0, basezoom: int | None = None,
+    droprate: float | None = None, prevent_basezoom_above: bool = False,
+    scheme: str = "quadkey",
+) -> tuple[int, float]:
+    """The -Bg/-Bf/-rg/-rf basezoom + droprate guess
+    (main.cpp:2489-2634): per zoom 0..24, scan the index-sorted stream
+    counting features per tile RUN (gamma thinning applied via
+    manage_gap), track the densest tile, then choose basezoom as the
+    shallowest zoom from the top whose densest tile holds <
+    50000/width^2 features, with the reference's
+    "work from the other direction" and droprate-fit fallbacks.
+    `basezoom`/`droprate` None = guess requested."""
+    import numpy as np
+
+    if scheme == "hilbert":
+        from ..functions.spatial import decode_hilbert as _dec
+    else:
+        from ..functions.spatial import decode_quadkey as _dec
+
+    MAXZ = 24
+    ix = np.asarray(ix_sorted, dtype=np.uint64)
+    xx, yy = _dec(ix)
+    max_count = [0] * (MAXZ + 1)
+    for z in range(MAXZ + 1):
+        if z == 0:
+            tid = np.zeros(len(ix), np.uint64)
+        else:
+            tid = ((xx >> np.uint64(32 - z)).astype(np.uint64)
+                   << np.uint64(32)) | (yy >> np.uint64(32 - z)).astype(
+                       np.uint64)
+        if len(tid) == 0:
+            continue
+        # run boundaries; the C scan starts from tile (0, 0), so a
+        # leading run at tile id 0 CONTINUES the initial state
+        starts = np.flatnonzero(np.concatenate(
+            ([tid[0] != 0], tid[1:] != tid[:-1])))
+        bounds = np.concatenate(([0], starts, [len(tid)]))
+        scale = float(1 << (64 - 2 * (z + 8)))
+        best = 0
+        for bi in range(len(bounds) - 1):
+            lo, hi = int(bounds[bi]), int(bounds[bi + 1])
+            if lo == hi:
+                continue
+            if gamma > 0:
+                prev = 0
+                gap = 0.0
+                cnt = 0
+                for k in range(lo, hi):
+                    index = int(ix[k])
+                    # manage_gap (tile.cpp:720-753)
+                    skip = False
+                    if gap > 0:
+                        if index == prev:
+                            skip = True
+                        elif index < prev or math.exp(
+                            math.log((index - prev) / scale) * gamma
+                        ) >= gap:
+                            gap = 0.0
+                        else:
+                            skip = True
+                    elif index >= prev:
+                        g = (index - prev) / scale
+                        if g == 0:
+                            skip = True
+                        elif g < 1:
+                            gap = g
+                            skip = True
+                        else:
+                            gap = 0.0
+                    if not skip:
+                        prev = index
+                        cnt += 1
+                if cnt > best:
+                    best = cnt
+            else:
+                if hi - lo > best:
+                    best = hi - lo
+        max_count[z] = best
+    max_features = int(50000 / (marker_width * marker_width))
+    obasezoom = -1 if basezoom is None else basezoom
+    bz = obasezoom
+    if bz < 0:
+        bz = MAXZ
+        for z in range(MAXZ, -1, -1):
+            if max_count[z] < max_features:
+                bz = z
+    if obasezoom < 0 and bz > maxzoom and prevent_basezoom_above:
+        bz = maxzoom
+    def _round5(x):
+        # C std::round = half away from zero (round_droprate,
+        # main.cpp:1236-1238); Python round() is banker's
+        return math.floor(x * 100000.0 + 0.5) / 100000.0
+
+    dr = -1.0 if droprate is None else droprate
+    if obasezoom < 0 and bz > maxzoom:
+        # "Working from the other direction" (main.cpp:2589-2616)
+        if dr < 0:
+            if maxzoom == 0:
+                dr = 2.5
+            else:
+                dr = _round5(math.exp(math.log(
+                    max_count[0] / max_count[maxzoom]) / maxzoom))
+        bz = 0
+        for z in range(0, maxzoom + 1):
+            # C double math: log(0) = -inf, x/0.0 = ±inf
+            with np.errstate(divide="ignore", invalid="ignore"):
+                zoomdiff = float(np.log(np.float64(max_count[z])
+                                        / max_features)
+                                 / np.log(np.float64(dr)))
+            if zoomdiff + z > bz:
+                bz = math.ceil(zoomdiff + z)
+    elif dr < 0:
+        dr = 1.0
+        for z in range(bz - 1, -1, -1):
+            interval = math.exp(math.log(dr) * (bz - z))
+            if max_count[z] / interval >= max_features:
+                interval = max_count[z] / max_features
+                dr = _round5(math.exp(math.log(interval) / (bz - z)))
+    return bz, dr
+
+
 def guess_vector_zoom(tbl, droprate: float, full_detail: int = 12,
                       low_detail: int = 12, minimum_maxzoom: int = 0,
-                      cluster_distance: int = 0) -> tuple[int, float, int]:
+                      cluster_distance: int = 0,
+                      cluster_maxzoom: int = 24) -> tuple[int, float, int]:
     """-zg over an ingested vector feature table (main.cpp:2279-2470):
     Welford over log-gaps of the SORTED per-feature spatial indexes
     (dupes counted), per-feature within-geometry vertex spacing
@@ -315,6 +439,15 @@ def guess_vector_zoom(tbl, droprate: float, full_detail: int = 12,
         want = nearby_ft / 2
         maxzoom = max(0, math.ceil(
             math.log(360 / (0.00000274 * want)) / math.log(2) - full_detail))
+        # -K with -zg: extend maxzoom until typical spacing exceeds the
+        # cluster mingap (main.cpp:2377-2388)
+        avg = math.exp(mean)
+        while (maxzoom < 32 - full_detail and maxzoom < 33 - low_detail
+               and maxzoom < cluster_maxzoom and cluster_distance > 0):
+            zoom_mingap = ((1 << (32 - maxzoom)) // 256 * cluster_distance) ** 2
+            if avg > zoom_mingap:
+                break
+            maxzoom += 1
         if droprate == -3:
             stddev = max(stddev, 1e-300)
             droprate = round(math.exp(-0.7681 * math.log(stddev) + 1.582)
@@ -340,7 +473,12 @@ def guess_vector_zoom(tbl, droprate: float, full_detail: int = 12,
         if total > 2 * 1024 * 1024:
             maxzoom = i - 1
             break
+    # plain -Bg binds to the maxzoom BEFORE the --smallest-maximum-zoom-
+    # guess floor (main.cpp:2457 precedes :2464); basezoom-unspecified
+    # binds after (main.cpp:2480)
+    premin_maxzoom = maxzoom
     maxzoom = max(maxzoom, minimum_maxzoom)
-    if droprate < 0:
-        droprate = 2.5
-    return maxzoom, droprate, maxzoom
+    # a still-negative droprate (-rg/-rf, or -rp with no point spacing
+    # to fit) falls through to the density scan
+    # (guess_basezoom_droprate_exact), exactly as in the reference
+    return maxzoom, droprate, maxzoom, premin_maxzoom
