@@ -349,6 +349,7 @@ def _build_from_geo(args, cfg):
             prevent_shared_nodes=args.prevent_shared_nodes,
             variable_depth=args.variable_depth,
             prefilter=args.prefilter,
+            postfilter=args.postfilter,
             detect_wraparound=args.detect_wraparound,
             prevent_clipping=args.prevent_clipping,
             prevent_duplication=args.prevent_duplication,
@@ -584,6 +585,9 @@ def main(argv=None):
     ap.add_argument("--prefilter", "-C", default=None,
                     help="per-tile shell prefilter over NDJSON GeoJSON "
                          "(-C, plugin.cpp:376-470)")
+    ap.add_argument("--postfilter", "-c", default=None,
+                    help="per-tile shell postfilter over the assembled "
+                         "tile's GeoJSON (-c, plugin.cpp:378-418)")
     ap.add_argument("--generate-variable-depth-tile-pyramid", "-at",
                     dest="variable_depth", action="store_true",
                     help="leaf the pyramid early where a full-precision "

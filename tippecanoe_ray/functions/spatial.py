@@ -47,13 +47,19 @@ def lonlat_to_world(lon, lat) -> tuple[np.ndarray, np.ndarray]:
     # clamp lon to ±360 only where it was finite
     lon = np.where(bad_lon, lon, np.clip(lon, -360.0, 360.0))
 
-    lat_rad = lat * (np.pi / 180.0)
+    # C evaluation order lat * M_PI / 180 = (lat*π)/180
+    # (projection.cpp:57); lat * (π/180) differs by 1 ulp on some
+    # latitudes, which flips std::round and shifts a vertex by one
+    # world unit
+    lat_rad = lat * np.pi / 180.0
     n = float(1 << WORLD_BITS)
     fx = n * ((lon + 180.0) / 360.0)
     fy = n * (1.0 - (np.log(np.tan(lat_rad) + 1.0 / np.cos(lat_rad)) / np.pi)) / 2.0
     # std::round = round half away from zero (np.round is half-to-even)
-    wx = np.floor(fx + np.where(fx >= 0, 0.5, -0.5)).astype(np.int64)
-    wy = np.floor(fy + np.where(fy >= 0, 0.5, -0.5)).astype(np.int64)
+    # floor(x - 0.5) over-rounds negatives (floor(-0.9) = -1 where
+    # std::round(-0.4) = 0): half-away is floor/ceil by sign
+    wx = np.where(fx >= 0, np.floor(fx + 0.5), np.ceil(fx - 0.5)).astype(np.int64)
+    wy = np.where(fy >= 0, np.floor(fy + 0.5), np.ceil(fy - 0.5)).astype(np.int64)
     return wx, wy
 
 

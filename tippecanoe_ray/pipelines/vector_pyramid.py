@@ -42,6 +42,7 @@ from __future__ import annotations
 
 import dataclasses
 import math
+import struct
 
 import numpy as np
 import pyarrow as pa
@@ -149,6 +150,9 @@ class VectorConfig:
     # with the tippecanoe envelope; stdout GeoJSON replaces the tile's
     # features before the encode scan. Runs inside the encode task.
     prefilter: str | None = None
+    # -c 'command': per-tile shell postfilter over the ASSEMBLED tile
+    # (filter_layers plugin.cpp:378-418)
+    postfilter: str | None = None
     # ---- as-needed drop strategies (the write_tile gate chain
     # tile.cpp:1993-2144 + the threshold retry ladder 2723-3036 + the
     # per-zoom whole-zoom consensus passes tile.cpp:3392-3572). Each
@@ -1126,66 +1130,161 @@ def process_tile(cfg: VectorConfig, z: int, tx: int, ty: int, tbl,
     return tile_row, children, poison_children
 
 
-def _survivor_to_geojson(cfg: VectorConfig, z, tx, ty, seq, t, ops, xy):
-    """One clipped feature as a GeoJSON dict in world-plane lon/lat
-    (layer_to_geojson with extent 2^32 at 0/0/0, tile.cpp:1395-1426)."""
+def _jq(s: str) -> str:
+    """json_writer::json_write_string quoting (write_json.cpp): escape
+    only backslash, double quote, and control bytes (\\u%04x)."""
+    out = ['"']
+    for ch in s:
+        if ch in '\\"':
+            out.append("\\" + ch)
+        elif ord(ch) < 0x20:
+            out.append("\\u%04x" % ord(ch))
+        else:
+            out.append(ch)
+    out.append('"')
+    return "".join(out)
+
+
+def _pipe_value(vt: str, s: str) -> str | None:
+    """One attribute value as the prefilter pipe prints it: the mvt
+    typing of stringified_to_mvt_value followed by write_json's
+    per-type printer (%lld / %llu for ints, dtoa_milo for
+    float/double, write_json.cpp:344-377)."""
+    from ..functions.text import dtoa_milo
+    from ..stages.mvt import is_integer_str, is_unsigned_integer_str
+
+    if vt == "string":
+        return _jq(s)
+    if vt == "bool":
+        return "true" if s.startswith("t") else "false"
+    if vt == "null":
+        return None  # nulls never reach the mvt layer the pipe prints
+    if vt == "sint":
+        return str(int(s))
+    s = s.split("\0", 1)[0]  # strip any accumulator count rider
+    uv = is_unsigned_integer_str(s)
+    if uv is not None:
+        return str(uv)
+    v = is_integer_str(s)
+    if v is not None:
+        return str(v)
+    try:
+        d = float(s)
+    except ValueError:
+        d = 0.0
+    f32 = struct.unpack("<f", struct.pack("<f", d))[0] if abs(d) != float(
+        "inf") else d
+    if f32 == d:
+        return dtoa_milo(f32)  # piped as mvt_float
+    return dtoa_milo(d)
+
+
+def _survivor_to_geojson(cfg: VectorConfig, z, tx, ty, seq, t, ops, xy,
+                         dropped: bool, layername: str, fid, rows) -> str:
+    """One clipped feature as the prefilter pipe line the reference
+    writes (run_prefilter tile.cpp:1395-1426 → layer_to_geojson
+    write_json.cpp:271-430 with extent 2^32 at 0/0/0): world-plane
+    lon/lat printed with %f, the feature's real attributes, and the
+    tippecanoe {layer, dropped, sequence} block."""
     from ..functions.spatial import world_to_lonlat
 
     sx = (tx << (WORLD_BITS - z)) if z else 0
     sy = (ty << (WORLD_BITS - z)) if z else 0
     wxy = np.asarray(xy, np.int64) + np.array([sx, sy], np.int64)
     lon, lat = world_to_lonlat(wxy[:, 0], wxy[:, 1])
-    pts = np.stack([lon, lat], axis=1)
+
+    def _pt(i):
+        return "[ %f, %f ]" % (float(lon[i]), float(lat[i]))
+
     rings_ = [(i, j) for i, j in dv.rings(np.asarray(ops, np.uint8))]
     if t == 1:
-        coords = [[float(a), float(b)] for a, b in pts]
-        geom = ({"type": "Point", "coordinates": coords[0]} if len(coords) == 1
-                else {"type": "MultiPoint", "coordinates": coords})
+        if len(wxy) == 1:
+            geom = '"type": "Point", "coordinates": ' + _pt(0)
+        else:
+            geom = ('"type": "MultiPoint", "coordinates": [ '
+                    + ", ".join(_pt(i) for i in range(len(wxy))) + " ]")
     elif t == 2:
-        lines = [[[float(a), float(b)] for a, b in pts[i:j]] for i, j in rings_]
-        geom = ({"type": "LineString", "coordinates": lines[0]} if len(lines) == 1
-                else {"type": "MultiLineString", "coordinates": lines})
+        lines = ["[ " + ", ".join(_pt(k) for k in range(i, j)) + " ]"
+                 for i, j in rings_]
+        if len(lines) == 1:
+            geom = '"type": "LineString", "coordinates": ' + lines[0]
+        else:
+            geom = ('"type": "MultiLineString", "coordinates": [ '
+                    + ", ".join(lines) + " ]")
     else:
-        polys: list[list] = []
+        polys: list[list[str]] = []
         for i, j in rings_:
-            ring = [[float(a), float(b)] for a, b in pts[i:j]]
-            if ring and ring[0] != ring[-1]:
-                ring.append(ring[0])  # close_poly (tile.cpp:1399)
+            pts = [_pt(k) for k in range(i, j)]
+            if pts and pts[0] != pts[-1]:
+                pts.append(pts[0])  # close_poly (tile.cpp:1399)
+            ring = "[ " + ", ".join(pts) + " ]"
             if dv.get_area(np.asarray(xy, np.int64), i, j) > 0 or not polys:
                 polys.append([ring])
             else:
                 polys[-1].append(ring)
-        geom = ({"type": "Polygon", "coordinates": polys[0]} if len(polys) == 1
-                else {"type": "MultiPolygon", "coordinates": polys})
-    return {
-        "type": "Feature",
-        "properties": {},
-        "tippecanoe": {"layer": cfg.layer_name, "sequence": int(seq)},
-        "geometry": geom,
-    }
+        ps = ["[ " + ", ".join(rs) + " ]" for rs in polys]
+        if len(ps) == 1:
+            geom = '"type": "Polygon", "coordinates": ' + ps[0]
+        else:
+            geom = ('"type": "MultiPolygon", "coordinates": [ '
+                    + ", ".join(ps) + " ]")
+    props = []
+    for name, vt, sval in rows or ():
+        pv = _pipe_value(vt, sval)
+        if pv is not None:
+            props.append(_jq(name) + ": " + pv)
+    head = ['"type": "Feature"']
+    if fid is not None:
+        head.append('"id": %d' % int(fid))
+    tp = [
+        '"layer": ' + _jq(layername),
+        '"dropped": ' + ("true" if dropped else "false"),
+    ]
+    if seq:
+        tp.append('"sequence": %d' % int(seq))
+    head.append('"tippecanoe": { ' + ", ".join(tp) + " }")
+    head.append('"properties": { ' + ", ".join(props) + (" }" if props
+                                                         else "}"))
+    head.append('"geometry": { ' + geom + " }")
+    return "{ " + ", ".join(head) + " }"
 
 
-def _run_prefilter(cfg: VectorConfig, z, tx, ty, survivors):
+def _run_prefilter(cfg: VectorConfig, z, tx, ty, survivors, attrs):
     """Pipe the tile's features through cfg.prefilter (sh -c cmd sh z x
-    y, plugin.cpp:436) and parse stdout back into survivor tuples.
-    Output geometry is re-snapped to the geometry_scale grid, polygons
-    re-wound (the post-filter parse re-serializes, serial.cpp:459-465),
-    and re-clipped to this tile+buffer for encode sanity. -pn edge
-    nodes and -aP ingest anchors do not survive the pipe (the reference
-    recomputes neither either)."""
+    y, plugin.cpp:436) and parse stdout back into survivor tuples plus
+    a REPLACEMENT tile-local attrs dict (parse_feature
+    plugin.cpp:148-380): properties re-read with stringify_value (nulls
+    dropped), per-feature layer from tippecanoe.layer (else "unknown"),
+    id from the JSON id, dropped → rate-minzoom z+1, sequence/index/
+    extent restored. Output geometry is re-snapped to the
+    geometry_scale grid, polygons re-wound, and re-clipped to this
+    tile+buffer for encode sanity. -pn edge nodes, -aP ingest anchors
+    and the -at pending-minzoom flag do not survive the pipe; features
+    the explicit per-feature zoom gates exclude are not piped
+    (next_feature consumes them before run_prefilter serializes)."""
     import json as _json
     import subprocess
 
-    from ..sources.geojson import _geom_parts
+    from ..sources.geojson import (
+        _geom_parts, _RawNum, _stringify_value,
+    )
     from ..functions.spatial import lonlat_to_world
 
+    lmap = (attrs or _EMPTY_DICT).get("__layers__", _EMPTY_DICT)
     lines = []
     for row in survivors:
-        seq, t, ops, xy = row[0], row[1], row[2], row[3]
+        seq, t, ops, xy, fmz = row[0], row[1], row[2], row[3], row[5]
+        fmn = row[6] if len(row) > 6 else -1
+        fmx = row[7] if len(row) > 7 else -1
         if len(ops) == 0:
             continue
-        lines.append(_json.dumps(
-            _survivor_to_geojson(cfg, z, tx, ty, seq, t, ops, xy)))
+        if (fmn >= 0 and z < fmn) or (fmx >= 0 and z > fmx):
+            continue  # explicit zoom gates skip inside next_feature
+        fid, rows = (attrs or _EMPTY_DICT).get(seq) or (None, ())
+        lines.append(_survivor_to_geojson(
+            cfg, z, tx, ty, seq, t, ops, xy,
+            dropped=fmz > z, layername=lmap.get(seq) or cfg.layer_name,
+            fid=fid, rows=rows))
     proc = subprocess.run(
         ["sh", "-c", cfg.prefilter, "sh", str(z), str(tx), str(ty)],
         input="\n".join(lines) + ("\n" if lines else ""),
@@ -1198,8 +1297,9 @@ def _run_prefilter(cfg: VectorConfig, z, tx, ty, survivors):
     span = 1 << span_shift
     buf = cfg.buffer * span // 256
     out: list[tuple] = []
-    fallback_seq = 0
-    dec = _json.JSONDecoder()
+    new_attrs: dict = {"__layers__": {}, "__vindex__": {}, "__extent__": {}}
+    k = 0  # fresh tile-local attr key per parsed feature
+    dec = _json.JSONDecoder(parse_float=_RawNum, parse_int=_RawNum)
     for line in proc.stdout.splitlines():
         line = line.strip().strip("\x1e,")
         if not line or line in ("[", "]"):
@@ -1210,8 +1310,30 @@ def _run_prefilter(cfg: VectorConfig, z, tx, ty, survivors):
             continue
         if not isinstance(obj, dict) or obj.get("type") != "Feature":
             continue
-        seq = int((obj.get("tippecanoe") or {}).get("sequence", fallback_seq))
-        fallback_seq = seq + 1
+        tc = obj.get("tippecanoe") or {}
+        seq = int(float(tc.get("sequence", 0)))
+        layername = tc.get("layer")
+        if not isinstance(layername, str):
+            layername = "unknown"
+        f_dropped = tc.get("dropped") is True
+        vindex = int(float(tc.get("index", 0)))
+        extent = int(float(tc.get("extent", 0)))
+        rid = obj.get("id")
+        fid = None
+        if isinstance(rid, _RawNum):
+            try:
+                fid = int(str(rid))
+                if fid < 0:
+                    fid = None
+            except ValueError:
+                fid = int(_atof(str(rid)))
+        rows: list[tuple] = []
+        props = obj.get("properties")
+        if isinstance(props, dict):
+            for pk, pv in props.items():
+                vt, s = _stringify_value(pv)
+                if vt != "null":
+                    rows.append((pk, vt, s))
         for vt, parts in _geom_parts(obj.get("geometry") or {}):
             ops_l: list[np.ndarray] = []
             xy_l: list[np.ndarray] = []
@@ -1234,26 +1356,185 @@ def _run_prefilter(cfg: VectorConfig, z, tx, ty, survivors):
                 continue
             ops = np.concatenate(ops_l)
             world = np.concatenate(xy_l)
-            scaled = dv.shift_right(world, g)
             if vt == 3:
-                ops, scaled = dv.fix_polygon(ops, scaled)
+                # fix_polygon runs at FULL precision before the
+                # geometry_scale snap (parse_feature plugin.cpp:228-243):
+                # its centroid-furthest ring rotation picks a different
+                # start vertex on snapped coordinates
+                ops, world = dv.fix_polygon(ops, world)
+            scaled = dv.shift_right(world, g)
             if len(ops) == 0:
                 continue
+            # the reference does NOT re-clip parsed filter output
+            # (parse_feature goes straight into the write_tile scan);
+            # round-trip noise may leave vertices slightly past the
+            # buffer and the per-tile pipeline handles that
             world = (scaled << g) if g else scaled
             local = world - np.array([sx, sy], np.int64)
-            if vt == 2:
-                ops, local = dv.clip_lines(ops, local, -buf, -buf, span + buf, span + buf)
-            elif vt == 3:
-                ops, local = dv.simple_clip_poly(ops, local, -buf, -buf, span + buf, span + buf)
-            else:
-                keep = (
-                    (local[:, 0] >= -buf) & (local[:, 1] >= -buf)
-                    & (local[:, 0] <= span + buf) & (local[:, 1] <= span + buf)
-                )
-                ops, local = ops[keep], local[keep]
             if len(ops) == 0:
                 continue
-            out.append((seq, vt, ops, local, (-1, -1), 0))
+            # fresh tile-local key k: parsed features REPLACE the
+            # stream, and pipe-provided sequences need not be unique
+            out.append((k, vt, ops, local, (-1, -1),
+                        (z + 1) if f_dropped else 0, -1, -1, (), seq))
+            new_attrs[k] = (fid, rows)
+            new_attrs["__layers__"][k] = layername
+            if vindex:
+                new_attrs["__vindex__"][k] = vindex
+            if extent:
+                new_attrs["__extent__"][k] = extent
+            k += 1
+    return out, new_attrs
+
+
+def _run_postfilter(cfg: VectorConfig, z, tx, ty, by_layer, out_detail):
+    """-c postfilter (filter_layers plugin.cpp:378-418): pipe the
+    ASSEMBLED tile's layers as GeoJSON (run_writer → layer_to_geojson
+    with the real z/x/y and the tile extent, plugin.cpp:47-75) through
+    `sh -c cmd sh z x y`, then parse stdout back into tile layers
+    (parse_layers read_json.cpp:304-420): per-feature layer from
+    tippecanoe.layer (else "unknown"), lonlat→tile scaling with
+    std::round, polygon fix_polygon at world precision then the wagyu
+    clean at tile scale, remove_noop. Output layer order is the
+    caller's sorted() (the reference's std::map is also name-ordered).
+    Deviations: the multiplier 'dropped' flag pipes as false, empty
+    parsed layers are dropped, and the wagyu clip region (±1 tile,
+    clean_or_clip_poly buffer=256) is skipped — filters emitting
+    geometry a full tile beyond the edge would differ."""
+    import json as _json
+    import subprocess
+
+    from ..functions.spatial import lonlat_to_world
+    from ..sources.geojson import _geom_parts, _RawNum, _stringify_value
+    from ..stages.mvt import (
+        _read_varint, encode_linestring, encode_polygon,
+    )
+    from ..stages.tile_encode import encode_multipoint
+
+    wscale = 1 << (WORLD_BITS - z)
+    ext = 1 << out_detail
+    gs = wscale // ext
+    origin = np.array([tx * wscale, ty * wscale], np.int64)
+    lines = []
+    for nm in sorted(by_layer):
+        for f in by_layer[nm]:
+            # unpack the packed-varint wire geometry back to ops/xy
+            buf = f["geom"]
+            vals = []
+            pos = 0
+            while pos < len(buf):
+                v, pos = _read_varint(buf, pos)
+                vals.append(v)
+            ops_l: list[int] = []
+            pts: list[tuple[int, int]] = []
+            xx = yy = 0
+            i = 0
+            while i < len(vals):
+                cmd = vals[i] & 7
+                cnt = vals[i] >> 3
+                i += 1
+                if cmd == 7:
+                    ops_l.append(7)
+                    pts.append((0, 0))
+                    continue
+                for _ in range(cnt):
+                    dx = (vals[i] >> 1) ^ -(vals[i] & 1)
+                    dy = (vals[i + 1] >> 1) ^ -(vals[i + 1] & 1)
+                    i += 2
+                    xx += dx
+                    yy += dy
+                    ops_l.append(cmd)
+                    pts.append((xx, yy))
+            if not pts:
+                continue
+            ops = np.array(ops_l, np.uint8)
+            world = np.array(pts, np.int64).reshape(-1, 2) * gs + origin
+            lines.append(_survivor_to_geojson(
+                cfg, 0, 0, 0, 0, int(f["type"]), ops, world,
+                dropped=False, layername=nm, fid=f.get("id"),
+                rows=f.get("attrs_sv") or ()))
+    proc = subprocess.run(
+        ["sh", "-c", cfg.postfilter, "sh", str(z), str(tx), str(ty)],
+        input="\n".join(lines) + ("\n" if lines else ""),
+        capture_output=True, text=True,
+    )
+    out: dict[str, list] = {}
+    dec = _json.JSONDecoder(parse_float=_RawNum, parse_int=_RawNum)
+    for line in proc.stdout.splitlines():
+        line = line.strip().strip("\x1e,")
+        if not line or line in ("[", "]"):
+            continue
+        try:
+            obj, _ = dec.raw_decode(line)
+        except _json.JSONDecodeError:
+            continue
+        if not isinstance(obj, dict) or obj.get("type") != "Feature":
+            continue
+        tc = obj.get("tippecanoe") or {}
+        layername = tc.get("layer")
+        if not isinstance(layername, str):
+            layername = "unknown"
+        rid = obj.get("id")
+        fid = None
+        if isinstance(rid, _RawNum):
+            try:
+                fid = int(str(rid))
+                if fid < 0:
+                    fid = None
+            except ValueError:
+                fid = int(_atof(str(rid)))
+        rows: list[tuple] = []
+        props = obj.get("properties")
+        if isinstance(props, dict):
+            for pk, pv in props.items():
+                vt, s = _stringify_value(pv)
+                if vt != "null":
+                    rows.append((pk, vt, s))
+        for vt, parts in _geom_parts(obj.get("geometry") or {}):
+            ops_l2: list[np.ndarray] = []
+            xy_l2: list[np.ndarray] = []
+            groups = parts if vt == 3 else [parts]
+            for grp in groups:
+                for part in (grp if vt == 3 else [p for p in grp]):
+                    arr = np.asarray(part, np.float64).reshape(-1, 2)
+                    wx, wy = lonlat_to_world(arr[:, 0], arr[:, 1])
+                    ops_l2.append(np.array([1] + [2] * (len(arr) - 1), np.uint8))
+                    xy_l2.append(np.stack([wx, wy], axis=1).astype(np.int64))
+                if vt == 3:
+                    ops_l2.append(np.array([7], np.uint8))
+                    xy_l2.append(np.zeros((1, 2), np.int64))
+            if not ops_l2:
+                continue
+            ops = np.concatenate(ops_l2)
+            world = np.concatenate(xy_l2)
+            if vt == 3:
+                ops, world = dv.fix_polygon(ops, world)
+            # offset + scale to the tile extent (read_json.cpp:273-283)
+            rel = (world - origin).astype(np.float64) * (ext / wscale)
+            txy = dv.round_half_away_arr(rel).astype(np.int64)
+            if vt == 3:
+                ops, txy = dv.clean_poly_tile_scale(ops, txy,
+                                                    try_scaling=False)
+                if len(ops) < 3:
+                    continue
+            ops, txy = dv.remove_noop(ops, txy, vt, 0)
+            if len(ops) == 0:
+                continue
+            gparts = [txy[i:j] for i, j in dv.rings(ops)]
+            if not gparts:
+                continue
+            if vt == 3:
+                gb = encode_polygon(gparts)
+            elif vt == 2:
+                gb = encode_linestring(gparts)
+            else:
+                gb = encode_multipoint(txy)
+            nf: dict = {"geom": gb, "type": vt}
+            if fid is not None:
+                nf["id"] = fid
+            if rows:
+                nf["attrs_sv"] = rows
+            out.setdefault(layername, []).append(nf)
     return out
 
 
@@ -1549,7 +1830,7 @@ def _encode_with_detail_ladder(cfg: VectorConfig, z, tx, ty, survivors,
     if z < cfg.minzoom or not survivors:
         return None
     if cfg.prefilter:
-        survivors = _run_prefilter(cfg, z, tx, ty, survivors)
+        survivors, attrs = _run_prefilter(cfg, z, tx, ty, survivors, attrs)
         if not survivors:
             return None
     if cfg.filter is not None:
@@ -2400,11 +2681,14 @@ def _encode_with_detail_ladder(cfg: VectorConfig, z, tx, ty, survivors,
             for seq, t, ops, xy, acc, glow, coalesced, clu, mfirst, mseq in post:
                 if coalesced and t == 2:
                     # cleanup: re-simplify coalesced linestrings at
-                    # tile scale (z=32 detail=0, tile.cpp:2556-2562)
+                    # tile scale (z=32 detail=0, tile.cpp:2556-2562) —
+                    # but not under -ps / -pS-at-maxzoom
                     ops, xy = dv.remove_noop(ops, xy, t, 0)
-                    ops, xy = dv.simplify_lines(
-                        ops, xy, 32, 0, mark_bounds, cfg.simplification, 0,
-                    )
+                    if not (cfg.no_simplify
+                            or (z == cfg.maxzoom and cfg.simplify_only_low)):
+                        ops, xy = dv.simplify_lines(
+                            ops, xy, 32, 0, mark_bounds, cfg.simplification, 0,
+                        )
                 if t == 3:
                     if coalesced:
                         # re-clean the unioned polygon (tile.cpp:2566-2570)
@@ -2431,15 +2715,6 @@ def _encode_with_detail_ladder(cfg: VectorConfig, z, tx, ty, survivors,
                     feats.append(_mk_feat(encode_linestring(parts), 2, seq,
                                           attrs, acc, glow, clu,
                                           mfirst, mseq))
-        if (trying_to_stop_early and line_detail == details[0]
-                and (not can_stop_early or mz_pending)):
-            # the stop-early attempt is invalid (content was dropped or
-            # deferred to a deeper zoom): abandon it BEFORE any size /
-            # feature-limit bookkeeping and re-encode at normal detail
-            # (tile.cpp:2708-2711)
-            li += 1
-            continue
-
         def _row(nf, tb, leafed, detail_drop):
             return {"z": z, "x": tx, "y": ty, "n_features": nf,
                     "tile": tb, "leafed": leafed,
@@ -2525,6 +2800,16 @@ def _encode_with_detail_ladder(cfg: VectorConfig, z, tx, ty, survivors,
                     too_many_features = too_many_bytes = False
                     skipped = 0
             feats = [f for nm in by_layer for f in by_layer[nm]]
+        if (trying_to_stop_early and line_detail == details[0]
+                and (not can_stop_early or mz_pending)):
+            # the stop-early attempt is invalid (content was dropped,
+            # deferred to a deeper zoom, or truncated by the feature-
+            # count limit just above — the truncation's
+            # can_stop_early=false precedes this check in the
+            # reference too, tile.cpp:2605 vs :2708): abandon and
+            # re-encode at normal detail
+            li += 1
+            continue
 
         def _retry(kind: str, adj_cap, adj_val) -> str:
             """The overflow recourse chain (tile.cpp:2737-2875 for the
@@ -2639,12 +2924,19 @@ def _encode_with_detail_ladder(cfg: VectorConfig, z, tx, ty, survivors,
             )
         tile_bytes = b""
         if cfg.encode_tiles:
+            enc_layers = by_layer
+            if cfg.postfilter:
+                # -c: replace the assembled layers through the shell
+                # pipe BEFORE compression and the size checks
+                # (tile.cpp:2686-2688)
+                enc_layers = _run_postfilter(cfg, z, tx, ty, by_layer,
+                                             out_detail)
             # tiles hold one MVT layer per layername present, in
             # ALPHABETICAL name order (the reference's per-tile layers
             # std::map, tile.cpp:2617-2684)
             mvt_layers = [
-                encode_layer(nm, by_layer[nm], 1 << out_detail)
-                for nm in sorted(by_layer)
+                encode_layer(nm, enc_layers[nm], 1 << out_detail)
+                for nm in sorted(enc_layers)
             ]
             tile_bytes = encode_tile(mvt_layers, compress=cfg.compress,
                                      exact_gzip=True)

@@ -114,10 +114,10 @@ SHORT = {
     "g": "--gamma", "S": "--simplification", "b": "--buffer",
     "l": "--layer-name", "L": "-L", "T": "-T",
     "E": "--accumulate-attribute", "j": "-j", "J": "-J",
-    "s": "--projection", "C": "--prefilter",
+    "s": "--projection", "C": "--prefilter", "c": "--postfilter",
 }
 SHORT_NOARG = {"X": "--exclude-all"}
-SHORT_UNSUPPORTED = {"c", "Y", "R"}
+SHORT_UNSUPPORTED = {"Y", "R"}
 # flags that change no tile bytes (ignored)
 SHORT_IGNORE = {"q", "f", "P", "Q", "U"}
 # metadata-only short flags WITH an argument: consume, emit nothing
@@ -208,7 +208,7 @@ LONG = {
     "--feature-filter": ("-j", True),
     "--feature-filter-file": ("-J", True),
     "--prefilter": ("--prefilter", True),
-    "--postfilter": (None, True),
+    "--postfilter": ("--postfilter", True),
     "--use-attribute-for-id": ("--use-attribute-for-id", True),
     "--convert-stringified-ids-to-numbers":
         ("--convert-stringified-ids-to-numbers", False),
