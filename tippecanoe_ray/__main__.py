@@ -195,7 +195,9 @@ def _build_from_geo(args, cfg):
                 else:
                     rows.append((k, vt, s))
             vec_attrs[seq] = (fid, rows)
-    if getattr(args, "attribute_type", None) or getattr(args, "single_precision", False):
+    if (getattr(args, "attribute_type", None)
+            or getattr(args, "single_precision", False)
+            or getattr(args, "maximum_string_attribute_length", 0) > 0):
         # -T name:type coercion, then -pN float32 re-format — applied
         # after --set-attribute and before -y, matching the reference's
         # per-key pass order (serial.cpp:800-811)
@@ -217,6 +219,11 @@ def _build_from_geo(args, cfg):
                     # (float) atof(val) then dtoa_milo (serial.cpp:806)
                     f32 = struct.unpack("f", struct.pack("f", _atof(sval)))[0]
                     sval = dtoa_milo(f32)
+                if (args.maximum_string_attribute_length > 0
+                        and vt == "string"):
+                    # UTF-8-byte truncation (serial.cpp:870-875)
+                    sval = _truncate_utf8(
+                        sval, args.maximum_string_attribute_length)
                 nrows.append((name, vt, sval))
             vec_attrs[k] = (fid, nrows)
     if getattr(args, "use_attribute_for_id", None):
@@ -394,11 +401,16 @@ def _build_from_geo(args, cfg):
             preserve_input_order=args.preserve_input_order,
             reverse_lines=args.reverse,
             simplification=args.simplification,
+            simplification_at_maxzoom=args.simplification_at_maximum_zoom,
             min_detail=args.minimum_detail,
             tiny_polygon_size=args.tiny_polygon_size,
             generate_label_points=args.convert_polygons_to_label_points,
             drop_lines=args.drop_lines,
             drop_polygons=args.drop_polygons,
+            use_source_winding=args.use_source_polygon_winding,
+            reverse_source_winding=args.reverse_source_polygon_winding,
+            drop_denser=args.drop_denser_vec,
+            preserve_point_density=args.preserve_point_density_threshold,
             no_simplify=args.no_line_simplification,
             simplify_only_low=args.simplify_only_low_zooms,
             no_tiny_poly=args.no_tiny_polygon_reduction,
@@ -422,6 +434,18 @@ def _build_from_geo(args, cfg):
     if len(outs) == 1:
         return outs[0]
     return merge_tilesets(*outs)
+
+
+def _truncate_utf8(s: str, max_bytes: int) -> str:
+    """truncate_string (text.cpp:329-344): cut the UTF-8 byte string at
+    max_bytes, backing off to the initial byte of a code point."""
+    b = s.encode("utf-8")
+    if len(b) <= max_bytes:
+        return s
+    i = max_bytes
+    while i > 0 and not ((b[i] & 0x80) == 0 or (b[i] & 0xC0) == 0xC0):
+        i -= 1
+    return b[:i].decode("utf-8", errors="ignore")
 
 
 def _strtoull_id(s: str, exact: bool) -> int | None:
@@ -552,6 +576,9 @@ def main(argv=None):
     ap.add_argument("--smallest-maximum-zoom-guess", type=int, default=None,
                     help="-zg with a floor (main.cpp:3275-3282)")
     ap.add_argument("--simplification", "-S", type=float, default=1.0)
+    ap.add_argument("--simplification-at-maximum-zoom", type=float,
+                    default=-1.0)
+    ap.add_argument("--maximum-string-attribute-length", type=int, default=0)
     ap.add_argument("--exclude", "-x", action="append", default=[],
                     help="drop the named attribute everywhere")
     ap.add_argument("--exclude-all", "-X", action="store_true")
@@ -568,6 +595,12 @@ def main(argv=None):
                     help="-ar: reverse lines that run up-and-left so "
                          "they coalesce better (tile.cpp:657-660)")
     ap.add_argument("--no-line-simplification", action="store_true")
+    ap.add_argument("--use-source-polygon-winding", action="store_true")
+    ap.add_argument("--reverse-source-polygon-winding", action="store_true")
+    ap.add_argument("--drop-denser", dest="drop_denser_vec", type=int,
+                    default=0, help="drop this percentage of features by "
+                    "spacing-gap rank instead of the ladder (main.cpp:2692)")
+    ap.add_argument("--preserve-point-density-threshold", type=int, default=0)
     ap.add_argument("--simplify-only-low-zooms", action="store_true")
     ap.add_argument("--no-tiny-polygon-reduction", action="store_true")
     ap.add_argument("--no-tiny-polygon-reduction-at-maximum-zoom",

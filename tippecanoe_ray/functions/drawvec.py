@@ -548,10 +548,13 @@ def quick_check(bbox, z: int, buffer: int) -> int:
 # ----------------------------------------------------------- winding repair
 
 
-def fix_polygon(ops: np.ndarray, xy: np.ndarray):
-    """clip.cpp:1755-1901 (use_winding=false, reverse_winding=false):
-    close rings, orient by sign of area vs inner/outer expectation,
-    rotate each ring so the centroid-remote vertex is the seam."""
+def fix_polygon(ops: np.ndarray, xy: np.ndarray,
+                use_winding: bool = False, reverse_winding: bool = False):
+    """clip.cpp:1755-1901: close rings, orient by sign of area vs
+    inner/outer expectation, rotate each ring so the centroid-remote
+    vertex is the seam. -pw use_winding reverses EVERY ring (GeoJSON
+    winding is reversed from vector winding); -pW reverse_winding
+    reverses none (clip.cpp:1802-1812)."""
     out_ops: list[int] = []
     out_xy: list[tuple[int, int]] = []
     outer = 1
@@ -577,8 +580,14 @@ def fix_polygon(ops: np.ndarray, xy: np.ndarray):
             ring.append(ring[0])
         while len(ring) < 4:
             ring.append(ring[0])
-        area = get_area(np.array(ring, np.int64), 0, len(ring))
-        if (area > 0) != bool(outer):
+        if use_winding:
+            reverse_ring = True
+        elif reverse_winding:
+            reverse_ring = False
+        else:
+            area = get_area(np.array(ring, np.int64), 0, len(ring))
+            reverse_ring = (area > 0) != bool(outer)
+        if reverse_ring:
             ring = ring[::-1]
         # rotate: centroid → furthest vertex → vertex furthest from that
         cnt = len(ring) - 1

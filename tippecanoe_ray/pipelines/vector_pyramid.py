@@ -67,6 +67,8 @@ class VectorConfig:
     low_detail: int | None = None
     buffer: int = 5  # tile buffer in 256ths (main.cpp:3200)
     simplification: float = 1.0
+    # --simplification-at-maximum-zoom (main.cpp:3319-3323)
+    simplification_at_maxzoom: float = -1.0
     tiny_polygon_size: float = 2.0  # main.cpp:88
     layer_name: str = "geoms"
     bucket_zoom: int | None = None
@@ -197,6 +199,13 @@ class VectorConfig:
     # their start index, for better coalescing (tile.cpp:657-660,
     # reorder_lines geometry.cpp:315-360)
     reverse_lines: bool = False
+    # -pw / -pW source polygon winding (fix_polygon args at ingest)
+    use_source_winding: bool = False
+    reverse_source_winding: bool = False
+    # --drop-denser N: N% of features drop by gap rank (main.cpp:2692)
+    drop_denser: int = 0
+    # --preserve-point-density-threshold (main.cpp:331-345)
+    preserve_point_density: int = 0
     # -ps / -pS / -pt / -pT / -pf / -pk prevents (options.hpp:34-52)
     no_simplify: bool = False
     simplify_only_low: bool = False
@@ -221,6 +230,13 @@ class VectorConfig:
 
     def order_by_size(self) -> bool:
         return any(n == ":size" for n, _ in self.order_by)
+
+    def resolved_simplification(self, z: int) -> float:
+        """-S, overridden at maxzoom by --simplification-at-maximum-
+        zoom (traverse_zooms tile.cpp:3439-3441)."""
+        if z == self.maxzoom and self.simplification_at_maxzoom > 0:
+            return self.simplification_at_maxzoom
+        return self.simplification
 
     def strategies_active(self) -> bool:
         """Any gate that needs the zoom-consensus orchestration (the
@@ -431,7 +447,9 @@ def _ingest_rows(tbl: pa.Table, cfg: VectorConfig) -> tuple[list, list[int]]:
         raw_xy = xy  # full-precision bbox source for the point index
         scaled = dv.shift_right(xy, g)
         if t == 3:
-            ops, scaled = dv.fix_polygon(ops, scaled)
+            ops, scaled = dv.fix_polygon(
+                ops, scaled, use_winding=cfg.use_source_winding,
+                reverse_winding=cfg.reverse_source_winding)
         for cb in cfg.clip_bboxes:
             # projected world bounds -> gscale grid (serial.cpp:466-475)
             from ..functions.spatial import lonlat_to_world
@@ -525,15 +543,59 @@ def ingest_features(tbl: pa.Table, cfg: VectorConfig) -> pa.Table:
             or (r[1] == 2 and cfg.drop_lines) or (r[1] == 3 and cfg.drop_polygons)
             for r in out
         ]
-        n_part = sum(part)
-        mzs = minzoom_from_ranks(
-            n_part, cfg.maxzoom, cfg.resolved_basezoom(), cfg.droprate
-        )
-        k = 0
-        for i, r in enumerate(out):
-            if part[i]:
-                r[6] = int(mzs[k])
-                k += 1
+        bz = cfg.resolved_basezoom()
+        if cfg.drop_denser > 0:
+            # --drop-denser N (main.cpp:2692-2726): features whose index
+            # hashes into the densest N% get gap-ranked minzooms; the
+            # rest ride the normal ladder (and the dense subset consumes
+            # no ladder slots)
+            dd: list[tuple[int, int]] = []
+            ladder: list[int] = []
+            prev = 0
+            for i in range(len(out)):
+                if not part[i]:
+                    continue
+                if idxs[i] % 100 < cfg.drop_denser:
+                    dd.append((idxs[i] - prev, i))
+                    prev = idxs[i]
+                else:
+                    ladder.append(i)
+            mzs = minzoom_from_ranks(len(ladder), cfg.maxzoom, bz,
+                                     cfg.droprate)
+            for k2, i in enumerate(ladder):
+                out[i][6] = int(mzs[k2])
+            dd.sort(key=lambda t: -t[0])  # stable; largest gap first
+            pos = 0
+            for z in range(0, bz + 1):
+                keep = int(len(dd)
+                           * (1.0 / math.exp(math.log(cfg.droprate)
+                                             * (bz - z))))
+                while pos < keep and pos < len(dd):
+                    out[dd[pos][1]][6] = z
+                    pos += 1
+            while pos < len(dd):
+                out[dd[pos][1]][6] = bz
+                pos += 1
+        elif cfg.preserve_point_density > 0:
+            from ..stages.minzoom import minzoom_scan_with_density
+
+            pix = [idxs[i] for i in range(len(out)) if part[i]]
+            mzs = minzoom_scan_with_density(
+                pix, cfg.maxzoom, bz, cfg.droprate,
+                cfg.preserve_point_density)
+            k = 0
+            for i, r in enumerate(out):
+                if part[i]:
+                    r[6] = int(mzs[k])
+                    k += 1
+        else:
+            n_part = sum(part)
+            mzs = minzoom_from_ranks(n_part, cfg.maxzoom, bz, cfg.droprate)
+            k = 0
+            for i, r in enumerate(out):
+                if part[i]:
+                    r[6] = int(mzs[k])
+                    k += 1
         return _with_vindex(features_table([tuple(r) for r in out]), idxs)
     # the initial (index, seq) sort always runs in the reference
     # (main.cpp radix) — vindex rides along so every per-tile scan can
@@ -2433,7 +2495,7 @@ def _encode_with_detail_ladder(cfg: VectorConfig, z, tx, ty, survivors,
                     continue
                 nops, nxy = dv.simplify_lines(
                     ops, xy, z, line_detail, mark_bounds,
-                    cfg.simplification, 4,
+                    cfg.resolved_simplification(z), 4,
                     pn=pn, tx=tx, ty=ty, local_nodes=local_nodes or None,
                 )
                 if len(nops) == 0:
@@ -2585,7 +2647,7 @@ def _encode_with_detail_ladder(cfg: VectorConfig, z, tx, ty, survivors,
                     # the stop-early attempt only removes collinearities
                     # (sf.simplification = 0, tile.cpp:2268-2272)
                     0.0 if (trying_to_stop_early and line_detail == details[0])
-                    else cfg.simplification,
+                    else cfg.resolved_simplification(z),
                     4 if t == 3 else 0,
                     pn=pn, tx=tx, ty=ty,
                     local_nodes=local_nodes or None, global_nodes=global_nodes,
@@ -2687,7 +2749,8 @@ def _encode_with_detail_ladder(cfg: VectorConfig, z, tx, ty, survivors,
                     if not (cfg.no_simplify
                             or (z == cfg.maxzoom and cfg.simplify_only_low)):
                         ops, xy = dv.simplify_lines(
-                            ops, xy, 32, 0, mark_bounds, cfg.simplification, 0,
+                            ops, xy, 32, 0, mark_bounds,
+                            cfg.resolved_simplification(z), 0,
                         )
                 if t == 3:
                     if coalesced:

@@ -79,6 +79,48 @@ def drop_ladder_scan(
     return out
 
 
+def minzoom_scan_with_density(
+    ixs,
+    maxzoom: int,
+    basezoom: int,
+    droprate: float,
+    threshold: int,
+) -> np.ndarray:
+    """calc_feature_minzoom (main.cpp:299-347) with
+    --preserve-point-density-threshold: the rank ladder plus the
+    previndex escape — a feature chosen only for a high zoom is pushed
+    down to the lowest zoom i where its index gap from that zoom's last
+    chosen feature exceeds ((1<<(32-i))/threshold)^2. Needs the actual
+    index stream (data-dependent), so it exists alongside the
+    rank-closed-form minzoom_from_ranks."""
+    iv = intervals(maxzoom, basezoom, droprate)
+    seq = [0.0] * (maxzoom + 1)
+    previndex = [0] * (maxzoom + 1)
+    n = len(ixs)
+    out = np.zeros(n, dtype=np.uint8)
+    for m in range(n):
+        ix = int(ixs[m])
+        fmz = 0
+        for i in range(maxzoom, -1, -1):
+            seq[i] += 1
+        for i in range(maxzoom, -1, -1):
+            if seq[i] < 0:
+                fmz = i + 1
+                for j in range(i + 1, maxzoom + 1):
+                    previndex[j] = ix
+                break
+            seq[i] -= iv[i]
+        if threshold > 0:
+            for i in range(min(fmz, maxzoom)):
+                if ix - previndex[i] > ((1 << (32 - i)) // threshold) ** 2:
+                    fmz = i
+                    for j in range(i, maxzoom + 1):
+                        previndex[j] = ix
+                    break
+        out[m] = fmz
+    return out
+
+
 def _threshold_count(x: np.ndarray, d: float) -> np.ndarray:
     """#{j >= 0 : j*d <= x} for x >= 1, with float-floor correction; 0
     where x <= 0 (sentinel: no previous member). Memory-free count for

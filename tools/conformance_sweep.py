@@ -88,7 +88,7 @@ P_LETTERS = {
     "N": "--single-precision",
     "S": "--simplify-only-low-zooms",
     "T": "--no-tiny-polygon-reduction-at-maximum-zoom",
-    "W": None,  # reverse-source-polygon-winding
+    "W": "--reverse-source-polygon-winding",
     "b": "--limit-base-zoom-to-maximum-zoom",
     "c": "--no-clipping",
     "d": "--force-feature-limit",
@@ -101,7 +101,7 @@ P_LETTERS = {
     "p": "",  # no-polygon-splitting: defined but never read upstream
     "s": "--no-line-simplification",
     "t": "--no-tiny-polygon-reduction",
-    "w": None,  # use-source-polygon-winding
+    "w": "--use-source-polygon-winding",
 }
 
 # short flags with attached argument -> (our flag, takes_value)
@@ -117,18 +117,20 @@ SHORT = {
     "s": "--projection", "C": "--prefilter", "c": "--postfilter",
 }
 SHORT_NOARG = {"X": "--exclude-all"}
-SHORT_UNSUPPORTED = {"Y", "R"}
+SHORT_UNSUPPORTED = {"R"}
 # flags that change no tile bytes (ignored)
 SHORT_IGNORE = {"q", "f", "P", "Q", "U"}
 # metadata-only short flags WITH an argument: consume, emit nothing
-SHORT_METADATA = {"A", "N", "n"}
+# (-Y attribute-description only feeds the tilestats json block)
+SHORT_METADATA = {"A", "N", "n", "Y"}
 
 LONG = {
     "--maximum-zoom": ("--maxzoom", True),
     "--minimum-zoom": ("--minzoom", True),
     "--maximum-tile-bytes": ("--max-tile-bytes", True),
     "--maximum-tile-features": ("--max-tile-features", True),
-    "--maximum-string-attribute-length": (None, True),
+    "--maximum-string-attribute-length":
+        ("--maximum-string-attribute-length", True),
     "--full-detail": ("--full-detail", True),
     "--low-detail": ("--low-detail", True),
     "--minimum-detail": ("--minimum-detail", True),
@@ -142,10 +144,12 @@ LONG = {
     "--buffer": ("--buffer", True),
     "--gamma": ("--gamma", True),
     "--simplification": ("--simplification", True),
-    "--simplification-at-maximum-zoom": (None, True),
+    "--simplification-at-maximum-zoom":
+        ("--simplification-at-maximum-zoom", True),
     "--cluster-distance": ("--cluster-distance", True),
     "--cluster-maxzoom": ("--cluster-maxzoom", True),
-    "--preserve-point-density-threshold": (None, True),
+    "--preserve-point-density-threshold":
+        ("--preserve-point-density-threshold", True),
     "--preserve-multiplier-density-threshold":
         ("--preserve-multiplier-density-threshold", True),
     "--retain-points-multiplier": ("--retain-points-multiplier", True),
@@ -158,6 +162,7 @@ LONG = {
     "--generate-variable-depth-tile-pyramid":
         ("--generate-variable-depth-tile-pyramid", False),
     "--drop-densest-as-needed": ("--drop-densest-as-needed", False),
+    "--drop-denser": ("--drop-denser", True),
     "--drop-fraction-as-needed": ("--drop-fraction-as-needed", False),
     "--drop-smallest-as-needed": ("--drop-smallest-as-needed", False),
     "--drop-by-attribute-as-needed": ("--drop-by-attribute-as-needed", True),
@@ -203,7 +208,6 @@ LONG = {
     "--set-attribute": ("--set-attribute", True),
     "--accumulate-attribute": ("--accumulate-attribute", True),
     "--attribute-type": ("-T", True),
-    "--attribute-description": (None, True),
     "--single-precision": ("--single-precision", False),
     "--feature-filter": ("-j", True),
     "--feature-filter-file": ("-J", True),
@@ -222,8 +226,14 @@ LONG = {
     "--description": ("", True),   # metadata only
     "--attribution": ("", True),   # metadata only
     "--no-tile-stats": ("", False),
-    "--use-source-polygon-winding": (None, False),
-    "--reverse-source-polygon-winding": (None, False),
+    "--prefer-radix-sort": ("", False),
+    # tilestats shaping lives in the metadata json, not the tiles
+    "--tile-stats-attributes-limit": ("", True),
+    "--tile-stats-sample-values-limit": ("", True),
+    "--tile-stats-values-limit": ("", True),
+    "--attribute-description": ("", True),
+    "--use-source-polygon-winding": ("--use-source-polygon-winding", False),
+    "--reverse-source-polygon-winding": ("--reverse-source-polygon-winding", False),
     "--empty-csv-columns-are-null": (None, False),
     "--no-line-simplification": ("--no-line-simplification", False),
     "--simplify-only-low-zooms": ("--simplify-only-low-zooms", False),
