@@ -186,6 +186,14 @@ EDGE_CORPORA = [
     ("highzoom", "in.json", 30, [], []),
     ("wyalkatchem", "in.json", 12, ["-pk", "-pf", "-Z9", "-ldata"],
      ["--minzoom", "9", "--layer-name", "data"]),
+    # -C prefilter / -c postfilter shell pipes (the reference's GeoJSON
+    # pipe protocol, round-tripped byte-exact incl. attrs and layers)
+    ("ne_110m_populated_places", "in.json", 4,
+     ["-yNAME", "-Ccat"], ["-y", "NAME", "--prefilter", "cat"]),
+    ("ne_110m_populated_places", "in.json", 4,
+     ["-yNAME", "-ccat"], ["-y", "NAME", "--postfilter", "cat"]),
+    ("ne_110m_admin_0_countries", "in.json.gz", 2,
+     ["--coalesce", "-Ccat"], ["--coalesce", "--prefilter", "cat"]),
     # -aw longitude wraparound repair
     ("wraparound", "in.json", 5, ["--detect-longitude-wraparound"],
      ["--detect-longitude-wraparound"]),
