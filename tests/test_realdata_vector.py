@@ -140,6 +140,15 @@ BYTE_EXACT_CORPORA = [
     ("ne_110m_populated_places", 5, [], []),
     # pure-lines corpus (admin-1 boundaries) through clip + simplify
     ("ne_110m_admin_1_states_provinces_lines", 5, [], []),
+    # --visvalingam effective-area simplification (the reference's own
+    # golden flag combination, visvalingam.cpp:147-230)
+    ("ne_110m_admin_0_countries", 4,
+     ["-yname", "-S4", "--visvalingam"],
+     ["--include", "name", "--simplification", "4", "--visvalingam"]),
+    # -R z/x/y one-tile mode (main.cpp:3402-3414): the whole ingest
+    # stream clips once, directly to the root tile
+    ("ne_110m_admin_0_countries", 5,
+     ["-R5/17/11"], ["--one-tile", "5/17/11"]),
 ]
 
 # the reference's own edge-case corpora (tests/<name>/), byte-exact:

@@ -419,6 +419,8 @@ def _build_from_geo(args, cfg):
             no_feature_limit=args.no_feature_limit,
             no_size_limit=args.no_tile_size_limit,
             compress=not args.no_tile_compression,
+            visvalingam=args.visvalingam,
+            one_tile=args.one_tile_xy,
         )
         feats = ingest_features(vec_tbl, vcfg)
         if args.calculate_feature_density:
@@ -595,6 +597,13 @@ def main(argv=None):
                     help="-ar: reverse lines that run up-and-left so "
                          "they coalesce better (tile.cpp:657-660)")
     ap.add_argument("--no-line-simplification", action="store_true")
+    ap.add_argument("--visvalingam", action="store_true",
+                    help="-av: simplify by effective triangle area "
+                         "(visvalingam.cpp:147-230) instead of "
+                         "Douglas-Peucker")
+    ap.add_argument("--one-tile", "-R", default=None, metavar="Z/X/Y",
+                    help="produce only tile z/x/y: minzoom and maxzoom "
+                         "both become z (main.cpp:3402-3414)")
     ap.add_argument("--use-source-polygon-winding", action="store_true")
     ap.add_argument("--reverse-source-polygon-winding", action="store_true")
     ap.add_argument("--drop-denser", dest="drop_denser_vec", type=int,
@@ -728,6 +737,16 @@ def main(argv=None):
         args.maxzoom = "g"
     # the reference guesses from a provisional MAX_ZOOM (main.cpp:3391)
     args.maxzoom = 24 if args.guess_zoom else int(args.maxzoom)
+    args.one_tile_xy = None
+    if args.one_tile:
+        # -R z/x/y (main.cpp:3402-3414): minzoom = maxzoom = z
+        parts = args.one_tile.split("/")
+        if len(parts) != 3:
+            raise SystemExit("--one-tile argument must be z/x/y")
+        _otz, _otx, _oty = (int(v) for v in parts)
+        args.minzoom = args.maxzoom = _otz
+        args.guess_zoom = False
+        args.one_tile_xy = (_otx, _oty)
     # -B / -r guess forms (main.cpp:3416-3432,3535-3553): sentinel -1 =
     # unspecified, -2 = guess from the densest tile; 'g<width>' sets the
     # marker width directly, 'f<count>' via sqrt(50000/count)

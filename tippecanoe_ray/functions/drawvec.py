@@ -781,6 +781,152 @@ def douglas_peucker(xy: np.ndarray, necessary: np.ndarray, start: int, n: int,
     return kept
 
 
+class _VisItem:
+    __slots__ = ("area", "pt", "next", "prev", "idx")
+
+    def __init__(self, area: float, pt: int):
+        self.area = area
+        self.pt = pt
+        self.next = None
+        self.prev = None
+        self.idx = 0
+
+
+class _VisHeap:
+    """Faithful port of visvalingam.cpp:45-136's hand-rolled binary
+    min-heap (Push/Pop/Update with in-place index tracking). Pop and
+    Update tie order must match the reference exactly — heapq's
+    sift tie-breaking differs, so the loops are transliterated."""
+
+    __slots__ = ("h",)
+
+    def __init__(self):
+        self.h: list[_VisItem] = []
+
+    def push(self, item: _VisItem):
+        item.idx = len(self.h)
+        self.h.append(item)
+        self._up(item.idx)
+
+    def pop(self) -> _VisItem:
+        h = self.h
+        removed = h[0]
+        last = h.pop()
+        if h:
+            last.idx = 0
+            h[0] = last
+            self._down(0)
+        return removed
+
+    def update(self, item: _VisItem, area: float):
+        if item.area > area:
+            item.area = area
+            self._up(item.idx)
+        else:
+            item.area = area
+            self._down(item.idx)
+
+    def _up(self, i: int):
+        h = self.h
+        obj = h[i]
+        while i > 0:
+            up = ((i + 1) >> 1) - 1
+            parent = h[up]
+            if parent.area <= obj.area:
+                break
+            parent.idx = i
+            h[i] = parent
+            obj.idx = up
+            h[up] = obj
+            i = up
+
+    def _down(self, i: int):
+        h = self.h
+        n = len(h)
+        obj = h[i]
+        while True:
+            right = (i + 1) << 1
+            left = right - 1
+            down = i
+            child = h[down]
+            if left < n and h[left].area < child.area:
+                down = left
+                child = h[down]
+            if right < n and h[right].area < child.area:
+                down = right
+                child = h[down]
+            if down == i:
+                break
+            child.idx = i
+            h[i] = child
+            obj.idx = down
+            h[down] = obj
+            i = down
+
+
+def _dbl_tri_area(xy: np.ndarray, start: int, i1: int, i2: int, i3: int) -> float:
+    """doubleTriangleArea (visvalingam.cpp:138-145): |cross| in long
+    long arithmetic, converted to double. Wrapped to int64 to match
+    C++ overflow behavior on pathological spans."""
+    ax = int(xy[start + i1, 0]); ay = int(xy[start + i1, 1])
+    bx = int(xy[start + i2, 0]); by = int(xy[start + i2, 1])
+    cx = int(xy[start + i3, 0]); cy = int(xy[start + i3, 1])
+    return float(abs(_wrap64((bx - ax) * (cy - ay) - (by - ay) * (cx - ax))))
+
+
+def visvalingam_mark(xy: np.ndarray, necessary: np.ndarray, start: int,
+                     end: int, threshold: float, retain: int):
+    """visvalingam.cpp:147-230 (orb-derived effective-area reduction):
+    repeatedly remove the min-double-area vertex of [start, end) while
+    that double-area <= 2*threshold and more than `retain` points
+    remain; survivors are ORed into `necessary` (pre-marked vertices
+    keep their flag regardless — the reference never clears)."""
+    n = end - start
+    removed = 0
+    threshold = threshold * 2.0
+    inf = math.inf
+
+    heap = _VisHeap()
+    head = _VisItem(inf, 0)
+    heap.push(head)
+
+    prev = head
+    for i in range(1, n - 1):
+        it = _VisItem(_dbl_tri_area(xy, start, i - 1, i, i + 1), i)
+        it.prev = prev
+        heap.push(it)
+        prev.next = it
+        prev = it
+
+    tail = _VisItem(inf, n - 1)
+    tail.prev = prev
+    prev.next = tail
+    heap.push(tail)
+
+    while heap.h:
+        cur = heap.pop()
+        if cur.area > threshold or n - removed <= retain:
+            break
+        nxt = cur.next
+        prv = cur.prev
+        prv.next = nxt
+        nxt.prev = prv
+        removed += 1
+        if prv.prev is not None:
+            area = _dbl_tri_area(xy, start, prv.prev.pt, prv.pt, nxt.pt)
+            area = max(area, cur.area)
+            heap.update(prv, area)
+        if nxt.next is not None:
+            area = _dbl_tri_area(xy, start, prv.pt, nxt.pt, nxt.next.pt)
+            area = max(area, cur.area)
+            heap.update(nxt, area)
+
+    item = head
+    while item is not None:
+        necessary[item.pt + start] = True
+        item = item.next
+
+
 def impose_tile_boundaries(ops, xy, necessary, extent: int):
     """geometry.cpp:188-217: insert necessary vertices where segments
     cross the tile-proper boundary."""
@@ -817,7 +963,8 @@ def impose_tile_boundaries(ops, xy, necessary, extent: int):
 def simplify_lines(ops, xy, z: int, detail: int, mark_tile_bounds: bool,
                    simplification: float, retain: int,
                    pn: bool = False, tx: int = 0, ty: int = 0,
-                   local_nodes=None, global_nodes=None):
+                   local_nodes=None, global_nodes=None,
+                   use_visvalingam: bool = False):
     """geometry.cpp:219-313. With pn (-pn), vertices matching either
     the tile-local clip edge nodes (`local_nodes`, a set of (x, y)
     tile-local tuples, geometry.cpp:243-246) or the global shared-node
@@ -864,7 +1011,18 @@ def simplify_lines(ops, xy, z: int, detail: int, mark_tile_bounds: bool,
             necessary[i] = True
             necessary[j - 1] = True
             if j - i > 1:
-                douglas_peucker(xy, necessary, i, j - i, res * simplification, 2, retain, pn)
+                if use_visvalingam:
+                    # empirical DP->visvalingam threshold mapping
+                    # (geometry.cpp:287-296)
+                    sim = simplification * (0.1596 * z + 0.878)
+                    scale = (res * sim) * (res * sim)
+                    scale = (
+                        math.exp(1.002 * math.log(scale) + 0.3043)
+                        if scale > 0 else 0.0
+                    )
+                    visvalingam_mark(xy, necessary, i, j, scale, retain)
+                else:
+                    douglas_peucker(xy, necessary, i, j - i, res * simplification, 2, retain, pn)
             i = j
         else:
             i += 1

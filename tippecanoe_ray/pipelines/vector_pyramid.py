@@ -206,6 +206,16 @@ class VectorConfig:
     drop_denser: int = 0
     # --preserve-point-density-threshold (main.cpp:331-345)
     preserve_point_density: int = 0
+    # --visvalingam (-av): simplify by effective triangle area
+    # (visvalingam.cpp:147-230) instead of Douglas-Peucker, with the
+    # empirical threshold mapping of geometry.cpp:287-296
+    visvalingam: bool = False
+    # -R z/x/y (--one-tile, main.cpp:3402-3414 + 2207-2211): minzoom
+    # and maxzoom are both z and the traversal root is tile (z, x, y)
+    # fed the FULL unclipped ingest stream (the reference skips
+    # choose_first_zoom and clips once, directly to this tile).
+    # Stored as (x, y); the z lives in minzoom/maxzoom.
+    one_tile: tuple | None = None
     # -ps / -pS / -pt / -pT / -pf / -pk prevents (options.hpp:34-52)
     no_simplify: bool = False
     simplify_only_low: bool = False
@@ -2497,6 +2507,7 @@ def _encode_with_detail_ladder(cfg: VectorConfig, z, tx, ty, survivors,
                     ops, xy, z, line_detail, mark_bounds,
                     cfg.resolved_simplification(z), 4,
                     pn=pn, tx=tx, ty=ty, local_nodes=local_nodes or None,
+                    use_visvalingam=cfg.visvalingam,
                 )
                 if len(nops) == 0:
                     continue
@@ -2651,6 +2662,7 @@ def _encode_with_detail_ladder(cfg: VectorConfig, z, tx, ty, survivors,
                     4 if t == 3 else 0,
                     pn=pn, tx=tx, ty=ty,
                     local_nodes=local_nodes or None, global_nodes=global_nodes,
+                    use_visvalingam=cfg.visvalingam,
                 )
                 if was_coalesced and pn:
                     # extra pass to remove collinearities left at the
@@ -2660,6 +2672,7 @@ def _encode_with_detail_ladder(cfg: VectorConfig, z, tx, ty, survivors,
                         nops, nxy, z, line_detail, mark_bounds, 0.1,
                         4 if t == 3 else 0,
                         pn=pn, tx=tx, ty=ty, local_nodes=local_nodes or None,
+                        use_visvalingam=cfg.visvalingam,
                     )
                 if t != 3 or len(nops) >= 3:
                     ops, xy = nops, nxy
@@ -2751,6 +2764,7 @@ def _encode_with_detail_ladder(cfg: VectorConfig, z, tx, ty, survivors,
                         ops, xy = dv.simplify_lines(
                             ops, xy, 32, 0, mark_bounds,
                             cfg.resolved_simplification(z), 0,
+                            use_visvalingam=cfg.visvalingam,
                         )
                 if t == 3:
                     if coalesced:
@@ -3193,6 +3207,15 @@ class CascadeFan:
         rows = table_to_rows(tbl)
         for i, (seq, t, ops, xy, lx, ly, fmz, fmn, fmx) in enumerate(rows):
             vi = int(vind[i])
+            if cfg.one_tile is not None:
+                # -R: every feature goes straight to the root-tile
+                # subtree unclipped (the reference writes the whole
+                # radix stream under the (iz, ix, iy) header,
+                # main.cpp:2207-2221); the subtree cascade clips once
+                otx, oty = cfg.one_tile
+                emit(b, otx, oty, vi, seq, t, ops, xy, lx, ly, fmz,
+                     pops=ops, pxy=xy, fmn=fmn, fmx=fmx)
+                continue
             if b == 0:
                 emit(0, 0, 0, vi, seq, t, ops, xy, lx, ly, fmz,
                      pops=ops, pxy=xy, fmn=fmn, fmx=fmx)
@@ -3866,6 +3889,9 @@ def build_vector_pyramid(
     if b is None:
         b = auto_vector_bucket_zoom(n_rows, cfg.maxzoom)
     b = max(0, min(b, cfg.maxzoom))
+    if cfg.one_tile is not None:
+        # -R: the root tile IS the one zoom-B subtree
+        b = cfg.minzoom
 
     shared_ref = None
     if cfg.prevent_shared_nodes:

@@ -76,7 +76,7 @@ A_LETTERS = {
     "r": "--reverse",
     "s": "--drop-densest-as-needed",
     "t": "--generate-variable-depth-tile-pyramid",
-    "v": None,  # visvalingam
+    "v": "--visvalingam",
     "w": "--detect-longitude-wraparound",
     "a": "--keep-point-cluster-position",
 }
@@ -115,9 +115,10 @@ SHORT = {
     "l": "--layer-name", "L": "-L", "T": "-T",
     "E": "--accumulate-attribute", "j": "-j", "J": "-J",
     "s": "--projection", "C": "--prefilter", "c": "--postfilter",
+    "R": "--one-tile",
 }
 SHORT_NOARG = {"X": "--exclude-all"}
-SHORT_UNSUPPORTED = {"R"}
+SHORT_UNSUPPORTED: set = set()
 # flags that change no tile bytes (ignored)
 SHORT_IGNORE = {"q", "f", "P", "Q", "U"}
 # metadata-only short flags WITH an argument: consume, emit nothing
@@ -217,10 +218,10 @@ LONG = {
     "--convert-stringified-ids-to-numbers":
         ("--convert-stringified-ids-to-numbers", False),
     "--generate-ids": ("--generate-ids", False),
-    "--visvalingam": (None, False),
+    "--visvalingam": ("--visvalingam", False),
     "--detect-shared-borders": (None, False),
     "--projection": ("--projection", True),
-    "--one-tile": (None, True),
+    "--one-tile": ("--one-tile", True),
     "--read-parallel": ("", False),
     "--name": ("", True),          # metadata only
     "--description": ("", True),   # metadata only
