@@ -850,7 +850,8 @@ def _merge_proposals(base: dict, outs: list[dict]) -> tuple[dict, bool]:
 
 
 def _z0_gaps(rows: list, vidx: np.ndarray, scheme: str = "quadkey",
-             origin: tuple[int, int] = (0, 0)) -> np.ndarray:
+             origin: tuple[int, int] = (0, 0),
+             prev0: int = 0) -> np.ndarray:
     """sf.gap as filled by the z0 next_feature scan (tile.cpp:1180-1199)
     over the globally (index, seq)-sorted stream: the max squared
     distance (uint64 wraparound) from the PREVIOUS feature's decoded
@@ -866,7 +867,7 @@ def _z0_gaps(rows: list, vidx: np.ndarray, scheme: str = "quadkey",
 
     n = len(rows)
     gaps = np.zeros(n, np.uint64)
-    prev = np.uint64(0)
+    prev = np.uint64(prev0)
     for i in range(n):
         ix = np.uint64(vidx[i])
         if ix != prev:
@@ -3551,11 +3552,8 @@ def _tippecanoe_cpus_tempfiles() -> tuple[int, int]:
     return cpus, temp_files
 
 
-def _choose_first_zoom(rows: list, minzoom: int, buffer: int) -> tuple[int, int, int]:
-    """choose_first_zoom (main.cpp:1147-1206): the pyramid's root is
-    the deepest zoom ≤ minzoom whose single (buffered) tile covers the
-    whole dataset bbox. Dateline-crossing data clamps to the full world
-    width, forcing the z0 root."""
+def _rows_bbox(rows: list) -> tuple[int, int, int, int] | None:
+    """Dataset bbox over real (non-CLOSEPATH) vertices."""
     minx = miny = (1 << 62)
     maxx = maxy = -(1 << 62)
     for r in rows:
@@ -3568,7 +3566,22 @@ def _choose_first_zoom(rows: list, minzoom: int, buffer: int) -> tuple[int, int,
         maxx = max(maxx, int(real[:, 0].max()))
         maxy = max(maxy, int(real[:, 1].max()))
     if maxx < minx:
+        return None
+    return minx, miny, maxx, maxy
+
+
+def _choose_first_zoom(rows: list, minzoom: int, buffer: int) -> tuple[int, int, int]:
+    return _choose_first_zoom_bbox(_rows_bbox(rows), minzoom, buffer)
+
+
+def _choose_first_zoom_bbox(bbox, minzoom: int, buffer: int) -> tuple[int, int, int]:
+    """choose_first_zoom (main.cpp:1147-1206): the pyramid's root is
+    the deepest zoom ≤ minzoom whose single (buffered) tile covers the
+    whole dataset bbox. Dateline-crossing data clamps to the full world
+    width, forcing the z0 root."""
+    if bbox is None:
         return 0, 0, 0
+    minx, miny, maxx, maxy = (int(v) for v in bbox)
     if minx < 0 or maxx > (1 << 32) - 1:
         minx, maxx = 0, (1 << 32) - 1
     miny = max(miny, 0)
@@ -3610,17 +3623,143 @@ def _zoom_plan_step(z: int, minzoom: int, n_useful: int,
     return nextzoom, mzi, child_shards
 
 
+class _SeqMap:
+    """Per-seq side index as sorted parallel numpy arrays — the Ray
+    analogue of the reference's 16-byte-per-feature index mmap
+    (main.cpp:2207+, struct index): .get() binary-searches, the arrays
+    ship zero-copy through the object store, and no per-seq Python
+    dict ever exists on the driver. Drop-in for the dict.get() calls
+    in process_tile / the strategy scan."""
+
+    __slots__ = ("keys", "vals")
+
+    def __init__(self, keys: np.ndarray, vals: np.ndarray):
+        o = np.argsort(keys, kind="stable")
+        self.keys = np.ascontiguousarray(np.asarray(keys)[o])
+        self.vals = np.ascontiguousarray(np.asarray(vals)[o])
+
+    def get(self, k, default=0):
+        i = int(np.searchsorted(self.keys, k))
+        if i < len(self.keys) and self.keys[i] == k:
+            return int(self.vals[i])
+        return default
+
+    def __len__(self):
+        return len(self.keys)
+
+
+@ray.remote(num_returns=2)
+def _strat_block_sides(tbl: pa.Table, g: int, need_extent: bool):
+    """Phase A over one (vindex, seq)-sorted block: tiny driver meta
+    (bbox, vindex boundaries, -at origin candidate) + the big side
+    arrays (seq, vindex, extent), which stay in the object store."""
+    rows = table_to_rows(tbl)
+    seqs = tbl["seq"].to_numpy(zero_copy_only=False).astype(np.int64)
+    vind = (
+        tbl["vindex"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        if "vindex" in tbl.column_names
+        else np.zeros(len(tbl), np.uint64)
+    )
+    ext = None
+    if need_extent:
+        ext = np.array(
+            [_ingest_extent(r[1], r[2], r[3], g) for r in rows], np.int64
+        )
+    meta = {
+        "n": len(rows),
+        "bbox": _rows_bbox(rows),
+        "first_v": int(vind[0]) if len(vind) else 0,
+        "last_v": int(vind[-1]) if len(vind) else 0,
+    }
+    if len(seqs):
+        i = int(np.argmin(seqs))
+        meta["min_seq"] = int(seqs[i])
+        xy0 = rows[i][3]
+        if len(xy0):
+            meta["origin_xy"] = (int(xy0[0, 0]), int(xy0[0, 1]))
+    return meta, {"seq": seqs, "vindex": vind, "extent": ext}
+
+
+@ray.remote
+def _strat_block_gaps(tbl: pa.Table, prev_v: int, origin, scheme: str):
+    """Phase B over one sorted block: z0 next_feature gaps, chained
+    from the previous block's last vindex."""
+    rows = table_to_rows(tbl)
+    vind = (
+        tbl["vindex"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        if "vindex" in tbl.column_names
+        else np.zeros(len(tbl), np.uint64)
+    )
+    seqs = tbl["seq"].to_numpy(zero_copy_only=False).astype(np.int64)
+    gaps = _z0_gaps(rows, vind, scheme, origin=origin, prev0=prev_v)
+    return {"seq": seqs, "gap": gaps.astype(np.uint64)}
+
+
+@ray.remote
+def _strat_combine_attrs(attrs: dict | None, sides: list, gaps: list | None,
+                         need_extent: bool):
+    """Assemble the per-seq side table ONCE in a worker (never on the
+    driver): CLI attrs dict + _SeqMap arrays for vindex/gap/extent."""
+    sides = [ray.get(s) if isinstance(s, ray.ObjectRef) else s for s in sides]
+    if gaps is not None:
+        gaps = [ray.get(gv) if isinstance(gv, ray.ObjectRef) else gv
+                for gv in gaps]
+    out = dict(attrs) if attrs else {}
+    seq = np.concatenate([s["seq"] for s in sides]) if sides else np.zeros(0, np.int64)
+    vind = np.concatenate([s["vindex"] for s in sides]) if sides else np.zeros(0, np.uint64)
+    out["__vindex__"] = _SeqMap(seq, vind)
+    if need_extent:
+        ext = np.concatenate([s["extent"] for s in sides]) if sides else np.zeros(0, np.int64)
+        out["__extent__"] = _SeqMap(seq, ext)
+    if gaps is not None:
+        gseq = np.concatenate([gv["seq"] for gv in gaps]) if gaps else np.zeros(0, np.int64)
+        garr = np.concatenate([gv["gap"] for gv in gaps]) if gaps else np.zeros(0, np.uint64)
+        out["__gap__"] = _SeqMap(gseq, garr)
+    return out
+
+
+@ray.remote
+def _strat_block_rows(tbl: pa.Table, key):
+    """Root-tile input part: one sorted block unpacked to row tuples,
+    keyed by the root tile (the geomfile stream analogue)."""
+    return {key: table_to_rows(tbl)}
+
+
+@ray.remote
+def _strat_write_tiles(tbl: pa.Table, raw_dir: str, z: int, idx: int) -> int:
+    """In-task sink for one accepted zoom-pass tile table (only called
+    after the zoom's threshold consensus, so no stale retry passes are
+    ever written)."""
+    import os as _os
+
+    import pyarrow.parquet as pq
+
+    if tbl.num_rows == 0:
+        return 0
+    path = _os.path.join(raw_dir, f"strat_z{z}_t{idx}.parquet")
+    tmp = path + ".inprogress"
+    pq.write_table(tbl, tmp)
+    _os.replace(tmp, path)
+    return tbl.num_rows
+
+
 @ray.remote(num_returns=3)
 def _strat_zoom_task(cfg: VectorConfig, z: int, my_keys, child_refs, entry,
                      leaf_set, is_dropping, attrs_ref, gn_ref, at_origin,
                      poisoned_keys, nextzoom=None, fanout_only=False,
-                     parent_shift=1):
+                     parent_shift=1, n_parts=1):
     """One zoom pass over a subset of the zoom's tiles (run_thread,
     tile.cpp:3081-3199): skip tiles under a leafed parent unless the
     zoom is dropping (revival), process the rest, and report (tile
-    rows, children blobs, threshold proposals). Below minzoom the pass
-    is fan-out only: next_feature rewrites children then `continue`s
-    before any gate or encode (tile.cpp:1216-1218)."""
+    rows, children partition refs, threshold proposals). Below minzoom
+    the pass is fan-out only: next_feature rewrites children then
+    `continue`s before any gate or encode (tile.cpp:1216-1218).
+
+    Exchange contract: `child_refs` holds ONLY the parent partitions
+    this task's keys hash into (the driver routes {pid: ref} maps by
+    hash(key) % n_parts — the _vp_partition pattern), and the children
+    this task produces are returned hash-partitioned the same way as
+    {pid: ObjectRef} so the next zoom's tasks fetch only their slice."""
     attrs = ray.get(attrs_ref) if isinstance(attrs_ref, ray.ObjectRef) else attrs_ref
     gn = ray.get(gn_ref) if isinstance(gn_ref, ray.ObjectRef) else gn_ref
     parts = [ray.get(r) if isinstance(r, ray.ObjectRef) else r for r in child_refs]
@@ -3673,13 +3812,20 @@ def _strat_zoom_task(cfg: VectorConfig, z: int, my_keys, child_refs, entry,
         "children_of": children_of,
         "child_poison": sorted(child_poison),
     }
-    return _tile_rows_table(out_rows), children, meta
+    # hash-partition the children blobs so the next zoom's tasks fetch
+    # only their own slice (never every parent's full children dict)
+    by_pid: dict = {}
+    for ck, blobs in children.items():
+        by_pid.setdefault(hash(ck) % n_parts, {})[ck] = blobs
+    part_map = {pid: ray.put(sub) for pid, sub in by_pid.items()}
+    return _tile_rows_table(out_rows), part_map, meta
 
 
 def _build_strategy_pyramid(
     feat_tbl: "pa.Table | ray.data.Dataset",
     cfg: VectorConfig,
     attrs: dict | None = None,
+    raw_dir: str | None = None,
 ) -> ray.data.Dataset:
     """Zoom-sequential pyramid for the as-needed drop strategies — the
     reference's traverse_zooms shape (tile.cpp:3272-3623): tiles of one
@@ -3688,51 +3834,78 @@ def _build_strategy_pyramid(
     merged maxima (thresholds reset at each new zoom); the surviving
     pass's children become the next zoom's input streams. The per-zoom
     barrier is inherent to the semantics — the reference has the same
-    structure. Children blobs move between zooms as object-store refs;
-    the driver holds only tile keys, proposals and leaf sets.
+    structure.
 
-    Scale note: each task currently fetches every parent task's
-    children dict and selects its keys; at cluster scale this exchange
-    should hash-partition children per next-zoom task (the
-    _vp_partition pattern) — the semantics are unaffected."""
-    if not isinstance(feat_tbl, pa.Table):
-        tbls = [t for t in ray.get(feat_tbl.to_arrow_refs()) if t.num_rows]
-        feat_tbl = (pa.concat_tables(tbls) if tbls
-                    else features_table([]))
-    if len(feat_tbl) == 0:
+    Fully distributed: the feature stream is sorted by (vindex, seq)
+    as a Dataset, per-block worker tasks build the row parts and the
+    per-seq side arrays (never the driver), the per-zoom children
+    exchange is hash-partitioned per next-zoom task ({pid: ref} maps),
+    and with `raw_dir` each accepted zoom pass writes its tiles to
+    parquet inside worker tasks. The driver holds only tile keys,
+    threshold proposals, leaf sets and object refs."""
+    if isinstance(feat_tbl, pa.Table):
+        if len(feat_tbl) == 0:
+            return ray.data.from_arrow(_tile_rows_table([]))
+        ds = ray.data.from_arrow(feat_tbl)
+        nb = max(1, min(int(ray.cluster_resources().get("CPU", 8)),
+                        len(feat_tbl) // 8))
+        if nb > 1:
+            ds = ds.repartition(nb)
+    else:
+        ds = feat_tbl
+    # the globally (index, seq)-sorted stream the reference radix-sorts
+    # to (main.cpp:2228-2238) — a distributed range sort; the sorted
+    # block refs ARE the root tile's input parts, in stream order
+    cols = ds.schema().names
+    ds = ds.sort(["vindex", "seq"] if "vindex" in cols else ["seq"])
+    ds = ds.materialize()
+    blocks = list(ds.to_arrow_refs())
+    need_extent = cfg.smallest_active() or cfg.order_by_size()
+    g = cfg.resolved_gscale()
+    side_pairs = [
+        _strat_block_sides.remote(b, g, need_extent) for b in blocks
+    ]
+    side_metas = ray.get([p[0] for p in side_pairs])
+    keep = [i for i, m in enumerate(side_metas) if m["n"]]
+    if not keep:
         return ray.data.from_arrow(_tile_rows_table([]))
-    rows0 = table_to_rows(feat_tbl)
-    vind = (
-        feat_tbl["vindex"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        if "vindex" in feat_tbl.column_names
-        else np.zeros(len(feat_tbl), np.uint64)
-    )
-    seqs = np.array([r[0] for r in rows0], np.int64)
-    order = np.lexsort((seqs, vind))
-    rows0 = [rows0[i] for i in order]
-    vind = vind[order]
-    attrs2 = dict(attrs) if attrs else {}
-    attrs2["__vindex__"] = {rows0[i][0]: int(vind[i]) for i in range(len(rows0))}
-    iz, ix, iy = _choose_first_zoom(rows0, cfg.minzoom, cfg.buffer)
+    blocks = [blocks[i] for i in keep]
+    side_metas = [side_metas[i] for i in keep]
+    side_arr_refs = [side_pairs[i][1] for i in keep]
+    bboxes = [m["bbox"] for m in side_metas if m["bbox"] is not None]
+    bbox = None
+    if bboxes:
+        bbox = (
+            min(b[0] for b in bboxes), min(b[1] for b in bboxes),
+            max(b[2] for b in bboxes), max(b[3] for b in bboxes),
+        )
+    iz, ix, iy = _choose_first_zoom_bbox(bbox, cfg.minzoom, cfg.buffer)
+    if cfg.one_tile is not None:
+        iz, ix, iy = cfg.minzoom, cfg.one_tile[0], cfg.one_tile[1]
+    gap_refs = None
     if cfg.densest_active():
-        gaps = _z0_gaps(rows0, vind, cfg.index_scheme,
-                        origin=(ix << (WORLD_BITS - iz), iy << (WORLD_BITS - iz))
-                        if iz else (0, 0))
-        attrs2["__gap__"] = {rows0[i][0]: int(gaps[i]) for i in range(len(rows0))}
-    if cfg.smallest_active() or cfg.order_by_size():
-        g = cfg.resolved_gscale()
-        attrs2["__extent__"] = {
-            r[0]: _ingest_extent(r[1], r[2], r[3], g) for r in rows0
-        }
+        origin = ((ix << (WORLD_BITS - iz), iy << (WORLD_BITS - iz))
+                  if iz else (0, 0))
+        gap_refs = []
+        prev_v = 0
+        for i, b in enumerate(blocks):
+            gap_refs.append(
+                _strat_block_gaps.remote(b, prev_v, origin, cfg.index_scheme))
+            prev_v = side_metas[i]["last_v"]
+    attrs_ref = _strat_combine_attrs.remote(
+        attrs, side_arr_refs, gap_refs, need_extent)
     gn_ref = None
     if cfg.prevent_shared_nodes:
         from ..stages.nodes import shared_nodes_global
 
-        gn_ref = ray.put(shared_nodes_global(ray.data.from_arrow(feat_tbl)))
+        gn_ref = ray.put(shared_nodes_global(ds))
     at_origin = (0, 0)
     if cfg.variable_depth:
-        at_origin = stream_origin(feat_tbl, cfg.resolved_gscale())
-    attrs_ref = ray.put(attrs2)
+        cand = [(m["min_seq"], m.get("origin_xy")) for m in side_metas
+                if "min_seq" in m and m.get("origin_xy")]
+        if cand:
+            _, oxy = min(cand)
+            at_origin = (oxy[0] >> g, oxy[1] >> g)
     n_cpus = int(ray.cluster_resources().get("CPU", 8))
 
     # ---- the reference's zoom schedule (choose_first_zoom
@@ -3751,12 +3924,21 @@ def _build_strategy_pyramid(
     # queue is fileno-sorted and popped from the back
     # (run_thread tile.cpp:3093-3099).
     cpus, temp_files = _tippecanoe_cpus_tempfiles()
-    child_refs: list = [ray.put({(ix, iy): rows0})]
-    keys: list = [(ix, iy)]
-    key_file: dict = {(ix, iy): 0}
+    # fixed hash-partition count for the children exchange; the root
+    # tile's input parts are the sorted blocks themselves, unpacked to
+    # rows inside worker tasks (stream order = block order)
+    n_parts = max(1, 4 * n_cpus)
+    root_key = (ix, iy)
+    root_pid = hash(root_key) % n_parts
+    child_parts: list = [
+        {root_pid: _strat_block_rows.remote(b, root_key)} for b in blocks
+    ]
+    keys: list = [root_key]
+    key_file: dict = {root_key: 0}
     poisoned: set = set()
     leaf_set: frozenset = frozenset()
     tile_refs: list = []
+    write_refs: list = []
     z = iz
     prev_z = max(iz - 1, 0)
     eff_maxzoom = cfg.maxzoom
@@ -3783,21 +3965,30 @@ def _build_strategy_pyramid(
         entry = _fresh_thresholds(cfg)
         task_out: list = []
         metas: list = []
+        by_pid: dict[int, list] = {}
+        for k in keys:
+            by_pid.setdefault(hash(k) % n_parts, []).append(k)
+        pids_sorted = sorted(by_pid)
+        ntasks = max(1, min(n_cpus, len(pids_sorted)))
+        task_pids = [pids_sorted[i::ntasks] for i in range(ntasks)]
+        task_pids = [tp for tp in task_pids if tp]
         for _pass in range(1 if fanout_only else 64):
             cfg_pass = (cfg if eff_maxzoom == cfg.maxzoom
                         else dataclasses.replace(cfg, maxzoom=eff_maxzoom))
             is_dropping = _dropping_features(entry)
-            ntasks = max(1, min(n_cpus, len(keys)))
-            assign: list[list] = [[] for _ in range(ntasks)]
-            for k in keys:
-                assign[hash(k) % ntasks].append(k)
             task_out = [
                 _strat_zoom_task.remote(
-                    cfg_pass, z, a, child_refs, entry, leaf_set, is_dropping,
+                    cfg_pass, z,
+                    sorted(k for pid in tp for k in by_pid[pid]),
+                    # only the parent partitions this task's keys hash
+                    # into — never any other task's children
+                    [pm[pid] for pm in child_parts for pid in tp
+                     if pid in pm],
+                    entry, leaf_set, is_dropping,
                     attrs_ref, gn_ref, at_origin, poisoned,
                     nextzoom=nextzoom, fanout_only=fanout_only,
-                    parent_shift=parent_shift)
-                for a in assign if a
+                    parent_shift=parent_shift, n_parts=n_parts)
+                for tp in task_pids
             ]
             metas = ray.get([t[2] for t in task_out])
             # the extension check runs per pass, BEFORE the again/break
@@ -3813,8 +4004,15 @@ def _build_strategy_pyramid(
             entry, again = _merge_proposals(entry, [m["out"] for m in metas])
             if not again:
                 break
-        tile_refs.extend(t[0] for t in task_out)
-        child_refs = [t[1] for t in task_out]
+        if raw_dir is not None:
+            # in-task sink: only the accepted (consensus) pass lands
+            write_refs.extend(
+                _strat_write_tiles.remote(t[0], raw_dir, z, i)
+                for i, t in enumerate(task_out)
+            )
+        else:
+            tile_refs.extend(t[0] for t in task_out)
+        child_parts = ray.get([t[1] for t in task_out])
         new_key_file: dict = {}
         span = 1 << mzi
         for m in metas:
@@ -3831,6 +4029,19 @@ def _build_strategy_pyramid(
         )
         prev_z = z
         z = nextzoom
+    if raw_dir is not None:
+        import os as _os
+
+        import pyarrow.parquet as pq
+
+        n_written = sum(ray.get(write_refs)) if write_refs else 0
+        have = [f for f in _os.listdir(raw_dir) if f.endswith(".parquet")]
+        if n_written == 0 and not have:
+            pq.write_table(_tile_rows_table([]),
+                           _os.path.join(raw_dir, "strat_empty.parquet"))
+        return ray.data.read_parquet(raw_dir).map_batches(
+            lambda t: t.replace_schema_metadata(None),
+            batch_format="pyarrow")
     return ray.data.from_arrow_refs(tile_refs)
 
 
@@ -3859,16 +4070,15 @@ def build_vector_pyramid(
         # gamma/-K/as-needed strategies need the zoom-sequential
         # consensus orchestration (whole-zoom retries with shared
         # thresholds); the subtree cascade cannot express it
-        ds_out = _build_strategy_pyramid(feat_tbl, cfg, attrs=attrs)
+        raw_dir = None
         if out_dir:
             raw_dir = os.path.join(out_dir, "raw")
             os.makedirs(raw_dir, exist_ok=True)
-            ds_out = ds_out.materialize()
-            ds_out.write_parquet(raw_dir)
-            return ray.data.read_parquet(raw_dir).map_batches(
-                lambda t: t.replace_schema_metadata(None),
-                batch_format="pyarrow")
-        return ds_out
+            for f in os.listdir(raw_dir):
+                if f.startswith("strat_") and f.endswith(".parquet"):
+                    os.remove(os.path.join(raw_dir, f))
+        return _build_strategy_pyramid(feat_tbl, cfg, attrs=attrs,
+                                       raw_dir=raw_dir)
     if isinstance(feat_tbl, pa.Table):
         if n_rows is None:
             n_rows = len(feat_tbl)
