@@ -72,3 +72,54 @@ def test_non_ndjson_falls_back(ray_session):
     assert not _is_ndjson(src)
     ds = read_geojson_vector_ds(src)
     assert ds.count() > 0
+
+def test_parallel_attrs_identical(ray_session, nd_path):
+    """read_geojson_parallel's merged side dict must equal the serial
+    read_geojson_attrs — including _RawNum typing of numeric
+    properties and ids (serial_val stringification)."""
+    from tippecanoe_ray.sources.geojson import (
+        read_geojson_attrs, read_geojson_parallel,
+    )
+
+    serial = read_geojson_attrs(nd_path)
+    par = read_geojson_parallel(nd_path, target_bytes=48 << 10)
+    assert par is not None
+    _, pattrs = par
+    assert pattrs == serial
+
+
+def test_cli_parallel_ingest_byte_identical(ray_session, nd_path,
+                                            tmp_path, capsys):
+    """The CLI's fragment-parallel NDJSON ingest must produce the same
+    mbtiles bytes as the serial path, at two parallelism levels, for
+    the plain and strategy (-as) pipelines."""
+    import sqlite3
+
+    from tippecanoe_ray.__main__ import main
+
+    def tiles(p):
+        con = sqlite3.connect(p)
+        try:
+            return {
+                (z, x, y): bytes(d) for z, x, y, d in con.execute(
+                    "SELECT zoom_level, tile_column, tile_row, tile_data"
+                    " FROM tiles")
+            }
+        finally:
+            con.close()
+
+    for extra in ([], ["--drop-smallest-as-needed",
+                       "--max-tile-bytes", "20000"]):
+        got = {}
+        for tag, frag in (("serial", 1 << 30), ("par", 48 << 10),
+                          ("par2", 24 << 10)):
+            mb = str(tmp_path / f"{tag}_{len(extra)}.mbtiles")
+            rc = main(["--input", nd_path,
+                       "--out", str(tmp_path / f"t_{tag}_{len(extra)}"),
+                       "--maxzoom", "3", "--mbtiles", mb, "--force",
+                       "--fragment-bytes", str(frag)] + extra)
+            assert rc == 0
+            capsys.readouterr()
+            got[tag] = tiles(mb)
+        assert got["par"] == got["serial"]
+        assert got["par2"] == got["serial"]

@@ -96,8 +96,18 @@ def _build_from_geo(args, cfg):
 
     pts_parts: list = []
     vec_parts: list = []
+    vec_ds = None  # fragment-parallel NDJSON geometry Dataset
     merged_layers: dict = {}
     total = 0
+    # the Dataset ingest path needs no driver-side Table: single NDJSON
+    # input, no provisional full-table scans (-zg / -Bg / -rg / -ag)
+    parallel_ok = (
+        len(inputs) == 1
+        and not getattr(args, "guess_zoom", False)
+        and not getattr(args, "calculate_feature_density", False)
+        and args.basezoom >= 0
+        and args.droprate >= 0
+    )
     for src_i, path in enumerate(inputs):
         lower = path.lower()
         pts_i = None
@@ -121,14 +131,25 @@ def _build_from_geo(args, cfg):
             n_i = len(vec_i)
         else:
             from tippecanoe_ray.sources.geojson import (
-                read_geojson_attrs, read_geojson_vector,
+                read_geojson_attrs, read_geojson_parallel,
+                read_geojson_vector,
             )
 
             # all geometry runs ride ONE pipeline like the reference;
             # gamma / -K / as-needed strategies run in the vector
             # pipeline's zoom-consensus driver (tile.cpp:3272-3623)
-            vec_i = read_geojson_vector(path, projection=args.projection)
-            attrs_i = read_geojson_attrs(path)
+            par = (
+                read_geojson_parallel(
+                    path, target_bytes=args.fragment_bytes,
+                    projection=args.projection)
+                if parallel_ok else None
+            )
+            if par is not None:
+                vec_ds, attrs_i = par
+                vec_i = None
+            else:
+                vec_i = read_geojson_vector(path, projection=args.projection)
+                attrs_i = read_geojson_attrs(path)
             n_i = attrs_i.pop("__n__", 0)
             lay_i = attrs_i.pop("__layers__", {})
             sid_i = attrs_i.pop("__strids__", {})
@@ -282,7 +303,7 @@ def _build_from_geo(args, cfg):
             "seq": pts_tbl["seq"],
         }))
         outs.append(build_pyramid_from_narrow(narrow, cfg, n_rows=len(pts_tbl)))
-    if vec_tbl is not None and len(vec_tbl):
+    if vec_ds is not None or (vec_tbl is not None and len(vec_tbl)):
         scheme = "hilbert" if args.hilbert else "quadkey"
         prov_feats = None
         if getattr(args, "guess_zoom", False):
@@ -422,7 +443,14 @@ def _build_from_geo(args, cfg):
             visvalingam=args.visvalingam,
             one_tile=args.one_tile_xy,
         )
-        feats = ingest_features(vec_tbl, vcfg)
+        if vec_ds is not None:
+            from tippecanoe_ray.pipelines.vector_pyramid import (
+                ingest_features_ds,
+            )
+
+            feats = ingest_features_ds(vec_ds, vcfg)
+        else:
+            feats = ingest_features(vec_tbl, vcfg)
         if args.calculate_feature_density:
             # the density scan needs each feature's spatial index
             vec_attrs["__vindex__"] = dict(
@@ -688,6 +716,11 @@ def main(argv=None):
     ap.add_argument("--projection", "-s", default="EPSG:4326",
                     choices=["EPSG:4326", "EPSG:3857"],
                     help="input coordinate system (projection.cpp:13-17)")
+    ap.add_argument("--fragment-bytes", type=int, default=8 << 20,
+                    help="target byte size of the parallel-ingest "
+                         "fragments for NDJSON inputs (the reference's "
+                         "-P split, main.cpp:451-540); inputs smaller "
+                         "than two fragments read serially")
     ap.add_argument("--set-attribute", action="append", default=[],
                     help="name:value or a JSON object — set the "
                          "attribute on every feature (replaces an "

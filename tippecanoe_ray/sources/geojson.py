@@ -267,10 +267,14 @@ def _fragment_bounds(path: str, target_bytes: int) -> list[tuple[int, int]]:
     return [(cuts[i], cuts[i + 1]) for i in range(n) if cuts[i] < cuts[i + 1]]
 
 
-def _iter_fragment_features(path: str, start: int, end: int):
+def _iter_fragment_features(path: str, start: int, end: int,
+                            raw_numbers: bool = False):
     """Features whose record STARTS in [start, end): seek, drop the
-    partial first line, then parse line records until past `end`."""
-    dec = json.JSONDecoder()
+    partial first line, then parse line records until past `end`.
+    raw_numbers keeps JSON numbers as their source tokens (_RawNum) —
+    required by the attribute/id side-table extraction."""
+    dec = (json.JSONDecoder(parse_float=_RawNum, parse_int=_RawNum)
+           if raw_numbers else json.JSONDecoder())
     with open(path, "rb") as f:
         f.seek(start)
         if start > 0:
@@ -349,8 +353,6 @@ def read_geojson_vector_ds(path: str, target_bytes: int = 8 << 20):
     import ray
     import ray.data
 
-    from ..pipelines.vector_pyramid import features_table
-
     bounds = (
         _fragment_bounds(path, target_bytes) if _is_ndjson(path) else None
     )
@@ -366,6 +368,81 @@ def read_geojson_vector_ds(path: str, target_bytes: int = 8 << 20):
         {"start": s, "end": e, "base": int(b)}
         for (s, e), b in zip(bounds, bases)
     ]
+    return _vector_ds_from_frags(path, frags)
+
+
+try:  # defined lazily so importing this module never touches ray
+    import ray as _ray
+
+    @_ray.remote(num_cpus=1)
+    def _count_fragment_task(path: str, start: int, end: int) -> int:
+        return _count_fragment_features(path, start, end)
+
+    @_ray.remote(num_cpus=1)
+    def _attrs_fragment_task(path: str, start: int, end: int) -> dict:
+        """Attrs side dict over one fragment, seqs local to the
+        fragment; __n__ doubles as the seq-rebase count."""
+        return _attrs_of(
+            _iter_fragment_features(path, start, end, raw_numbers=True))
+except ImportError:  # pragma: no cover
+    _count_fragment_task = None
+    _attrs_fragment_task = None
+
+
+def read_geojson_parallel(path: str, target_bytes: int = 8 << 20,
+                          projection: str = "EPSG:4326"):
+    """(vector Dataset, attrs dict) for a fragmentable NDJSON input —
+    the CLI's parallel ingest (the reference's -P path,
+    main.cpp:451-540) with ONE fan-out doing double duty: each
+    fragment task parses its byte range once and returns the per-seq
+    attribute side dict PLUS its feature count, so the count pass that
+    rebases global seqs is free. Returns None when the input isn't
+    splittable (non-NDJSON / single fragment) or uses a projection the
+    fragment parser doesn't handle — callers fall back to the serial
+    readers."""
+    import ray
+    import ray.data
+
+    if projection != "EPSG:4326" or not _is_ndjson(path):
+        return None
+    bounds = _fragment_bounds(path, target_bytes)
+    if len(bounds) < 2:
+        return None
+    parts = ray.get([
+        _attrs_fragment_task.remote(path, s, e) for s, e in bounds
+    ])
+    counts = [p["__n__"] for p in parts]
+    bases = np.concatenate([[0], np.cumsum(counts)[:-1]]).astype(np.int64)
+    attrs: dict = {}
+    layers: dict = {}
+    strids: dict = {}
+    for p, b in zip(parts, bases):
+        b = int(b)
+        for k, v in p.items():
+            if isinstance(k, int):
+                attrs[k + b] = v
+        for k, v in p.get("__layers__", {}).items():
+            layers[k + b] = v
+        for k, v in p.get("__strids__", {}).items():
+            strids[k + b] = v
+    if layers:
+        attrs["__layers__"] = layers
+    if strids:
+        attrs["__strids__"] = strids
+    attrs["__n__"] = int(np.sum(counts))
+    frags = [
+        {"start": s, "end": e, "base": int(b)}
+        for (s, e), b in zip(bounds, bases)
+    ]
+    return _vector_ds_from_frags(path, frags), attrs
+
+
+def _vector_ds_from_frags(path: str, frags: list):
+    """Fragment descriptors → multi-block Dataset of FEATURE_SCHEMA
+    rows (shared by read_geojson_vector_ds / read_geojson_parallel)."""
+    import ray.data
+
+    from ..pipelines.vector_pyramid import features_table
 
     def parse(batch: pa.Table) -> pa.Table:
         out = []
@@ -373,7 +450,8 @@ def read_geojson_vector_ds(path: str, target_bytes: int = 8 << 20):
             base = int(batch["base"][i].as_py())
             rows = _vector_rows_of(
                 _iter_fragment_features(
-                    path, int(batch["start"][i].as_py()), int(batch["end"][i].as_py())
+                    path, int(batch["start"][i].as_py()),
+                    int(batch["end"][i].as_py())
                 )
             )
             rows = [(r[0] + base, *r[1:]) for r in rows]
@@ -385,16 +463,6 @@ def read_geojson_vector_ds(path: str, target_bytes: int = 8 << 20):
     return ray.data.from_items(frags).map_batches(
         parse, batch_format="pyarrow", batch_size=1
     )
-
-
-try:  # defined lazily so importing this module never touches ray
-    import ray as _ray
-
-    @_ray.remote(num_cpus=1)
-    def _count_fragment_task(path: str, start: int, end: int) -> int:
-        return _count_fragment_features(path, start, end)
-except ImportError:  # pragma: no cover
-    _count_fragment_task = None
 
 
 def read_geojson_points_ds(path: str, target_bytes: int = 8 << 20):
@@ -601,11 +669,18 @@ def read_geojson_attrs(path: str) -> dict:
     serial_val stringification. The table is broadcast to the vector
     pipeline's encode actors (attributes never ride the geometry
     exchange)."""
+    return _attrs_of(_iter_features_tokens(path))
+
+
+def _attrs_of(feats) -> dict:
+    """Attribute side-table extraction over any feature iterator, seqs
+    local to the iteration (read_geojson_attrs's loop body, shared
+    with the fragment-parallel task)."""
     out: dict = {}
     seq = 0
     layers: dict = {}  # seq -> per-feature layer override name
     strids: dict = {}  # seq -> raw string feature id (for -aI)
-    for feat in _iter_features_tokens(path):
+    for feat in feats:
         tc = feat.get("tippecanoe") or {}
         if isinstance(tc, dict) and isinstance(tc.get("layer"), str):
             # per-feature layer (geojson.cpp:96-100): the feature goes
