@@ -430,3 +430,46 @@ def test_coalesce_other_ladders(ray_session, ladder, flag):
         ours[(int(rr["z"]), int(rr["x"]), int(rr["y"]))] = (nf, npts)
     d = _diff(ours, ref)
     assert not d, d
+
+
+def test_drop_denser_distributed_matches_oracle(ray_session):
+    """attach_drop_denser_minzoom (distributed: sort + per-block rank
+    windows + gap-rank shuffle) must equal drop_denser_minzooms (the
+    driver-side oracle) row for row."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from tippecanoe_ray.pipelines.pyramid import (
+        PyramidConfig, attach_drop_denser_minzoom, drop_denser_minzooms,
+    )
+
+    rng = np.random.RandomState(7)
+    n = 5000
+    ix = rng.randint(0, 1 << 62, n).astype(np.uint64)
+    tbl = pa.table({
+        "bucket": pa.array(np.zeros(n, np.int64)),
+        "index": pa.array(ix),
+        "seq": pa.array(np.arange(n, dtype=np.int64)),
+        "wx": pa.array(rng.randint(0, 1 << 32, n).astype(np.int64)),
+        "wy": pa.array(rng.randint(0, 1 << 32, n).astype(np.int64)),
+    })
+    for pct in (0, 7, 40, 100):
+        cfg = PyramidConfig(maxzoom=6, droprate=2.5, drop_denser=pct,
+                            bucket_zoom=0)
+        narrow = ray.data.from_arrow(tbl).repartition(9)
+        oracle = drop_denser_minzooms(narrow, cfg)
+        got_ds = attach_drop_denser_minzoom(narrow, cfg)
+        got_tbl = pa.concat_tables([
+            t for t in ray.get(got_ds.to_arrow_refs()) if t.num_rows
+        ])
+        o = np.lexsort((
+            got_tbl["seq"].to_numpy(zero_copy_only=False),
+            got_tbl["index"].to_numpy(zero_copy_only=False).astype(np.uint64),
+        ))
+        got = got_tbl["ddmz"].to_numpy(zero_copy_only=False)[o] \
+            if "ddmz" in got_tbl.column_names else np.zeros(n, np.int16)
+        if pct == 0:
+            assert "ddmz" not in got_tbl.column_names or (got == oracle).all()
+        else:
+            assert (got == oracle).all(), (pct, np.flatnonzero(got != oracle)[:5])

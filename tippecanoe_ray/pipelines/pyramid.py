@@ -990,6 +990,11 @@ class BucketWorker:
             if cfg0.val_col()
             else None
         )
+        dd_a = (
+            group["ddmz"].to_numpy(zero_copy_only=False).astype(np.int16)
+            if "ddmz" in group.column_names
+            else None
+        )
         order = np.lexsort((seq_a, index_a, buckets))
         buckets = buckets[order]
         index_a, seq_a = index_a[order], seq_a[order]
@@ -1000,6 +1005,8 @@ class BucketWorker:
             fmax_a = fmax_a[order]
         if vals_a is not None:
             vals_a = vals_a[order]
+        if dd_a is not None:
+            dd_a = dd_a[order]
         cuts = np.flatnonzero(buckets[1:] != buckets[:-1]) + 1
         starts = np.concatenate(([0], cuts))
         ends = np.concatenate((cuts, [len(buckets)]))
@@ -1016,7 +1023,11 @@ class BucketWorker:
         if self.contiguous_ranks:
             cfgl = self.cfg
             r0 = self.offsets()[int(buckets[0])]
-            if self.minzoom_ref is not None:
+            if dd_a is not None:
+                # --drop-denser minzooms ride the rows as a column
+                # (attach_drop_denser_minzoom)
+                task_mz = dd_a
+            elif self.minzoom_ref is not None:
                 arr = (
                     ray.get(self.minzoom_ref)
                     if isinstance(self.minzoom_ref, ray.ObjectRef)
@@ -1393,6 +1404,179 @@ def drop_denser_minzooms(narrow: ray.data.Dataset, cfg: PyramidConfig) -> np.nda
                 i += 1
         mz[s_pos] = zs
     return mz
+
+
+@ray.remote(num_returns=2)
+def _dd_block_meta(tbl: pa.Table, pct: int):
+    """Phase A of the distributed --drop-denser pass, over one
+    (index, seq)-sorted block: tiny driver meta (row / selected
+    counts, the block's last selected index for gap chaining)."""
+    ix = tbl["index"].to_numpy(zero_copy_only=False).astype(np.uint64)
+    sel = (ix % np.uint64(100)) < np.uint64(pct)
+    s_pos = np.flatnonzero(sel)
+    meta = {
+        "n": len(ix),
+        "n_sel": int(len(s_pos)),
+        "last_sel_ix": int(ix[s_pos[-1]]) if len(s_pos) else None,
+    }
+    return meta, sel
+
+
+@ray.remote(num_returns=2)
+def _dd_block_rank(tbl: pa.Table, sel: np.ndarray, prev_sel_ix: int,
+                   ns_base: int, sel_base: int, maxzoom: int,
+                   basezoom: int, droprate: float):
+    """Phase B: the block table with ddmz filled for the NON-selected
+    subsequence (rate ladder over global non-selected ranks), plus the
+    selected rows' (selpos, gap) pairs for the global gap ranking.
+    Gap = uint64 wraparound distance to the previous selected
+    feature's index, chained across blocks via prev_sel_ix."""
+    ix = tbl["index"].to_numpy(zero_copy_only=False).astype(np.uint64)
+    mz = np.zeros(len(ix), dtype=np.int16)
+    ns = np.flatnonzero(~sel)
+    if len(ns):
+        mz[ns] = minzoom_for_rank_range(
+            ns_base, ns_base + len(ns), maxzoom, basezoom, droprate
+        ).astype(np.int16)
+    s_pos = np.flatnonzero(sel)
+    pairs = pa.table({
+        "gap": pa.array(np.zeros(0, np.uint64)),
+        "selpos": pa.array(np.zeros(0, np.int64)),
+    })
+    if len(s_pos):
+        six = ix[s_pos]
+        prev = np.concatenate(([np.uint64(prev_sel_ix)], six[:-1]))
+        pairs = pa.table({
+            "gap": pa.array(six - prev),
+            "selpos": pa.array(sel_base + np.arange(len(s_pos), dtype=np.int64)),
+        })
+    out = tbl.append_column("ddmz", pa.array(mz, pa.int16()))
+    return out.replace_schema_metadata(None), pairs
+
+
+def _dd_keep_counts(n_sel: int, basezoom: int, droprate: float) -> np.ndarray:
+    """Cumulative keep counts per zoom for the selected gap ranking
+    (main.cpp:2706-2719): rank r's minzoom is the first z whose keep
+    count exceeds r."""
+    import math as _math
+
+    kc = np.empty(basezoom + 1, np.int64)
+    for z in range(basezoom + 1):
+        kf = (1.0 / _math.exp(_math.log(droprate) * (basezoom - z))
+              if droprate > 1 else 1.0)
+        kc[z] = int(n_sel * kf)
+    return kc
+
+
+@ray.remote
+def _dd_rank_route(tbl: pa.Table, rank_base: int, kc: np.ndarray,
+                   basezoom: int, sel_bounds: np.ndarray) -> dict:
+    """One block of the (gap desc, selpos asc)-sorted pair stream:
+    assign each row's minzoom from its global rank, then hash-route
+    {selpos, zs} back to the originating feature block (selpos ranges
+    are contiguous per block, so searchsorted over the block bases
+    routes exactly)."""
+    n = tbl.num_rows
+    if n == 0:
+        return {}
+    ranks = rank_base + np.arange(n, dtype=np.int64)
+    zs = np.searchsorted(kc, ranks, side="right").astype(np.int16)
+    zs[zs > basezoom] = basezoom
+    selpos = tbl["selpos"].to_numpy(zero_copy_only=False)
+    bid = np.searchsorted(sel_bounds, selpos, side="right") - 1
+    out = {}
+    for b in np.unique(bid):
+        m = bid == b
+        out[int(b)] = ray.put(pa.table({
+            "selpos": pa.array(selpos[m]),
+            "zs": pa.array(zs[m], pa.int16()),
+        }))
+    return out
+
+
+@ray.remote
+def _dd_fill(tbl: pa.Table, sel: np.ndarray, sel_base: int,
+             zs_refs: list) -> pa.Table:
+    """Scatter the selected minzooms into the block's ddmz column: the
+    block's selected rows own the contiguous selpos range starting at
+    sel_base, in position order."""
+    mz = tbl["ddmz"].to_numpy(zero_copy_only=False).astype(np.int16).copy()
+    s_pos = np.flatnonzero(sel)
+    for r in zs_refs:
+        part = ray.get(r) if isinstance(r, ray.ObjectRef) else r
+        sp = part["selpos"].to_numpy(zero_copy_only=False)
+        zs = part["zs"].to_numpy(zero_copy_only=False)
+        mz[s_pos[sp - sel_base]] = zs
+    i = tbl.column_names.index("ddmz")
+    return tbl.set_column(i, "ddmz", pa.array(mz, pa.int16()))
+
+
+def attach_drop_denser_minzoom(
+    narrow: ray.data.Dataset, cfg: PyramidConfig
+) -> ray.data.Dataset:
+    """Distributed --drop-denser pass (main.cpp:2692-2727): the narrow
+    Dataset comes back with a per-row `ddmz` column carrying each
+    feature's global minzoom — semantics identical to
+    drop_denser_minzooms (the driver-side oracle) but with no O(n)
+    driver pull: a range sort orders the stream, per-block tasks build
+    the non-selected ladder and the selected gap pairs, a second
+    distributed sort ranks the gaps (descending, ties by original
+    selected order), and the resulting minzooms hash-route back to
+    their feature blocks as {block: ref} maps."""
+    ds = narrow.sort(["index", "seq"]).materialize()
+    blocks = list(ds.to_arrow_refs())
+    metas_sel = [_dd_block_meta.remote(b, cfg.drop_denser) for b in blocks]
+    metas = ray.get([p[0] for p in metas_sel])
+    keep = [i for i, m in enumerate(metas) if m["n"]]
+    if not keep:
+        return ds
+    blocks = [blocks[i] for i in keep]
+    sels = [metas_sel[i][1] for i in keep]
+    metas = [metas[i] for i in keep]
+    basezoom = cfg.resolved_basezoom()
+    ns_base = sel_base = 0
+    prev_sel = 0
+    phase_b = []
+    sel_bases = []
+    for b, s, m in zip(blocks, sels, metas):
+        sel_bases.append(sel_base)
+        phase_b.append(_dd_block_rank.remote(
+            b, s, prev_sel, ns_base, sel_base,
+            cfg.maxzoom, basezoom, cfg.droprate))
+        ns_base += m["n"] - m["n_sel"]
+        sel_base += m["n_sel"]
+        if m["last_sel_ix"] is not None:
+            prev_sel = m["last_sel_ix"]
+    n_sel = sel_base
+    out_blocks = [p[0] for p in phase_b]
+    if n_sel == 0:
+        return ray.data.from_arrow_refs(out_blocks)
+    pair_ds = ray.data.from_arrow_refs([p[1] for p in phase_b]).sort(
+        ["gap", "selpos"], descending=[True, False]
+    ).materialize()
+    kc = _dd_keep_counts(n_sel, basezoom, cfg.droprate)
+    sel_bounds = np.array(sel_bases, np.int64)
+    rank_blocks = list(pair_ds.to_arrow_refs())
+    # tiny count pass for rank bases (one int per sorted block)
+    counts = ray.get([_dd_count.remote(r) for r in rank_blocks])
+    rank_bases = np.concatenate(([0], np.cumsum(counts)[:-1]))
+    route_maps = ray.get([
+        _dd_rank_route.remote(r, int(rb), kc, basezoom, sel_bounds)
+        for r, rb in zip(rank_blocks, rank_bases)
+    ])
+    filled = []
+    for i, (ob, s) in enumerate(zip(out_blocks, sels)):
+        zs_refs = [rm[i] for rm in route_maps if i in rm]
+        if zs_refs:
+            filled.append(_dd_fill.remote(ob, s, sel_bases[i], zs_refs))
+        else:
+            filled.append(ob)
+    return ray.data.from_arrow_refs(filled)
+
+
+@ray.remote
+def _dd_count(tbl: pa.Table) -> int:
+    return tbl.num_rows
 
 
 def lowzoom_tiles(survivor_rows: list[dict], cfg: PyramidConfig, bucket_zoom: int,
@@ -1965,7 +2149,9 @@ def build_pyramid_from_narrow(
     offsets_ref = ray.put(offsets)
     minzoom_ref = None
     if cfg.drop_denser > 0:
-        minzoom_ref = ray.put(drop_denser_minzooms(narrow, cfg))
+        # distributed global pass: ddmz rides the rows as a column
+        # (drop_denser_minzooms is the driver-side oracle it must match)
+        narrow = attach_drop_denser_minzoom(narrow, cfg)
 
     @ray.remote
     def _partition(tbl: pa.Table, bounds: np.ndarray, np_: int):
