@@ -8,13 +8,15 @@ down Ray.
   over a deterministic image table derived from sf0.001 documents.
 - ``queries()``: one entry per implemented operator/pipeline
   (SURVEY.md §2 + the training-data ops); each takes ``sf_dir``.
-- ``oracle_sql()``: DuckDB-runnable SQL equivalents — 34 of the 38
-  queries, including the LSH families (simhash signatures, the pruned
-  sign-LSH ANN read, the fp32-jitter embedding near-dup) and the full
-  image pyramid (geotag + snapping + rate ladder as a recursive CTE).
-  Rows-only by design: minhash_lsh_pairs (independent brute-force
-  Jaccard explodes on shared shingles), vector_pyramid_counts /
-  vector_tiles_z3 (general clip survival — byte-exact pytest vs the
+- ``oracle_sql()``: DuckDB-runnable SQL equivalents — 36 of the 39
+  queries, including the LSH families (simhash signatures, the full
+  capped-bucket MinHash banding model, the pruned sign-LSH ANN read,
+  the fp32-jitter embedding near-dup), the full image pyramid (geotag
+  + snapping + rate ladder as a recursive CTE), and the vector
+  cascade's clip-survival forms (axis-aligned squares, buffered-point
+  containment incl. the z0 dateline duplication).
+  Rows-only by design: vector_pyramid_counts / vector_tiles_z3
+  (general line/polygon clip survival — byte-exact pytest vs the
   reference binary is the stronger check), payload_psnr (image
   kernel).
 """

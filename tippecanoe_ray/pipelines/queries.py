@@ -1086,6 +1086,7 @@ def all_queries() -> dict:
         "payload_psnr": payload_psnr_q,
         "vector_pyramid_counts": vector_pyramid_q,
         "vector_squares_z4": vector_squares_q,
+        "vector_points_z5": vector_points_q,
         "accumulate_sum_tiles": accumulate_tiles_q,
         "coalesce_tiles": coalesce_tiles_q,
     }
@@ -1429,6 +1430,116 @@ ORDER BY a, b
 """
 
 
+def _sm64_sql(x: str) -> str:
+    """splitmix64 of a HUGEINT-held uint64 SQL expression (mirrors
+    functions/hashing.py:splitmix64): the two 64-bit-constant
+    multiplies go through _mulmod64 (INT128-safe), xors/shifts stay in
+    HUGEINT. The input expression is referenced multiple times — pass
+    a column reference, not a computed expression."""
+    z1 = f"((({x}) + 11400714819323198485) % 18446744073709551616)"
+    x1 = f"xor({z1}, ({z1}) // {1 << 30})"
+    z2 = f"({_mulmod64(x1, 0xBF58476D1CE4E5B9)})"
+    x2 = f"xor({z2}, ({z2}) // {1 << 27})"
+    z3 = f"({_mulmod64(x2, 0x94D049BB133111EB)})"
+    return f"xor({z3}, ({z3}) // {1 << 31})"
+
+
+def _minhash_sql(num_perm: int = 64, bands: int = 16, k: int = 5,
+                 seed: int = 42, threshold: float = 0.8,
+                 max_bucket: int = 512) -> str:
+    """Capped-bucket MinHash-LSH oracle: models the ALGORITHM end to
+    end, the way _lsh_ann_sql models the pruned read — per-doc distinct
+    k-shingle FNV-1a hashes, the 64 splitmix-salted xor-permutation
+    minhashes (salts inlined from the seeded generator), the 16
+    chained-splitmix band keys, the per-bucket first-512-ids cap
+    (_pairs_within_groups), and the exact-Jaccard >= threshold verify.
+    Matches minhash_lsh_pairs including any banding recall misses."""
+    from ..functions.hashing import splitmix64 as _sm
+
+    salts = _sm(np.arange(seed, seed + num_perm, dtype=np.uint64))
+    salt_rows = ", ".join(
+        f"({p}, CAST({int(s)} AS HUGEINT))" for p, s in enumerate(salts)
+    )
+    rpb = num_perm // bands
+    u64max = (1 << 64) - 1
+    # chained band key: k1 = sm(s0 + band); k_{j+1} = sm(k_j ^ s_j)
+    key_steps = [f"k1 AS (SELECT id, band, {_sm64_sql('x0')} AS k, "
+                 + ", ".join(f"s{j}" for j in range(1, rpb))
+                 + " FROM bx)"]
+    for j in range(1, rpb):
+        carry = ", ".join(f"s{i}" for i in range(j + 1, rpb))
+        key_steps.append(
+            f"kx{j} AS (SELECT id, band, xor(k, s{j}) AS x"
+            + (", " + carry if carry else "") + f" FROM k{j})")
+        key_steps.append(
+            f"k{j + 1} AS (SELECT id, band, {_sm64_sql('x')} AS k"
+            + (", " + carry if carry else "") + f" FROM kx{j})")
+    sig_cols = ", ".join(
+        f"MAX(CASE WHEN p % {rpb} = {j} THEN mh END) AS s{j}"
+        for j in range(rpb)
+    )
+    return f"""
+WITH salts(p, salt) AS (VALUES {salt_rows}),
+docs AS (
+  SELECT doc_id AS id, COALESCE(text, '') AS txt FROM documents
+  UNION ALL
+  SELECT doc_id + 100000, COALESCE(text, '') FROM documents),
+sh AS (
+  SELECT id,
+    CASE WHEN LENGTH(txt) = 0 THEN CAST([] AS HUGEINT[])
+         WHEN LENGTH(txt) < {k} THEN [{_fnv_of_hex("hex(encode(txt))")}]
+         ELSE list_distinct(list_transform(
+           list_transform(generate_series(1, LENGTH(txt) - {k - 1}),
+                          i -> hex(encode(substr(txt, i, {k})))),
+           ghx -> {_fnv_of_hex("ghx")}))
+    END AS hs
+  FROM docs),
+shu AS (SELECT id, unnest(hs) AS h FROM sh),
+dh AS (SELECT DISTINCT h FROM shu),
+-- splitmix64 staged column-by-column (a nested expression re-evaluates
+-- the whole chain ~32x per row; the staged form is one op per stage)
+p0 AS (SELECT h, p, salt, xor(h, salt) AS z FROM dh CROSS JOIN salts),
+p1 AS (SELECT h, p, (z + 11400714819323198485) % 18446744073709551616 AS z FROM p0),
+p2 AS (SELECT h, p, xor(z, z // {1 << 30}) AS z FROM p1),
+p3 AS (SELECT h, p, {_mulmod64("z", 0xBF58476D1CE4E5B9)} AS z FROM p2),
+p4 AS (SELECT h, p, xor(z, z // {1 << 27}) AS z FROM p3),
+p5 AS (SELECT h, p, {_mulmod64("z", 0x94D049BB133111EB)} AS z FROM p4),
+p6 AS (SELECT h, p, xor(z, z // {1 << 31}) AS z FROM p5),
+mh0 AS (
+  SELECT shu.id, p6.p, MIN(p6.z) AS mh
+  FROM shu JOIN p6 ON p6.h = shu.h GROUP BY shu.id, p6.p),
+mh AS (
+  SELECT d.id, s.p, COALESCE(m.mh, CAST({u64max} AS HUGEINT)) AS mh
+  FROM docs d CROSS JOIN salts s
+  LEFT JOIN mh0 m ON m.id = d.id AND m.p = s.p),
+bnd AS (
+  SELECT id, p // {rpb} AS band, {sig_cols}
+  FROM mh GROUP BY id, p // {rpb}),
+bx AS (SELECT id, band, (s0 + band) % 18446744073709551616 AS x0,
+       {", ".join(f"s{j}" for j in range(1, rpb))} FROM bnd),
+{", ".join(key_steps)},
+buck AS (
+  SELECT DISTINCT CAST(k // 2 AS BIGINT) AS bucket, id FROM k{rpb}),
+bcap AS (
+  SELECT bucket, id FROM buck
+  QUALIFY row_number() OVER (PARTITION BY bucket ORDER BY id) <= {max_bucket}),
+cand AS (
+  SELECT DISTINCT x.id AS a, y.id AS b
+  FROM bcap x JOIN bcap y ON x.bucket = y.bucket AND x.id < y.id),
+vi AS (
+  SELECT c.a, c.b, LEN(list_intersect(sa.hs, sb.hs)) AS inter,
+         LEN(sa.hs) AS na, LEN(sb.hs) AS nb
+  FROM cand c JOIN sh sa ON sa.id = c.a JOIN sh sb ON sb.id = c.b
+  WHERE LEN(sa.hs) > 0 AND LEN(sb.hs) > 0),
+jc AS (
+  SELECT a, b, CAST(inter AS DOUBLE) / (na + nb - inter) AS jac FROM vi)
+SELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b,
+       ROUND(jac, 6) AS jaccard
+FROM jc WHERE jac >= {threshold}
+ORDER BY a, b
+"""
+
+
 def vector_squares_q(sf_dir: str) -> pd.DataFrame:
     """Vector pyramid over lcg-derived axis-aligned squares: for
     rectangles the cascade's per-tile survival test (parent-clipped
@@ -1495,6 +1606,81 @@ FROM hy GROUP BY 1, 2, 3 ORDER BY z, x, y
 """
 
 
+def vector_points_q(sf_dir: str) -> pd.DataFrame:
+    """Vector cascade over LCG-placed POINT features at droprate 1:
+    point clip survival is the closed buffered-interval test
+    (clip_to_tile point branch, tile.cpp:1030-1037) plus the z0
+    dateline ±360° duplication (tile.cpp:977-1001, which merges the
+    copies into ONE multipoint feature), so the full cascade's
+    per-tile feature counts are SQL-expressible exactly."""
+    from .vector_pyramid import (
+        VectorConfig, build_vector_pyramid, features_table, ingest_features,
+    )
+    from ..stages.geotag import lcg_world
+
+    t = _read_small(sf_dir, "documents", ["doc_id"])
+    ids = t["doc_id"].to_numpy()
+    wx, wy = lcg_world(ids)
+    rows = [
+        (int(i), 1, np.array([1], np.uint8),
+         np.array([[int(x), int(y)]], np.int64))
+        for i, x, y in zip(ids, wx, wy)
+    ]
+    cfg = VectorConfig(maxzoom=5, droprate=1.0, geometry_scale=0)
+    tiles = build_vector_pyramid(ingest_features(features_table(rows), cfg), cfg)
+    df = tiles.select_columns(["z", "x", "y", "n_features"]).to_pandas()
+    df = df[df["n_features"] > 0]  # strategy-counter phantom rows
+    return df.sort_values(["z", "x", "y"]).reset_index(drop=True)
+
+
+def _vector_points_sql(maxzoom: int = 5, buf: int = 5) -> str:
+    """Oracle for vector_points_q: a feature lands in tile (z, x, y)
+    iff ANY of its dateline copies (the original, plus wx±2^32 when
+    within the z0 edge) satisfies the closed containment
+    x*span - buf <= wx <= (x+1)*span + buf on both axes; copies of one
+    doc in one tile count once (the engine merges them into one
+    multipoint feature)."""
+    wx, wy = lcg_world_sql("doc_id")
+    world = 1 << 32
+    edge = world * buf // 256  # z0 duplication edge == z0 buffer
+    return f"""
+WITH pts AS (
+  SELECT doc_id, CAST({wx} AS BIGINT) AS wx, CAST({wy} AS BIGINT) AS wy
+  FROM documents),
+copies AS (
+  SELECT doc_id, wx AS cwx, wy FROM pts
+  UNION ALL
+  SELECT doc_id, wx + {world}, wy FROM pts WHERE wx <= {edge}
+  UNION ALL
+  SELECT doc_id, wx - {world}, wy FROM pts WHERE wx >= {world - edge}),
+spans AS (
+  SELECT z, CAST(1 AS BIGINT) << (32 - z) AS span,
+         ((CAST(1 AS BIGINT) << (32 - z)) * {buf}) // 256 AS bf
+  FROM generate_series(0, {maxzoom}) t(z)),
+hx AS (
+  SELECT c.doc_id, s.z, s.span, s.bf, c.cwx, c.wy,
+         unnest(generate_series(
+           GREATEST((c.cwx - s.bf) // s.span - 1, 0),
+           LEAST((c.cwx + s.bf) // s.span + 1,
+                 (CAST(1 AS BIGINT) << s.z) - 1))) AS x
+  FROM copies c CROSS JOIN spans s),
+hxy AS (
+  SELECT doc_id, z, span, bf, cwx, wy, x,
+         unnest(generate_series(
+           GREATEST((wy - bf) // span - 1, 0),
+           LEAST((wy + bf) // span + 1,
+                 (CAST(1 AS BIGINT) << z) - 1))) AS y
+  FROM hx),
+hit AS (
+  SELECT DISTINCT doc_id, z, x, y FROM hxy
+  WHERE x * span - bf <= cwx AND cwx <= (x + 1) * span + bf
+    AND y * span - bf <= wy AND wy <= (y + 1) * span + bf)
+SELECT CAST(z AS INT) AS z, CAST(x AS INT) AS x, CAST(y AS INT) AS y,
+       COUNT(*) AS n_features
+FROM hit GROUP BY 1, 2, 3 ORDER BY z, x, y
+"""
+
+
 def all_oracle_sql() -> dict:
     return {
         "guess_zoom_params": _guess_sql(),
@@ -1530,8 +1716,10 @@ def all_oracle_sql() -> dict:
         "doc_fingerprints": FINGERPRINT_SQL,
         "raster_tiles_z2": RASTER_SQL,
         "vector_squares_z4": _vector_squares_sql(),
+        "vector_points_z5": _vector_points_sql(),
         "embedding_near_dup": EMB_NEAR_DUP_SQL,
         "lsh_ann_top10": _lsh_ann_sql(),
         "simhash_pairs": _simhash_sql(),
+        "minhash_lsh_pairs": _minhash_sql(),
         "image_pyramid": _image_pyramid_sql(),
     }
