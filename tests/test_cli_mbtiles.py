@@ -63,3 +63,54 @@ def test_cli_existing_output_semantics(ray_session, tmp_path, capsys):
     assert main(base + ["--out", str(tmp_path / "t3"), "--force"]) == 0
     capsys.readouterr()
     assert read_mbtiles(mb).count() == n1
+
+
+def test_point_pipeline_strategies_metadata(ray_session, tmp_path, capsys):
+    """The parquet point pipeline's mbtiles `strategies` metadata block
+    must be string-identical to the reference binary's on the same
+    points (mbtiles.cpp:372-460; counters from the rate ladder)."""
+    import sqlite3
+    import subprocess
+
+    import pytest
+
+    from tests.util_reference import TIPPECANOE, write_geojson
+
+    if not os.path.exists(TIPPECANOE):
+        pytest.skip("reference binary not built")
+    import numpy as np
+
+    from tippecanoe_ray.stages.geotag import fnv_world
+
+    n = 3000
+    ids = [f"img-{i:012d}" for i in range(n)]
+    tbl = pa.table({"image_id": ids})
+    inp = str(tmp_path / "in.parquet")
+    pq.write_table(tbl, inp)
+    mb_our = str(tmp_path / "our.mbtiles")
+
+    from tippecanoe_ray.__main__ import main
+
+    rc = main(["--input", inp, "--out", str(tmp_path / "t"),
+               "--maxzoom", "6", "--droprate", "2.5", "--mbtiles", mb_our])
+    assert rc == 0
+    capsys.readouterr()
+
+    wx, wy = fnv_world(ids, hotspot_frac=0.0, n_hotspots=4)
+    gj = str(tmp_path / "ref.json")
+    mb_ref = str(tmp_path / "ref.mbtiles")
+    write_geojson(gj, wx, wy)
+    subprocess.run(
+        [TIPPECANOE, "-q", "-f", "-o", mb_ref, "-z6", "-Z0", "-b0",
+         "--no-tile-size-limit", "-r2.5", gj],
+        check=True, capture_output=True)
+
+    def strat(p):
+        con = sqlite3.connect(p)
+        try:
+            return dict(con.execute("SELECT name, value FROM metadata"))[
+                "strategies"]
+        finally:
+            con.close()
+
+    assert strat(mb_our) == strat(mb_ref)
