@@ -183,6 +183,65 @@ def vector_bench(sf: float):
         shutil.rmtree(out_dir, ignore_errors=True)
 
 
+def vector_strategy_bench(sf: float):
+    """The zoom-consensus strategy path (gamma/-K/as-needed) end to
+    end: same synthetic corpus as vector_bench but with
+    --drop-smallest-as-needed under a tile-byte cap, which routes
+    through _build_strategy_pyramid — distributed sorted-block sides,
+    hash-partitioned per-zoom children exchange, in-task parquet
+    sink."""
+    import numpy as np
+
+    from tippecanoe_ray.pipelines.vector_pyramid import (
+        VectorConfig, build_vector_pyramid, features_table,
+        ingest_features_ds,
+    )
+
+    scale = max(sf / 0.01, 1.0) * float(os.environ.get("BENCH_VEC_SCALE", "1"))
+    n_lines = int(300 * scale)
+    n_polys = int(150 * scale)
+    rs = np.random.RandomState(23)
+    lo, hi = 1 << 28, (1 << 32) - (1 << 28)
+    rows = []
+    seq = 0
+    for _ in range(n_lines):
+        n = rs.randint(4, 40)
+        start = rs.randint(lo + (1 << 27), hi - (1 << 27), size=2)
+        steps = rs.randint(-(1 << 23), 1 << 23, size=(n, 2))
+        pts = np.cumsum(np.vstack([start, steps]), axis=0).clip(lo, hi)
+        rows.append((seq, 2, np.array([1] + [2] * n, np.uint8), pts.astype(np.int64)))
+        seq += 1
+    for _ in range(n_polys):
+        cx, cy = rs.randint(lo + (1 << 27), hi - (1 << 27), size=2)
+        k = rs.randint(5, 30)
+        ang = np.sort(rs.uniform(0, 2 * np.pi, k))
+        rad = rs.randint(1 << 20, 1 << 25, size=k)
+        xs = (cx + rad * np.cos(ang)).clip(lo, hi)
+        ys = (cy + rad * np.sin(ang)).clip(lo, hi)
+        ring = np.stack([xs, ys], axis=1).astype(np.int64)
+        ring = np.vstack([ring, ring[:1]])
+        rows.append((seq, 3, np.array([1] + [2] * (len(ring) - 1), np.uint8), ring))
+        seq += 1
+    cfg = VectorConfig(maxzoom=7, drop_smallest=True, max_tile_size=40000)
+    import shutil
+    import tempfile
+
+    import ray.data
+
+    out_dir = tempfile.mkdtemp(prefix="bench_vstrat_", dir=os.environ.get(
+        "BENCH_TILE_DIR", "/dev/shm" if os.path.isdir("/dev/shm") else None))
+    try:
+        t0 = time.time()
+        raw = ray.data.from_arrow(features_table(rows)).repartition(NUM_CPUS)
+        ingested = ingest_features_ds(raw, cfg)
+        tiles = build_vector_pyramid(ingested, cfg, out_dir=out_dir)
+        n_tiles = tiles.count()
+        el = time.time() - t0
+        return n_tiles, n_lines + n_polys, el
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+
+
 def run_vector_only() -> dict:
     """Vector-pyramid-only phase for the compute-bound scaling metric:
     same JSON shape as --headline-only (pyramid_z14 carries the wall
@@ -233,6 +292,10 @@ def run_bench(headline_only: bool = False) -> dict:
         vt, vf, vel = vector_bench(_sf_of(sf_dir))
         queries["vector_pyramid"] = round(vel, 3)
         queries["vector_tiles_per_sec"] = round(vt / vel, 1)
+
+        st, _, sel = vector_strategy_bench(_sf_of(sf_dir))
+        queries["vector_strategy"] = round(sel, 3)
+        queries["vector_strategy_tiles_per_sec"] = round(st / sel, 1)
 
         from tippecanoe_ray.pipelines import queries as Q
 
