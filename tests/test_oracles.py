@@ -24,6 +24,7 @@ SF = "/root/testdata/sf0.001"
 ALGO_ORACLES = [
     "simhash_pairs",
     "lsh_ann_top10",
+    "ivf_ann_top10",
     "embedding_near_dup",
     "image_pyramid",
     "cluster_tiles",

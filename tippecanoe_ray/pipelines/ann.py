@@ -176,3 +176,191 @@ def lsh_topk_indexed(
         return pd.DataFrame({"query_id": [], id_col: [], "cosine": []})
     pruned = ray.data.read_parquet(paths)
     return brute_force_topk(pruned, q, k, vec_col=vec_col, id_col=id_col, query_ids=query_ids)
+
+
+# ------------------------------------------------------ persisted IVF index
+
+
+def _round_half_away(a: np.ndarray, decimals: int = 6) -> np.ndarray:
+    scale = 10.0 ** decimals
+    return np.sign(a) * np.floor(np.abs(a) * scale + 0.5) / scale
+
+
+def _normalize(mat: np.ndarray) -> np.ndarray:
+    return mat / np.maximum(np.linalg.norm(mat, axis=1), 1e-12)[:, None]
+
+
+def _assign_lists(mat: np.ndarray, centroids: np.ndarray) -> np.ndarray:
+    """Nearest centroid by inner product (spherical k-means assignment);
+    ties break to the smallest list id (argmax returns the first max)."""
+    return np.argmax(mat @ centroids.T, axis=1)
+
+
+def build_ivf_index(
+    ds: ray.data.Dataset,
+    out_dir: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_lists: int = 8,
+    n_iters: int = 2,
+) -> str:
+    """IVF (inverted-file) index: deterministic spherical k-means, then
+    the embedding table persisted as parquet PARTITIONED BY its nearest
+    centroid — one directory per list, so a query scans only its
+    `n_probe` closest lists. The k-means is built for cross-engine
+    reproducibility, not convergence speed:
+
+    - init: the `n_lists` vectors with the smallest ids, L2-normalized,
+      rounded half-away to 6 decimals;
+    - each Lloyd iteration computes per-batch partial (sum, count) per
+      list inside map_batches (only n_lists x dim floats leave a task),
+      reduces the tiny partials on the driver, L2-normalizes the means
+      and rounds them to 6 decimals — the quantization swamps float
+      summation-order drift, so any engine (or the SQL oracle) that
+      follows the same recipe lands on bit-identical centroids;
+    - empty lists keep their previous centroid.
+
+    Scale shape: each iteration is one streaming pass; nothing larger
+    than n_lists x dim ever reaches the driver. Centroids land in
+    out_dir/_centroids.parquet next to the list= partitions."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    init = ds.select_columns([id_col, vec_col]).sort(id_col).limit(n_lists).take_all()
+    cents = _round_half_away(
+        _normalize(np.stack([np.asarray(r[vec_col], np.float64) for r in init]))
+    )
+
+    def vec_matrix(t: pa.Table) -> np.ndarray:
+        col = t[vec_col].combine_chunks()
+        flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+        return _normalize(flat.reshape(len(t), -1))
+
+    for _ in range(n_iters):
+        cref = ray.put(cents)
+
+        def partial(t: pa.Table) -> pa.Table:
+            c = ray.get(cref) if isinstance(cref, ray.ObjectRef) else cref
+            mat = vec_matrix(t)
+            lists = _assign_lists(mat, c)
+            sums = np.zeros_like(c)
+            counts = np.zeros(len(c), np.int64)
+            np.add.at(sums, lists, mat)
+            np.add.at(counts, lists, 1)
+            return pa.table(
+                {"list_id": pa.array(np.arange(len(c))),
+                 "s": pa.array(list(sums)),
+                 "n": pa.array(counts)}
+            )
+
+        parts = pa.concat_tables(
+            [t for t in ray.get(
+                ds.map_batches(partial, batch_format="pyarrow").to_arrow_refs())
+             if t.num_rows]
+        )
+        list_ids = parts["list_id"].to_numpy()
+        svals = np.stack(
+            [np.asarray(v, np.float64) for v in parts["s"].to_pylist()]
+        )
+        nvals = parts["n"].to_numpy()
+        nxt = cents.copy()
+        for li in range(n_lists):
+            m = list_ids == li
+            n = int(nvals[m].sum())
+            if n == 0:
+                continue  # empty list keeps its previous centroid
+            mean = svals[m].sum(axis=0) / n
+            nxt[li] = _round_half_away(mean / max(np.linalg.norm(mean), 1e-12))
+        cents = nxt
+
+    cref = ray.put(cents)
+
+    def tag(t: pa.Table) -> pa.Table:
+        c = ray.get(cref) if isinstance(cref, ray.ObjectRef) else cref
+        lists = _assign_lists(vec_matrix(t), c)
+        return t.select([id_col, vec_col]).append_column(
+            "list", pa.array(lists.astype(np.int64))
+        )
+
+    ds.map_batches(tag, batch_format="pyarrow").write_parquet(
+        out_dir, partition_cols=["list"]
+    )
+    pq.write_table(
+        pa.table({"list_id": np.arange(n_lists), "centroid": list(cents)}),
+        os.path.join(out_dir, "_centroids.parquet"),
+    )
+    return out_dir
+
+
+def ivf_topk_indexed(
+    index_dir: str,
+    queries: np.ndarray,
+    k: int = 10,
+    n_probe: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_ids: list | None = None,
+) -> pd.DataFrame:
+    """Approximate top-k over a build_ivf_index output: rank the stored
+    centroids by cosine to each query (ties to the smaller list id),
+    read ONLY the top `n_probe` list partitions, brute-force inside."""
+    import glob as _glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    cent_tbl = pq.read_table(os.path.join(index_dir, "_centroids.parquet"))
+    order = np.argsort(cent_tbl["list_id"].to_numpy())
+    cents = np.stack(
+        [np.asarray(v, np.float64) for v in cent_tbl["centroid"].to_pylist()]
+    )[order]
+    q = np.atleast_2d(np.asarray(queries, dtype=np.float64))
+    qn = _normalize(q)
+    sims = qn @ cents.T  # (nq, n_lists)
+    want: set[int] = set()
+    for qi in range(len(qn)):
+        # stable top-n_probe: sort by (-cosine, list_id)
+        ranked = sorted(range(cents.shape[0]), key=lambda li: (-sims[qi, li], li))
+        want.update(ranked[:n_probe])
+    paths = []
+    for li in sorted(want):
+        d = os.path.join(index_dir, f"list={li}")
+        if os.path.isdir(d):
+            paths.extend(sorted(_glob.glob(os.path.join(d, "*.parquet"))))
+    if not paths:
+        return pd.DataFrame({"query_id": [], id_col: [], "cosine": []})
+    pruned = ray.data.read_parquet(paths)
+    return brute_force_topk(pruned, q, k, vec_col=vec_col, id_col=id_col,
+                            query_ids=query_ids)
+
+
+def ivf_topk(
+    ds: ray.data.Dataset,
+    queries: np.ndarray,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_lists: int = 8,
+    n_probe: int = 2,
+    query_ids: list | None = None,
+    index_dir: str | None = None,
+) -> pd.DataFrame:
+    """IVF approximate top-k: build (or reuse) the list-partitioned
+    index, then the pruned read (ivf_topk_indexed). The IVF counterpart
+    of lsh_topk — coarse-quantized lists adapt to the data distribution
+    where sign-LSH buckets are data-independent."""
+    import os
+    import tempfile
+
+    q = np.atleast_2d(np.asarray(queries, dtype=np.float64))
+    if index_dir is not None and os.path.isdir(index_dir) and any(
+        name.startswith("list=") for name in os.listdir(index_dir)
+    ):
+        return ivf_topk_indexed(index_dir, q, k, n_probe=n_probe,
+                                vec_col=vec_col, id_col=id_col,
+                                query_ids=query_ids)
+    own = index_dir or tempfile.mkdtemp(prefix="ivf_index_")
+    build_ivf_index(ds, own, vec_col=vec_col, id_col=id_col, n_lists=n_lists)
+    return ivf_topk_indexed(own, q, k, n_probe=n_probe, vec_col=vec_col,
+                            id_col=id_col, query_ids=query_ids)

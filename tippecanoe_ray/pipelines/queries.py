@@ -616,6 +616,29 @@ def lsh_ann_q(sf_dir: str) -> pd.DataFrame:
     return lsh_topk_indexed(index_dir, qvec[None, :], k=10, dim=len(qvec))
 
 
+def ivf_ann_q(sf_dir: str) -> pd.DataFrame:
+    """IVF pruned-read ANN: deterministic spherical k-means lists
+    (pipelines/ann.py build_ivf_index), parquet partitioned by list,
+    query scans only its n_probe=2 nearest lists. The coarse-quantized
+    counterpart of lsh_ann_top10."""
+    import hashlib
+    import os
+
+    from .ann import build_ivf_index, ivf_topk_indexed
+
+    q = _read_small(sf_dir, "embeddings")
+    qvec = np.asarray(q.filter(pa.compute.equal(q["vec_id"], 0))["embedding"][0].as_py())
+    tag = hashlib.sha1(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    index_dir = os.path.join("/tmp", f"tippecanoe_ray_ivf_{tag}")
+    if not os.path.isdir(index_dir) or not os.listdir(index_dir):
+        ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+        build_ivf_index(ds, index_dir)
+    out = ivf_topk_indexed(index_dir, qvec[None, :], k=10, n_probe=2)
+    out = out[["vec_id", "cosine"]].copy()
+    out["cosine"] = round_half_away(out["cosine"], 4)
+    return out.sort_values(["vec_id"]).reset_index(drop=True)
+
+
 def image_pyramid_q(sf_dir: str) -> pd.DataFrame:
     """Flagship: full drop-ladder pyramid over a synthetic image table
     (fnv geotag, hotspots on, MVT encoding on). Sized so the SQL
@@ -1075,6 +1098,7 @@ def all_queries() -> dict:
         "doc_fingerprints": fingerprints_q,
         "quality_scores": quality_q,
         "lsh_ann_top10": lsh_ann_q,
+        "ivf_ann_top10": ivf_ann_q,
         "image_pyramid": image_pyramid_q,
         "tilestats_documents": tilestats_documents,
         "filter_events": filter_events_q,
@@ -1386,6 +1410,71 @@ SELECT CAST(0 AS BIGINT) AS query_id, vec_id,
 FROM pruned
 ORDER BY list_cosine_similarity(v, (SELECT qv FROM q)) DESC, vec_id
 LIMIT 10
+"""
+
+
+def _ivf_ann_sql(dim: int = 64, n_lists: int = 8, n_iters: int = 2,
+                 n_probe: int = 2) -> str:
+    """IVF ANN oracle: models the ALGORITHM — the deterministic
+    spherical k-means of build_ivf_index (init = the n_lists smallest
+    vec_ids normalized + rounded to 6dp, each Lloyd iteration unrolled
+    as assignment → elementwise AVG → L2-normalize → ROUND 6dp, empty
+    lists carrying the previous centroid), the query's top-n_probe
+    lists, and top-10 by cosine within the pruned set — including any
+    recall misses. The 6dp centroid quantization at every step is what
+    makes the float math engine-independent."""
+    avg_terms = ", ".join(f"AVG(v[{i}])" for i in range(1, dim + 1))
+    iters = []
+    for it in range(1, n_iters + 1):
+        prev = f"c{it - 1}"
+        iters.append(f"""
+a{it} AS (
+  SELECT vec_id, v, list_id FROM (
+    SELECT b.vec_id, b.v, c.list_id,
+           ROW_NUMBER() OVER (PARTITION BY b.vec_id
+             ORDER BY list_inner_product(b.v, c.c) DESC, c.list_id) AS rn
+    FROM b CROSS JOIN {prev} c) WHERE rn = 1),
+m{it} AS (SELECT list_id, [{avg_terms}] AS m FROM a{it} GROUP BY list_id),
+c{it} AS (
+  SELECT list_id,
+         list_transform(m, x -> ROUND(x / sqrt(list_inner_product(m, m)), 6)) AS c
+  FROM m{it}
+  UNION ALL
+  SELECT p.list_id, p.c FROM {prev} p
+  WHERE p.list_id NOT IN (SELECT list_id FROM m{it}))""")
+    last = f"c{n_iters}"
+    return f"""
+WITH raw AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x FROM embeddings),
+b AS (SELECT vec_id,
+             list_transform(x, e -> e / sqrt(list_inner_product(x, x))) AS v
+      FROM raw),
+c0 AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS list_id,
+         list_transform(v, x -> ROUND(x, 6)) AS c
+  FROM (SELECT vec_id, v FROM b ORDER BY vec_id LIMIT {n_lists})),{",".join(iters)},
+fa AS (
+  SELECT vec_id, list_id FROM (
+    SELECT b.vec_id, c.list_id,
+           ROW_NUMBER() OVER (PARTITION BY b.vec_id
+             ORDER BY list_inner_product(b.v, c.c) DESC, c.list_id) AS rn
+    FROM b CROSS JOIN {last} c) WHERE rn = 1),
+q AS (SELECT v AS qv FROM b WHERE vec_id = 0),
+ql AS (
+  SELECT list_id FROM (
+    SELECT c.list_id,
+           ROW_NUMBER() OVER (
+             ORDER BY list_inner_product((SELECT qv FROM q), c.c) DESC,
+                      c.list_id) AS rn
+    FROM {last} c) WHERE rn <= {n_probe}),
+qraw AS (SELECT x AS qx FROM raw WHERE vec_id = 0),
+top AS (
+  SELECT r.vec_id,
+         ROUND(list_cosine_similarity(r.x, (SELECT qx FROM qraw)), 4) AS cosine
+  FROM raw r JOIN fa ON fa.vec_id = r.vec_id
+  WHERE fa.list_id IN (SELECT list_id FROM ql)
+  ORDER BY list_cosine_similarity(r.x, (SELECT qx FROM qraw)) DESC, r.vec_id
+  LIMIT 10)
+SELECT vec_id, cosine FROM top ORDER BY vec_id
 """
 
 
@@ -1719,6 +1808,7 @@ def all_oracle_sql() -> dict:
         "vector_points_z5": _vector_points_sql(),
         "embedding_near_dup": EMB_NEAR_DUP_SQL,
         "lsh_ann_top10": _lsh_ann_sql(),
+        "ivf_ann_top10": _ivf_ann_sql(),
         "simhash_pairs": _simhash_sql(),
         "minhash_lsh_pairs": _minhash_sql(),
         "image_pyramid": _image_pyramid_sql(),
