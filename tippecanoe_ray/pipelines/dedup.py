@@ -324,6 +324,85 @@ def minhash_lsh_pairs(
     return verified.drop_duplicates(subset=["a", "b"]).sort_values(["a", "b"]).reset_index(drop=True)
 
 
+# ------------------------------------------------------- n-gram Jaccard
+
+
+def ngram_jaccard_pairs(
+    ds: ray.data.Dataset,
+    text_col: str,
+    id_col: str,
+    k: int = 8,
+    threshold: float = 0.8,
+    sample_mod: int = 4,
+    max_bucket: int = DEFAULT_MAX_BUCKET,
+) -> pd.DataFrame:
+    """Near-duplicate pairs by exact n-gram blocking (a < b,
+    exact-Jaccard >= threshold over all distinct k-shingles).
+
+    Unlike minhash_lsh_pairs, blocking is on the shingles themselves:
+    each doc emits one (bucket, id) row per SAMPLED distinct k-shingle
+    (hash %% sample_mod == 0 — a deterministic 1/sample_mod subset, so
+    a pair is a candidate iff it shares at least one sampled shingle;
+    at threshold 0.8 a near-dup pair shares hundreds, so recall loss is
+    negligible and documented). Buckets ship (bucket, id) only, are
+    capped at max_bucket, and the exact-Jaccard verify runs distributed
+    over a bounded candidate fetch — same scale shape as minhash."""
+    smod = np.uint64(sample_mod)
+
+    def to_buckets(df: pd.DataFrame) -> pd.DataFrame:
+        shs = _shingle_hashes(list(df[text_col]), k)
+        buckets: list[np.ndarray] = []
+        ids: list[np.ndarray] = []
+        for i, sh in zip(df[id_col].to_numpy(), shs):
+            smp = sh[sh % smod == 0]
+            buckets.append((smp >> np.uint64(1)).astype(np.int64))
+            ids.append(np.full(len(smp), i, dtype=np.int64))
+        if not buckets:
+            return pd.DataFrame({"bucket": pd.Series([], dtype=np.int64),
+                                 id_col: pd.Series([], dtype=np.int64)})
+        return pd.DataFrame(
+            {"bucket": np.concatenate(buckets), id_col: np.concatenate(ids)}
+        )
+
+    bucketed = ds.map_batches(to_buckets, batch_format="pandas")
+    pairs = _coarse(bucketed, id_col, max_bucket)
+    if len(pairs) == 0:
+        return pd.DataFrame({"a": [], "b": [], "jaccard": []})
+    pairs = pairs.drop_duplicates(subset=["a", "b"]).reset_index(drop=True)
+
+    cand_ids = np.unique(np.concatenate([pairs["a"].to_numpy(), pairs["b"].to_numpy()]))
+    texts = _fetch_by_ids(ds, id_col, [id_col, text_col], cand_ids)
+    text_ref = ray.put(dict(zip(texts[id_col], texts[text_col])))
+
+    def verify(df: pd.DataFrame) -> pd.DataFrame:
+        tmap = ray.get(text_ref)
+        uniq = pd.unique(pd.concat([df["a"], df["b"]]))
+        shs = dict(zip(uniq, _shingle_hashes([tmap.get(i, "") for i in uniq], k)))
+        out_a, out_b, out_j = [], [], []
+        for a, b in zip(df["a"], df["b"]):
+            sa, sb = shs[a], shs[b]
+            if len(sa) == 0 or len(sb) == 0:
+                continue
+            inter = np.intersect1d(sa, sb, assume_unique=True).size
+            jac = inter / (len(sa) + len(sb) - inter)
+            if jac >= threshold:
+                out_a.append(a)
+                out_b.append(b)
+                out_j.append(round(jac, 6))
+        return pd.DataFrame({"a": out_a, "b": out_b, "jaccard": out_j})
+
+    n_blocks = max(1, min(64, len(pairs) // 2000))
+    verified = (
+        ray.data.from_pandas(pairs)
+        .repartition(n_blocks)
+        .map_batches(verify, batch_format="pandas")
+        .to_pandas()
+    )
+    if len(verified) == 0:
+        return pd.DataFrame({"a": [], "b": [], "jaccard": []})
+    return verified.drop_duplicates(subset=["a", "b"]).sort_values(["a", "b"]).reset_index(drop=True)
+
+
 # --------------------------------------------------------------- simhash
 
 

@@ -538,6 +538,23 @@ def minhash_pairs_q(sf_dir: str) -> pd.DataFrame:
     return minhash_lsh_pairs(both, "text", "doc_id", threshold=0.8)
 
 
+def ngram_jaccard_q(sf_dir: str) -> pd.DataFrame:
+    """Exact n-gram-blocked near-dup over the doubled documents corpus
+    (every doc has one guaranteed exact duplicate)."""
+    from .dedup import ngram_jaccard_pairs
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def shifted(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"doc_id": pa.compute.add(t["doc_id"], 100000), "text": t["text"]}
+        )
+
+    both = ds.union(_read(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(shifted, batch_format="pyarrow"))
+    return ngram_jaccard_pairs(both, "text", "doc_id", k=12, threshold=0.8,
+                               sample_mod=8, max_bucket=64)
+
+
 def simhash_pairs_q(sf_dir: str) -> pd.DataFrame:
     from .dedup import simhash_pairs
 
@@ -1092,6 +1109,7 @@ def all_queries() -> dict:
         "ann_top10": ann_top10,
         "embedding_norms": embedding_norms,
         "minhash_lsh_pairs": minhash_pairs_q,
+        "ngram_jaccard_pairs": ngram_jaccard_q,
         "simhash_pairs": simhash_pairs_q,
         "embedding_near_dup": embedding_near_dup_q,
         "lang_id_accuracy": lang_id_q,
@@ -1478,6 +1496,61 @@ SELECT vec_id, cosine FROM top ORDER BY vec_id
 """
 
 
+def _ngram_jaccard_sql(k: int = 12, threshold: float = 0.8,
+                       sample_mod: int = 8, max_bucket: int = 64) -> str:
+    """Exact n-gram-blocking oracle: models ngram_jaccard_pairs end to
+    end — per-doc distinct k-shingle FNV-1a hashes, the deterministic
+    hash%%sample_mod==0 shingle sample as the blocking key, the
+    per-bucket first-max_bucket-ids cap, and the exact-Jaccard verify
+    over the FULL shingle sets. Matches the engine including any
+    sampling recall misses."""
+    return f"""
+WITH docs AS (
+  SELECT doc_id AS id, COALESCE(text, '') AS txt FROM documents
+  UNION ALL
+  SELECT doc_id + 100000, COALESCE(text, '') FROM documents),
+sh AS (
+  SELECT id,
+    CASE WHEN LENGTH(txt) = 0 THEN CAST([] AS HUGEINT[])
+         WHEN LENGTH(txt) < {k} THEN [{_fnv_of_hex("hex(encode(txt))")}]
+         ELSE list_distinct(list_transform(
+           list_transform(generate_series(1, LENGTH(txt) - {k - 1}),
+                          i -> hex(encode(substr(txt, i, {k})))),
+           ghx -> {_fnv_of_hex("ghx")}))
+    END AS hs
+  FROM docs),
+shu AS (SELECT id, unnest(hs) AS h FROM sh),
+buck AS (
+  SELECT DISTINCT CAST(h // 2 AS BIGINT) AS bucket, id
+  FROM shu WHERE h % {sample_mod} = 0),
+bcap AS (
+  SELECT bucket, id FROM buck
+  QUALIFY row_number() OVER (PARTITION BY bucket ORDER BY id) <= {max_bucket}),
+cand AS (
+  SELECT DISTINCT x.id AS a, y.id AS b
+  FROM bcap x JOIN bcap y ON x.bucket = y.bucket AND x.id < y.id),
+sizes AS (SELECT id, LEN(hs) AS nsh FROM sh),
+-- shared-shingle count per candidate pair via one hash join over the
+-- unnested shingles (a zero-intersection pair can never reach the
+-- threshold, so inner-join semantics are exact here)
+vi AS (
+  SELECT c.a, c.b, COUNT(*) AS inter
+  FROM cand c
+  JOIN shu sa ON sa.id = c.a
+  JOIN shu sb ON sb.id = c.b AND sb.h = sa.h
+  GROUP BY c.a, c.b),
+jc AS (
+  SELECT v.a, v.b,
+         CAST(v.inter AS DOUBLE) / (za.nsh + zb.nsh - v.inter) AS jac
+  FROM vi v JOIN sizes za ON za.id = v.a JOIN sizes zb ON zb.id = v.b
+  WHERE za.nsh > 0 AND zb.nsh > 0)
+SELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b,
+       ROUND(jac, 6) AS jaccard
+FROM jc WHERE jac >= {threshold}
+ORDER BY a, b
+"""
+
+
 def _simhash_sql(max_hamming: int = 3) -> str:
     """All-pairs simhash oracle: reproduces simhash64 (whitespace
     tokens, FNV-1a per occurrence, per-bit vote, sign) in SQL, then
@@ -1809,6 +1882,7 @@ def all_oracle_sql() -> dict:
         "embedding_near_dup": EMB_NEAR_DUP_SQL,
         "lsh_ann_top10": _lsh_ann_sql(),
         "ivf_ann_top10": _ivf_ann_sql(),
+        "ngram_jaccard_pairs": _ngram_jaccard_sql(),
         "simhash_pairs": _simhash_sql(),
         "minhash_lsh_pairs": _minhash_sql(),
         "image_pyramid": _image_pyramid_sql(),
