@@ -633,6 +633,76 @@ def lsh_ann_q(sf_dir: str) -> pd.DataFrame:
     return lsh_topk_indexed(index_dir, qvec[None, :], k=10, dim=len(qvec))
 
 
+def video_frames_q(sf_dir: str) -> pd.DataFrame:
+    """Video frame-sampling plumbing: deterministic TPRV containers
+    derived from doc ids (2 + id%7 frames), actor-pool FrameSampleStage
+    at stride 2, per-video sampled-frame counts. The oracle recomputes
+    the counts from the generative rule; the pixel-level round trip is
+    pytest-checked (tests/test_media.py)."""
+    from ..stages.media import frame_sample, synthesize_video_table
+
+    t = _read_small(sf_dir, "documents", ["doc_id"])
+    vids = ray.data.from_arrow(synthesize_video_table(t["doc_id"].to_numpy()))
+    frames = frame_sample(vids, stride=2)
+    out = (
+        frames.groupby("video_id")
+        .count()
+        .to_pandas()
+        .rename(columns={"count()": "n_sampled"})
+    )
+    out["n_sampled"] = out["n_sampled"].astype(np.int64)
+    out["n_frames"] = (2 + out["video_id"] % 7).astype(np.int64)
+    return out[["video_id", "n_frames", "n_sampled"]].sort_values(
+        "video_id"
+    ).reset_index(drop=True)
+
+
+VIDEO_FRAMES_SQL = """
+SELECT doc_id AS video_id,
+       CAST(2 + doc_id % 7 AS BIGINT) AS n_frames,
+       CAST((2 + doc_id % 7 + 1) // 2 AS BIGINT) AS n_sampled
+FROM documents
+ORDER BY video_id
+"""
+
+
+def audio_features_q(sf_dir: str) -> pd.DataFrame:
+    """Audio feature extraction over deterministic TPRA PCM containers
+    (affine int16 generator, 4096 samples): actor-pool AudioFeatureStage
+    → (audio_id, n_samples, rms, zero_crossings). The PCM values are
+    integers exactly representable in float64, so RMS matches SQL's
+    integer-sum model bit-for-bit after ROUND 6."""
+    from ..stages.media import audio_features, synthesize_audio_table
+
+    t = _read_small(sf_dir, "documents", ["doc_id"])
+    aud = ray.data.from_arrow(synthesize_audio_table(t["doc_id"].to_numpy()))
+    out = audio_features(aud).to_pandas()
+    out = out[["audio_id", "n_samples", "rms", "zero_crossings"]].copy()
+    out["n_samples"] = out["n_samples"].astype(np.int64)
+    out["zero_crossings"] = out["zero_crossings"].astype(np.int64)
+    return out.sort_values("audio_id").reset_index(drop=True)
+
+
+AUDIO_FEATURES_SQL = """
+WITH pcm AS (
+  SELECT doc_id AS audio_id, i,
+         CAST((doc_id * 2654435761 + 12345 * i) % 65536 - 32768 AS BIGINT) AS s
+  FROM documents CROSS JOIN (SELECT unnest(generate_series(0, 4095)) AS i)),
+lagged AS (
+  SELECT audio_id, i, s,
+         LAG(s) OVER (PARTITION BY audio_id ORDER BY i) AS prev
+  FROM pcm)
+SELECT audio_id,
+       CAST(COUNT(*) AS BIGINT) AS n_samples,
+       ROUND(sqrt(SUM(CAST(s AS DOUBLE) * s) / COUNT(*)), 6) AS rms,
+       CAST(SUM(CASE WHEN prev IS NOT NULL AND s * prev < 0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS zero_crossings
+FROM lagged
+GROUP BY audio_id
+ORDER BY audio_id
+"""
+
+
 def ivf_ann_q(sf_dir: str) -> pd.DataFrame:
     """IVF pruned-read ANN: deterministic spherical k-means lists
     (pipelines/ann.py build_ivf_index), parquet partitioned by list,
@@ -1117,6 +1187,8 @@ def all_queries() -> dict:
         "quality_scores": quality_q,
         "lsh_ann_top10": lsh_ann_q,
         "ivf_ann_top10": ivf_ann_q,
+        "video_frame_sample": video_frames_q,
+        "audio_features": audio_features_q,
         "image_pyramid": image_pyramid_q,
         "tilestats_documents": tilestats_documents,
         "filter_events": filter_events_q,
@@ -1883,6 +1955,8 @@ def all_oracle_sql() -> dict:
         "lsh_ann_top10": _lsh_ann_sql(),
         "ivf_ann_top10": _ivf_ann_sql(),
         "ngram_jaccard_pairs": _ngram_jaccard_sql(),
+        "video_frame_sample": VIDEO_FRAMES_SQL,
+        "audio_features": AUDIO_FEATURES_SQL,
         "simhash_pairs": _simhash_sql(),
         "minhash_lsh_pairs": _minhash_sql(),
         "image_pyramid": _image_pyramid_sql(),
