@@ -8,13 +8,16 @@ down Ray.
   over a deterministic image table derived from sf0.001 documents.
 - ``queries()``: one entry per implemented operator/pipeline
   (SURVEY.md §2 + the training-data ops); each takes ``sf_dir``.
-- ``oracle_sql()``: DuckDB-runnable SQL equivalents — 36 of the 39
+- ``oracle_sql()``: DuckDB-runnable SQL equivalents — 40 of the 43
   queries, including the LSH families (simhash signatures, the full
-  capped-bucket MinHash banding model, the pruned sign-LSH ANN read,
-  the fp32-jitter embedding near-dup), the full image pyramid (geotag
-  + snapping + rate ladder as a recursive CTE), and the vector
-  cascade's clip-survival forms (axis-aligned squares, buffered-point
-  containment incl. the z0 dateline duplication).
+  capped-bucket MinHash banding model, sampled exact-shingle n-gram
+  Jaccard, the pruned sign-LSH ANN read, the IVF spherical-k-means
+  pruned read with unrolled Lloyd iterations, the fp32-jitter
+  embedding near-dup), the full image pyramid (geotag + snapping +
+  rate ladder as a recursive CTE), the vector cascade's clip-survival
+  forms (axis-aligned squares, buffered-point containment incl. the
+  z0 dateline duplication), and the multimodal feature models
+  (frame-sample counts, integer-exact PCM RMS/zero-crossings).
   Rows-only by design: vector_pyramid_counts / vector_tiles_z3
   (general line/polygon clip survival — byte-exact pytest vs the
   reference binary is the stronger check), payload_psnr (image

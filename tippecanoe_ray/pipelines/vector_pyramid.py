@@ -43,6 +43,9 @@ from __future__ import annotations
 import dataclasses
 import math
 import struct
+import sys as _sys
+import time as _time
+from os import environ as _os_env
 
 import numpy as np
 import pyarrow as pa
@@ -3963,6 +3966,7 @@ def _build_strategy_pyramid(
         parent_shift = z - prev_z if z > iz else 1
 
         entry = _fresh_thresholds(cfg)
+        _z_t0 = _time.time()
         task_out: list = []
         metas: list = []
         by_pid: dict[int, list] = {}
@@ -4004,6 +4008,12 @@ def _build_strategy_pyramid(
             entry, again = _merge_proposals(entry, [m["out"] for m in metas])
             if not again:
                 break
+        if _os_env.get("TPR_STRAT_DEBUG"):
+            print(
+                f"[strat] z={z} keys={len(keys)} tasks={len(task_pids)} "
+                f"passes={_pass + 1} wall={_time.time() - _z_t0:.2f}s",
+                file=_sys.stderr,
+            )
         if raw_dir is not None:
             # in-task sink: only the accepted (consensus) pass lands
             write_refs.extend(
