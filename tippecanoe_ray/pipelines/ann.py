@@ -227,9 +227,25 @@ def build_ivf_index(
 
     import pyarrow.parquet as pq
 
-    init = ds.select_columns([id_col, vec_col]).sort(id_col).limit(n_lists).take_all()
+    # init = the n_lists smallest ids: per-batch partial min-k inside
+    # map_batches + tiny driver merge — no all-to-all sort for 8 rows
+    def min_k(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        take = np.argsort(ids, kind="stable")[:n_lists]
+        return t.select([id_col, vec_col]).take(pa.array(take))
+
+    parts0 = pa.concat_tables(
+        [t for t in ray.get(
+            ds.map_batches(min_k, batch_format="pyarrow").to_arrow_refs())
+         if t.num_rows]
+    )
+    first = parts0.take(
+        pa.array(np.argsort(parts0[id_col].to_numpy(), kind="stable")[:n_lists])
+    )
     cents = _round_half_away(
-        _normalize(np.stack([np.asarray(r[vec_col], np.float64) for r in init]))
+        _normalize(np.stack(
+            [np.asarray(v, np.float64) for v in first[vec_col].to_pylist()]
+        ))
     )
 
     def vec_matrix(t: pa.Table) -> np.ndarray:
