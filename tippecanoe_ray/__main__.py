@@ -114,10 +114,18 @@ def _build_from_geo(args, cfg):
         vec_i = None
         n_i = None
         if lower.endswith(".csv"):
-            from tippecanoe_ray.sources.geocsv import read_geocsv_points
+            # geocsv rides the vector pipeline like every other source
+            # so its attributes flow through the side table
+            # (parse_geocsv geocsv.cpp:14-140 → serialize_feature)
+            from tippecanoe_ray.sources.geocsv import read_geocsv_vector
 
-            pts_i = read_geocsv_points(path)
-            n_i = len(pts_i)
+            vec_i, attrs_csv = read_geocsv_vector(
+                path,
+                empty_null=getattr(args, "empty_csv_columns_are_null", False),
+            )
+            n_i = len(vec_i)
+            for s, v in attrs_csv.items():
+                vec_attrs[s + total] = v
         elif lower.endswith(".fgb"):
             from tippecanoe_ray.sources.flatgeobuf import read_flatgeobuf
 
@@ -461,6 +469,46 @@ def _build_from_geo(args, cfg):
         ))
     if not outs:
         raise SystemExit("no features found in input")
+
+    # metadata context for the full make_metadata path (bounds/center,
+    # vector_layers field types, tilestats) — the reference accumulates
+    # this during serialize (serial.cpp:864-911); here the attribute
+    # side table is already driver-held, so the layermap accumulates
+    # from it in seq order, and the file bboxes reduce over the feature
+    # geometry (per-batch partials on the Dataset path)
+    from tippecanoe_ray.stages.metadata import (
+        accumulate_layermap, file_bboxes_of_features,
+    )
+
+    types_of_seq: dict = {}
+    if vec_tbl is not None and len(vec_tbl):
+        types_of_seq = dict(
+            zip(vec_tbl["seq"].to_pylist(), vec_tbl["t"].to_pylist())
+        )
+    elif vec_ds is not None:
+        for r in vec_ds.select_columns(["seq", "t"]).take_all():
+            types_of_seq[int(r["seq"])] = int(r["t"])
+    if pts_tbl is not None and len(pts_tbl):
+        for s in pts_tbl["seq"].to_pylist():
+            types_of_seq.setdefault(int(s), 1)
+    n_feat_meta = vec_attrs.get("__n__", 0) or (
+        max(types_of_seq, default=-1) + 1)
+    lmap = accumulate_layermap(
+        vec_attrs, types_of_seq, layer, n_feat_meta,
+        sample_cap=getattr(args, "tile_stats_sample_values_limit", 1000),
+    )
+    bb, bb1, bb2 = file_bboxes_of_features(
+        vec_tbl=vec_tbl, vec_ds=vec_ds, pts_tbl=pts_tbl)
+    args._meta_ctx = {
+        "lmap": lmap,
+        "bboxes": (bb, bb1, bb2),
+        "minzoom": cfg.minzoom,
+        "maxzoom": cfg.maxzoom,
+        "basezoom": (args.basezoom if isinstance(args.basezoom, int)
+                     and args.basezoom >= 0 else None),
+        "droprate": cfg.droprate,
+        "multiplier": getattr(args, "retain_points_multiplier", 1) or 1,
+    }
     if len(outs) == 1:
         return outs[0]
     return merge_tilesets(*outs)
@@ -645,6 +693,20 @@ def main(argv=None):
     ap.add_argument("--no-feature-limit", action="store_true")
     ap.add_argument("--no-tile-size-limit", action="store_true")
     ap.add_argument("--no-tile-compression", action="store_true")
+    ap.add_argument("--empty-csv-columns-are-null", action="store_true",
+                    help="-pe: empty geocsv columns become null attrs "
+                         "(geocsv.cpp:103-106)")
+    ap.add_argument("--name", dest="ts_name", default=None,
+                    help="-n: tileset name in the metadata")
+    ap.add_argument("--description", default=None,
+                    help="-N: tileset description (defaults to the "
+                         "mbtiles filename)")
+    ap.add_argument("--attribution", default=None,
+                    help="-A: attribution metadata")
+    ap.add_argument("--no-tile-stats", action="store_true")
+    ap.add_argument("--tile-stats-attributes-limit", type=int, default=1000)
+    ap.add_argument("--tile-stats-sample-values-limit", type=int, default=1000)
+    ap.add_argument("--tile-stats-values-limit", type=int, default=100)
     ap.add_argument("--limit-base-zoom-to-maximum-zoom", action="store_true",
                     help="-pb (main.cpp:2585-2588)")
     ap.add_argument("--max-tile-features", type=int, default=None,
@@ -916,10 +978,51 @@ def main(argv=None):
                 if 0 <= z_ <= cfg.maxzoom:
                     for k_, v_ in cnts.items():
                         strategies[z_][k_] = strategies[z_].get(k_, 0) + v_
-        out["mbtiles_tiles"] = write_mbtiles(
-            tiles, args.mbtiles, minzoom=cfg.minzoom, maxzoom=cfg.maxzoom,
-            layer_name=cfg.layer_name, strategies=strategies,
-        )
+        meta_ctx = getattr(args, "_meta_ctx", None)
+        if meta_ctx is not None:
+            import sys as _sys
+
+            from tippecanoe_ray.stages.metadata import (
+                bounds_and_center, make_metadata,
+            )
+            from tippecanoe_ray.stages.strategies import stringify_strategies
+
+            sj = (stringify_strategies(strategies)
+                  if strategies is not None and any(strategies) else "")
+            bb, bb1, bb2 = meta_ctx["bboxes"]
+
+            def meta_fn(midx, midy, zmin_seen, zmax_seen,
+                        _ctx=meta_ctx, _sj=sj):
+                mz = max(_ctx["maxzoom"], zmax_seen)
+                bc = bounds_and_center(bb, bb1, bb2, midx, midy, mz)
+                return make_metadata(
+                    getattr(args, "ts_name", None) or args.mbtiles,
+                    _ctx["minzoom"], mz, bc, _ctx["lmap"],
+                    description=getattr(args, "description", None),
+                    attribution=getattr(args, "attribution", None),
+                    strategies_json=_sj,
+                    generator_options=" ".join(_sys.argv[1:]),
+                    do_tilestats=not getattr(args, "no_tile_stats", False),
+                    basezoom=_ctx["basezoom"],
+                    droprate=_ctx["droprate"],
+                    retain_points_multiplier=_ctx["multiplier"],
+                    elements=getattr(args, "tile_stats_values_limit", 100),
+                    attributes_cap=getattr(
+                        args, "tile_stats_attributes_limit", 1000),
+                    sample_cap=getattr(
+                        args, "tile_stats_sample_values_limit", 1000),
+                )
+
+            out["mbtiles_tiles"] = write_mbtiles(
+                tiles, args.mbtiles, minzoom=cfg.minzoom,
+                maxzoom=cfg.maxzoom, layer_name=cfg.layer_name,
+                meta_fn=meta_fn,
+            )
+        else:
+            out["mbtiles_tiles"] = write_mbtiles(
+                tiles, args.mbtiles, minzoom=cfg.minzoom, maxzoom=cfg.maxzoom,
+                layer_name=cfg.layer_name, strategies=strategies,
+            )
     if args.pmtiles:
         from tippecanoe_ray.sources.pmtiles import write_pmtiles
 

@@ -79,10 +79,21 @@ def coerce_string(val: str | None) -> tuple[str, str]:
 import re as _re
 
 _NUM_PREFIX = _re.compile(r"[ \t\n\r\f\v]*[+-]?(?:\d+\.?\d*|\.\d+)(?:[eE][+-]?\d+)?")
+# C strtod also accepts INF/INFINITY/NAN (case-insensitive, optional
+# sign) — the reference corpus exercises these (geocsv lat/lon "nan"
+# and "inf" rows feed lonlat2tile's NaN/infinity handling)
+_SPECIAL_PREFIX = _re.compile(
+    r"[ \t\n\r\f\v]*([+-]?)(infinity|inf|nan)", _re.IGNORECASE)
 
 
 def _atof(s: str) -> float:
-    """C strtod/atof: longest valid numeric prefix, 0.0 otherwise."""
+    """C strtod/atof: longest valid numeric prefix (including
+    inf/infinity/nan), 0.0 otherwise."""
+    sp = _SPECIAL_PREFIX.match(s)
+    if sp:
+        word = sp.group(2).lower()
+        v = float("nan") if word == "nan" else float("inf")
+        return -v if sp.group(1) == "-" else v
     m = _NUM_PREFIX.match(s)
     if not m:
         return 0.0

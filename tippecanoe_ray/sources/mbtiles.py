@@ -22,11 +22,18 @@ def write_mbtiles(tile_ds: ray.data.Dataset, path: str, name: str = "tiles",
                   minzoom: int | None = None, maxzoom: int | None = None,
                   layer_name: str = "points",
                   bounds: tuple[float, float, float, float] | None = None,
-                  strategies: list[dict] | None = None):
+                  strategies: list[dict] | None = None,
+                  meta_fn=None):
     """Package a tile dataset (z, x, y, tile) into an mbtiles file with
     content-hash dedup (mbtiles.cpp:66-149). `layer_name` must match the
     layer id actually encoded in the tiles (PyramidConfig.layer_name);
-    bounds/center follow mbtiles.cpp:468-651."""
+    bounds/center follow mbtiles.cpp:468-651.
+
+    With `meta_fn`, the metadata table is produced by
+    meta_fn(midx, midy, zmin_seen, zmax_seen) — the reference's full
+    make_metadata path (stages/metadata.py) — where (midx, midy) is the
+    maxzoom tile with the most features, ties to the smallest
+    (x << 32 | y) (tile.cpp:3214-3229)."""
     con = sqlite3.connect(path)
     cur = con.cursor()
     cur.execute("PRAGMA journal_mode = OFF")
@@ -45,12 +52,21 @@ def write_mbtiles(tile_ds: ray.data.Dataset, path: str, name: str = "tiles",
     seen: set[str] = set()
     zmin, zmax = 32, 0
     n = 0
-    for batch in tile_ds.select_columns(["z", "x", "y", "tile"]).iter_batches(
+    cols = ["z", "x", "y", "tile"]
+    track_mid = meta_fn is not None and maxzoom is not None
+    if track_mid and "n_features" in tile_ds.schema().names:
+        cols.append("n_features")
+    midx = midy = 0
+    most = 0
+    for batch in tile_ds.select_columns(cols).iter_batches(
         batch_size=4096, batch_format="pandas"
     ):
         rows_map = []
         rows_img = []
-        for z, x, y, data in zip(batch["z"], batch["x"], batch["y"], batch["tile"]):
+        nf_col = batch["n_features"] if "n_features" in batch.columns else None
+        for i, (z, x, y, data) in enumerate(
+            zip(batch["z"], batch["x"], batch["y"], batch["tile"])
+        ):
             if data is None or len(data) == 0:
                 continue
             data = bytes(data)
@@ -62,8 +78,28 @@ def write_mbtiles(tile_ds: ray.data.Dataset, path: str, name: str = "tiles",
                 rows_img.append((sqlite3.Binary(data), tid))
             zmin, zmax = min(zmin, int(z)), max(zmax, int(z))
             n += 1
+            if track_mid and nf_col is not None and int(z) == maxzoom:
+                cnt = int(nf_col.iloc[i])
+                if cnt > most or (
+                    cnt == most
+                    and ((int(x) << 32) | int(y)) < ((midx << 32) | midy)
+                ):
+                    midx, midy, most = int(x), int(y), cnt
         cur.executemany("INSERT INTO map VALUES (?, ?, ?, ?)", rows_map)
         cur.executemany("INSERT INTO images VALUES (?, ?)", rows_img)
+    if meta_fn is not None:
+        meta = meta_fn(midx, midy, zmin, zmax)
+        cur.executemany("INSERT INTO metadata VALUES (?, ?)", list(meta.items()))
+        cur.execute(
+            "CREATE UNIQUE INDEX IF NOT EXISTS map_index ON map "
+            "(zoom_level, tile_column, tile_row)"
+        )
+        cur.execute(
+            "CREATE UNIQUE INDEX IF NOT EXISTS images_id ON images (tile_id)"
+        )
+        con.commit()
+        con.close()
+        return n
     meta = {
         "name": name,
         "format": "pbf",
