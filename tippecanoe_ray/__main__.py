@@ -969,7 +969,8 @@ def main(argv=None):
             strategies = strategies_from_tile_table(
                 tiles.select_columns(
                     [c for c in ("z", "s_rate", "s_tiny", "s_detail",
-                                 "s_tsize", "s_fcount", "leafed")
+                                 "s_tsize", "s_fcount", "s_gamma",
+                                 "s_need_d", "s_need_c", "leafed")
                      if c in cols]
                 ).to_pandas() if "s_rate" in cols else None,
                 cfg.maxzoom,

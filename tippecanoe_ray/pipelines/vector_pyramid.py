@@ -2631,9 +2631,10 @@ def _encode_with_detail_ladder(cfg: VectorConfig, z, tx, ty, survivors,
                     post.append([seq, 1, ops, xy, acc, glow, False, clu,
                                  mfirst, mseq])
                 else:
-                    feats.append(_mk_feat(encode_multipoint(xy), 1, seq,
-                                          attrs, acc, glow, clu,
-                                          mfirst, mseq))
+                    f_ = _mk_feat(encode_multipoint(xy), 1, seq,
+                                  attrs, acc, glow, clu, mfirst, mseq)
+                    f_["_ngeom"] = len(xy)
+                    feats.append(f_)
                 continue
             if cfg.grid_low_zooms and z < cfg.maxzoom and t in (2, 3):
                 # rasterize onto the grid; no simplification, and the
@@ -2724,11 +2725,14 @@ def _encode_with_detail_ladder(cfg: VectorConfig, z, tx, ty, survivors,
             if not parts:
                 continue
             if t == 3:
-                feats.append(_mk_feat(encode_polygon(parts), 3, seq, attrs,
-                                      acc, glow, clu, mfirst, mseq))
+                f_ = _mk_feat(encode_polygon(parts), 3, seq, attrs,
+                              acc, glow, clu, mfirst, mseq)
+                f_["_ngeom"] = sum(len(p) + 1 for p in parts)
             else:
-                feats.append(_mk_feat(encode_linestring(parts), 2, seq, attrs,
-                                      acc, glow, clu, mfirst, mseq))
+                f_ = _mk_feat(encode_linestring(parts), 2, seq, attrs,
+                              acc, glow, clu, mfirst, mseq)
+                f_["_ngeom"] = sum(len(p) for p in parts)
+            feats.append(f_)
         if do_rc and post:
             def _ckey(e):
                 seq_, t_ = e[0], e[1]
@@ -2781,23 +2785,33 @@ def _encode_with_detail_ladder(cfg: VectorConfig, z, tx, ty, survivors,
                 if len(ops) == 0:
                     continue
                 if t == 1:
-                    feats.append(_mk_feat(encode_multipoint(xy), 1, seq,
-                                          attrs, acc, glow, clu,
-                                          mfirst, mseq))
+                    f_ = _mk_feat(encode_multipoint(xy), 1, seq,
+                                  attrs, acc, glow, clu, mfirst, mseq)
+                    f_["_ngeom"] = len(xy)
+                    feats.append(f_)
                     continue
                 parts = [xy[i:j] for i, j in dv.rings(ops)]
                 if not parts:
                     continue
                 if t == 3:
-                    feats.append(_mk_feat(encode_polygon(parts), 3, seq,
-                                          attrs, acc, glow, clu,
-                                          mfirst, mseq))
+                    f_ = _mk_feat(encode_polygon(parts), 3, seq,
+                                  attrs, acc, glow, clu, mfirst, mseq)
+                    # drawvec entries: ring vertices (incl. the closing
+                    # duplicate) + one closepath per ring
+                    f_["_ngeom"] = sum(len(p) + 1 for p in parts)
                 else:
-                    feats.append(_mk_feat(encode_linestring(parts), 2, seq,
-                                          attrs, acc, glow, clu,
-                                          mfirst, mseq))
+                    f_ = _mk_feat(encode_linestring(parts), 2, seq,
+                                  attrs, acc, glow, clu, mfirst, mseq)
+                    f_["_ngeom"] = sum(len(p) for p in parts)
+                feats.append(f_)
         def _row(nf, tb, leafed, detail_drop):
             return {"z": z, "x": tx, "y": ty, "n_features": nf,
+                    # the reference's write_tile return value: total
+                    # drawvec entries of the written features — the
+                    # metadata midpoint ranks maxzoom tiles by it
+                    # (tile.cpp:2640, 3214-3229)
+                    "n_geom": sum(f.get("_ngeom", 1) for f in feats) if nf
+                              else 0,
                     "tile": tb, "leafed": leafed,
                     "s_rate": n_rate, "s_tiny": n_tiny,
                     "s_detail": detail_drop,
@@ -3063,6 +3077,10 @@ def _tile_rows_table(rows: list[dict]) -> pa.Table:
             "x": pa.array([r["x"] for r in rows], pa.int32()),
             "y": pa.array([r["y"] for r in rows], pa.int32()),
             "n_features": pa.array([r["n_features"] for r in rows], pa.int64()),
+            # total drawvec entries written (write_tile's return value;
+            # ranks the metadata midpoint tile, tile.cpp:2640)
+            "n_geom": pa.array([r.get("n_geom", r["n_features"])
+                                for r in rows], pa.int64()),
             "tile": pa.array([r["tile"] for r in rows], pa.large_binary()),
             # -at: 1 where the pyramid leafs at this tile (children pruned)
             "leafed": pa.array([r.get("leafed", 0) for r in rows], pa.int8()),
@@ -3072,6 +3090,9 @@ def _tile_rows_table(rows: list[dict]) -> pa.Table:
             "s_detail": pa.array([r.get("s_detail", 0) for r in rows], pa.int32()),
             "s_tsize": pa.array([r.get("s_tsize", 0) for r in rows], pa.int64()),
             "s_fcount": pa.array([r.get("s_fcount", 0) for r in rows], pa.int64()),
+            "s_gamma": pa.array([r.get("s_gamma", 0) for r in rows], pa.int64()),
+            "s_need_d": pa.array([r.get("s_need_d", 0) for r in rows], pa.int64()),
+            "s_need_c": pa.array([r.get("s_need_c", 0) for r in rows], pa.int64()),
         }
     )
 
@@ -3814,6 +3835,15 @@ def _strat_zoom_task(cfg: VectorConfig, z: int, my_keys, child_refs, entry,
         "child_keys": sorted(children.keys()),
         "children_of": children_of,
         "child_poison": sorted(child_poison),
+        # per-zoom maxima of the desired tile size / feature count:
+        # the reference's tile_size_out / feature_count_out persist
+        # across the zoom's retry passes (tile.cpp:3435-3436 reset per
+        # ZOOM, not per pass), so the overflowing pass's values reach
+        # the strategies metadata even though its tiles are discarded
+        "zoom_tsize": max((r.get("s_tsize", 0) for r in out_rows),
+                          default=0),
+        "zoom_fcount": max((r.get("s_fcount", 0) for r in out_rows),
+                           default=0),
     }
     # hash-partition the children blobs so the next zoom's tasks fetch
     # only their own slice (never every parent's full children dict)
@@ -3969,6 +3999,7 @@ def _build_strategy_pyramid(
         _z_t0 = _time.time()
         task_out: list = []
         metas: list = []
+        zoom_tsize = zoom_fcount = 0
         by_pid: dict[int, list] = {}
         for k in keys:
             by_pid.setdefault(hash(k) % n_parts, []).append(k)
@@ -4005,6 +4036,10 @@ def _build_strategy_pyramid(
                 eff_maxzoom += 1
                 if ez_budget:
                     ez_budget -= 1
+            zoom_tsize = max(zoom_tsize,
+                             *(m.get("zoom_tsize", 0) for m in metas), 0)
+            zoom_fcount = max(zoom_fcount,
+                              *(m.get("zoom_fcount", 0) for m in metas), 0)
             entry, again = _merge_proposals(entry, [m["out"] for m in metas])
             if not again:
                 break
@@ -4014,14 +4049,27 @@ def _build_strategy_pyramid(
                 f"passes={_pass + 1} wall={_time.time() - _z_t0:.2f}s",
                 file=_sys.stderr,
             )
+        phantom = None
+        if zoom_tsize or zoom_fcount:
+            # counter-only phantom row carrying the zoom's desired
+            # size/count maxima from the DISCARDED overflow passes
+            phantom = _tile_rows_table([
+                {"z": z, "x": 0, "y": 0, "n_features": 0, "tile": b"",
+                 "s_tsize": zoom_tsize, "s_fcount": zoom_fcount}
+            ])
         if raw_dir is not None:
             # in-task sink: only the accepted (consensus) pass lands
             write_refs.extend(
                 _strat_write_tiles.remote(t[0], raw_dir, z, i)
                 for i, t in enumerate(task_out)
             )
+            if phantom is not None:
+                write_refs.append(_strat_write_tiles.remote(
+                    phantom, raw_dir, z, len(task_out)))
         else:
             tile_refs.extend(t[0] for t in task_out)
+            if phantom is not None:
+                tile_refs.append(ray.put(phantom))
         child_parts = ray.get([t[1] for t in task_out])
         new_key_file: dict = {}
         span = 1 << mzi

@@ -54,8 +54,13 @@ def write_mbtiles(tile_ds: ray.data.Dataset, path: str, name: str = "tiles",
     n = 0
     cols = ["z", "x", "y", "tile"]
     track_mid = meta_fn is not None and maxzoom is not None
-    if track_mid and "n_features" in tile_ds.schema().names:
-        cols.append("n_features")
+    schema_names = tile_ds.schema().names if track_mid else []
+    # rank by total written drawvec entries (write_tile's return value,
+    # tile.cpp:2640) when available; feature count otherwise (points)
+    mid_col = ("n_geom" if "n_geom" in schema_names
+               else "n_features" if "n_features" in schema_names else None)
+    if track_mid and mid_col:
+        cols.append(mid_col)
     midx = midy = 0
     most = 0
     for batch in tile_ds.select_columns(cols).iter_batches(
@@ -63,7 +68,7 @@ def write_mbtiles(tile_ds: ray.data.Dataset, path: str, name: str = "tiles",
     ):
         rows_map = []
         rows_img = []
-        nf_col = batch["n_features"] if "n_features" in batch.columns else None
+        nf_col = batch[mid_col] if mid_col and mid_col in batch.columns else None
         for i, (z, x, y, data) in enumerate(
             zip(batch["z"], batch["x"], batch["y"], batch["tile"])
         ):

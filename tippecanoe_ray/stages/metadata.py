@@ -460,6 +460,16 @@ def _bbox_init():
     return [big, big, -big, -big]
 
 
+def _bbox_inits_ref():
+    """The reference's initial values (main.cpp:3836-3839 /
+    serial.hpp:197-199) participate in the unconditional min/max merge,
+    so they are observable: bbox2's max-x floor of 2^32 in particular."""
+    bbox = [0xFFFFFFFF, 0xFFFFFFFF, 0, 0]
+    bbox1 = [0xFFFFFFFF, 0xFFFFFFFF, 0, 0]
+    bbox2 = [0x1FFFFFFFF, 0xFFFFFFFF, 0x100000000, 0]
+    return bbox, bbox1, bbox2
+
+
 def bbox_update_points(bbox, bbox1, bbox2, xs, ys):
     """serial.cpp:420-452: the plain bbox over the raw coords; the
     antimeridian candidates over masked-x / pinned-y (bbox1) and the
@@ -495,21 +505,23 @@ def file_bboxes_of_features(vec_tbl=None, vec_ds=None, pts_tbl=None):
     import numpy as np
     import pyarrow as pa
 
-    bbox, bbox1, bbox2 = _bbox_init(), _bbox_init(), _bbox_init()
+    bbox, bbox1, bbox2 = _bbox_inits_ref()
 
-    def from_blob_table(t: pa.Table):
-        for blob in t["xy"]:
+    def update_from(t: pa.Table, b, b1, b2):
+        # only MOVETO/LINETO vertices update the bboxes
+        # (serial.cpp:425-426); closepath ops carry a dummy (0, 0) row
+        for blob, opb in zip(t["xy"], t["ops"]):
             xy = np.frombuffer(blob.as_py(), dtype=np.int64).reshape(-1, 2)
-            bbox_update_points(bbox, bbox1, bbox2, xy[:, 0], xy[:, 1])
+            ops = np.frombuffer(opb.as_py(), dtype=np.uint8)
+            m = (ops == 1) | (ops == 2)
+            bbox_update_points(b, b1, b2, xy[m, 0], xy[m, 1])
 
     if vec_tbl is not None and len(vec_tbl):
-        from_blob_table(vec_tbl)
+        update_from(vec_tbl, bbox, bbox1, bbox2)
     if vec_ds is not None:
         def partial(t: pa.Table) -> pa.Table:
             b, b1, b2 = _bbox_init(), _bbox_init(), _bbox_init()
-            for blob in t["xy"]:
-                xy = np.frombuffer(blob.as_py(), dtype=np.int64).reshape(-1, 2)
-                bbox_update_points(b, b1, b2, xy[:, 0], xy[:, 1])
+            update_from(t, b, b1, b2)
             return pa.table({"b": [b], "b1": [b1], "b2": [b2]})
 
         for row in vec_ds.map_batches(

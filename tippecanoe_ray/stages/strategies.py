@@ -770,9 +770,26 @@ def strategies_from_tile_table(tbl, maxzoom: int) -> list[dict]:
             s = int(v[zs == z].sum())
             if s:
                 out[z][key] = out[z].get(key, 0) + s
+    def acc_max(col, key):
+        # zoom_tile_size / zoom_feature_count are per-zoom MAXIMA
+        # (tile.cpp:3529-3533), not sums
+        if col not in cols:
+            return
+        v = np.asarray(col_np(col))
+        for z in range(maxzoom + 1):
+            sub = v[zs == z]
+            m = int(sub.max()) if len(sub) else 0
+            if m:
+                out[z][key] = max(out[z].get(key, 0), m)
+
     acc("s_rate", "dropped_by_rate")
+    acc("s_gamma", "dropped_by_gamma")
+    acc("s_need_d", "dropped_as_needed")
+    acc("s_need_c", "coalesced_as_needed")
     acc("s_tiny", "tiny_polygons")
     acc("s_detail", "detail_reduced")
+    acc_max("s_tsize", "tile_size")
+    acc_max("s_fcount", "feature_count")
     acc("leafed", "truncated_zooms")
 
     def acc_max(col, key):

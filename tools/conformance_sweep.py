@@ -28,6 +28,7 @@ import sys
 import tempfile
 
 REF = "/tmp/refbuild/tippecanoe"
+DECODE = "/tmp/refbuild/tippecanoe-decode"
 TESTS = "/root/reference/tests"
 
 
@@ -223,19 +224,18 @@ LONG = {
     "--projection": ("--projection", True),
     "--one-tile": ("--one-tile", True),
     "--read-parallel": ("", False),
-    "--name": ("", True),          # metadata only
-    "--description": ("", True),   # metadata only
-    "--attribution": ("", True),   # metadata only
-    "--no-tile-stats": ("", False),
+    "--name": ("--name", True),
+    "--description": ("--description", True),
+    "--attribution": ("--attribution", True),
+    "--no-tile-stats": ("--no-tile-stats", False),
     "--prefer-radix-sort": ("", False),
-    # tilestats shaping lives in the metadata json, not the tiles
-    "--tile-stats-attributes-limit": ("", True),
-    "--tile-stats-sample-values-limit": ("", True),
-    "--tile-stats-values-limit": ("", True),
+    "--tile-stats-attributes-limit": ("--tile-stats-attributes-limit", True),
+    "--tile-stats-sample-values-limit": ("--tile-stats-sample-values-limit", True),
+    "--tile-stats-values-limit": ("--tile-stats-values-limit", True),
     "--attribute-description": ("", True),
     "--use-source-polygon-winding": ("--use-source-polygon-winding", False),
     "--reverse-source-polygon-winding": ("--reverse-source-polygon-winding", False),
-    "--empty-csv-columns-are-null": (None, False),
+    "--empty-csv-columns-are-null": ("--empty-csv-columns-are-null", False),
     "--no-line-simplification": ("--no-line-simplification", False),
     "--simplify-only-low-zooms": ("--simplify-only-low-zooms", False),
 
@@ -363,6 +363,25 @@ def run_case(corpus_dir: str, name: str, timeout=600):
         bad = [k for k in sorted(set(r) | set(o)) if r.get(k) != o.get(k)]
         if bad:
             return ("DIFF", f"{len(bad)}/{len(set(r) | set(o))} {bad[:3]}")
+        if "--decode" in sys.argv:
+            # whole-file decode comparison: metadata (bounds/center/
+            # vector_layers/tilestats/strategies/decisions) + tiles via
+            # the reference's own tippecanoe-decode; name/description
+            # and the generator fields are run-specific paths/argv
+            exc = []
+            for k in ("name", "description", "generator",
+                      "generator_options"):
+                exc += ["-x", k]
+            da = subprocess.run([DECODE, *exc, mb], capture_output=True,
+                                text=True, timeout=timeout)
+            db = subprocess.run([DECODE, *exc, ours], capture_output=True,
+                                text=True, timeout=timeout)
+            if da.stdout != db.stdout:
+                for la, lb in zip(da.stdout.split("\n"),
+                                  db.stdout.split("\n")):
+                    if la != lb:
+                        return ("META-DIFF", f"{la[:90]!r} vs {lb[:90]!r}")
+                return ("META-DIFF", "length mismatch")
         return ("OK", f"{len(r)} tiles")
 
 
