@@ -23,6 +23,7 @@ SF = "/root/testdata/sf0.001"
 
 ALGO_ORACLES = [
     "simhash_pairs",
+    "phash_near_dup",
     "ngram_jaccard_pairs",
     "lsh_ann_top10",
     "ivf_ann_top10",

@@ -447,11 +447,23 @@ def simhash_pairs(
         return pd.DataFrame(recs)
 
     bucketed = ds.map_batches(to_buckets, batch_format="pandas")
+    return _banded_hamming_finish(bucketed, id_col, max_hamming, max_bucket)
+
+
+def _banded_hamming_finish(
+    bucketed: ray.data.Dataset,
+    id_col: str,
+    max_hamming: int,
+    max_bucket: int,
+) -> pd.DataFrame:
+    """Shared finish for banded 64-bit-signature near-dup: coarse-group
+    the (bucket, id, sim) rows, cap each bucket, vectorized-popcount
+    Hamming verify within buckets, global pair dedup + sort."""
 
     def verify(g: pd.DataFrame) -> pd.DataFrame:
         g = g.drop_duplicates(subset=[id_col]).sort_values(id_col)
         if len(g) > max_bucket:
-            logger.warning("simhash bucket of size %d capped to %d", len(g), max_bucket)
+            logger.warning("hamming bucket of size %d capped to %d", len(g), max_bucket)
             g = g.head(max_bucket)
         ids = g[id_col].to_numpy()
         sims = g["sim"].to_numpy().astype(np.uint64)
@@ -485,6 +497,38 @@ def simhash_pairs(
     if len(pdf) == 0:
         return pd.DataFrame({"a": [], "b": [], "hamming": []})
     return pdf.drop_duplicates(subset=["a", "b"]).sort_values(["a", "b"]).reset_index(drop=True)
+
+
+def hamming_near_dup_pairs(
+    ds: ray.data.Dataset,
+    hash_col: str,
+    id_col: str,
+    max_hamming: int = 3,
+    bands: int = 4,
+    max_bucket: int = DEFAULT_MAX_BUCKET,
+) -> pd.DataFrame:
+    """Near-dup pairs over a PRECOMPUTED 64-bit hash column — e.g. the
+    image table's perceptual `phash` (BASELINE.json input_hint) — so
+    image near-dedup never ships pixel bytes: band the 64 bits into
+    `bands` chunks (a pair within Hamming ≤ bands-1 shares at least
+    one exact band, by pigeonhole — full recall at the default
+    (bands=4, max_hamming=3)), groupby band value, popcount verify.
+    Shuffle rows are (bucket:int64, id, hash) only."""
+    width = 64 // bands
+
+    def to_buckets(df: pd.DataFrame) -> pd.DataFrame:
+        h = df[hash_col].to_numpy().astype(np.int64, copy=False).view(np.uint64)
+        recs = {"bucket": [], id_col: [], "sim": []}
+        for b in range(bands):
+            part = (h >> np.uint64(b * width)) & np.uint64((1 << width) - 1)
+            key = (part.view(np.int64) << 3) | b
+            recs["bucket"].extend(key.tolist())
+            recs[id_col].extend(df[id_col].tolist())
+            recs["sim"].extend(h.view(np.int64).tolist())
+        return pd.DataFrame(recs)
+
+    bucketed = ds.map_batches(to_buckets, batch_format="pandas")
+    return _banded_hamming_finish(bucketed, id_col, max_hamming, max_bucket)
 
 
 # --------------------------------------------------- embedding near-dup

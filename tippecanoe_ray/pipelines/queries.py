@@ -569,6 +569,31 @@ def simhash_pairs_q(sf_dir: str) -> pd.DataFrame:
     return simhash_pairs(both, "text", "doc_id", max_hamming=3)
 
 
+def phash_near_dup_q(sf_dir: str) -> pd.DataFrame:
+    """Perceptual-hash near-dup over the image table: the phash int64
+    column (BASELINE.json input_hint) banded 4×16 bits, bucket
+    groupby, popcount Hamming ≤ 3 verify — full recall by pigeonhole,
+    and pixel bytes never ride the shuffle. The synthetic phash plants
+    replica groups of 4 (splitmix64 of doc_id // 4, low bits
+    doc_id % 4 → intra-group Hamming ≤ 2) so an independent all-pairs
+    SQL oracle is exact."""
+    from ..functions.hashing import splitmix64
+    from .dedup import hamming_near_dup_pairs
+
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+
+    def to_images(t: pa.Table) -> pa.Table:
+        k = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ph = splitmix64((k // 4).astype(np.uint64)) ^ (k % 4).astype(np.uint64)
+        return pa.table({
+            "image_id": pa.array([f"img-{i:012d}" for i in k], pa.string()),
+            "phash": pa.array(ph.view(np.int64), pa.int64()),
+        })
+
+    imgs = ds.map_batches(to_images, batch_format="pyarrow")
+    return hamming_near_dup_pairs(imgs, "phash", "image_id", max_hamming=3)
+
+
 def embedding_near_dup_q(sf_dir: str) -> pd.DataFrame:
     from .dedup import embedding_near_dup_pairs
 
@@ -1181,6 +1206,7 @@ def all_queries() -> dict:
         "minhash_lsh_pairs": minhash_pairs_q,
         "ngram_jaccard_pairs": ngram_jaccard_q,
         "simhash_pairs": simhash_pairs_q,
+        "phash_near_dup": phash_near_dup_q,
         "embedding_near_dup": embedding_near_dup_q,
         "lang_id_accuracy": lang_id_q,
         "doc_fingerprints": fingerprints_q,
@@ -1678,6 +1704,31 @@ def _sm64_sql(x: str) -> str:
     return f"xor({z3}, ({z3}) // {1 << 31})"
 
 
+def _phash_sql(max_hamming: int = 3) -> str:
+    """All-pairs phash near-dup oracle: reproduces the planted-replica
+    phash (splitmix64(doc_id // 4) xor (doc_id % 4)) in HUGEINT, splits
+    it into 32-bit halves for BIGINT bit_count, and keeps pairs with
+    true Hamming <= max_hamming. The engine's 4x16 banding has full
+    recall at Hamming <= 3 (pigeonhole), so all-pairs == banded."""
+    sm = _sm64_sql("hv")
+    return f"""
+WITH base AS (
+  SELECT doc_id, CAST(doc_id // 4 AS HUGEINT) AS hv,
+         CAST(doc_id % 4 AS HUGEINT) AS lowbits
+  FROM documents),
+g AS (SELECT doc_id, xor({sm}, lowbits) AS ph FROM base),
+sg AS (SELECT doc_id, CAST(ph % 4294967296 AS BIGINT) AS lo,
+              CAST(ph // 4294967296 AS BIGINT) AS hi FROM g)
+SELECT printf('img-%012d', x.doc_id) AS a,
+       printf('img-%012d', y.doc_id) AS b,
+       CAST(bit_count(xor(x.lo, y.lo)) + bit_count(xor(x.hi, y.hi)) AS BIGINT)
+         AS hamming
+FROM sg x JOIN sg y ON x.doc_id < y.doc_id
+WHERE bit_count(xor(x.lo, y.lo)) + bit_count(xor(x.hi, y.hi)) <= {max_hamming}
+ORDER BY a, b
+"""
+
+
 def _minhash_sql(num_perm: int = 64, bands: int = 16, k: int = 5,
                  seed: int = 42, threshold: float = 0.8,
                  max_bucket: int = 512) -> str:
@@ -1958,6 +2009,7 @@ def all_oracle_sql() -> dict:
         "video_frame_sample": VIDEO_FRAMES_SQL,
         "audio_features": AUDIO_FEATURES_SQL,
         "simhash_pairs": _simhash_sql(),
+        "phash_near_dup": _phash_sql(),
         "minhash_lsh_pairs": _minhash_sql(),
         "image_pyramid": _image_pyramid_sql(),
     }
