@@ -421,11 +421,16 @@ def _remove_noop_fast(ops: np.ndarray, xy: np.ndarray, vt_type: int, shift: int)
         o1, p1, r1 = o1[keep2], p1[keep2], r1[keep2]
     if vt_type == 2:
         m = len(o1)
-        keep3 = np.ones(m, dtype=bool)
-        for i in range(2, m):
-            if o1[i] == MOVETO and o1[i - 1] == LINETO and (r1[i] == r1[i - 1]).all():
-                keep3[i] = False
-        o1, p1 = o1[keep3], p1[keep3]
+        if m > 2:
+            # conditions read only the ORIGINAL neighbors (a dropped
+            # MOVETO's predecessor is a LINETO, never another dropped
+            # row), so the scan vectorizes directly
+            keep3 = np.ones(m, dtype=bool)
+            keep3[2:] = ~(
+                (o1[2:] == MOVETO) & (o1[1:-1] == LINETO)
+                & (r1[2:] == r1[1:-1]).all(axis=1)
+            )
+            o1, p1 = o1[keep3], p1[keep3]
     return o1.copy(), p1.copy()
 
 
@@ -687,13 +692,18 @@ def douglas_peucker(xy: np.ndarray, necessary: np.ndarray, start: int, n: int,
             prev = here
             if pn and retain > 0:
                 retain -= 1
+    # one vectorized copy-out: per-point access below is then C-speed
+    # list indexing instead of per-element ndarray getitem
+    xs = xy[start:start + n, 0].tolist()
+    ys = xy[start:start + n, 1].tolist()
     while stack:
         second = stack.pop()
         first = stack.pop()
         max_distance = -1.0
-        a = (int(xy[start + first, 0]), int(xy[start + first, 1]))
-        b = (int(xy[start + second, 0]), int(xy[start + second, 1]))
-        if _draw_less(a, b):
+        a = (xs[first], ys[first])
+        b = (xs[second], ys[second])
+        a_less = _draw_less(a, b)
+        if a_less:
             idxs = range(first + 1, second)
             sx, sy, ex, ey = a[0], a[1], b[0], b[1]
         else:
@@ -708,17 +718,19 @@ def douglas_peucker(xy: np.ndarray, necessary: np.ndarray, start: int, n: int,
             # float ops, same (y, x, scan-pos) tie-break).
             p2x = ex - sx
             p2y = ey - sy
-            something = (_tdiv(p2x, 4) * _tdiv(p2x, 8)
-                         + _tdiv(p2y, 4) * _tdiv(p2y, 8)) * 32.0
-            s8x = _tdiv(p2x, 8)
-            s8y = _tdiv(p2y, 8)
+            # inlined _tdiv (C trunc division; b > 0 so sign follows a)
+            s4x = abs(p2x) // 4 if p2x >= 0 else -(abs(p2x) // 4)
+            s8x = abs(p2x) // 8 if p2x >= 0 else -(abs(p2x) // 8)
+            s4y = abs(p2y) // 4 if p2y >= 0 else -(abs(p2y) // 4)
+            s8y = abs(p2y) // 8 if p2y >= 0 else -(abs(p2y) // 8)
+            something = (s4x * s8x + s4y * s8y) * 32.0
             gate_all = kept < retain
             dmax = -1.0
             bx_ = by_ = bpos = 0
             for pos in range(nseg):
-                ii = start + int(idxs[pos])
-                pxi = int(xy[ii, 0])
-                pyi = int(xy[ii, 1])
+                ii = idxs[pos]
+                pxi = xs[ii]
+                pyi = ys[ii]
                 if something == 0:
                     u = 0.0
                 else:
@@ -764,7 +776,7 @@ def douglas_peucker(xy: np.ndarray, necessary: np.ndarray, start: int, n: int,
         if max_distance >= 0:
             necessary[start + farthest] = True
             kept += 1
-            if _draw_less(a, b):
+            if a_less:
                 if 1 < farthest - first:
                     stack.append(first)
                     stack.append(farthest)
@@ -930,12 +942,24 @@ def visvalingam_mark(xy: np.ndarray, necessary: np.ndarray, start: int,
 def impose_tile_boundaries(ops, xy, necessary, extent: int):
     """geometry.cpp:188-217: insert necessary vertices where segments
     cross the tile-proper boundary."""
+    n = len(ops)
+    # fast path: a segment with BOTH endpoints inside [0, extent]^2
+    # clips to itself (Cohen–Sutherland identity), inserting nothing —
+    # if no segment has an outside endpoint, the stream is unchanged
+    if n:
+        inside = (
+            (xy[:, 0] >= 0) & (xy[:, 0] <= extent)
+            & (xy[:, 1] >= 0) & (xy[:, 1] <= extent)
+        )
+        if inside.all():
+            return ops, xy, necessary
     o: list[int] = []
     p: list[tuple[int, int]] = []
     nec: list[bool] = []
-    n = len(ops)
     for i in range(n):
-        if i > 0 and ops[i] == LINETO and (ops[i - 1] == MOVETO or ops[i - 1] == LINETO):
+        if (i > 0 and ops[i] == LINETO
+                and (ops[i - 1] == MOVETO or ops[i - 1] == LINETO)
+                and not (inside[i] and inside[i - 1])):
             c, x1, y1, x2, y2 = cs_clip_segment(
                 int(xy[i - 1, 0]), int(xy[i - 1, 1]),
                 int(xy[i, 0]), int(xy[i, 1]),
