@@ -1,0 +1,147 @@
+"""tile-join conformance vs the reference binary: the join-test golden
+matrix (reference Makefile:445-485) replayed through `tile-join` and
+through our join/merge pipelines, mbtiles `tiles` tables compared
+byte-for-byte — CSV join (+ -x exclude, --empty-csv-columns-are-null,
+-i semi), -X strip-all, zoom subset, 3-way merge with the extent
+rescale and tile-bytes reader ordering, -l/-L layer keep/remove."""
+
+import sqlite3
+import subprocess
+
+import pytest
+
+from tests.conftest import has_reference
+
+REFDIR = "/tmp/refbuild"
+CORPUS = f"{REFDIR}/tests/join-population"
+
+pytestmark = pytest.mark.skipif(
+    not has_reference(), reason="reference binary not built")
+
+
+def _run(args):
+    subprocess.run(args, cwd=REFDIR, check=True, capture_output=True)
+
+
+def _ref_tiles(path):
+    con = sqlite3.connect(path)
+    try:
+        return {
+            (z, x, (1 << z) - 1 - y): bytes(d)
+            for z, x, y, d in con.execute(
+                "SELECT zoom_level,tile_column,tile_row,tile_data FROM tiles")
+        }
+    finally:
+        con.close()
+
+
+def _our_tiles(ds):
+    return {(r["z"], r["x"], r["y"]): bytes(r["tile"]) for r in ds.take_all()}
+
+
+@pytest.fixture(scope="module")
+def corpus(tmp_path_factory):
+    d = tmp_path_factory.mktemp("tilejoin_ref")
+    tab = str(d / "tabblock.mbtiles")
+    mac = str(d / "macarthur.mbtiles")
+    mac2 = str(d / "macarthur2.mbtiles")
+    _run([f"{REFDIR}/tippecanoe", "-q", "-f", "-z12", "-o", tab,
+          "-YALAND10:Land area",
+          "-L", '{"file": "%s/tabblock_06001420.json", "description": "population"}' % CORPUS])
+    _run([f"{REFDIR}/tippecanoe", "-q", "-f", "-Z5", "-z10", "-o", mac,
+          "-l", "macarthur", f"{CORPUS}/macarthur.json"])
+    _run([f"{REFDIR}/tippecanoe", "-q", "-f", "-d10", "-D10", "-Z9", "-z11",
+          "-o", mac2, "-l", "macarthur", f"{CORPUS}/macarthur2.json"])
+    return {"dir": d, "tab": tab, "mac": mac, "mac2": mac2}
+
+
+def _assert_tiles_equal(ours, ref):
+    assert set(ours) == set(ref)
+    bad = [k for k in ref if ours[k] != ref[k]]
+    assert bad == [], f"{len(bad)} tiles differ: {bad[:5]}"
+
+
+def test_csv_join_variants(ray_session, corpus):
+    from tippecanoe_ray.pipelines.tilejoin import join_csv_exact
+    from tippecanoe_ray.sources.mbtiles import read_mbtiles
+
+    d, tab = corpus["dir"], corpus["tab"]
+    csv = f"{CORPUS}/population.csv"
+    cases = [
+        ("joined.mbtiles", ["-x", "GEOID10", "-c", csv], {}),
+        ("joined-null.mbtiles",
+         ["--empty-csv-columns-are-null", "-x", "GEOID10", "-c", csv],
+         {"empty_null": True}),
+        ("joined-i.mbtiles", ["-i", "-x", "GEOID10", "-c", csv],
+         {"semi": True}),
+        ("joined-keep-key.mbtiles", ["-c", csv], {"no_exclude": True}),
+    ]
+    ds = read_mbtiles(tab)
+    for out, flags, kw in cases:
+        ref_path = str(d / out)
+        _run([f"{REFDIR}/tile-join", "-q", "-f", "-o", ref_path, *flags, tab])
+        exclude = frozenset() if kw.pop("no_exclude", False) else {"GEOID10"}
+        ours = _our_tiles(join_csv_exact(ds, csv, exclude=exclude, **kw))
+        _assert_tiles_equal(ours, _ref_tiles(ref_path))
+
+
+def test_zoom_subset_and_exclude_all(ray_session, corpus):
+    from tippecanoe_ray.pipelines.tilejoin import join_csv_exact
+    from tippecanoe_ray.sources.mbtiles import read_mbtiles
+
+    d, mac = corpus["dir"], corpus["mac"]
+    ref_path = str(d / "m69X.mbtiles")
+    _run([f"{REFDIR}/tile-join", "-q", "-f", "-Z6", "-z9", "-X",
+          "-o", ref_path, mac])
+    z69 = read_mbtiles(mac).filter(expr="z >= 6 and z <= 9")
+    ours = _our_tiles(join_csv_exact(z69, None, exclude_all=True))
+    _assert_tiles_equal(ours, _ref_tiles(ref_path))
+
+    # plain zoom subset is byte pass-through of the in-range tiles
+    ref2 = str(d / "m69.mbtiles")
+    _run([f"{REFDIR}/tile-join", "-q", "-f", "-Z6", "-z9", "-o", ref2, mac])
+    ours2 = _our_tiles(read_mbtiles(mac).filter(expr="z >= 6 and z <= 9"))
+    _assert_tiles_equal(ours2, _ref_tiles(ref2))
+
+
+def test_merge_and_layer_ops(ray_session, corpus):
+    from tippecanoe_ray.pipelines.tilejoin import merge_tilesets_exact
+    from tippecanoe_ray.sources.mbtiles import read_mbtiles
+
+    d = corpus["dir"]
+    merged_ref = str(d / "merged.mbtiles")
+    _run([f"{REFDIR}/tile-join", "-q", "-f", "-o", merged_ref,
+          corpus["tab"], corpus["mac"], corpus["mac2"]])
+    dss = [read_mbtiles(corpus[k]) for k in ("tab", "mac", "mac2")]
+    # exercises the extent rescale (macarthur2 is -d10 over the same
+    # layer name) and the tile-bytes reader ordering
+    ours = _our_tiles(merge_tilesets_exact(dss))
+    _assert_tiles_equal(ours, _ref_tiles(merged_ref))
+
+    just_ref = str(d / "just.mbtiles")
+    no_ref = str(d / "no.mbtiles")
+    _run([f"{REFDIR}/tile-join", "-q", "-f", "-l", "macarthur",
+          "-o", just_ref, merged_ref])
+    _run([f"{REFDIR}/tile-join", "-q", "-f", "-L", "macarthur",
+          "-o", no_ref, merged_ref])
+    mds = read_mbtiles(merged_ref)
+    _assert_tiles_equal(
+        _our_tiles(merge_tilesets_exact([mds], keep_layers={"macarthur"})),
+        _ref_tiles(just_ref))
+    _assert_tiles_equal(
+        _our_tiles(merge_tilesets_exact([mds], remove_layers={"macarthur"})),
+        _ref_tiles(no_ref))
+
+
+def test_windows_csv(ray_session, corpus):
+    """windows.csv: quoted values with embedded commas/quotes."""
+    from tippecanoe_ray.pipelines.tilejoin import join_csv_exact
+    from tippecanoe_ray.sources.mbtiles import read_mbtiles
+
+    d, mac = corpus["dir"], corpus["mac"]
+    ref_path = str(d / "windows.mbtiles")
+    _run([f"{REFDIR}/tile-join", "-q", "-f", "-c",
+          f"{CORPUS}/windows.csv", "-o", ref_path, mac])
+    ours = _our_tiles(join_csv_exact(read_mbtiles(mac),
+                                     f"{CORPUS}/windows.csv"))
+    _assert_tiles_equal(ours, _ref_tiles(ref_path))

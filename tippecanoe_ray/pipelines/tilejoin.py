@@ -105,6 +105,366 @@ def join_csv(
     return tile_ds.map_batches(fn, batch_format="pandas")
 
 
+def csv_split(s: str) -> list[str]:
+    """csv.cpp:5-40: split on commas outside double quotes; whitespace
+    after a separating comma is skipped; a trailing comma yields an
+    empty final field."""
+    out: list[str] = []
+    i, n = 0, len(s)
+    while i < n and s[i] not in "\n\r":
+        start = i
+        within = False
+        while i < n and s[i] not in "\n\r":
+            if s[i] == '"':
+                within = not within
+            if s[i] == "," and not within:
+                break
+            i += 1
+        out.append(s[start:i])
+        if i < n and s[i] == ",":
+            i += 1
+            while i < n and s[i].isspace():
+                i += 1
+            if i >= n or s[i] in "\r\n":
+                out.append("")
+                break
+    return out
+
+
+def csv_dequote(s: str) -> str:
+    """csv.cpp:42-54: strip quotes, '""' → '"'."""
+    out = []
+    i = 0
+    while i < len(s):
+        if s[i] == '"':
+            if i + 1 < len(s) and s[i + 1] == '"':
+                out.append('"')
+        else:
+            out.append(s[i])
+        i += 1
+    return "".join(out)
+
+
+def is_number_json(s: str) -> bool:
+    """csv.cpp:114-175 — JSON number grammar, transliterated (including
+    the quirk that a lone '-' followed by end-of-string is a number)."""
+    t = s + "\0\0\0"
+    i = 0
+    c = t[i]
+    i += 1
+    if not (c == "-" or "0" <= c <= "9"):
+        return False
+    if c == "-":
+        c = t[i]
+        i += 1
+    if c == "0":
+        pass
+    elif "1" <= c <= "9":
+        c = t[i]
+        while "0" <= c <= "9":
+            i += 1
+            c = t[i]
+    if t[i] == ".":
+        i += 1
+        c = t[i]
+        if not ("0" <= c <= "9"):
+            return False
+        while "0" <= c <= "9":
+            i += 1
+            c = t[i]
+    c = t[i]
+    if c in "eE":
+        i += 1
+        c = t[i]
+        if c in "+-":
+            i += 1
+        c = t[i]
+        if not ("0" <= c <= "9"):
+            return False
+        while "0" <= c <= "9":
+            i += 1
+            c = t[i]
+    return t[i] == "\0"
+
+
+def read_join_csv(path: str) -> tuple[list[str], dict[str, list[str]]]:
+    """csv.cpp:68-111 readcsv: header fields dequoted; each line's key
+    (first field) dequoted, remaining fields kept RAW (quotes intact —
+    typing happens at join time); first occurrence of a key wins."""
+    header: list[str] = []
+    mapping: dict[str, list[str]] = {}
+    with open(path, encoding="utf-8") as f:
+        first = f.readline()
+        if first:
+            header = [csv_dequote(h) for h in csv_split(first)]
+        for line in f:
+            if not line:
+                continue
+            fields = csv_split(line)
+            if not fields:
+                continue
+            fields[0] = csv_dequote(fields[0])
+            if fields[0] not in mapping:
+                mapping[fields[0]] = fields
+    return header, mapping
+
+
+def join_csv_exact(
+    tile_ds: ray.data.Dataset,
+    csv_path: str | None,
+    exclude: frozenset | set = frozenset(),
+    exclude_all: bool = False,
+    semi: bool = False,
+    empty_null: bool = False,
+    compress: bool = True,
+) -> ray.data.Dataset:
+    """Byte-parity tile-join rewrite (tile-join.cpp:160-400): decode
+    each tile keeping wire bytes, rebuild features with
+    insertion-ordered attributes — original values reused verbatim,
+    joined CSV columns typed by the reference's rules (quoted→string,
+    JSON-number→double via the smallest-loss-free MVT value,
+    empty→null under --empty-csv-columns-are-null) and REPLACING an
+    existing attribute in place — then re-encode with the shared
+    exact-mode layer writer (sorted/deduped value table, exact gzip).
+    csv_path=None rewrites without a join (e.g. -X attribute strip).
+    Empty layers and empty tiles are dropped; >500000-byte tiles are
+    skipped with a warning (tile-join.cpp:880-886)."""
+    header: list[str] = []
+    mapping: dict[str, list[str]] = {}
+    if csv_path is not None:
+        header, mapping = read_join_csv(csv_path)
+    map_ref = ray.put((header, mapping))
+    exclude = frozenset(exclude)
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        hdr, m = ray.get(map_ref)
+        out_tiles = []
+        out_counts = []
+        for data in df["tile"]:
+            enc, total = _rewrite_tile_group(
+                [bytes(data)] if len(data) else [], hdr, m, exclude,
+                exclude_all, semi, empty_null, compress)
+            out_tiles.append(enc)
+            out_counts.append(total)
+        df = df.copy()
+        df["tile"] = out_tiles
+        df["n_features"] = out_counts
+        return df[df["n_features"] > 0]
+
+    return tile_ds.map_batches(fn, batch_format="pandas")
+
+
+def _ctrunc_scale(v: int, num: int, den: int) -> int:
+    """C++ long long `v * num / den` (truncation toward zero)."""
+    p = v * num
+    q = abs(p) // den
+    return q if p >= 0 else -q
+
+
+def _scale_draws(draws: list, num: int, den: int) -> list:
+    return [
+        (cmd, [(_ctrunc_scale(x, num, den), _ctrunc_scale(y, num, den))
+               for x, y in pts])
+        for cmd, pts in draws
+    ]
+
+
+def _geom_raw_to_draws(geom_raw: bytes) -> list:
+    from ..stages.mvt import _decode_geometry, _read_varint
+
+    vals = []
+    pos = 0
+    while pos < len(geom_raw):
+        v, pos = _read_varint(geom_raw, pos)
+        vals.append(v)
+    return _decode_geometry(vals)
+
+
+def _rewrite_tile_group(
+    tiles: list[bytes],
+    hdr: list[str],
+    mapping: dict,
+    exclude: frozenset,
+    exclude_all: bool,
+    semi: bool,
+    empty_null: bool,
+    compress: bool,
+    keep_layers: frozenset = frozenset(),
+    remove_layers: frozenset = frozenset(),
+    renames: dict | None = None,
+) -> tuple[bytes, int]:
+    """The append_tile accumulation (tile-join.cpp:105-400) over all
+    input tiles sharing one (z, x, y): layers found-or-created by name
+    in first-seen order; on an extent mismatch the smaller side is
+    scaled UP with C-truncating integer math (existing features when
+    the incoming layer is finer, incoming features otherwise); features
+    rebuilt with insertion-ordered attributes and the CSV join rules.
+    Returns (encoded tile bytes or b'', feature count) — empty layers
+    dropped, >500000-byte tiles skipped (tile-join.cpp:866-886)."""
+    from ..stages.mvt import decode_tile_raw, serial_val_of_raw
+
+    out_layers: list[dict] = []  # {name, extent, feats: [...]}
+    by_name: dict[str, int] = {}
+    for data in tiles:
+        if not data:
+            continue
+        for lay in decode_tile_raw(data):
+            name = lay["name"]
+            if renames and name in renames:
+                name = renames[name]
+            if keep_layers and name not in keep_layers:
+                continue
+            if name in remove_layers:
+                continue
+            ol = by_name.get(name)
+            if ol is None:
+                ol = len(out_layers)
+                by_name[name] = ol
+                out_layers.append(
+                    {"name": name, "extent": lay["extent"], "feats": []})
+            out = out_layers[ol]
+            if lay["extent"] != out["extent"]:
+                if lay["extent"] > out["extent"]:
+                    # scale UP the already-accumulated features
+                    # (tile-join.cpp:149-162)
+                    for f in out["feats"]:
+                        draws = (f["draws"] if f.get("draws") is not None
+                                 else _geom_raw_to_draws(f["geom"]))
+                        f["draws"] = _scale_draws(
+                            draws, lay["extent"], out["extent"])
+                        f["geom"] = None
+                    out["extent"] = lay["extent"]
+            keys = lay["keys"]
+            vraw = lay["values_raw"]
+            for f in lay["features"]:
+                attrs: dict = {}
+                matched = False
+                ti = f["tag_idx"]
+                for t in range(0, len(ti) - 1, 2):
+                    key = keys[ti[t]]
+                    raw = vraw[ti[t + 1]]
+                    vt, sv = serial_val_of_raw(raw)
+                    if vt == "null":
+                        continue
+                    if not exclude_all and key not in exclude and key not in attrs:
+                        attrs[key] = ("raw", raw)
+                    if hdr and key == hdr[0]:
+                        row = mapping.get(sv)
+                        if row is not None:
+                            matched = True
+                            for i in range(1, min(len(row), len(hdr))):
+                                joinkey = hdr[i]
+                                joinval = row[i]
+                                jt = "string"
+                                if joinval:
+                                    if joinval[0] == '"':
+                                        joinval = csv_dequote(joinval)
+                                    elif is_number_json(joinval):
+                                        jt = "double"
+                                elif empty_null:
+                                    jt = "null"
+                                if (not exclude_all and joinkey not in exclude
+                                        and jt != "null"):
+                                    attrs[joinkey] = (jt, joinval)
+                if semi and not matched:
+                    continue
+                nf = {
+                    "geom": f["geom_raw"],
+                    "draws": None,
+                    "type": f["type"],
+                    "id": f["id"],
+                    "attrs_sv": [(k, v[0], v[1]) for k, v in attrs.items()],
+                }
+                if lay["extent"] != out["extent"]:
+                    # incoming layer is coarser: scale it up on emission
+                    # (tile-join.cpp:334-339)
+                    nf["draws"] = _scale_draws(
+                        _geom_raw_to_draws(f["geom_raw"]),
+                        out["extent"], lay["extent"])
+                    nf["geom"] = None
+                out["feats"].append(nf)
+    enc_layers = []
+    total = 0
+    for out in out_layers:
+        if not out["feats"]:
+            continue
+        feats = []
+        for f in out["feats"]:
+            geom = (f["geom"] if f["geom"] is not None
+                    else _reencode_geom({"geometry": f["draws"]}))
+            feats.append({"geom": geom, "type": f["type"], "id": f["id"],
+                          "attrs_sv": f["attrs_sv"]})
+        total += len(feats)
+        enc_layers.append(encode_layer(out["name"], feats, out["extent"]))
+    if not enc_layers:
+        return b"", 0
+    enc = encode_tile(enc_layers, compress=compress, exact_gzip=True)
+    if len(enc) > 500000:
+        return b"", 0
+    return enc, total
+
+
+def merge_tilesets_exact(
+    tile_dss: list[ray.data.Dataset],
+    csv_path: str | None = None,
+    exclude: frozenset | set = frozenset(),
+    exclude_all: bool = False,
+    semi: bool = False,
+    empty_null: bool = False,
+    keep_layers: frozenset | set = frozenset(),
+    remove_layers: frozenset | set = frozenset(),
+    renames: dict | None = None,
+    compress: bool = True,
+) -> ray.data.Dataset:
+    """Byte-parity tile-join over N input tilesets: tiles grouped by
+    (z, x, y), inputs accumulated in argument order (the reference's
+    append_tile call order), then the shared rewrite. The group-by is
+    the only shuffle and moves tile bytes once."""
+    header: list[str] = []
+    mapping: dict[str, list[str]] = {}
+    if csv_path is not None:
+        header, mapping = read_join_csv(csv_path)
+    map_ref = ray.put((header, mapping))
+    exclude = frozenset(exclude)
+    keep_layers = frozenset(keep_layers)
+    remove_layers = frozenset(remove_layers)
+
+    tagged = []
+    for i, ds in enumerate(tile_dss):
+        def tag(df: pd.DataFrame, i=i) -> pd.DataFrame:
+            df = df.copy()
+            if "n_features" not in df.columns:  # read_mbtiles: (z,x,y,tile)
+                df["n_features"] = 0
+            df["__input__"] = i
+            return df[["z", "x", "y", "n_features", "tile", "__input__"]]
+
+        tagged.append(ds.map_batches(tag, batch_format="pandas"))
+    merged = tagged[0].union(*tagged[1:]) if len(tagged) > 1 else tagged[0]
+
+    def per_tile(g: pd.DataFrame) -> pd.DataFrame:
+        hdr, m = ray.get(map_ref)
+        # readers at the same (z, x, y) pop in LEXICOGRAPHIC tile-bytes
+        # order (tileset_reader::operator< final tie-break on `data`,
+        # tile-join.cpp:788-790), not in argument order
+        blobs = sorted(bytes(t) for t in g["tile"] if len(t))
+        enc, total = _rewrite_tile_group(
+            blobs, hdr, m, exclude,
+            exclude_all, semi, empty_null, compress,
+            keep_layers, remove_layers, renames)
+        if total == 0:
+            return pd.DataFrame(
+                {"z": [], "x": [], "y": [], "n_features": [], "tile": []}
+            ).astype({"z": "int64", "x": "int64", "y": "int64",
+                      "n_features": "int64", "tile": "object"})
+        return pd.DataFrame({
+            "z": [g["z"].iloc[0]], "x": [g["x"].iloc[0]],
+            "y": [g["y"].iloc[0]], "n_features": [total], "tile": [enc],
+        })
+
+    return merged.groupby(["z", "x", "y"]).map_groups(
+        per_tile, batch_format="pandas")
+
+
 def _reencode_geom(f: dict) -> bytes:
     """Re-encode a decoded feature's geometry commands."""
     from ..stages.mvt import CLOSEPATH, LINETO, MOVETO, varint_array, zigzag

@@ -280,6 +280,11 @@ class ValuePool:
             return None
         return self._intern(enc)
 
+    def value_raw(self, enc: bytes) -> int:
+        """Intern a value already in wire form (tile-join reuses the
+        input tile's mvt_value verbatim, tile-join.cpp:219)."""
+        return self._intern(enc)
+
     def _intern(self, enc: bytes) -> int:
         i = self.val_idx.get(enc)
         if i is None:
@@ -310,9 +315,12 @@ def encode_layer(
         if tags is None and f.get("attrs_sv"):
             tags = []
             for k, vt, s in f["attrs_sv"]:
-                vi = pool.value_sv(vt, s)
-                if vi is None:
-                    continue  # nulls dropped (write_tile skips mvt_null)
+                if vt == "raw":  # pre-serialized wire value (tile-join)
+                    vi = pool.value_raw(s)
+                else:
+                    vi = pool.value_sv(vt, s)
+                    if vi is None:
+                        continue  # nulls dropped (write_tile skips mvt_null)
                 tags += [pool.key(k), vi]
         if tags is None and f.get("attrs"):
             tags = []
@@ -421,6 +429,126 @@ def decode_tile(data: bytes) -> list[dict]:
         else:
             pos = _skip(data, pos, wire)
     return layers
+
+
+def decode_tile_raw(data: bytes) -> list[dict]:
+    """Decode an MVT preserving wire bytes, for byte-parity rewrites
+    (tile-join keeps the input tile's values and geometry verbatim,
+    tile-join.cpp:219,332): layers as {name, extent, version, keys:
+    [str], values_raw: [bytes] (serialized value messages), features:
+    [{id, type, tag_idx: [int], geom_raw: bytes}]}."""
+    if data[:2] == b"\x1f\x8b":
+        data = gzip.decompress(data)
+    elif data[:1] == b"\x78":
+        data = zlib.decompress(data)
+    layers = []
+    pos = 0
+    while pos < len(data):
+        key, pos = _read_varint(data, pos)
+        field, wire = key >> 3, key & 7
+        if field == 3 and wire == 2:
+            ln, pos = _read_varint(data, pos)
+            layers.append(_decode_layer_raw(data[pos : pos + ln]))
+            pos += ln
+        else:
+            pos = _skip(data, pos, wire)
+    return layers
+
+
+def _decode_layer_raw(buf: bytes) -> dict:
+    name = ""
+    extent = DEFAULT_EXTENT
+    version = 1
+    raw_feats = []
+    keys: list[str] = []
+    values_raw: list[bytes] = []
+    pos = 0
+    while pos < len(buf):
+        key, pos = _read_varint(buf, pos)
+        field, wire = key >> 3, key & 7
+        if field == 1:
+            ln, pos = _read_varint(buf, pos)
+            name = buf[pos : pos + ln].decode("utf-8")
+            pos += ln
+        elif field == 2:
+            ln, pos = _read_varint(buf, pos)
+            raw_feats.append(buf[pos : pos + ln])
+            pos += ln
+        elif field == 3:
+            ln, pos = _read_varint(buf, pos)
+            keys.append(buf[pos : pos + ln].decode("utf-8"))
+            pos += ln
+        elif field == 4:
+            ln, pos = _read_varint(buf, pos)
+            values_raw.append(bytes(buf[pos : pos + ln]))
+            pos += ln
+        elif field == 5:
+            extent, pos = _read_varint(buf, pos)
+        elif field == 15:
+            version, pos = _read_varint(buf, pos)
+        else:
+            pos = _skip(buf, pos, wire)
+    feats = [_decode_feature_raw(f) for f in raw_feats]
+    return {"name": name, "extent": extent, "version": version,
+            "keys": keys, "values_raw": values_raw, "features": feats}
+
+
+def _decode_feature_raw(buf: bytes) -> dict:
+    fid = None
+    ftype = 0
+    tag_idx: list[int] = []
+    geom_raw = b""
+    pos = 0
+    while pos < len(buf):
+        key, pos = _read_varint(buf, pos)
+        field, wire = key >> 3, key & 7
+        if field == 1:
+            fid, pos = _read_varint(buf, pos)
+        elif field == 2:
+            ln, pos = _read_varint(buf, pos)
+            end = pos + ln
+            while pos < end:
+                v, pos = _read_varint(buf, pos)
+                tag_idx.append(v)
+        elif field == 3:
+            ftype, pos = _read_varint(buf, pos)
+        elif field == 4:
+            ln, pos = _read_varint(buf, pos)
+            geom_raw = bytes(buf[pos : pos + ln])
+            pos += ln
+        else:
+            pos = _skip(buf, pos, wire)
+    return {"id": fid, "type": ftype, "tag_idx": tag_idx, "geom_raw": geom_raw}
+
+
+def serial_val_of_raw(raw: bytes) -> tuple[str, str]:
+    """mvt_value_to_serial_val (mvt.cpp:779-817): wire value message →
+    (vt, s) with the reference's stringifications — milo dtoa for
+    float/double, std::to_string for the integer types."""
+    from ..functions.text import dtoa_milo
+
+    pos = 0
+    key, pos = _read_varint(raw, pos)
+    field = key >> 3
+    if field == 1:
+        ln, pos = _read_varint(raw, pos)
+        return "string", raw[pos : pos + ln].decode("utf-8")
+    if field == 2:
+        return "double", dtoa_milo(struct.unpack("<f", raw[pos : pos + 4])[0])
+    if field == 3:
+        return "double", dtoa_milo(struct.unpack("<d", raw[pos : pos + 8])[0])
+    if field in (4, 5):
+        v, pos = _read_varint(raw, pos)
+        if field == 4 and v >= 1 << 63:  # two's-complement int_value
+            v -= 1 << 64
+        return "double", str(v)
+    if field == 6:
+        v, pos = _read_varint(raw, pos)
+        return "double", str((v >> 1) ^ -(v & 1))
+    if field == 7:
+        v, pos = _read_varint(raw, pos)
+        return "bool", "true" if v else "false"
+    return "null", "null"
 
 
 def _skip(buf: bytes, pos: int, wire: int) -> int:
