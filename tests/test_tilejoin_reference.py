@@ -133,6 +133,34 @@ def test_merge_and_layer_ops(ray_session, corpus):
         _ref_tiles(no_ref))
 
 
+def test_tilejoin_cli(corpus):
+    """The `tilejoin` CLI subcommand end-to-end vs the reference."""
+    import sys
+
+    d, tab = corpus["dir"], corpus["tab"]
+    ref_path = str(d / "cli-ref.mbtiles")
+    csv = f"{CORPUS}/population.csv"
+    _run([f"{REFDIR}/tile-join", "-q", "-f", "-o", ref_path,
+          "-x", "GEOID10", "-c", csv, tab])
+    out = str(d / "cli-ours.mbtiles")
+    subprocess.run(
+        [sys.executable, "-m", "tippecanoe_ray", "tilejoin", "-o", out,
+         "-x", "GEOID10", "-c", csv, tab, "--num-cpus", "2"],
+        check=True, capture_output=True, cwd="/root/repo")
+
+    def tms(path):
+        con = sqlite3.connect(path)
+        try:
+            return {r[:3]: bytes(r[3]) for r in con.execute(
+                "SELECT zoom_level,tile_column,tile_row,tile_data FROM tiles")}
+        finally:
+            con.close()
+
+    ours, ref = tms(out), tms(ref_path)
+    assert set(ours) == set(ref)
+    assert all(ours[k] == ref[k] for k in ref)
+
+
 def test_windows_csv(ray_session, corpus):
     """windows.csv: quoted values with embedded commas/quotes."""
     from tippecanoe_ray.pipelines.tilejoin import join_csv_exact

@@ -564,7 +564,78 @@ def _parse_accum(specs: list[str]) -> tuple:
     return tuple(out)
 
 
+def tilejoin_main(argv):
+    """`python -m tippecanoe_ray tilejoin` — the reference's tile-join
+    surface (tile-join.cpp): CSV attribute join, N-way tileset merge,
+    layer keep/remove/rename, attribute exclude, zoom subset. Output
+    tiles are byte-identical to the reference binary's
+    (tests/test_tilejoin_reference.py)."""
+    ap = argparse.ArgumentParser(prog="tippecanoe_ray tilejoin")
+    ap.add_argument("inputs", nargs="+", help="input .mbtiles tilesets")
+    ap.add_argument("-o", "--output", required=True, help="output .mbtiles")
+    ap.add_argument("-c", "--csv", default=None, help="CSV to join on the first column")
+    ap.add_argument("-x", "--exclude", action="append", default=[],
+                    help="exclude this attribute")
+    ap.add_argument("-X", "--exclude-all", action="store_true")
+    ap.add_argument("-i", "--if-matched", action="store_true",
+                    help="keep only features with a CSV match")
+    ap.add_argument("--empty-csv-columns-are-null", action="store_true")
+    ap.add_argument("-l", "--layer", action="append", default=[],
+                    help="keep only this layer")
+    ap.add_argument("-L", "--exclude-layer", action="append", default=[],
+                    help="remove this layer")
+    ap.add_argument("-R", "--rename-layer", action="append", default=[],
+                    help="old:new layer rename")
+    ap.add_argument("-Z", "--minimum-zoom", type=int, default=None)
+    ap.add_argument("-z", "--maximum-zoom", type=int, default=None)
+    ap.add_argument("-n", "--name", default=None)
+    ap.add_argument("--num-cpus", type=int, default=None)
+    args = ap.parse_args(argv)
+
+    import ray
+
+    started_here = not ray.is_initialized()
+    if started_here:
+        ray.init(address="local", num_cpus=args.num_cpus,
+                 include_dashboard=False, logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    t0 = time.time()
+    from tippecanoe_ray.pipelines.tilejoin import merge_tilesets_exact
+    from tippecanoe_ray.sources.mbtiles import read_mbtiles, write_mbtiles
+
+    dss = [read_mbtiles(p) for p in args.inputs]
+    renames = dict(r.split(":", 1) for r in args.rename_layer) or None
+    merged = merge_tilesets_exact(
+        dss, csv_path=args.csv, exclude=frozenset(args.exclude),
+        exclude_all=args.exclude_all, semi=args.if_matched,
+        empty_null=args.empty_csv_columns_are_null,
+        keep_layers=frozenset(args.layer),
+        remove_layers=frozenset(args.exclude_layer), renames=renames)
+    if args.minimum_zoom is not None:
+        merged = merged.filter(expr=f"z >= {args.minimum_zoom}")
+    if args.maximum_zoom is not None:
+        merged = merged.filter(expr=f"z <= {args.maximum_zoom}")
+    merged = merged.materialize()
+    zs = [r["z"] for r in merged.select_columns(["z"]).take_all()]
+    n = write_mbtiles(
+        merged, args.output,
+        name=args.name or args.output,
+        minzoom=min(zs) if zs else 0, maxzoom=max(zs) if zs else 0,
+    )
+    print(json.dumps({"output": args.output, "n_tiles": int(n) if n else len(zs),
+                      "elapsed_sec": round(time.time() - t0, 2)}))
+    if started_here:
+        ray.shutdown()
+    return 0
+
+
 def main(argv=None):
+    if argv is None:
+        argv = sys.argv[1:]
+    if argv and argv[0] == "tilejoin":
+        return tilejoin_main(argv[1:])
     ap = argparse.ArgumentParser(prog="tippecanoe_ray")
     ap.add_argument("--input", default=[], action="append",
                     help="parquet/lance feature table, or .geojson/.json[.gz], "
