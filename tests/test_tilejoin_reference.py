@@ -161,6 +161,89 @@ def test_tilejoin_cli(corpus):
     assert all(ours[k] == ref[k] for k in ref)
 
 
+DECODE_CASES = [
+    # (name, reference tile-join flags, our CLI flags)
+    ("join", ["-x", "GEOID10", "-c", "{csv}"],
+     ["-x", "GEOID10", "-c", "{csv}"]),
+    ("join-null",
+     ["--empty-csv-columns-are-null", "-x", "GEOID10", "-c", "{csv}"],
+     ["--empty-csv-columns-are-null", "-x", "GEOID10", "-c", "{csv}"]),
+    ("join-i", ["-i", "-x", "GEOID10", "-c", "{csv}"],
+     ["-i", "-x", "GEOID10", "-c", "{csv}"]),
+    ("no-tile-stats",
+     ["--no-tile-stats", "-x", "GEOID10", "-c", "{csv}"],
+     ["--no-tile-stats", "-x", "GEOID10", "-c", "{csv}"]),
+    ("attr-limit",
+     ["--tile-stats-attributes-limit=1", "-x", "GEOID10", "-c", "{csv}"],
+     ["--tile-stats-attributes-limit", "1", "-x", "GEOID10", "-c", "{csv}"]),
+    ("sample-limit",
+     ["--tile-stats-sample-values-limit=1", "-x", "GEOID10", "-c", "{csv}"],
+     ["--tile-stats-sample-values-limit", "1", "-x", "GEOID10", "-c", "{csv}"]),
+    ("values-limit",
+     ["--tile-stats-values-limit=1", "-x", "GEOID10", "-c", "{csv}"],
+     ["--tile-stats-values-limit", "1", "-x", "GEOID10", "-c", "{csv}"]),
+    ("zoom-subset", ["-Z6", "-z9"], ["-Z", "6", "-z", "9"]),
+]
+
+
+@pytest.mark.parametrize("name,ref_flags,our_flags",
+                         DECODE_CASES, ids=[c[0] for c in DECODE_CASES])
+def test_cli_decode_parity(corpus, name, ref_flags, our_flags):
+    """Full tippecanoe-decode parity — every tile AND the metadata
+    (bounds/center from pinned geometry, merged name/description/
+    strategies, vector_layers with carried field descriptions,
+    tilestats with the reference's caps) — the reference's own
+    join-test golden method (Makefile:465-482 cmp of decode output;
+    generator/generator_options excluded since our argv differs)."""
+    import sys
+
+    d = corpus["dir"]
+    csv = f"{CORPUS}/population.csv"
+    src = corpus["mac"] if name == "zoom-subset" else corpus["tab"]
+    ref_out = str(d / f"dp-{name}-ref.mbtiles")
+    our_out = str(d / f"dp-{name}-our.mbtiles")
+    _run([f"{REFDIR}/tile-join", "-q", "-f", "-o", ref_out,
+          *[f.format(csv=csv) for f in ref_flags], src])
+    subprocess.run(
+        [sys.executable, "-m", "tippecanoe_ray", "tilejoin", "-o", our_out,
+         *[f.format(csv=csv) for f in our_flags], src, "--num-cpus", "2"],
+        check=True, capture_output=True, cwd="/root/repo")
+    dec_ref = subprocess.run(
+        [f"{REFDIR}/tippecanoe-decode", "-x", "generator",
+         "-x", "generator_options", ref_out],
+        capture_output=True, check=True).stdout
+    dec_our = subprocess.run(
+        [f"{REFDIR}/tippecanoe-decode", "-x", "generator",
+         "-x", "generator_options", our_out],
+        capture_output=True, check=True).stdout
+    assert dec_ref == dec_our
+
+
+def test_cli_merge_decode_parity(corpus):
+    """3-way merge through the CLI: decode output identical, including
+    the ' + '-joined name, summed strategies, extent-rescaled layers."""
+    import sys
+
+    d = corpus["dir"]
+    ref_out = str(d / "dp-merge-ref.mbtiles")
+    our_out = str(d / "dp-merge-our.mbtiles")
+    inputs = [corpus["tab"], corpus["mac"], corpus["mac2"]]
+    _run([f"{REFDIR}/tile-join", "-q", "-f", "-o", ref_out, *inputs])
+    subprocess.run(
+        [sys.executable, "-m", "tippecanoe_ray", "tilejoin", "-o", our_out,
+         *inputs, "--num-cpus", "2"],
+        check=True, capture_output=True, cwd="/root/repo")
+    dec_ref = subprocess.run(
+        [f"{REFDIR}/tippecanoe-decode", "-x", "generator",
+         "-x", "generator_options", ref_out],
+        capture_output=True, check=True).stdout
+    dec_our = subprocess.run(
+        [f"{REFDIR}/tippecanoe-decode", "-x", "generator",
+         "-x", "generator_options", our_out],
+        capture_output=True, check=True).stdout
+    assert dec_ref == dec_our
+
+
 def test_windows_csv(ray_session, corpus):
     """windows.csv: quoted values with embedded commas/quotes."""
     from tippecanoe_ray.pipelines.tilejoin import join_csv_exact

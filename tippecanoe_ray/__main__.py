@@ -589,6 +589,12 @@ def tilejoin_main(argv):
     ap.add_argument("-Z", "--minimum-zoom", type=int, default=None)
     ap.add_argument("-z", "--maximum-zoom", type=int, default=None)
     ap.add_argument("-n", "--name", default=None)
+    ap.add_argument("-N", "--description", default=None)
+    ap.add_argument("-A", "--attribution", default=None)
+    ap.add_argument("--no-tile-stats", action="store_true")
+    ap.add_argument("--tile-stats-attributes-limit", type=int, default=None)
+    ap.add_argument("--tile-stats-sample-values-limit", type=int, default=None)
+    ap.add_argument("--tile-stats-values-limit", type=int, default=None)
     ap.add_argument("--num-cpus", type=int, default=None)
     args = ap.parse_args(argv)
 
@@ -602,29 +608,48 @@ def tilejoin_main(argv):
 
     DataContext.get_current().enable_progress_bars = False
     t0 = time.time()
-    from tippecanoe_ray.pipelines.tilejoin import merge_tilesets_exact
+    from tippecanoe_ray.pipelines.tilejoin import (
+        gather_input_metadata,
+        merge_tilesets_exact,
+        tilejoin_metadata,
+    )
     from tippecanoe_ray.sources.mbtiles import read_mbtiles, write_mbtiles
 
     dss = [read_mbtiles(p) for p in args.inputs]
+    # zoom subset happens at the reader (tile-join.cpp -Z/-z), so the
+    # skipped tiles never reach the metadata accumulation either
+    if args.minimum_zoom is not None:
+        dss = [d.filter(expr=f"z >= {args.minimum_zoom}") for d in dss]
+    if args.maximum_zoom is not None:
+        dss = [d.filter(expr=f"z <= {args.maximum_zoom}") for d in dss]
     renames = dict(r.split(":", 1) for r in args.rename_layer) or None
     merged = merge_tilesets_exact(
         dss, csv_path=args.csv, exclude=frozenset(args.exclude),
         exclude_all=args.exclude_all, semi=args.if_matched,
         empty_null=args.empty_csv_columns_are_null,
         keep_layers=frozenset(args.layer),
-        remove_layers=frozenset(args.exclude_layer), renames=renames)
-    if args.minimum_zoom is not None:
-        merged = merged.filter(expr=f"z >= {args.minimum_zoom}")
-    if args.maximum_zoom is not None:
-        merged = merged.filter(expr=f"z <= {args.maximum_zoom}")
-    merged = merged.materialize()
-    zs = [r["z"] for r in merged.select_columns(["z"]).take_all()]
-    n = write_mbtiles(
-        merged, args.output,
-        name=args.name or args.output,
-        minzoom=min(zs) if zs else 0, maxzoom=max(zs) if zs else 0,
+        remove_layers=frozenset(args.exclude_layer), renames=renames,
+        with_stats=True).materialize()
+    stats_rows = [json.loads(r["__stats__"]) for r in
+                  merged.select_columns(["__stats__"]).take_all()]
+    inputs_meta = gather_input_metadata(
+        args.inputs, args.minimum_zoom, args.maximum_zoom)
+    meta = tilejoin_metadata(
+        stats_rows, inputs_meta,
+        commandline="tippecanoe_ray tilejoin " + " ".join(argv),
+        set_name=args.name, set_description=args.description,
+        set_attribution=args.attribution,
+        no_tilestats=args.no_tile_stats,
+        tilestats_attributes_limit=args.tile_stats_attributes_limit,
+        tilestats_sample_values_limit=args.tile_stats_sample_values_limit,
+        tilestats_values_limit=args.tile_stats_values_limit,
     )
-    print(json.dumps({"output": args.output, "n_tiles": int(n) if n else len(zs),
+    import os as _os
+
+    if _os.path.exists(args.output):  # tile-join -f semantics
+        _os.unlink(args.output)
+    n = write_mbtiles(merged, args.output, meta_fn=lambda *_: meta)
+    print(json.dumps({"output": args.output, "n_tiles": int(n),
                       "elapsed_sec": round(time.time() - t0, 2)}))
     if started_here:
         ray.shutdown()

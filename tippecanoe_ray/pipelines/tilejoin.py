@@ -11,6 +11,8 @@ matched features).
 
 from __future__ import annotations
 
+import sqlite3
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -292,6 +294,8 @@ def _rewrite_tile_group(
     keep_layers: frozenset = frozenset(),
     remove_layers: frozenset = frozenset(),
     renames: dict | None = None,
+    zxy: tuple[int, int, int] | None = None,
+    stats: dict | None = None,
 ) -> tuple[bytes, int]:
     """The append_tile accumulation (tile-join.cpp:105-400) over all
     input tiles sharing one (z, x, y): layers found-or-created by name
@@ -347,7 +351,7 @@ def _rewrite_tile_group(
                     if vt == "null":
                         continue
                     if not exclude_all and key not in exclude and key not in attrs:
-                        attrs[key] = ("raw", raw)
+                        attrs[key] = ("raw", raw, vt, sv)
                     if hdr and key == hdr[0]:
                         row = mapping.get(sv)
                         if row is not None:
@@ -365,7 +369,7 @@ def _rewrite_tile_group(
                                     jt = "null"
                                 if (not exclude_all and joinkey not in exclude
                                         and jt != "null"):
-                                    attrs[joinkey] = (jt, joinval)
+                                    attrs[joinkey] = (jt, joinval, jt, joinval)
                 if semi and not matched:
                     continue
                 nf = {
@@ -374,6 +378,7 @@ def _rewrite_tile_group(
                     "type": f["type"],
                     "id": f["id"],
                     "attrs_sv": [(k, v[0], v[1]) for k, v in attrs.items()],
+                    "attrs_stats": [(k, v[2], v[3]) for k, v in attrs.items()],
                 }
                 if lay["extent"] != out["extent"]:
                     # incoming layer is coarser: scale it up on emission
@@ -395,6 +400,8 @@ def _rewrite_tile_group(
             feats.append({"geom": geom, "type": f["type"], "id": f["id"],
                           "attrs_sv": f["attrs_sv"]})
         total += len(feats)
+        if stats is not None and zxy is not None:
+            _accumulate_join_stats(stats, out, zxy)
         enc_layers.append(encode_layer(out["name"], feats, out["extent"]))
     if not enc_layers:
         return b"", 0
@@ -402,6 +409,323 @@ def _rewrite_tile_group(
     if len(enc) > 500000:
         return b"", 0
     return enc, total
+
+
+def _accumulate_join_stats(stats: dict, out: dict, zxy) -> None:
+    """Per-(tile, layer) metadata accumulation (tile-join.cpp:305-408):
+    layermap zoom range + geometry-type counters + add_to_tilestats per
+    written attribute, and the world-bbox walk over pinned geometry
+    (both the plain and the antimeridian-shifted lon range)."""
+    from ..stages.metadata import LayerEntry, add_to_tilestats, tile2lonlat
+
+    z, x, y = zxy
+    lmap = stats.setdefault("layers", {})
+    ent = lmap.get(out["name"])
+    if ent is None:
+        ent = lmap[out["name"]] = LayerEntry()
+        ent.minzoom = z
+        ent.maxzoom = z
+    extent = out["extent"]
+    span = 1 << (32 - z)
+    minx = miny = 1 << 62
+    maxx = maxy = -(1 << 62)
+    minx2, maxx2 = 1 << 62, -(1 << 62)
+    for f in out["feats"]:
+        for k, vt, sv in f["attrs_stats"]:
+            add_to_tilestats(ent.tilestats, k, vt, sv)
+        if f["type"] == 1:
+            ent.points += 1
+        elif f["type"] == 2:
+            ent.lines += 1
+        elif f["type"] == 3:
+            ent.polygons += 1
+        if z < ent.minzoom:
+            ent.minzoom = z
+        if z > ent.maxzoom:
+            ent.maxzoom = z
+        draws = (f["draws"] if f["draws"] is not None
+                 else _geom_raw_to_draws(f["geom"]))
+        for cmd, pts in draws:
+            if cmd not in (1, 2):
+                continue
+            for gx0, gy0 in pts:
+                gx = min(extent, max(0, gx0))
+                gy = min(extent, max(0, gy0))
+                gx = gx * span // extent + span * x
+                gy = gy * span // extent + span * y
+                minx = min(minx, gx)
+                miny = min(miny, gy)
+                maxx = max(maxx, gx)
+                maxy = max(maxy, gy)
+                if gx < 1 << 31:  # western hemisphere: try shifting east
+                    gx += 1 << 32
+                minx2 = min(minx2, gx)
+                maxx2 = max(maxx2, gx)
+    if maxx < minx:
+        return
+    bb = stats.setdefault(
+        "bbox", {"minlat": 999.0, "minlon": 999.0, "maxlat": -999.0,
+                 "maxlon": -999.0, "minlon2": 999.0, "maxlon2": -999.0})
+    lon1, lat1 = tile2lonlat(minx, maxy, 32)
+    lon2, lat2 = tile2lonlat(maxx, miny, 32)
+    bb["minlat"] = min(bb["minlat"], min(lat1, lat2))
+    bb["minlon"] = min(bb["minlon"], min(lon1, lon2))
+    bb["maxlat"] = max(bb["maxlat"], max(lat1, lat2))
+    bb["maxlon"] = max(bb["maxlon"], max(lon1, lon2))
+    lon1, _ = tile2lonlat(minx2, maxy, 32)
+    lon2, _ = tile2lonlat(maxx2, miny, 32)
+    bb["minlon2"] = min(bb["minlon2"], min(lon1, lon2))
+    bb["maxlon2"] = max(bb["maxlon2"], max(lon1, lon2))
+
+
+def _join_stats_to_row(stats: dict) -> dict:
+    """LayerEntry objects → a plain nested dict (Arrow/pandas-safe)."""
+    layers = {}
+    for name, ent in stats.get("layers", {}).items():
+        layers[name] = {
+            "points": ent.points, "lines": ent.lines,
+            "polygons": ent.polygons, "minzoom": ent.minzoom,
+            "maxzoom": ent.maxzoom,
+            "ts": {k: {"mask": t.type_mask, "min": t.min, "max": t.max,
+                       "samples": list(t.sample_values)}
+                   for k, t in ent.tilestats.items()},
+        }
+    return {"layers": layers, "bbox": stats.get("bbox")}
+
+
+def merge_join_stats(rows: list[dict]):
+    """Reduce the per-tile partials into one layermap + bbox — the
+    reference's merge_layermaps (mbtiles.cpp:836-915; sample sets keep
+    the cap-smallest distinct values, which is order-independent)."""
+    import bisect
+
+    from ..stages.metadata import (
+        MAX_TILESTATS_SAMPLE_VALUES, LayerEntry, Tilestat,
+    )
+
+    lmap: dict[str, LayerEntry] = {}
+    bbox = {"minlat": 999.0, "minlon": 999.0, "maxlat": -999.0,
+            "maxlon": -999.0, "minlon2": 999.0, "maxlon2": -999.0}
+    for row in rows:
+        if not row:
+            continue
+        for name, le in row.get("layers", {}).items():
+            ent = lmap.get(name)
+            if ent is None:
+                ent = lmap[name] = LayerEntry()
+                ent.minzoom = le["minzoom"]
+                ent.maxzoom = le["maxzoom"]
+            ent.minzoom = min(ent.minzoom, le["minzoom"])
+            ent.maxzoom = max(ent.maxzoom, le["maxzoom"])
+            ent.points += le["points"]
+            ent.lines += le["lines"]
+            ent.polygons += le["polygons"]
+            for k, td in le["ts"].items():
+                ts = ent.tilestats.get(k)
+                if ts is None:
+                    ts = ent.tilestats[k] = Tilestat()
+                ts.type_mask |= td["mask"]
+                ts.min = min(ts.min, td["min"])
+                ts.max = max(ts.max, td["max"])
+                for val in td["samples"]:
+                    val = (val[0], val[1])
+                    sv = ts.sample_values
+                    pt = bisect.bisect_left(sv, val)
+                    if pt == len(sv) or sv[pt] != val:
+                        if len(sv) >= MAX_TILESTATS_SAMPLE_VALUES:
+                            if pt < len(sv):
+                                sv.insert(pt, val)
+                                sv.pop()
+                        else:
+                            sv.insert(pt, val)
+        b = row.get("bbox")
+        if b:
+            bbox["minlat"] = min(bbox["minlat"], b["minlat"])
+            bbox["minlon"] = min(bbox["minlon"], b["minlon"])
+            bbox["maxlat"] = max(bbox["maxlat"], b["maxlat"])
+            bbox["maxlon"] = max(bbox["maxlon"], b["maxlon"])
+            bbox["minlon2"] = min(bbox["minlon2"], b["minlon2"])
+            bbox["maxlon2"] = max(bbox["maxlon2"], b["maxlon2"])
+    return lmap, bbox
+
+
+def gather_input_metadata(paths: list[str],
+                          minzoom: int | None = None,
+                          maxzoom: int | None = None) -> dict:
+    """The reference's per-reader metadata merge (tile-join.cpp:
+    1120-1255), iterating inputs in the readers' FINAL priority order —
+    each reader ends positioned at its last tile, so the order is by
+    (last z, x, tms_y, tile bytes). name concatenates with ' + ' while
+    under 255 chars; attribution/description/center are last-wins;
+    generator_options join with '; '; per-zoom strategies counters add;
+    input vector_layers seed layer descriptions and attribute
+    descriptions; min/maxzoom rows clamp to -Z/-z."""
+    import json as _json
+
+    def last_key(path):
+        con = sqlite3.connect("file:" + path + "?mode=ro", uri=True)
+        try:
+            row = con.execute(
+                "SELECT zoom_level, tile_column, tile_row, tile_data FROM tiles "
+                "ORDER BY zoom_level DESC, tile_column DESC, tile_row DESC "
+                "LIMIT 1").fetchone()
+            if row is None:
+                return (-1, -1, -1, b"")
+            return (int(row[0]), int(row[1]), int(row[2]), bytes(row[3]))
+        finally:
+            con.close()
+
+    out = {
+        "name": "", "description": "", "attribution": "",
+        "midlon": 0.0, "midlat": 0.0,
+        "minzoom": 1 << 30, "maxzoom": -(1 << 30),
+        "generator_options": "", "strategies": [],
+        "layer_descriptions": {}, "attribute_descriptions": {},
+    }
+    for path in sorted(paths, key=last_key):
+        con = sqlite3.connect("file:" + path + "?mode=ro", uri=True)
+        md = dict(con.execute("SELECT name, value FROM metadata"))
+        con.close()
+        if "minzoom" in md:
+            minz = int(float(md["minzoom"]))
+            if minzoom is not None:
+                minz = max(minz, minzoom)
+            out["minzoom"] = min(out["minzoom"], minz)
+        if "maxzoom" in md:
+            maxz = int(float(md["maxzoom"]))
+            if maxzoom is not None:
+                maxz = min(maxz, maxzoom)
+            out["maxzoom"] = max(out["maxzoom"], maxz)
+        if "center" in md:
+            parts = md["center"].split(",")
+            if len(parts) >= 2:
+                out["midlon"], out["midlat"] = float(parts[0]), float(parts[1])
+        if md.get("attribution"):
+            out["attribution"] = md["attribution"]
+        if md.get("description"):
+            out["description"] = md["description"]
+        if md.get("name"):
+            if not out["name"]:
+                out["name"] = md["name"]
+            else:
+                proposed = out["name"] + " + " + md["name"]
+                if len(proposed) < 255:
+                    out["name"] = proposed
+        if md.get("json"):
+            try:
+                j = _json.loads(md["json"])
+            except ValueError:
+                j = None
+            if isinstance(j, dict):
+                for vl in j.get("vector_layers") or []:
+                    if not isinstance(vl, dict):
+                        continue
+                    if isinstance(vl.get("id"), str) and vl.get("description"):
+                        out["layer_descriptions"][vl["id"]] = vl["description"]
+                    flds = vl.get("fields")
+                    if isinstance(flds, dict):
+                        for k, v in flds.items():
+                            if (isinstance(v, str) and v not in
+                                    ("Number", "String", "Boolean", "Mixed")
+                                    and k not in out["attribute_descriptions"]):
+                                out["attribute_descriptions"][k] = v
+        if md.get("generator_options"):
+            if out["generator_options"]:
+                out["generator_options"] += "; " + md["generator_options"]
+            else:
+                out["generator_options"] = md["generator_options"]
+        if md.get("strategies"):
+            try:
+                arr = _json.loads(md["strategies"])
+            except ValueError:
+                arr = []
+            key_map = {"tile_size_desired": "tile_size",
+                       "feature_count_desired": "feature_count"}
+            if isinstance(arr, list):
+                for i, h in enumerate(arr):
+                    if isinstance(h, dict):
+                        for k, v in h.items():
+                            # the vector grows only when a counter is
+                            # actually set, so trailing {} entries are
+                            # truncated (handle_strategies resize-on-set)
+                            while len(out["strategies"]) <= i:
+                                out["strategies"].append({})
+                            k = key_map.get(k, k)
+                            out["strategies"][i][k] = (
+                                out["strategies"][i].get(k, 0) + int(v))
+    return out
+
+
+def tilejoin_metadata(
+    stats_rows: list[dict],
+    inputs_meta: dict,
+    commandline: str = "",
+    set_name: str | None = None,
+    set_description: str | None = None,
+    set_attribution: str | None = None,
+    no_tilestats: bool = False,
+    tilestats_attributes_limit: int | None = None,
+    tilestats_sample_values_limit: int | None = None,
+    tilestats_values_limit: int | None = None,
+) -> dict[str, str]:
+    """Final metadata assembly (tile-join.cpp:1628-1667 +
+    make_metadata): -n/-N/-A overrides, own command line appended to
+    generator_options, zooms re-derived from the layermap (the zooms
+    actually written), degenerate-bbox guard, antimeridian narrowing,
+    per-layer zooms preserved."""
+    from ..stages.metadata import (
+        MAX_TILESTATS_ATTRIBUTES, MAX_TILESTATS_SAMPLE_VALUES,
+        MAX_TILESTATS_VALUES, _sixdig, make_metadata,
+    )
+    from ..stages.strategies import stringify_strategies
+
+    lmap, bbox = merge_join_stats(stats_rows)
+    for name, desc in inputs_meta["layer_descriptions"].items():
+        if name in lmap:
+            lmap[name].description = desc
+    name = set_name or inputs_meta["name"]
+    description = set_description or inputs_meta["description"]
+    attribution = set_attribution or inputs_meta["attribution"] or None
+    gen = inputs_meta["generator_options"]
+    gen = gen + "; " + commandline if gen else commandline
+    minzoom = min((e.minzoom for e in lmap.values()), default=0)
+    maxzoom = max((e.maxzoom for e in lmap.values()), default=0)
+    b = dict(bbox)
+    if b["maxlon"] < b["minlon"]:
+        for k in b:
+            b[k] = 0.0
+    if b["maxlon"] - b["minlon"] <= b["maxlon2"] - b["minlon2"]:
+        b["minlon2"], b["maxlon2"] = b["minlon"], b["maxlon"]
+    bc = {
+        "minlat": _sixdig(b["minlat"]), "minlon": _sixdig(b["minlon"]),
+        "maxlat": _sixdig(b["maxlat"]), "maxlon": _sixdig(b["maxlon"]),
+        "minlat2": _sixdig(b["minlat"]), "minlon2": _sixdig(b["minlon2"]),
+        "maxlat2": _sixdig(b["maxlat"]), "maxlon2": _sixdig(b["maxlon2"]),
+        "midlat": _sixdig(inputs_meta["midlat"]),
+        "midlon": _sixdig(inputs_meta["midlon"]),
+    }
+    return make_metadata(
+        name, minzoom, maxzoom, bc, lmap,
+        description=description, attribution=attribution,
+        # stringify_strategies returns "" unless ANY counter is set
+        # (the `any` gate, mbtiles.cpp:372-460), so all-empty inputs
+        # write no strategies row
+        strategies_json=(stringify_strategies(inputs_meta["strategies"])
+                         if any(h for h in inputs_meta["strategies"])
+                         else ""),
+        generator_options=gen,
+        do_tilestats=not no_tilestats,
+        attribute_descriptions=inputs_meta["attribute_descriptions"],
+        elements=(tilestats_values_limit if tilestats_values_limit is not None
+                  else MAX_TILESTATS_VALUES),
+        attributes_cap=(tilestats_attributes_limit
+                        if tilestats_attributes_limit is not None
+                        else MAX_TILESTATS_ATTRIBUTES),
+        sample_cap=(tilestats_sample_values_limit
+                    if tilestats_sample_values_limit is not None
+                    else MAX_TILESTATS_SAMPLE_VALUES),
+        overwrite_layer_zooms=False,
+    )
 
 
 def merge_tilesets_exact(
@@ -415,11 +739,14 @@ def merge_tilesets_exact(
     remove_layers: frozenset | set = frozenset(),
     renames: dict | None = None,
     compress: bool = True,
+    with_stats: bool = False,
 ) -> ray.data.Dataset:
     """Byte-parity tile-join over N input tilesets: tiles grouped by
     (z, x, y), inputs accumulated in argument order (the reference's
     append_tile call order), then the shared rewrite. The group-by is
-    the only shuffle and moves tile bytes once."""
+    the only shuffle and moves tile bytes once. with_stats adds a
+    __stats__ JSON column of per-tile metadata partials (layermap +
+    bbox) for tilejoin_metadata."""
     header: list[str] = []
     mapping: dict[str, list[str]] = {}
     if csv_path is not None:
@@ -442,24 +769,34 @@ def merge_tilesets_exact(
     merged = tagged[0].union(*tagged[1:]) if len(tagged) > 1 else tagged[0]
 
     def per_tile(g: pd.DataFrame) -> pd.DataFrame:
+        import json as _json
+
         hdr, m = ray.get(map_ref)
         # readers at the same (z, x, y) pop in LEXICOGRAPHIC tile-bytes
         # order (tileset_reader::operator< final tie-break on `data`,
         # tile-join.cpp:788-790), not in argument order
         blobs = sorted(bytes(t) for t in g["tile"] if len(t))
+        zxy = (int(g["z"].iloc[0]), int(g["x"].iloc[0]), int(g["y"].iloc[0]))
+        stats: dict | None = {} if with_stats else None
         enc, total = _rewrite_tile_group(
             blobs, hdr, m, exclude,
             exclude_all, semi, empty_null, compress,
-            keep_layers, remove_layers, renames)
+            keep_layers, remove_layers, renames,
+            zxy=zxy, stats=stats)
+        cols = {"z": "int64", "x": "int64", "y": "int64",
+                "n_features": "int64", "tile": "object"}
         if total == 0:
-            return pd.DataFrame(
-                {"z": [], "x": [], "y": [], "n_features": [], "tile": []}
-            ).astype({"z": "int64", "x": "int64", "y": "int64",
-                      "n_features": "int64", "tile": "object"})
-        return pd.DataFrame({
-            "z": [g["z"].iloc[0]], "x": [g["x"].iloc[0]],
-            "y": [g["y"].iloc[0]], "n_features": [total], "tile": [enc],
-        })
+            empty = {k: [] for k in cols}
+            if with_stats:
+                empty["__stats__"] = []
+            return pd.DataFrame(empty).astype(cols)
+        row = {
+            "z": [zxy[0]], "x": [zxy[1]], "y": [zxy[2]],
+            "n_features": [total], "tile": [enc],
+        }
+        if with_stats:
+            row["__stats__"] = [_json.dumps(_join_stats_to_row(stats))]
+        return pd.DataFrame(row)
 
     return merged.groupby(["z", "x", "y"]).map_groups(
         per_tile, batch_format="pandas")

@@ -178,6 +178,10 @@ def merge_layermaps_trunc(lmap: dict[str, LayerEntry],
             dst.description = src.description
             dst.minzoom = src.minzoom
             dst.maxzoom = src.maxzoom
+        if src.minzoom < dst.minzoom:
+            dst.minzoom = src.minzoom
+        if src.maxzoom > dst.maxzoom:
+            dst.maxzoom = src.maxzoom
         dst.points += src.points
         dst.lines += src.lines
         dst.polygons += src.polygons
@@ -243,8 +247,14 @@ def tilestats_json(lmap: dict[str, LayerEntry],
             if not first_attr:
                 parts.append(",")
             first_attr = False
-            val_count = min(len(ts.sample_values), sample_cap)
-            mask = ts.type_mask
+            retained = ts.sample_values[:sample_cap]
+            val_count = len(retained)
+            # type comes from the RETAINED samples, not the accumulated
+            # mask (mbtiles.cpp:291-303) — they differ when the sample
+            # cap dropped every value of some type
+            mask = 0
+            for _, tc in retained:
+                mask |= 1 << tc
             if mask == 1 << TYPE_CODE["double"]:
                 type_str = "number"
             elif mask == 1 << TYPE_CODE["bool"]:
@@ -259,7 +269,7 @@ def tilestats_json(lmap: dict[str, LayerEntry],
             )
             vals = 0
             first_val = True
-            for s, tcode in ts.sample_values:
+            for s, tcode in retained:
                 if vals == elements:
                     break
                 if tcode in (TYPE_CODE["double"], TYPE_CODE["bool"]):
@@ -287,10 +297,13 @@ def tilestats_json(lmap: dict[str, LayerEntry],
 
 
 def vector_layers_json(lmap: dict[str, LayerEntry],
-                       attribute_descriptions: dict[str, str] | None = None
+                       attribute_descriptions: dict[str, str] | None = None,
+                       attributes_cap: int = MAX_TILESTATS_ATTRIBUTES,
+                       sample_cap: int = MAX_TILESTATS_SAMPLE_VALUES
                        ) -> str:
     """The vector_layers array (mbtiles.cpp:718-805), nospace form;
-    field types by the sample-value type bitmask."""
+    field types from the RETAINED sample values (mbtiles.cpp:771-774),
+    fields truncated at max_tilestats_attributes (mbtiles.cpp:794-797)."""
     ad = attribute_descriptions or {}
     parts = ["["]
     first = True
@@ -305,6 +318,7 @@ def vector_layers_json(lmap: dict[str, LayerEntry],
             + ',"maxzoom":' + str(ent.maxzoom) + ',"fields":{'
         )
         first_field = True
+        n_fields = 0
         for key in sorted(ent.tilestats):
             ts = ent.tilestats[key]
             if not first_field:
@@ -315,7 +329,9 @@ def vector_layers_json(lmap: dict[str, LayerEntry],
             if desc is not None:
                 parts.append(_jstr(desc))
             else:
-                mask = ts.type_mask
+                mask = 0
+                for _, tc in ts.sample_values[:sample_cap]:
+                    mask |= 1 << tc
                 if mask == 1 << TYPE_CODE["double"]:
                     parts.append(_jstr("Number"))
                 elif mask == 1 << TYPE_CODE["bool"]:
@@ -324,6 +340,9 @@ def vector_layers_json(lmap: dict[str, LayerEntry],
                     parts.append(_jstr("String"))
                 else:
                     parts.append(_jstr("Mixed"))
+            n_fields += 1
+            if n_fields >= attributes_cap:
+                break
         parts.append("}}")
     parts.append("]")
     return "".join(parts)
@@ -402,11 +421,14 @@ def make_metadata(
     elements: int = MAX_TILESTATS_VALUES,
     attributes_cap: int = MAX_TILESTATS_ATTRIBUTES,
     sample_cap: int = MAX_TILESTATS_SAMPLE_VALUES,
+    overwrite_layer_zooms: bool = True,
 ) -> dict[str, str]:
     """make_metadata + the json assembly of mbtiles_write_metadata:
     everything as the metadata-table string values the reference
     writes. Layer min/max zoom are overwritten with the global range
-    (main.cpp:2833-2836)."""
+    (main.cpp:2833-2836) — tippecanoe does this before calling;
+    tile-join does NOT (it keeps the per-layer zooms actually written),
+    so it passes overwrite_layer_zooms=False."""
     meta: dict[str, str] = {}
     meta["name"] = fname
     meta["description"] = description if description is not None else fname
@@ -439,11 +461,12 @@ def make_metadata(
             + ',"retain_points_multiplier":' + str(retain_points_multiplier)
             + "}")
     if vector and lmap is not None:
-        for ent in lmap.values():
-            ent.minzoom = minzoom
-            ent.maxzoom = maxzoom
+        if overwrite_layer_zooms:
+            for ent in lmap.values():
+                ent.minzoom = minzoom
+                ent.maxzoom = maxzoom
         j = '{"vector_layers":' + vector_layers_json(
-            lmap, attribute_descriptions)
+            lmap, attribute_descriptions, attributes_cap, sample_cap)
         if do_tilestats and elements > 0:
             j += ',"tilestats":' + tilestats_json(
                 lmap, elements, attributes_cap, sample_cap)
