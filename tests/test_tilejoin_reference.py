@@ -244,6 +244,90 @@ def test_cli_merge_decode_parity(corpus):
     assert dec_ref == dec_our
 
 
+def test_cli_dirtiles_in_and_out(corpus):
+    """Dirtiles inputs (reference-written folders) merged to mbtiles,
+    and -e folder output with -n/-N — decode-identical both ways."""
+    import sys
+
+    d = corpus["dir"]
+    tabd, macd, mac2d = (str(d / n) for n in ("tabd", "macd", "mac2d"))
+    _run([f"{REFDIR}/tippecanoe", "-q", "-z12", "-f", "-e", tabd,
+          "-YALAND10:Land area",
+          "-L", '{"file": "%s/tabblock_06001420.json", "description": "population"}' % CORPUS])
+    _run([f"{REFDIR}/tippecanoe", "-q", "-Z5", "-z10", "-f", "-e", macd,
+          "-l", "macarthur", f"{CORPUS}/macarthur.json"])
+    _run([f"{REFDIR}/tippecanoe", "-q", "-d10", "-D10", "-Z9", "-z11",
+          "-f", "-e", mac2d, "-l", "macarthur", f"{CORPUS}/macarthur2.json"])
+    ref_out = str(d / "dirmerge-ref.mbtiles")
+    _run([f"{REFDIR}/tile-join", "-q", "-f", "-o", ref_out,
+          tabd, macd, mac2d])
+    our_out = str(d / "dirmerge-our.mbtiles")
+    subprocess.run(
+        [sys.executable, "-m", "tippecanoe_ray", "tilejoin", "-o", our_out,
+         tabd, macd, mac2d, "--num-cpus", "2"],
+        check=True, capture_output=True, cwd="/root/repo")
+    _assert_decode_equal(ref_out, our_out)
+
+    ref_dir = str(d / "m2f-ref")
+    our_dir = str(d / "m2f-our")
+    _run([f"{REFDIR}/tile-join", "-q", "-n", "merged name",
+          "-N", "merged description", "-f", "-e", ref_dir,
+          corpus["tab"], corpus["mac"], corpus["mac2"]])
+    subprocess.run(
+        [sys.executable, "-m", "tippecanoe_ray", "tilejoin", "-e", our_dir,
+         "-n", "merged name", "-N", "merged description",
+         corpus["tab"], corpus["mac"], corpus["mac2"], "--num-cpus", "2"],
+        check=True, capture_output=True, cwd="/root/repo")
+    _assert_decode_equal(ref_dir, our_dir)
+
+
+def test_cli_rename_and_name_cap(corpus):
+    """-R layer renames and the 255-char name-concatenation cap."""
+    import sys
+
+    d = corpus["dir"]
+    r1, r2 = str(d / "r1.mbtiles"), str(d / "r2.mbtiles")
+    _run([f"{REFDIR}/tippecanoe", "-q", "-f", "-Z5", "-z10", "-o", r1,
+          "-l", "macarthur1", f"{CORPUS}/macarthur.json"])
+    _run([f"{REFDIR}/tippecanoe", "-q", "-f", "-Z5", "-z10", "-o", r2,
+          "-l", "macarthur2", f"{CORPUS}/macarthur2.json"])
+    ref_out = str(d / "renamed-ref.mbtiles")
+    _run([f"{REFDIR}/tile-join", "-q", "-R", "macarthur1:one",
+          "--rename-layer=macarthur2:two", "-f", "-o", ref_out, r1, r2])
+    our_out = str(d / "renamed-our.mbtiles")
+    subprocess.run(
+        [sys.executable, "-m", "tippecanoe_ray", "tilejoin", "-o", our_out,
+         "-R", "macarthur1:one", "-R", "macarthur2:two", r1, r2,
+         "--num-cpus", "2"],
+        check=True, capture_output=True, cwd="/root/repo")
+    _assert_decode_equal(ref_out, our_out)
+
+    longname = str(d / "longname.mbtiles")
+    _run([f"{REFDIR}/tippecanoe", "-q", "-f", "-z0",
+          "-n", "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ",
+          "-o", longname, f"{CORPUS}/macarthur.json"])
+    ref_out = str(d / "concat-ref.mbtiles")
+    _run([f"{REFDIR}/tile-join", "-q", "-f", "-o", ref_out] + [longname] * 6)
+    our_out = str(d / "concat-our.mbtiles")
+    subprocess.run(
+        [sys.executable, "-m", "tippecanoe_ray", "tilejoin", "-o", our_out]
+        + [longname] * 6 + ["--num-cpus", "2"],
+        check=True, capture_output=True, cwd="/root/repo")
+    _assert_decode_equal(ref_out, our_out)
+
+
+def _assert_decode_equal(ref_path, our_path):
+    dec_ref = subprocess.run(
+        [f"{REFDIR}/tippecanoe-decode", "-x", "generator",
+         "-x", "generator_options", ref_path],
+        capture_output=True, check=True).stdout
+    dec_our = subprocess.run(
+        [f"{REFDIR}/tippecanoe-decode", "-x", "generator",
+         "-x", "generator_options", our_path],
+        capture_output=True, check=True).stdout
+    assert dec_ref == dec_our
+
+
 def test_windows_csv(ray_session, corpus):
     """windows.csv: quoted values with embedded commas/quotes."""
     from tippecanoe_ray.pipelines.tilejoin import join_csv_exact

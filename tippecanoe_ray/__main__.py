@@ -571,8 +571,11 @@ def tilejoin_main(argv):
     tiles are byte-identical to the reference binary's
     (tests/test_tilejoin_reference.py)."""
     ap = argparse.ArgumentParser(prog="tippecanoe_ray tilejoin")
-    ap.add_argument("inputs", nargs="+", help="input .mbtiles tilesets")
-    ap.add_argument("-o", "--output", required=True, help="output .mbtiles")
+    ap.add_argument("inputs", nargs="+",
+                    help="input .mbtiles tilesets or dirtiles directories")
+    ap.add_argument("-o", "--output", default=None, help="output .mbtiles")
+    ap.add_argument("-e", "--output-to-directory", default=None,
+                    help="output z/x/y.pbf directory")
     ap.add_argument("-c", "--csv", default=None, help="CSV to join on the first column")
     ap.add_argument("-x", "--exclude", action="append", default=[],
                     help="exclude this attribute")
@@ -615,7 +618,14 @@ def tilejoin_main(argv):
     )
     from tippecanoe_ray.sources.mbtiles import read_mbtiles, write_mbtiles
 
-    dss = [read_mbtiles(p) for p in args.inputs]
+    import os as _os
+
+    if not args.output and not args.output_to_directory:
+        ap.error("one of -o/--output or -e/--output-to-directory is required")
+    from tippecanoe_ray.sources.dirtiles import read_dirtiles, write_dirtiles
+
+    dss = [read_dirtiles(p) if _os.path.isdir(p) else read_mbtiles(p)
+           for p in args.inputs]
     # zoom subset happens at the reader (tile-join.cpp -Z/-z), so the
     # skipped tiles never reach the metadata accumulation either
     if args.minimum_zoom is not None:
@@ -644,12 +654,15 @@ def tilejoin_main(argv):
         tilestats_sample_values_limit=args.tile_stats_sample_values_limit,
         tilestats_values_limit=args.tile_stats_values_limit,
     )
-    import os as _os
-
-    if _os.path.exists(args.output):  # tile-join -f semantics
-        _os.unlink(args.output)
-    n = write_mbtiles(merged, args.output, meta_fn=lambda *_: meta)
-    print(json.dumps({"output": args.output, "n_tiles": int(n),
+    if args.output_to_directory:
+        n = write_dirtiles(merged, args.output_to_directory, meta=meta)
+        out_path = args.output_to_directory
+    else:
+        if _os.path.exists(args.output):  # tile-join -f semantics
+            _os.unlink(args.output)
+        n = write_mbtiles(merged, args.output, meta_fn=lambda *_: meta)
+        out_path = args.output
+    print(json.dumps({"output": out_path, "n_tiles": int(n),
                       "elapsed_sec": round(time.time() - t0, 2)}))
     if started_here:
         ray.shutdown()

@@ -562,7 +562,28 @@ def gather_input_metadata(paths: list[str],
     descriptions; min/maxzoom rows clamp to -Z/-z."""
     import json as _json
 
+    import os as _os
+
     def last_key(path):
+        if _os.path.isdir(path):
+            best = None
+            for zs in _os.listdir(path):
+                zp = _os.path.join(path, zs)
+                if not zs.isdigit() or not _os.path.isdir(zp):
+                    continue
+                z = int(zs)
+                for xs in _os.listdir(zp):
+                    for yf in _os.listdir(_os.path.join(zp, xs)):
+                        if yf.endswith(".pbf"):
+                            tms = (1 << z) - 1 - int(yf[:-4])
+                            k = (z, int(xs), tms,
+                                 _os.path.join(zp, xs, yf))
+                            if best is None or k[:3] > best[:3]:
+                                best = k
+            if best is None:
+                return (-1, -1, -1, b"")
+            with open(best[3], "rb") as f:
+                return (best[0], best[1], best[2], f.read())
         con = sqlite3.connect("file:" + path + "?mode=ro", uri=True)
         try:
             row = con.execute(
@@ -583,9 +604,16 @@ def gather_input_metadata(paths: list[str],
         "layer_descriptions": {}, "attribute_descriptions": {},
     }
     for path in sorted(paths, key=last_key):
-        con = sqlite3.connect("file:" + path + "?mode=ro", uri=True)
-        md = dict(con.execute("SELECT name, value FROM metadata"))
-        con.close()
+        if _os.path.isdir(path):
+            mdp = _os.path.join(path, "metadata.json")
+            md = {}
+            if _os.path.exists(mdp):
+                with open(mdp, encoding="utf-8") as f:
+                    md = {k: str(v) for k, v in _json.load(f).items()}
+        else:
+            con = sqlite3.connect("file:" + path + "?mode=ro", uri=True)
+            md = dict(con.execute("SELECT name, value FROM metadata"))
+            con.close()
         if "minzoom" in md:
             minz = int(float(md["minzoom"]))
             if minzoom is not None:

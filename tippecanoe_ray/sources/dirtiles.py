@@ -18,9 +18,13 @@ def write_dirtiles(
     minzoom: int | None = None,
     maxzoom: int | None = None,
     name: str = "tiles",
+    meta: dict | None = None,
 ) -> int:
     """Write dir/z/x/y.pbf files in parallel map_batches tasks plus a
-    driver-side metadata.json. Returns the tile count."""
+    driver-side metadata.json (dir_write_metadata, dirtiles.cpp:289 —
+    same name/value pairs as the mbtiles metadata table; pass `meta`
+    to write an externally assembled dict, e.g. tile-join's).
+    Returns the tile count."""
     os.makedirs(out_dir, exist_ok=True)
 
     def write_batch(df):
@@ -45,15 +49,16 @@ def write_dirtiles(
         write_batch, batch_format="pandas"
     ).to_pandas()
     total = int(parts["n"].sum())
-    meta = {
-        "name": name,
-        "format": "pbf",
-        "type": "overlay",
-        "version": "2",
-        "minzoom": str(minzoom if minzoom is not None else int(parts["zmin"].min())),
-        "maxzoom": str(maxzoom if maxzoom is not None else int(parts["zmax"].max())),
-        "json": json.dumps({"vector_layers": [{"id": layer_name, "fields": {}}]}),
-    }
+    if meta is None:
+        meta = {
+            "name": name,
+            "format": "pbf",
+            "type": "overlay",
+            "version": "2",
+            "minzoom": str(minzoom if minzoom is not None else int(parts["zmin"].min())),
+            "maxzoom": str(maxzoom if maxzoom is not None else int(parts["zmax"].max())),
+            "json": json.dumps({"vector_layers": [{"id": layer_name, "fields": {}}]}),
+        }
     with open(os.path.join(out_dir, "metadata.json"), "w") as f:
         json.dump(meta, f)
     return total
