@@ -1,0 +1,90 @@
+"""tippecanoe-decode conformance: our decode_to_text output compared
+byte-for-byte against the reference binary across corpora and flag
+variants (whole tileset with metadata, zoom range, layer filter,
+metadata exclusion, --stats, --integer/--fraction, single tile,
+dirtiles input)."""
+
+import subprocess
+
+import pytest
+
+from tests.conftest import has_reference
+
+REFDIR = "/tmp/refbuild"
+
+pytestmark = pytest.mark.skipif(
+    not has_reference(), reason="reference binary not built")
+
+
+def _run(args):
+    subprocess.run(args, cwd=REFDIR, check=True, capture_output=True)
+
+
+@pytest.fixture(scope="module")
+def corpus(tmp_path_factory):
+    d = tmp_path_factory.mktemp("decode_ref")
+    mac = str(d / "macarthur.mbtiles")
+    tab = str(d / "tabblock.mbtiles")
+    ne = str(d / "ne.mbtiles")
+    tabd = str(d / "tabdir")
+    cj = "tests/join-population"
+    _run([f"{REFDIR}/tippecanoe", "-q", "-f", "-Z5", "-z10", "-o", mac,
+          "-l", "macarthur", f"{REFDIR}/{cj}/macarthur.json"])
+    _run([f"{REFDIR}/tippecanoe", "-q", "-f", "-z12", "-o", tab,
+          "-YALAND10:Land area",
+          "-L", '{"file": "%s/%s/tabblock_06001420.json", "description": "population"}' % (REFDIR, cj)])
+    _run([f"{REFDIR}/tippecanoe", "-q", "-f", "-z4", "-o", ne,
+          f"{REFDIR}/tests/ne_110m_admin_0_countries/in.json.gz"])
+    _run([f"{REFDIR}/tippecanoe", "-q", "-f", "-z12", "-e", tabd,
+          "-YALAND10:Land area",
+          "-L", '{"file": "%s/%s/tabblock_06001420.json", "description": "population"}' % (REFDIR, cj)])
+    return {"mac": mac, "tab": tab, "ne": ne, "tabd": tabd}
+
+
+def _ref_decode(args):
+    return subprocess.run(
+        [f"{REFDIR}/tippecanoe-decode", *args],
+        capture_output=True, check=True).stdout.decode()
+
+
+CASES = [
+    ("whole", "mac", {}, []),
+    ("polygons", "tab", {}, []),
+    ("countries", "ne", {}, []),
+    ("dirtiles", "tabd", {}, []),
+    ("zoom-range", "mac", {"minzoom": 6, "maxzoom": 9},
+     ["--minimum-zoom=6", "--maximum-zoom=9"]),
+    ("exclude-meta", "tab", {"exclude_meta": {"generator", "json"}},
+     ["-x", "generator", "-x", "json"]),
+    ("stats", "mac", {"stats": True}, ["--stats"]),
+    ("integer", "mac", {"coordinate_mode": 2}, ["--integer"]),
+    ("fraction", "mac", {"coordinate_mode": 1}, ["--fraction"]),
+]
+
+
+@pytest.mark.parametrize("name,key,kwargs,ref_args",
+                         CASES, ids=[c[0] for c in CASES])
+def test_decode_parity(corpus, name, key, kwargs, ref_args):
+    from tippecanoe_ray.stages.decode_json import decode_to_text
+
+    path = corpus[key]
+    assert decode_to_text(path, **kwargs) == _ref_decode([*ref_args, path])
+
+
+def test_decode_single_tile(corpus):
+    from tippecanoe_ray.stages.decode_json import decode_to_text
+
+    path = corpus["mac"]
+    assert (decode_to_text(path, one_tile=(6, 10, 24))
+            == _ref_decode([path, "6", "10", "24"]))
+
+
+def test_decode_cli(corpus):
+    import sys
+
+    path = corpus["mac"]
+    out = subprocess.run(
+        [sys.executable, "-m", "tippecanoe_ray", "decode",
+         "-x", "generator", path],
+        capture_output=True, check=True, cwd="/root/repo").stdout.decode()
+    assert out == _ref_decode(["-x", "generator", path])

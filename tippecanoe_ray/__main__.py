@@ -669,11 +669,42 @@ def tilejoin_main(argv):
     return 0
 
 
+def decode_main(argv):
+    """`python -m tippecanoe_ray decode` — tippecanoe-decode with
+    byte-identical text output (stages/decode_json.py; verified in
+    tests/test_decode_reference.py). Pure local I/O, no Ray session."""
+    ap = argparse.ArgumentParser(prog="tippecanoe_ray decode")
+    ap.add_argument("tileset", help=".mbtiles file or dirtiles directory")
+    ap.add_argument("zxy", nargs="*", type=int,
+                    help="optional: z x y of a single tile")
+    ap.add_argument("-Z", "--minimum-zoom", type=int, default=0)
+    ap.add_argument("-z", "--maximum-zoom", type=int, default=32)
+    ap.add_argument("-l", "--layer", action="append", default=[])
+    ap.add_argument("-x", "--exclude-metadata-row", action="append",
+                    default=[])
+    ap.add_argument("--stats", action="store_true")
+    ap.add_argument("--integer", action="store_true")
+    ap.add_argument("--fraction", action="store_true")
+    args = ap.parse_args(argv)
+    from tippecanoe_ray.stages.decode_json import decode_to_text
+
+    mode = 2 if args.integer else 1 if args.fraction else 0
+    one = tuple(args.zxy) if len(args.zxy) == 3 else None
+    sys.stdout.write(decode_to_text(
+        args.tileset, minzoom=args.minimum_zoom, maxzoom=args.maximum_zoom,
+        to_decode=frozenset(args.layer),
+        exclude_meta=frozenset(args.exclude_metadata_row),
+        stats=args.stats, coordinate_mode=mode, one_tile=one))
+    return 0
+
+
 def main(argv=None):
     if argv is None:
         argv = sys.argv[1:]
     if argv and argv[0] == "tilejoin":
         return tilejoin_main(argv[1:])
+    if argv and argv[0] == "decode":
+        return decode_main(argv[1:])
     ap = argparse.ArgumentParser(prog="tippecanoe_ray")
     ap.add_argument("--input", default=[], action="append",
                     help="parquet/lance feature table, or .geojson/.json[.gz], "
