@@ -71,6 +71,16 @@ def test_decode_parity(corpus, name, key, kwargs, ref_args):
     assert decode_to_text(path, **kwargs) == _ref_decode([*ref_args, path])
 
 
+def test_decode_pmtiles(corpus, tmp_path):
+    from tippecanoe_ray.stages.decode_json import decode_to_text
+
+    pm = str(tmp_path / "mac.pmtiles")
+    _run([f"{REFDIR}/tippecanoe", "-q", "-f", "-Z5", "-z10", "-o", pm,
+          "-l", "macarthur",
+          f"{REFDIR}/tests/join-population/macarthur.json"])
+    assert decode_to_text(pm) == _ref_decode([pm])
+
+
 def test_decode_single_tile(corpus):
     from tippecanoe_ray.stages.decode_json import decode_to_text
 
