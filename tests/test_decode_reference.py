@@ -59,6 +59,8 @@ CASES = [
     ("stats", "mac", {"stats": True}, ["--stats"]),
     ("integer", "mac", {"coordinate_mode": 2}, ["--integer"]),
     ("fraction", "mac", {"coordinate_mode": 1}, ["--fraction"]),
+    ("pipeline", "mac", {"pipeline": True}, ["-c"]),
+    ("pipeline-poly", "tab", {"pipeline": True}, ["-c"]),
 ]
 
 
@@ -87,6 +89,31 @@ def test_decode_single_tile(corpus):
     path = corpus["mac"]
     assert (decode_to_text(path, one_tile=(6, 10, 24))
             == _ref_decode([path, "6", "10", "24"]))
+
+
+def test_decode_single_tile_parent_fallback(corpus):
+    """A missing z/x/y falls back up the pyramid (decode.cpp:496-543)."""
+    from tippecanoe_ray.stages.decode_json import decode_to_text
+
+    path = corpus["mac"]
+    assert (decode_to_text(path, one_tile=(12, 655, 1582))
+            == _ref_decode([path, "12", "655", "1582"]))
+
+
+def test_enumerate_cli(corpus):
+    import os
+    import sys
+
+    if not os.path.exists(f"{REFDIR}/tippecanoe-enumerate"):
+        pytest.skip("tippecanoe-enumerate not built")
+    path = corpus["mac"]
+    out = subprocess.run(
+        [sys.executable, "-m", "tippecanoe_ray", "enumerate", path],
+        capture_output=True, check=True, cwd="/root/repo").stdout.decode()
+    ref = subprocess.run(
+        [f"{REFDIR}/tippecanoe-enumerate", path],
+        capture_output=True, check=True).stdout.decode()
+    assert out == ref
 
 
 def test_decode_cli(corpus):

@@ -685,6 +685,9 @@ def decode_main(argv):
     ap.add_argument("--stats", action="store_true")
     ap.add_argument("--integer", action="store_true")
     ap.add_argument("--fraction", action="store_true")
+    ap.add_argument("-c", "--tag-layer-and-zoom", action="store_true",
+                    help="pipeline form: bare features with the "
+                         "tippecanoe envelope")
     args = ap.parse_args(argv)
     from tippecanoe_ray.stages.decode_json import decode_to_text
 
@@ -694,7 +697,26 @@ def decode_main(argv):
         args.tileset, minzoom=args.minimum_zoom, maxzoom=args.maximum_zoom,
         to_decode=frozenset(args.layer),
         exclude_meta=frozenset(args.exclude_metadata_row),
-        stats=args.stats, coordinate_mode=mode, one_tile=one))
+        stats=args.stats, coordinate_mode=mode, one_tile=one,
+        pipeline=args.tag_layer_and_zoom))
+    return 0
+
+
+def enumerate_main(argv):
+    """`python -m tippecanoe_ray enumerate` — tippecanoe-enumerate:
+    one `file z x y` line per tile in z/x/tms-row order
+    (enumerate.cpp:24-44)."""
+    for fname in argv:
+        import sqlite3 as _sq
+
+        con = _sq.connect("file:" + fname + "?mode=ro", uri=True)
+        for z, x, ty in con.execute(
+            "SELECT zoom_level, tile_column, tile_row FROM tiles "
+            "ORDER BY zoom_level, tile_column, tile_row"
+        ):
+            sys.stdout.write(
+                f"{fname} {int(z)} {int(x)} {(1 << int(z)) - 1 - int(ty)}\n")
+        con.close()
     return 0
 
 
@@ -705,6 +727,8 @@ def main(argv=None):
         return tilejoin_main(argv[1:])
     if argv and argv[0] == "decode":
         return decode_main(argv[1:])
+    if argv and argv[0] == "enumerate":
+        return enumerate_main(argv[1:])
     ap = argparse.ArgumentParser(prog="tippecanoe_ray")
     ap.add_argument("--input", default=[], action="append",
                     help="parquet/lance feature table, or .geojson/.json[.gz], "

@@ -431,12 +431,26 @@ def layer_to_geojson(lay: dict, z: int, x: int, y: int, comma: bool,
 
 def _handle(message: bytes, z: int, x: int, y: int,
             to_decode: frozenset, stats: bool, state: JsonWriter,
-            coordinate_mode: int):
+            coordinate_mode: int, pipeline: bool = False):
     """decode.cpp:96-238 handle() for one tile."""
     was_compressed = message[:2] == b"\x1f\x8b" or message[:1] == b"\x78"
     layers = decode_tile_raw(bytes(message))
     if stats:
         _do_stats(layers, len(message), was_compressed, z, x, y, state)
+        return
+    if pipeline:
+        # -c: bare features at the top level with the tippecanoe
+        # envelope (layer/minzoom/maxzoom), newline-separated
+        for lay in layers:
+            if to_decode and lay["name"] not in to_decode:
+                continue
+            scale = 0.0
+            if coordinate_mode == 1:
+                scale = float(lay["extent"])
+            elif coordinate_mode == 2:
+                scale = 1.0
+            layer_to_geojson(lay, z, x, y, False, True, True, state,
+                             scale=scale)
         return
     state.write_hash()
     state.write_string("type")
@@ -536,6 +550,7 @@ def decode_to_text(
     stats: bool = False,
     coordinate_mode: int = 0,
     one_tile: tuple[int, int, int] | None = None,
+    pipeline: bool = False,
 ) -> str:
     """decode.cpp:240-520: the whole-tileset decode (metadata block
     sorted by name, tiles in z/x/tms_y order) or a single z/x/y tile.
@@ -680,28 +695,42 @@ def decode_to_text(
 
     if one_tile is not None:
         z, x, y = one_tile
-        found = None
-        if os.path.isdir(path):
-            p = os.path.join(path, str(z), str(x), f"{y}.pbf")
-            if os.path.exists(p):
-                with open(p, "rb") as f:
-                    found = f.read()
-        else:
-            con = sqlite3.connect("file:" + path + "?mode=ro", uri=True)
-            row = con.execute(
-                "SELECT tile_data FROM tiles WHERE zoom_level=? AND "
-                "tile_column=? AND tile_row=?",
-                (z, x, (1 << z) - 1 - y)).fetchone()
-            con.close()
-            if row is not None:
-                found = bytes(row[0])
-        if found is not None:
-            _handle(found, z, x, y, to_decode, stats, state,
-                    coordinate_mode)
+        # parent fallback (decode.cpp:496-560): walk up the pyramid
+        # until a tile exists
+        while z >= 0:
+            found = None
+            if is_pmtiles:
+                for ez, ex, ey, data in pm_entries:
+                    if (ez, ex, ey) == (z, x, y):
+                        found = data
+                        break
+            elif os.path.isdir(path):
+                p = os.path.join(path, str(z), str(x), f"{y}.pbf")
+                if os.path.exists(p):
+                    with open(p, "rb") as f:
+                        found = f.read()
+            else:
+                con = sqlite3.connect("file:" + path + "?mode=ro", uri=True)
+                row = con.execute(
+                    "SELECT tile_data FROM tiles WHERE zoom_level=? AND "
+                    "tile_column=? AND tile_row=?",
+                    (z, x, (1 << z) - 1 - y)).fetchone()
+                con.close()
+                if row is not None:
+                    found = bytes(row[0])
+            if found is not None:
+                _handle(found, z, x, y, to_decode, stats, state,
+                        coordinate_mode, pipeline=pipeline)
+                break
+            z -= 1
+            x >>= 1
+            y >>= 1
         return state.text()
 
     within = 0
-    if not stats:
+    if pipeline:
+        pass
+    elif not stats:
         state.write_hash()
         state.write_string("type")
         state.write_string("FeatureCollection")
@@ -728,12 +757,15 @@ def decode_to_text(
 
     within = 0
     for z, x, y, data in iter_tiles():
-        if within:
+        if within and not pipeline:
             state.comma_newline()
         within = 1
-        _handle(data, z, x, y, to_decode, stats, state, coordinate_mode)
+        _handle(data, z, x, y, to_decode, stats, state, coordinate_mode,
+                pipeline=pipeline)
 
-    if not stats:
+    if pipeline:
+        state.write_newline()
+    elif not stats:
         state.end_array()
         state.end_hash()
         state.write_newline()
