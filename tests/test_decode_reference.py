@@ -116,6 +116,45 @@ def test_enumerate_cli(corpus):
     assert out == ref
 
 
+def test_decode_golden_matrix():
+    """The reference's own decode-test golden matrix (Makefile:302-317):
+    our decoder's text over the muni tileset vs the checked-in golden
+    .json files — every flag variant byte-identical."""
+    import os
+
+    from tippecanoe_ray.stages.decode_json import decode_to_text
+
+    os.makedirs(f"{REFDIR}/tests/muni/decode", exist_ok=True)
+    tileset = f"{REFDIR}/tests/muni/decode/multi.mbtiles"
+    # argv[0] must be ./tippecanoe — the golden embeds the command line
+    _run(["./tippecanoe", "-q", "-z11", "-Z11", "-f",
+          "-o", "tests/muni/decode/multi.mbtiles", "tests/muni/muni.json"])
+    golden_dir = "/root/reference/tests/muni/decode"
+    cases = [
+        ("multi.mbtiles.json",
+         {"to_decode": {"subway"}, "exclude_meta": {"generator"}}),
+        ("multi.mbtiles.integer.json",
+         {"to_decode": {"subway"}, "exclude_meta": {"generator"},
+          "coordinate_mode": 2}),
+        ("multi.mbtiles.fraction.json",
+         {"to_decode": {"subway"}, "exclude_meta": {"generator"},
+          "coordinate_mode": 1}),
+        ("multi.mbtiles.pipeline.json",
+         {"pipeline": True, "exclude_meta": {"generator"}}),
+        ("multi.mbtiles.onetile.json",
+         {"one_tile": (11, 327, 791), "exclude_meta": {"generator"}}),
+        ("multi.mbtiles.stats.json",
+         {"stats": True, "exclude_meta": {"generator"}}),
+    ]
+    # the golden was produced with the reference's relative output path
+    # baked into name/description metadata — the tileset here matches
+    # because it is built at the same relative path
+    for fname, kwargs in cases:
+        with open(os.path.join(golden_dir, fname)) as f:
+            golden = f.read()
+        assert decode_to_text(tileset, **kwargs) == golden, fname
+
+
 def test_decode_cli(corpus):
     import sys
 
