@@ -154,6 +154,18 @@ def test_decode_golden_matrix():
             golden = f.read()
         assert decode_to_text(tileset, **kwargs) == golden, fname
 
+    # decode-pmtiles-test (Makefile:319-335): same matrix over the
+    # pmtiles container, output sed 's/pmtiles/mbtiles/g' like the
+    # reference's own check
+    _run(["./tippecanoe", "-q", "-z11", "-Z11", "-f",
+          "-o", "tests/muni/decode/multi.pmtiles", "tests/muni/muni.json"])
+    pmset = f"{REFDIR}/tests/muni/decode/multi.pmtiles"
+    for fname, kwargs in cases:
+        with open(os.path.join(golden_dir, fname)) as f:
+            golden = f.read()
+        ours = decode_to_text(pmset, **kwargs).replace("pmtiles", "mbtiles")
+        assert ours == golden, f"pmtiles {fname}"
+
 
 def test_decode_cli(corpus):
     import sys
