@@ -614,6 +614,7 @@ def tilejoin_main(argv):
     from tippecanoe_ray.pipelines.tilejoin import (
         gather_input_metadata,
         merge_tilesets_exact,
+        reduce_join_stats,
         tilejoin_metadata,
     )
     from tippecanoe_ray.sources.mbtiles import read_mbtiles, write_mbtiles
@@ -640,8 +641,7 @@ def tilejoin_main(argv):
         keep_layers=frozenset(args.layer),
         remove_layers=frozenset(args.exclude_layer), renames=renames,
         with_stats=True).materialize()
-    stats_rows = [json.loads(r["__stats__"]) for r in
-                  merged.select_columns(["__stats__"]).take_all()]
+    stats_rows = reduce_join_stats(merged)
     inputs_meta = gather_input_metadata(
         args.inputs, args.minimum_zoom, args.maximum_zoom)
     meta = tilejoin_metadata(

@@ -549,6 +549,24 @@ def merge_join_stats(rows: list[dict]):
     return lmap, bbox
 
 
+def reduce_join_stats(ds: ray.data.Dataset) -> list[dict]:
+    """Tree-reduce the per-tile __stats__ partials inside tasks (one
+    merged partial per block reaches the driver — the layermap merge is
+    associative, so this equals the flat merge at any tile count)."""
+    import json as _json
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        rows = [_json.loads(s) for s in df["__stats__"]]
+        lmap, bbox = merge_join_stats(rows)
+        return pd.DataFrame({"__stats__": [
+            _json.dumps(_join_stats_to_row({"layers": lmap, "bbox": bbox}))
+        ]})
+
+    out = ds.select_columns(["__stats__"]).map_batches(
+        partial, batch_format="pandas")
+    return [_json.loads(r["__stats__"]) for r in out.take_all()]
+
+
 def gather_input_metadata(paths: list[str],
                           minzoom: int | None = None,
                           maxzoom: int | None = None) -> dict:
