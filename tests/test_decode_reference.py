@@ -167,6 +167,24 @@ def test_decode_golden_matrix():
         assert ours == golden, f"pmtiles {fname}"
 
 
+def test_decode_raw_tiles_golden():
+    """raw-tiles-test goldens (Makefile:247-253): an UNCOMPRESSED
+    dirtiles tree (-e -pC) decoded whole and zoom-filtered — our text
+    vs the checked-in golden files."""
+    from tippecanoe_ray.stages.decode_json import decode_to_text
+
+    _run(["./tippecanoe", "-q", "-f", "-e", "tests/raw-tiles/raw-tiles",
+          "-r1", "-pC", "tests/raw-tiles/hackspots.geojson"])
+    tree = f"{REFDIR}/tests/raw-tiles/raw-tiles"
+    with open("/root/reference/tests/raw-tiles/raw-tiles.json") as f:
+        golden = f.read()
+    assert decode_to_text(tree, exclude_meta={"generator"}) == golden
+    with open("/root/reference/tests/raw-tiles/raw-tiles-z67.json") as f:
+        golden67 = f.read()
+    assert decode_to_text(tree, exclude_meta={"generator"},
+                          minzoom=6, maxzoom=7) == golden67
+
+
 def test_decode_cli(corpus):
     import sys
 
