@@ -244,6 +244,28 @@ def test_cli_merge_decode_parity(corpus):
     assert dec_ref == dec_our
 
 
+def test_cli_feature_filter(corpus):
+    """-j feature-filter expressions through tile-join, decode-identical
+    (numeric compare, in-list, and a has guard)."""
+    import sys
+
+    d, tab = corpus["dir"], corpus["tab"]
+    for i, expr in enumerate([
+        '{"tabblock_06001420":["all",[">=","ALAND10",10000]]}',
+        '{"*":["any",["in","BLOCKCE10","1000","1001","3008"]]}',
+        '{"*":["all",["has","UACE10"]]}',
+    ]):
+        ref_out = str(d / f"jf{i}-ref.mbtiles")
+        our_out = str(d / f"jf{i}-our.mbtiles")
+        _run([f"{REFDIR}/tile-join", "-q", "-f", "-j", expr,
+              "-o", ref_out, tab])
+        subprocess.run(
+            [sys.executable, "-m", "tippecanoe_ray", "tilejoin",
+             "-o", our_out, "-j", expr, tab, "--num-cpus", "2"],
+            check=True, capture_output=True, cwd="/root/repo")
+        _assert_decode_equal(ref_out, our_out)
+
+
 def test_cli_dirtiles_in_and_out(corpus):
     """Dirtiles inputs (reference-written folders) merged to mbtiles,
     and -e folder output with -n/-N — decode-identical both ways."""

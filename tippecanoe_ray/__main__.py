@@ -598,6 +598,9 @@ def tilejoin_main(argv):
     ap.add_argument("--tile-stats-attributes-limit", type=int, default=None)
     ap.add_argument("--tile-stats-sample-values-limit", type=int, default=None)
     ap.add_argument("--tile-stats-values-limit", type=int, default=None)
+    ap.add_argument("-j", "--feature-filter", default=None,
+                    help="JSON feature-filter expression")
+    ap.add_argument("-J", "--feature-filter-file", default=None)
     ap.add_argument("--num-cpus", type=int, default=None)
     args = ap.parse_args(argv)
 
@@ -634,13 +637,22 @@ def tilejoin_main(argv):
     if args.maximum_zoom is not None:
         dss = [d.filter(expr=f"z <= {args.maximum_zoom}") for d in dss]
     renames = dict(r.split(":", 1) for r in args.rename_layer) or None
+    feature_filter = None
+    fdoc = args.feature_filter
+    if args.feature_filter_file:
+        with open(args.feature_filter_file, encoding="utf-8") as f:
+            fdoc = f.read()
+    if fdoc:
+        from tippecanoe_ray.functions.filters import compile_filter
+
+        feature_filter = compile_filter(json.loads(fdoc))
     merged = merge_tilesets_exact(
         dss, csv_path=args.csv, exclude=frozenset(args.exclude),
         exclude_all=args.exclude_all, semi=args.if_matched,
         empty_null=args.empty_csv_columns_are_null,
         keep_layers=frozenset(args.layer),
         remove_layers=frozenset(args.exclude_layer), renames=renames,
-        with_stats=True).materialize()
+        with_stats=True, feature_filter=feature_filter).materialize()
     stats_rows = reduce_join_stats(merged)
     inputs_meta = gather_input_metadata(
         args.inputs, args.minimum_zoom, args.maximum_zoom)

@@ -296,6 +296,7 @@ def _rewrite_tile_group(
     renames: dict | None = None,
     zxy: tuple[int, int, int] | None = None,
     stats: dict | None = None,
+    feature_filter=None,
 ) -> tuple[bytes, int]:
     """The append_tile accumulation (tile-join.cpp:105-400) over all
     input tiles sharing one (z, x, y): layers found-or-created by name
@@ -340,7 +341,29 @@ def _rewrite_tile_group(
                     out["extent"] = lay["extent"]
             keys = lay["keys"]
             vraw = lay["values_raw"]
-            for f in lay["features"]:
+            feats_in = lay["features"]
+            if feature_filter is not None and feats_in:
+                # -j: evaluated per feature BEFORE the join/attr pass
+                # (tile-join.cpp:182); batch the layer through the
+                # same oracle-checked expression evaluator as the
+                # tiler's -j
+                from ..stages.mvt import _decode_value
+
+                tname = {1: "Point", 2: "LineString", 3: "Polygon"}
+                recs = []
+                for f in feats_in:
+                    ti = f["tag_idx"]
+                    rec = {keys[ti[t]]: _decode_value(vraw[ti[t + 1]])
+                           for t in range(0, len(ti) - 1, 2)}
+                    rec["$__type"] = tname.get(f["type"], "Point")
+                    rec["$__id"] = f["id"]
+                    recs.append(rec)
+                fdf = pd.DataFrame(recs)
+                keep = feature_filter.mask(
+                    fdf, zoom=(zxy[0] if zxy else 0), layer=name,
+                    type_col="$__type", id_col="$__id")
+                feats_in = [f for f, k in zip(feats_in, keep) if k]
+            for f in feats_in:
                 attrs: dict = {}
                 matched = False
                 ti = f["tag_idx"]
@@ -786,6 +809,7 @@ def merge_tilesets_exact(
     renames: dict | None = None,
     compress: bool = True,
     with_stats: bool = False,
+    feature_filter=None,
 ) -> ray.data.Dataset:
     """Byte-parity tile-join over N input tilesets: tiles grouped by
     (z, x, y), inputs accumulated in argument order (the reference's
@@ -828,7 +852,7 @@ def merge_tilesets_exact(
             blobs, hdr, m, exclude,
             exclude_all, semi, empty_null, compress,
             keep_layers, remove_layers, renames,
-            zxy=zxy, stats=stats)
+            zxy=zxy, stats=stats, feature_filter=feature_filter)
         cols = {"z": "int64", "x": "int64", "y": "int64",
                 "n_features": "int64", "tile": "object"}
         if total == 0:
