@@ -7,6 +7,11 @@
 Runs the full drop-ladder pyramid as a streaming Ray workload with the
 resumable parquet sink; optionally packages to mbtiles. On a cluster:
     ray job submit -- python -m tippecanoe_ray --input ... --out ...
+
+Tool subcommands (each byte-identical to its reference binary):
+    python -m tippecanoe_ray tilejoin  -o out.mbtiles [-c csv] [...] in...
+    python -m tippecanoe_ray decode    [-x row] [...] tileset [z x y]
+    python -m tippecanoe_ray enumerate tileset...
 """
 
 from __future__ import annotations
