@@ -303,6 +303,32 @@ def test_cli_dirtiles_in_and_out(corpus):
     _assert_decode_equal(ref_dir, our_dir)
 
 
+def test_cli_pmtiles_in_and_out(corpus):
+    """pmtiles-test shapes (Makefile:265-282): pmtiles input joined to
+    mbtiles and mbtiles joined to pmtiles output (both with -pC
+    uncompressed tiles) — decode-identical, including the sixdig
+    half-away bounds rounding."""
+    import sys
+
+    d = corpus["dir"]
+    hackpm = str(d / "hack.pmtiles")
+    hackmb = str(d / "hack.mbtiles")
+    _run([f"{REFDIR}/tippecanoe", "-q", "-f", "-o", hackpm, "-r1", "-pC",
+          f"{REFDIR}/tests/raw-tiles/hackspots.geojson"])
+    _run([f"{REFDIR}/tippecanoe", "-q", "-f", "-o", hackmb, "-r1", "-pC",
+          f"{REFDIR}/tests/raw-tiles/hackspots.geojson"])
+    for name, src, ext in [("pm-to-mb", hackpm, "mbtiles"),
+                           ("mb-to-pm", hackmb, "pmtiles")]:
+        ref_out = str(d / f"{name}-ref.{ext}")
+        our_out = str(d / f"{name}-our.{ext}")
+        _run([f"{REFDIR}/tile-join", "-q", "-f", "-pC", "-o", ref_out, src])
+        subprocess.run(
+            [sys.executable, "-m", "tippecanoe_ray", "tilejoin",
+             "-o", our_out, "-pC", src, "--num-cpus", "2"],
+            check=True, capture_output=True, cwd="/root/repo")
+        _assert_decode_equal(ref_out, our_out)
+
+
 def test_cli_rename_and_name_cap(corpus):
     """-R layer renames and the 255-char name-concatenation cap."""
     import sys

@@ -606,6 +606,8 @@ def tilejoin_main(argv):
     ap.add_argument("-j", "--feature-filter", default=None,
                     help="JSON feature-filter expression")
     ap.add_argument("-J", "--feature-filter-file", default=None)
+    ap.add_argument("-pC", "--no-tile-compression", action="store_true",
+                    dest="no_tile_compression")
     ap.add_argument("--num-cpus", type=int, default=None)
     args = ap.parse_args(argv)
 
@@ -632,9 +634,16 @@ def tilejoin_main(argv):
     if not args.output and not args.output_to_directory:
         ap.error("one of -o/--output or -e/--output-to-directory is required")
     from tippecanoe_ray.sources.dirtiles import read_dirtiles, write_dirtiles
+    from tippecanoe_ray.sources.pmtiles import read_pmtiles, write_pmtiles
 
-    dss = [read_dirtiles(p) if _os.path.isdir(p) else read_mbtiles(p)
-           for p in args.inputs]
+    def read_any(p):
+        if _os.path.isdir(p):
+            return read_dirtiles(p)
+        if p.endswith(".pmtiles"):
+            return read_pmtiles(p)
+        return read_mbtiles(p)
+
+    dss = [read_any(p) for p in args.inputs]
     # zoom subset happens at the reader (tile-join.cpp -Z/-z), so the
     # skipped tiles never reach the metadata accumulation either
     if args.minimum_zoom is not None:
@@ -657,7 +666,8 @@ def tilejoin_main(argv):
         empty_null=args.empty_csv_columns_are_null,
         keep_layers=frozenset(args.layer),
         remove_layers=frozenset(args.exclude_layer), renames=renames,
-        with_stats=True, feature_filter=feature_filter).materialize()
+        with_stats=True, feature_filter=feature_filter,
+        compress=not args.no_tile_compression).materialize()
     stats_rows = reduce_join_stats(merged)
     inputs_meta = gather_input_metadata(
         args.inputs, args.minimum_zoom, args.maximum_zoom)
@@ -674,6 +684,13 @@ def tilejoin_main(argv):
     if args.output_to_directory:
         n = write_dirtiles(merged, args.output_to_directory, meta=meta)
         out_path = args.output_to_directory
+    elif args.output and args.output.endswith(".pmtiles"):
+        if _os.path.exists(args.output):
+            _os.unlink(args.output)
+        n = write_pmtiles(
+            merged, args.output, meta=meta,
+            compressed_tiles=not args.no_tile_compression)
+        out_path = args.output
     else:
         if _os.path.exists(args.output):  # tile-join -f semantics
             _os.unlink(args.output)

@@ -606,6 +606,14 @@ def gather_input_metadata(paths: list[str],
     import os as _os
 
     def last_key(path):
+        if path.endswith(".pmtiles"):
+            from ..stages.decode_json import _pmtiles_meta_and_entries
+
+            entries, _ = _pmtiles_meta_and_entries(path)
+            if not entries:
+                return (-1, -1, -1, b"")
+            z, x, y, data = entries[-1]  # already (z, x, tms_y) sorted
+            return (z, x, (1 << z) - 1 - y, data)
         if _os.path.isdir(path):
             best = None
             for zs in _os.listdir(path):
@@ -645,7 +653,11 @@ def gather_input_metadata(paths: list[str],
         "layer_descriptions": {}, "attribute_descriptions": {},
     }
     for path in sorted(paths, key=last_key):
-        if _os.path.isdir(path):
+        if path.endswith(".pmtiles"):
+            from ..stages.decode_json import _pmtiles_meta_and_entries
+
+            _, md = _pmtiles_meta_and_entries(path)
+        elif _os.path.isdir(path):
             mdp = _os.path.join(path, "metadata.json")
             md = {}
             if _os.path.exists(mdp):

@@ -175,9 +175,19 @@ def write_pmtiles(
     layer_name: str = "points",
     bounds: tuple[float, float, float, float] = (-180.0, -85.0, 180.0, 85.0),
     compressed_tiles: bool = True,
+    meta: dict | None = None,
 ) -> int:
     """Package a (z, x, y, tile) dataset into a PMTiles v3 archive with
-    content-hash dedup and run-length entries (pmtiles_file.cpp:154-336)."""
+    content-hash dedup and run-length entries (pmtiles_file.cpp:154-336).
+
+    With `meta` (a metadata-table dict, e.g. tile-join's), the JSON
+    metadata carries the reference's key set
+    (metadata_to_pmtiles_json, pmtiles_file.cpp:86-140: name/format/
+    type/description/version/attribution/strategies/decisions/
+    generator_options/antimeridian_adjusted_bounds + vector_layers and
+    tilestats unpacked from the 'json' row) and the header
+    bounds/center/zooms parse from the same dict — so a decode of the
+    archive matches a decode of the equivalent mbtiles."""
     rows = tile_ds.select_columns(["z", "x", "y", "tile"]).take_all()
     rows = [r for r in rows if r["tile"] is not None and len(r["tile"])]
     zs = np.array([r["z"] for r in rows], dtype=np.int64)
@@ -216,23 +226,56 @@ def write_pmtiles(
 
     root, leaves = _make_root_leaves(entries)
     # metadata is compressed with internal_compression (spec §metadata)
-    meta = gzip.compress(
-        json.dumps(
-            {"vector_layers": [{"id": layer_name, "fields": {}}]},
-            separators=(",", ":"),
-        ).encode(),
-        mtime=0,
-    )
+    if meta is not None:
+        jm: dict = {}
+        for key in ("name", "format", "type", "description", "version",
+                    "attribution", "generator", "generator_options",
+                    "antimeridian_adjusted_bounds"):
+            if key in meta:
+                jm[key] = meta[key]
+        for key in ("strategies", "tippecanoe_decisions"):
+            if meta.get(key):
+                jm[key] = json.loads(meta[key])
+        if meta.get("json"):
+            packed = json.loads(meta["json"])
+            if "vector_layers" in packed:
+                jm["vector_layers"] = packed["vector_layers"]
+            if "tilestats" in packed:
+                jm["tilestats"] = packed["tilestats"]
+        meta_bytes = gzip.compress(
+            json.dumps(jm, separators=(",", ":"),
+                       ensure_ascii=False).encode(), mtime=0)
+        if "minzoom" in meta:
+            minzoom = int(float(meta["minzoom"]))
+        if "maxzoom" in meta:
+            maxzoom = int(float(meta["maxzoom"]))
+        if "bounds" in meta:
+            bounds = tuple(float(v) for v in meta["bounds"].split(","))
+        center = None
+        if "center" in meta:
+            cp = meta["center"].split(",")
+            center = (float(cp[0]), float(cp[1]),
+                      int(float(cp[2])) if len(cp) > 2 else 0)
+    else:
+        center = None
+        meta_bytes = gzip.compress(
+            json.dumps(
+                {"vector_layers": [{"id": layer_name, "fields": {}}]},
+                separators=(",", ":"),
+            ).encode(),
+            mtime=0,
+        )
     zmin = int(minzoom if minzoom is not None else (zs.min() if len(zs) else 0))
     zmax = int(maxzoom if maxzoom is not None else (zs.max() if len(zs) else 0))
     w, s, e, n = bounds
     hdr = b"PMTiles" + bytes([3])
     root_off = HEADER_SIZE
     meta_off = root_off + len(root)
-    leaf_off = meta_off + len(meta)
+    leaf_off = meta_off + len(meta_bytes)
     data_off = leaf_off + len(leaves)
     hdr += struct.pack(
-        "<11Q", root_off, len(root), meta_off, len(meta), leaf_off, len(leaves),
+        "<11Q", root_off, len(root), meta_off, len(meta_bytes),
+        leaf_off, len(leaves),
         data_off, len(data), n_addressed, len(entries), len(seen),
     )
     hdr += bytes([
@@ -245,14 +288,18 @@ def write_pmtiles(
     hdr += struct.pack(
         "<4i", int(w * 1e7), int(s * 1e7), int(e * 1e7), int(n * 1e7)
     )
-    hdr += bytes([zmin]) + struct.pack(
-        "<2i", int((w + e) / 2 * 1e7), int((s + n) / 2 * 1e7)
-    )
+    if center is not None:
+        hdr += bytes([center[2]]) + struct.pack(
+            "<2i", int(center[0] * 1e7), int(center[1] * 1e7))
+    else:
+        hdr += bytes([zmin]) + struct.pack(
+            "<2i", int((w + e) / 2 * 1e7), int((s + n) / 2 * 1e7)
+        )
     assert len(hdr) == HEADER_SIZE, len(hdr)
     with open(path, "wb") as f:
         f.write(hdr)
         f.write(root)
-        f.write(meta)
+        f.write(meta_bytes)
         f.write(leaves)
         f.write(data)
     return len(entries)

@@ -541,6 +541,78 @@ def _do_stats(layers, size, compressed, z, x, y, state: JsonWriter):
     state.write_newline()
 
 
+def _pmtiles_meta_and_entries(path: str):
+    """Parse a PMTiles v3 archive: ((z, x, y, tile_bytes) entries in
+    TMS order, metadata rows per pmtilesmeta2tmp —
+    pmtiles_file.cpp:341-470: header bounds/center/zooms plus the JSON
+    metadata keys with vector_layers/tilestats re-wrapped as 'json')."""
+    import json as _json
+
+    from ..sources.pmtiles import (
+        COMPRESSION_GZIP, deserialize_directory, tileid_to_zxy,
+    )
+
+    with open(path, "rb") as f:
+        buf = f.read()
+    (root_off, root_len, meta_off, meta_len, leaf_off, leaf_len,
+     data_off, data_len, _na, _ne, _nc) = struct.unpack("<11Q", buf[8:96])
+    min_zoom, max_zoom = buf[100], buf[101]
+    min_lon = int.from_bytes(buf[102:106], "little", signed=True) / 1e7
+    min_lat = int.from_bytes(buf[106:110], "little", signed=True) / 1e7
+    max_lon = int.from_bytes(buf[110:114], "little", signed=True) / 1e7
+    max_lat = int.from_bytes(buf[114:118], "little", signed=True) / 1e7
+    center_zoom = buf[118]
+    center_lon = int.from_bytes(buf[119:123], "little", signed=True) / 1e7
+    center_lat = int.from_bytes(buf[123:127], "little", signed=True) / 1e7
+    internal_comp = buf[97]
+
+    def dec(b: bytes) -> bytes:
+        return gzip.decompress(b) if internal_comp == COMPRESSION_GZIP else b
+
+    entries = []
+
+    def emit(dir_entries):
+        for tid, off, ln, rl in dir_entries:
+            for k in range(max(rl, 1)):
+                z, x, y = tileid_to_zxy(tid + k)
+                entries.append(
+                    (z, x, y, buf[data_off + off:data_off + off + ln]))
+
+    root = deserialize_directory(dec(buf[root_off:root_off + root_len]))
+    if leaf_len == 0:
+        emit(root)
+    else:
+        for tid, off, ln, rl in root:
+            emit(deserialize_directory(
+                dec(buf[leaf_off + off:leaf_off + off + ln])))
+    # entries_tms order: (z, x, tms_y) ascending
+    entries.sort(key=lambda e: (e[0], e[1], (1 << e[0]) - 1 - e[2]))
+
+    md_raw = dec(buf[meta_off:meta_off + meta_len])
+    jm = _json.loads(md_raw) if md_raw else {}
+    rows = {
+        "minzoom": "%d" % min_zoom,
+        "maxzoom": "%d" % max_zoom,
+        "center": "%f,%f,%d" % (center_lon, center_lat, center_zoom),
+        "bounds": "%f,%f,%f,%f" % (min_lon, min_lat, max_lon, max_lat),
+    }
+    compact = {}
+    for k, v in jm.items():
+        if k == "vector_layers" and isinstance(v, list):
+            compact["vector_layers"] = v
+        elif k == "tilestats" and isinstance(v, dict):
+            compact["tilestats"] = v
+        elif k in ("strategies", "tippecanoe_decisions"):
+            rows[k] = _json.dumps(v, separators=(",", ":"),
+                                  ensure_ascii=False)
+        elif isinstance(v, str):
+            rows[k] = v
+    if compact:
+        rows["json"] = _json.dumps(compact, separators=(",", ":"),
+                                   ensure_ascii=False)
+    return entries, rows
+
+
 def decode_to_text(
     path: str,
     minzoom: int = 0,
@@ -564,78 +636,9 @@ def decode_to_text(
 
     is_pmtiles = path.endswith(".pmtiles")
 
-    def _pmtiles_parts():
-        from ..sources.pmtiles import (
-            COMPRESSION_GZIP, deserialize_directory, tileid_to_zxy,
-        )
-
-        with open(path, "rb") as f:
-            buf = f.read()
-        (root_off, root_len, meta_off, meta_len, leaf_off, leaf_len,
-         data_off, data_len, _na, _ne, _nc) = struct.unpack(
-            "<11Q", buf[8:96])
-        min_zoom, max_zoom = buf[100], buf[101]
-        min_lon = int.from_bytes(buf[102:106], "little", signed=True) / 1e7
-        min_lat = int.from_bytes(buf[106:110], "little", signed=True) / 1e7
-        max_lon = int.from_bytes(buf[110:114], "little", signed=True) / 1e7
-        max_lat = int.from_bytes(buf[114:118], "little", signed=True) / 1e7
-        center_zoom = buf[118]
-        center_lon = int.from_bytes(buf[119:123], "little", signed=True) / 1e7
-        center_lat = int.from_bytes(buf[123:127], "little", signed=True) / 1e7
-        internal_comp = buf[97]
-
-        def dec(b: bytes) -> bytes:
-            return gzip.decompress(b) if internal_comp == COMPRESSION_GZIP else b
-
-        entries = []
-
-        def emit(dir_entries):
-            for tid, off, ln, rl in dir_entries:
-                for k in range(max(rl, 1)):
-                    z, x, y = tileid_to_zxy(tid + k)
-                    entries.append(
-                        (z, x, y, buf[data_off + off:data_off + off + ln]))
-
-        root = deserialize_directory(dec(buf[root_off:root_off + root_len]))
-        if leaf_len == 0:
-            emit(root)
-        else:
-            for tid, off, ln, rl in root:
-                emit(deserialize_directory(
-                    dec(buf[leaf_off + off:leaf_off + off + ln])))
-        # entries_tms order: (z, x, tms_y) ascending
-        entries.sort(key=lambda e: (e[0], e[1], (1 << e[0]) - 1 - e[2]))
-        import json as _json
-
-        md_raw = dec(buf[meta_off:meta_off + meta_len])
-        jm = _json.loads(md_raw) if md_raw else {}
-        # pmtilesmeta2tmp (pmtiles_file.cpp:341-470): header rows +
-        # JSON keys; vector_layers/tilestats re-wrapped as 'json'
-        rows = {
-            "minzoom": "%d" % min_zoom,
-            "maxzoom": "%d" % max_zoom,
-            "center": "%f,%f,%d" % (center_lon, center_lat, center_zoom),
-            "bounds": "%f,%f,%f,%f" % (min_lon, min_lat, max_lon, max_lat),
-        }
-        compact = {}
-        for k, v in jm.items():
-            if k == "vector_layers" and isinstance(v, list):
-                compact["vector_layers"] = v
-            elif k == "tilestats" and isinstance(v, dict):
-                compact["tilestats"] = v
-            elif k in ("strategies", "tippecanoe_decisions"):
-                rows[k] = _json.dumps(v, separators=(",", ":"),
-                                      ensure_ascii=False)
-            elif isinstance(v, str):
-                rows[k] = v
-        if compact:
-            rows["json"] = _json.dumps(compact, separators=(",", ":"),
-                                       ensure_ascii=False)
-        return entries, rows
-
     pm_entries = pm_meta = None
     if is_pmtiles:
-        pm_entries, pm_meta = _pmtiles_parts()
+        pm_entries, pm_meta = _pmtiles_meta_and_entries(path)
 
     def iter_tiles():
         if is_pmtiles:

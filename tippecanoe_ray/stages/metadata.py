@@ -360,7 +360,10 @@ def tile2lonlat(x: int, y: int, zoom: int) -> tuple[float, float]:
 
 
 def _sixdig(v: float) -> float:
-    return round(v * 1e6) / 1e6
+    # std::round = half away from zero (mbtiles.cpp:653); Python's
+    # round() is banker's and differs on exact .5 at the 6th digit
+    s = v * 1e6
+    return (math.floor(s + 0.5) if s >= 0 else math.ceil(s - 0.5)) / 1e6
 
 
 def bounds_and_center(file_bbox, file_bbox1, file_bbox2, midx: int,
