@@ -183,6 +183,9 @@ DECODE_CASES = [
      ["--tile-stats-values-limit=1", "-x", "GEOID10", "-c", "{csv}"],
      ["--tile-stats-values-limit", "1", "-x", "GEOID10", "-c", "{csv}"]),
     ("zoom-subset", ["-Z6", "-z9"], ["-Z", "6", "-z", "9"]),
+    ("include-y",
+     ["-y", "NAME10", "-y", "population", "-c", "{csv}"],
+     ["-y", "NAME10", "-y", "population", "-c", "{csv}"]),
 ]
 
 

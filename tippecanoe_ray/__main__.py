@@ -585,6 +585,8 @@ def tilejoin_main(argv):
     ap.add_argument("-x", "--exclude", action="append", default=[],
                     help="exclude this attribute")
     ap.add_argument("-X", "--exclude-all", action="store_true")
+    ap.add_argument("-y", "--include", action="append", default=[],
+                    help="keep only this attribute (overrides -X)")
     ap.add_argument("-i", "--if-matched", action="store_true",
                     help="keep only features with a CSV match")
     ap.add_argument("--empty-csv-columns-are-null", action="store_true")
@@ -662,12 +664,15 @@ def tilejoin_main(argv):
         feature_filter = compile_filter(json.loads(fdoc))
     merged = merge_tilesets_exact(
         dss, csv_path=args.csv, exclude=frozenset(args.exclude),
-        exclude_all=args.exclude_all, semi=args.if_matched,
+        # -y implies exclude-all (tile-join.cpp:1475-1478)
+        exclude_all=args.exclude_all or bool(args.include),
+        semi=args.if_matched,
         empty_null=args.empty_csv_columns_are_null,
         keep_layers=frozenset(args.layer),
         remove_layers=frozenset(args.exclude_layer), renames=renames,
         with_stats=True, feature_filter=feature_filter,
-        compress=not args.no_tile_compression).materialize()
+        compress=not args.no_tile_compression,
+        include=frozenset(args.include)).materialize()
     stats_rows = reduce_join_stats(merged)
     inputs_meta = gather_input_metadata(
         args.inputs, args.minimum_zoom, args.maximum_zoom)

@@ -297,6 +297,7 @@ def _rewrite_tile_group(
     zxy: tuple[int, int, int] | None = None,
     stats: dict | None = None,
     feature_filter=None,
+    include: frozenset = frozenset(),
 ) -> tuple[bytes, int]:
     """The append_tile accumulation (tile-join.cpp:105-400) over all
     input tiles sharing one (z, x, y): layers found-or-created by name
@@ -373,7 +374,10 @@ def _rewrite_tile_group(
                     vt, sv = serial_val_of_raw(raw)
                     if vt == "null":
                         continue
-                    if not exclude_all and key not in exclude and key not in attrs:
+                    # include (-y) overrides -X/-x (tile-join.cpp:217)
+                    if ((key in include
+                         or (not exclude_all and key not in exclude))
+                            and key not in attrs):
                         attrs[key] = ("raw", raw, vt, sv)
                     if hdr and key == hdr[0]:
                         row = mapping.get(sv)
@@ -390,8 +394,10 @@ def _rewrite_tile_group(
                                         jt = "double"
                                 elif empty_null:
                                     jt = "null"
-                                if (not exclude_all and joinkey not in exclude
-                                        and jt != "null"):
+                                if (joinkey in include
+                                        or (not exclude_all
+                                            and joinkey not in exclude
+                                            and jt != "null")):
                                     attrs[joinkey] = (jt, joinval, jt, joinval)
                 if semi and not matched:
                     continue
@@ -822,6 +828,7 @@ def merge_tilesets_exact(
     compress: bool = True,
     with_stats: bool = False,
     feature_filter=None,
+    include: frozenset | set = frozenset(),
 ) -> ray.data.Dataset:
     """Byte-parity tile-join over N input tilesets: tiles grouped by
     (z, x, y), inputs accumulated in argument order (the reference's
@@ -864,7 +871,8 @@ def merge_tilesets_exact(
             blobs, hdr, m, exclude,
             exclude_all, semi, empty_null, compress,
             keep_layers, remove_layers, renames,
-            zxy=zxy, stats=stats, feature_filter=feature_filter)
+            zxy=zxy, stats=stats, feature_filter=feature_filter,
+            include=frozenset(include))
         cols = {"z": "int64", "x": "int64", "y": "int64",
                 "n_features": "int64", "tile": "object"}
         if total == 0:
