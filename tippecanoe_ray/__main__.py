@@ -576,8 +576,8 @@ def tilejoin_main(argv):
     tiles are byte-identical to the reference binary's
     (tests/test_tilejoin_reference.py)."""
     ap = argparse.ArgumentParser(prog="tippecanoe_ray tilejoin")
-    ap.add_argument("inputs", nargs="+",
-                    help="input .mbtiles tilesets or dirtiles directories")
+    ap.add_argument("inputs", nargs="*",
+                    help="input .mbtiles/.pmtiles tilesets or dirtiles dirs")
     ap.add_argument("-o", "--output", default=None, help="output .mbtiles")
     ap.add_argument("-e", "--output-to-directory", default=None,
                     help="output z/x/y.pbf directory")
@@ -610,6 +610,10 @@ def tilejoin_main(argv):
     ap.add_argument("-J", "--feature-filter-file", default=None)
     ap.add_argument("-pC", "--no-tile-compression", action="store_true",
                     dest="no_tile_compression")
+    ap.add_argument("-pk", "--no-tile-size-limit", action="store_true",
+                    dest="no_tile_size_limit")
+    ap.add_argument("-r", "--read-from", default=None,
+                    help="file listing input tilesets, one per line")
     ap.add_argument("--num-cpus", type=int, default=None)
     args = ap.parse_args(argv)
 
@@ -635,6 +639,12 @@ def tilejoin_main(argv):
 
     if not args.output and not args.output_to_directory:
         ap.error("one of -o/--output or -e/--output-to-directory is required")
+    if args.read_from:  # -r: input list file (tile-join.cpp:1500-1510)
+        with open(args.read_from, encoding="utf-8") as f:
+            args.inputs = args.inputs + [
+                line.strip() for line in f if line.strip()]
+    if not args.inputs:
+        ap.error("no input tilesets")
     from tippecanoe_ray.sources.dirtiles import read_dirtiles, write_dirtiles
     from tippecanoe_ray.sources.pmtiles import read_pmtiles, write_pmtiles
 
@@ -672,7 +682,8 @@ def tilejoin_main(argv):
         remove_layers=frozenset(args.exclude_layer), renames=renames,
         with_stats=True, feature_filter=feature_filter,
         compress=not args.no_tile_compression,
-        include=frozenset(args.include)).materialize()
+        include=frozenset(args.include),
+        no_size_limit=args.no_tile_size_limit).materialize()
     stats_rows = reduce_join_stats(merged)
     inputs_meta = gather_input_metadata(
         args.inputs, args.minimum_zoom, args.maximum_zoom)

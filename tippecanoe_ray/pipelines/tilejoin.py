@@ -298,6 +298,7 @@ def _rewrite_tile_group(
     stats: dict | None = None,
     feature_filter=None,
     include: frozenset = frozenset(),
+    no_size_limit: bool = False,
 ) -> tuple[bytes, int]:
     """The append_tile accumulation (tile-join.cpp:105-400) over all
     input tiles sharing one (z, x, y): layers found-or-created by name
@@ -435,7 +436,7 @@ def _rewrite_tile_group(
     if not enc_layers:
         return b"", 0
     enc = encode_tile(enc_layers, compress=compress, exact_gzip=True)
-    if len(enc) > 500000:
+    if len(enc) > 500000 and not no_size_limit:  # -pk lifts the cap
         return b"", 0
     return enc, total
 
@@ -829,6 +830,7 @@ def merge_tilesets_exact(
     with_stats: bool = False,
     feature_filter=None,
     include: frozenset | set = frozenset(),
+    no_size_limit: bool = False,
 ) -> ray.data.Dataset:
     """Byte-parity tile-join over N input tilesets: tiles grouped by
     (z, x, y), inputs accumulated in argument order (the reference's
@@ -872,7 +874,7 @@ def merge_tilesets_exact(
             exclude_all, semi, empty_null, compress,
             keep_layers, remove_layers, renames,
             zxy=zxy, stats=stats, feature_filter=feature_filter,
-            include=frozenset(include))
+            include=frozenset(include), no_size_limit=no_size_limit)
         cols = {"z": "int64", "x": "int64", "y": "int64",
                 "n_features": "int64", "tile": "object"}
         if total == 0:
