@@ -149,6 +149,14 @@ BYTE_EXACT_CORPORA = [
     # stream clips once, directly to the root tile
     ("ne_110m_admin_0_countries", 5,
      ["-R5/17/11"], ["--one-tile", "5/17/11"]),
+    # -ab shared-border arc pass (shared_borders.cpp:86): the
+    # reference's own golden flag combination on its border corpus,
+    # plus the full NE countries matrix for ring rotation / arc dedup
+    # coverage at real scale
+    ("border", 1,
+     ["--detect-shared-borders"], ["--detect-shared-borders"]),
+    ("ne_110m_admin_0_countries", 4,
+     ["--detect-shared-borders"], ["--detect-shared-borders"]),
 ]
 
 # the reference's own edge-case corpora (tests/<name>/), byte-exact:

@@ -454,6 +454,7 @@ def _build_from_geo(args, cfg):
             no_size_limit=args.no_tile_size_limit,
             compress=not args.no_tile_compression,
             visvalingam=args.visvalingam,
+            detect_shared_borders=args.detect_shared_borders,
             one_tile=args.one_tile_xy,
         )
         if vec_ds is not None:
@@ -891,6 +892,10 @@ def main(argv=None):
                     help="-av: simplify by effective triangle area "
                          "(visvalingam.cpp:147-230) instead of "
                          "Douglas-Peucker")
+    ap.add_argument("--detect-shared-borders", action="store_true",
+                    help="-ab: simplify shared polygon borders "
+                         "identically via a per-tile arc pass "
+                         "(shared_borders.cpp:86)")
     ap.add_argument("--one-tile", "-R", default=None, metavar="Z/X/Y",
                     help="produce only tile z/x/y: minzoom and maxzoom "
                          "both become z (main.cpp:3402-3414)")

@@ -213,6 +213,11 @@ class VectorConfig:
     # (visvalingam.cpp:147-230) instead of Douglas-Peucker, with the
     # empirical threshold mapping of geometry.cpp:287-296
     visvalingam: bool = False
+    # -ab (--detect-shared-borders, shared_borders.cpp:86): per-tile
+    # TopoJSON-style arc pass between the read loop and the
+    # simplification workers (tile.cpp:2463-2465); polygons then skip
+    # individual simplification (tile.cpp:626-629)
+    detect_shared_borders: bool = False
     # -R z/x/y (--one-tile, main.cpp:3402-3414 + 2207-2211): minzoom
     # and maxzoom are both z and the traversal root is tile (z, x, y)
     # fed the FULL unclipped ingest stream (the reference skips
@@ -2596,6 +2601,31 @@ def _encode_with_detail_ladder(cfg: VectorConfig, z, tx, ty, survivors,
                 coalesced_area = 0.0
         # phase 2: simplification workers + encode
         # (simplify_feature tile.cpp:595-665)
+        if cfg.detect_shared_borders:
+            # arc pass over every polygon of the tile, across layers
+            # (find_common_edges, tile.cpp:2463-2465); the revive area
+            # is then taken from the REWRITTEN geometry, because the
+            # reference computes it inside simplify_feature
+            # (tile.cpp:606-609), which runs after this pass
+            from ..functions import shared_borders as _sb
+
+            _polys = [pi for pi, e in enumerate(pending)
+                      if e[1] == 3 and e[2] is not None]
+            if _polys:
+                _new = _sb.find_common_edges(
+                    [(pending[pi][2], pending[pi][3]) for pi in _polys],
+                    z, line_detail, cfg.resolved_simplification(z),
+                    skip_simplify=(
+                        cfg.no_simplify
+                        or (z == cfg.maxzoom and cfg.simplify_only_low)
+                        or (z < cfg.maxzoom and cfg.grid_low_zooms)),
+                    mark_bounds=mark_bounds,
+                    use_visvalingam=cfg.visvalingam,
+                )
+                for pi, (nops, nxy) in zip(_polys, _new):
+                    pending[pi][2] = nops
+                    pending[pi][3] = nxy
+                    pending[pi][5] = dv.get_mp_area(nops, nxy)
         do_rc = cfg.reorder or cfg.coalesce
         # per-layer input-order sequence tags for the multiplier
         # (tile.cpp:2395-2415): rank of each feature's seq within its
@@ -2651,36 +2681,45 @@ def _encode_with_detail_ladder(cfg: VectorConfig, z, tx, ty, survivors,
                     # skipped under -pn: might wipe out the
                     # intersection (tile.cpp:617-624)
                     ops, xy = dv.remove_noop(ops, xy, t, WORLD_BITS - z - line_detail)
-                if was_coalesced and t == 3:
-                    # clean coalesced polygons BEFORE simplification, at
-                    # world coordinates without scale-up, so shapes that
-                    # would union exactly don't leave shards
-                    # (simplify_feature tile.cpp:633-643 →
-                    # coalesce_polygon(geom, false))
-                    ops, xy = dv.clean_poly_tile_scale(ops, xy, try_scaling=False)
-                nops, nxy = dv.simplify_lines(
-                    ops, xy, z, line_detail, mark_bounds,
-                    # the stop-early attempt only removes collinearities
-                    # (sf.simplification = 0, tile.cpp:2268-2272)
-                    0.0 if (trying_to_stop_early and line_detail == details[0])
-                    else cfg.resolved_simplification(z),
-                    4 if t == 3 else 0,
-                    pn=pn, tx=tx, ty=ty,
-                    local_nodes=local_nodes or None, global_nodes=global_nodes,
-                    use_visvalingam=cfg.visvalingam,
-                )
-                if was_coalesced and pn:
-                    # extra pass to remove collinearities left at the
-                    # former corners between coalesced geometries
-                    # (simplify_feature tile.cpp:648-652)
+                # already_marked (tile.cpp:626-629): under -ab the
+                # polygon arcs were simplified globally by
+                # find_common_edges, so the individual pass is skipped
+                if not (cfg.detect_shared_borders and t == 3):
+                    if was_coalesced and t == 3:
+                        # clean coalesced polygons BEFORE simplification,
+                        # at world coordinates without scale-up, so shapes
+                        # that would union exactly don't leave shards
+                        # (simplify_feature tile.cpp:633-643 →
+                        # coalesce_polygon(geom, false))
+                        ops, xy = dv.clean_poly_tile_scale(
+                            ops, xy, try_scaling=False)
                     nops, nxy = dv.simplify_lines(
-                        nops, nxy, z, line_detail, mark_bounds, 0.1,
+                        ops, xy, z, line_detail, mark_bounds,
+                        # the stop-early attempt only removes
+                        # collinearities (sf.simplification = 0,
+                        # tile.cpp:2268-2272)
+                        0.0 if (trying_to_stop_early
+                                and line_detail == details[0])
+                        else cfg.resolved_simplification(z),
                         4 if t == 3 else 0,
-                        pn=pn, tx=tx, ty=ty, local_nodes=local_nodes or None,
+                        pn=pn, tx=tx, ty=ty,
+                        local_nodes=local_nodes or None,
+                        global_nodes=global_nodes,
                         use_visvalingam=cfg.visvalingam,
                     )
-                if t != 3 or len(nops) >= 3:
-                    ops, xy = nops, nxy
+                    if was_coalesced and pn:
+                        # extra pass to remove collinearities left at the
+                        # former corners between coalesced geometries
+                        # (simplify_feature tile.cpp:648-652)
+                        nops, nxy = dv.simplify_lines(
+                            nops, nxy, z, line_detail, mark_bounds, 0.1,
+                            4 if t == 3 else 0,
+                            pn=pn, tx=tx, ty=ty,
+                            local_nodes=local_nodes or None,
+                            use_visvalingam=cfg.visvalingam,
+                        )
+                    if t != 3 or len(nops) >= 3:
+                        ops, xy = nops, nxy
             if t == 2 and cfg.reverse_lines:
                 # -ar (tile.cpp:657-660 → reorder_lines
                 # geometry.cpp:315-360): reverse a simple linestring

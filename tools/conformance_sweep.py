@@ -63,7 +63,7 @@ A_LETTERS = {
     "R": "",  # prefer-radix-sort: no output effect
     "S": "--coalesce-densest-as-needed",
     "X": None,  # calculate-feature-index
-    "b": None,  # detect-shared-borders (deprecated upstream)
+    "b": "--detect-shared-borders",
     "c": "--coalesce",
     "d": "--drop-fraction-as-needed",
     "e": "--extend-zooms-if-still-dropping",
@@ -220,7 +220,7 @@ LONG = {
         ("--convert-stringified-ids-to-numbers", False),
     "--generate-ids": ("--generate-ids", False),
     "--visvalingam": ("--visvalingam", False),
-    "--detect-shared-borders": (None, False),
+    "--detect-shared-borders": ("--detect-shared-borders", False),
     "--projection": ("--projection", True),
     "--one-tile": ("--one-tile", True),
     "--read-parallel": ("", False),
