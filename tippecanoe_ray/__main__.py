@@ -780,6 +780,10 @@ def main(argv=None):
         return decode_main(argv[1:])
     if argv and argv[0] == "enumerate":
         return enumerate_main(argv[1:])
+    if argv and argv[0] == "jsontool":
+        from tippecanoe_ray.pipelines.jsontool import jsontool_main
+
+        return jsontool_main(argv[1:])
     ap = argparse.ArgumentParser(prog="tippecanoe_ray")
     ap.add_argument("--input", default=[], action="append",
                     help="parquet/lance feature table, or .geojson/.json[.gz], "
