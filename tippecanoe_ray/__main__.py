@@ -784,6 +784,10 @@ def main(argv=None):
         from tippecanoe_ray.pipelines.jsontool import jsontool_main
 
         return jsontool_main(argv[1:])
+    if argv and argv[0] == "overzoom":
+        from tippecanoe_ray.pipelines.overzoom_exact import overzoom_main
+
+        return overzoom_main(argv[1:])
     ap = argparse.ArgumentParser(prog="tippecanoe_ray")
     ap.add_argument("--input", default=[], action="append",
                     help="parquet/lance feature table, or .geojson/.json[.gz], "
