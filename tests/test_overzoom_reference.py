@@ -95,3 +95,48 @@ def test_overzoom_muni_and_dedup(tmp_path):
     ref, our = both(tmp_path, "dedup",
                     ["-b0", "--deduplicate-by-id", "-t", "1/1/0", *srcs])
     assert our == ref
+
+
+@pytest.mark.skipif(not has_ref(), reason="reference binary not built")
+def test_overzoom_ds_matches_reference(ray_session, tmp_path):
+    """Distributed overzoom of a whole tileset (overzoom_ds
+    map_batches over the byte-exact kernel): every produced z5 child
+    byte-identical to running the reference binary tile by tile."""
+    import ray
+    import sqlite3
+
+    from tippecanoe_ray.pipelines.overzoom_exact import overzoom_ds
+
+    mb = str(tmp_path / "src.mbtiles")
+    subprocess.run(
+        [TIP, "-q", "-z4", "-f", "-o", mb,
+         "/root/reference/tests/ne_110m_admin_0_countries/in.json.gz"],
+        check=True, capture_output=True)
+    con = sqlite3.connect(mb)
+    rows = [
+        {"z": z, "x": x, "y": (1 << z) - 1 - ty, "tile": bytes(d)}
+        for z, x, ty, d in con.execute(
+            "SELECT zoom_level, tile_column, tile_row, tile_data "
+            "FROM tiles WHERE zoom_level=4")
+    ]
+    con.close()
+
+    out = {(r["z"], r["x"], r["y"]): bytes(r["tile"])
+           for r in overzoom_ds(ray.data.from_items(rows)).take_all()}
+    assert len(out) > 200
+
+    for (pz, px, py), parent in [((r["z"], r["x"], r["y"]),
+                                  r["tile"]) for r in rows][:12]:
+        src = tmp_path / f"{pz}-{px}-{py}.pbf"
+        src.write_bytes(parent)
+        for dx in (0, 1):
+            for dy in (0, 1):
+                cz, cx, cy = pz + 1, 2 * px + dx, 2 * py + dy
+                ref = tmp_path / "ref.pbf"
+                subprocess.run(
+                    [REF, "-o", str(ref), str(src),
+                     f"{pz}/{px}/{py}", f"{cz}/{cx}/{cy}"],
+                    check=True, capture_output=True)
+                refb = ref.read_bytes()
+                ourb = out.get((cz, cx, cy), b"")
+                assert ourb == refb, (cz, cx, cy)

@@ -544,6 +544,33 @@ def _geom_vals(geom_raw: bytes) -> list[int]:
     return vals
 
 
+def overzoom_ds(tile_ds, **opts):
+    """Ray-Data-native overzoom over a whole tileset: every (z, x, y,
+    tile) row maps to its 4 children through the byte-exact kernel —
+    an embarrassingly parallel map_batches, no shuffle (each child of
+    a z+1 overzoom has exactly one parent). Children that clip empty
+    are dropped. opts forward to overzoom_bytes (detail/buffer/...)."""
+    import pandas as pd
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        rows = {"z": [], "x": [], "y": [], "tile": []}
+        for z, x, y, data in zip(df["z"], df["x"], df["y"], df["tile"]):
+            z, x, y = int(z), int(x), int(y)
+            for dx in (0, 1):
+                for dy in (0, 1):
+                    out = overzoom_bytes(
+                        [(bytes(data), z, x, y)],
+                        z + 1, 2 * x + dx, 2 * y + dy, **opts)
+                    if out:
+                        rows["z"].append(z + 1)
+                        rows["x"].append(2 * x + dx)
+                        rows["y"].append(2 * y + dy)
+                        rows["tile"].append(out)
+        return pd.DataFrame(rows)
+
+    return tile_ds.map_batches(fn, batch_format="pandas")
+
+
 def overzoom_main(argv) -> int:
     """`python -m tippecanoe_ray overzoom` — tippecanoe-overzoom
     (overzoom.cpp:111-305)."""
