@@ -194,3 +194,26 @@ def test_decode_cli(corpus):
          "-x", "generator", path],
         capture_output=True, check=True, cwd="/root/repo").stdout.decode()
     assert out == _ref_decode(["-x", "generator", path])
+
+
+def test_decode_bare_pbf_goldens():
+    """The Makefile's pbf-test: decoding a bare single-tile .pbf file
+    (neither SQLite nor PMTiles magic), in EPSG:4326 and with
+    -s EPSG:3857 (tiletoepsg3857 unproject + per-tile crs block),
+    byte-identical to the checked-in goldens."""
+
+    src = "/root/reference/tests/pbf/11-328-791.vector.pbf"
+    out = subprocess.run(
+        ["python", "-m", "tippecanoe_ray", "decode", "-x", "generator",
+         src, "11", "328", "791"],
+        capture_output=True, cwd="/root/repo", check=True).stdout
+    golden = open("/root/reference/tests/pbf/11-328-791.json", "rb").read()
+    assert out == golden
+
+    out = subprocess.run(
+        ["python", "-m", "tippecanoe_ray", "decode", "-x", "generator",
+         "-s", "EPSG:3857", src, "11", "328", "791"],
+        capture_output=True, cwd="/root/repo", check=True).stdout
+    golden = open(
+        "/root/reference/tests/pbf/11-328-791.3857.json", "rb").read()
+    assert out == golden

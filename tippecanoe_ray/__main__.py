@@ -739,6 +739,9 @@ def decode_main(argv):
     ap.add_argument("-c", "--tag-layer-and-zoom", action="store_true",
                     help="pipeline form: bare features with the "
                          "tippecanoe envelope")
+    ap.add_argument("-s", "--projection", default="EPSG:4326",
+                    choices=["EPSG:4326", "EPSG:3857"],
+                    help="output coordinate system (decode.cpp:560)")
     args = ap.parse_args(argv)
     from tippecanoe_ray.stages.decode_json import decode_to_text
 
@@ -749,7 +752,7 @@ def decode_main(argv):
         to_decode=frozenset(args.layer),
         exclude_meta=frozenset(args.exclude_metadata_row),
         stats=args.stats, coordinate_mode=mode, one_tile=one,
-        pipeline=args.tag_layer_and_zoom))
+        pipeline=args.tag_layer_and_zoom, projection=args.projection))
     return 0
 
 

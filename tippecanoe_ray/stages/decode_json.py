@@ -192,8 +192,21 @@ def _value_typed(raw: bytes):
     return "null", None
 
 
+# -s projection (decode.cpp:560,611; projection.cpp:13-19): module
+# state like the reference's global `projection`
+PROJECTION = "EPSG:4326"
+PROJECTION_ALIAS = {"EPSG:4326": "urn:ogc:def:crs:OGC:1.3:CRS84",
+                    "EPSG:3857": "urn:ogc:def:crs:EPSG::3857"}
+
+
 def _unproject(wx: int, wy: int) -> tuple[float, float]:
-    """projection.cpp unproject at zoom 32 (tile2lonlat)."""
+    """projection.cpp unproject at zoom 32 (tile2lonlat, or
+    tiletoepsg3857 under -s EPSG:3857)."""
+    if PROJECTION == "EPSG:3857":
+        ox = (wx - (1 << 31)) * math.pi * 6378137.0 / (1 << 31)
+        oy = (((1 << 32) - 1 - wy) - (1 << 31)) * math.pi * 6378137.0 \
+            / (1 << 31)
+        return ox, oy
     n = 1 << 32
     lon = 360.0 * wx / n - 180.0
     lat = math.atan(math.sinh(math.pi * (1 - 2.0 * wy / n))) * 180.0 / math.pi
@@ -467,6 +480,18 @@ def _handle(message: bytes, z: int, x: int, y: int,
         state.write_string("compressed")
         state.write_bool(False)
     state.end_hash()
+    if PROJECTION != "EPSG:4326":
+        # crs block (decode.cpp:141-157)
+        state.write_string("crs")
+        state.write_hash()
+        state.write_string("type")
+        state.write_string("name")
+        state.write_string("properties")
+        state.write_hash()
+        state.write_string("name")
+        state.write_string(PROJECTION_ALIAS[PROJECTION])
+        state.end_hash()
+        state.end_hash()
     state.write_string("features")
     state.write_array()
     state.write_newline()
@@ -623,16 +648,37 @@ def decode_to_text(
     coordinate_mode: int = 0,
     one_tile: tuple[int, int, int] | None = None,
     pipeline: bool = False,
+    projection: str = "EPSG:4326",
 ) -> str:
     """decode.cpp:240-520: the whole-tileset decode (metadata block
-    sorted by name, tiles in z/x/tms_y order) or a single z/x/y tile.
+    sorted by name, tiles in z/x/tms_y order), a single z/x/y tile,
+    or a bare single-tile .pbf file (decode.cpp:247-270: any file
+    whose magic is neither SQLite nor PMTiles, z/x/y required).
     Reads mbtiles or a dirtiles directory (y reversed within x, like
     enumerate_dirtiles)."""
     import os
 
+    global PROJECTION
+    PROJECTION = projection
+
     state = JsonWriter()
     to_decode = frozenset(to_decode)
     exclude_meta = frozenset(exclude_meta)
+
+    if os.path.isfile(path):
+        with open(path, "rb") as f:
+            magic = f.read(16)
+        if (not magic.startswith(b"SQLite format 3")
+                and not magic.startswith(b"PMTiles")):
+            if one_tile is None:
+                raise SystemExit(
+                    "Must specify zoom/x/y to decode a single pbf file")
+            z, x, y = one_tile
+            with open(path, "rb") as f:
+                data = f.read()
+            _handle(data, z, x, y, to_decode, stats, state,
+                    coordinate_mode, pipeline=pipeline)
+            return state.text()
 
     is_pmtiles = path.endswith(".pmtiles")
 
