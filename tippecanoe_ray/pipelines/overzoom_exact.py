@@ -217,18 +217,6 @@ def _should_keep(key: str, keep, exclude, exclude_prefix) -> bool:
     return False
 
 
-def _sv_of_typed(field: int, v) -> tuple[str, str]:
-    if field == 1:
-        return "string", v
-    if field == 7:
-        return "bool", "true" if v else "false"
-    if field == 0:
-        return "null", "null"
-    if field in (2, 3):
-        return "double", dtoa_milo(float(v))
-    return "double", str(int(v))
-
-
 def _encode_poly_closed(ops, xy) -> bytes:
     """close_poly (clip.cpp:712-742) + the mvt geometry writer: per
     ring, every point except the duplicate endpoint (dropped
