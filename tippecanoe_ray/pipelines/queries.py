@@ -594,6 +594,49 @@ def phash_near_dup_q(sf_dir: str) -> pd.DataFrame:
     return hamming_near_dup_pairs(imgs, "phash", "image_id", max_hamming=3)
 
 
+def crossmodal_pairs_q(sf_dir: str) -> pd.DataFrame:
+    """Cross-modal near-dup over (image, caption) rows: a pair is a
+    duplicate only when BOTH the caption simhashes (Hamming <= 3) AND
+    the image phashes (Hamming <= 3) agree — textual near-dup alone
+    (same caption on different pictures) or visual near-dup alone
+    (same picture re-captioned) is not enough. Each modality runs its
+    own banded ids-only shuffle (simhash_pairs / hamming_near_dup on
+    the planted-replica phash of the input_hint's phash:int64 column);
+    the small pair sets intersect at the driver. Scale: both pair
+    generators cap buckets and ship 64-bit ints only; the intersection
+    is |pairs|-sized, never |rows|-sized."""
+    from ..functions.hashing import splitmix64
+    from .dedup import hamming_near_dup_pairs, simhash_pairs
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def shifted(t: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": pa.compute.add(t["doc_id"], 100000),
+                         "text": t["text"]})
+
+    both = ds.union(
+        _read(sf_dir, "documents", columns=["doc_id", "text"])
+        .map_batches(shifted, batch_format="pyarrow"))
+    txt = simhash_pairs(both, "text", "doc_id", max_hamming=3)
+
+    def to_images(t: pa.Table) -> pa.Table:
+        k = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        base = k % 100000
+        ph = splitmix64((base // 4).astype(np.uint64)) \
+            ^ (base % 4).astype(np.uint64)
+        return pa.table({"doc_id": pa.array(k, pa.int64()),
+                         "phash": pa.array(ph.view(np.int64), pa.int64())})
+
+    imgs = both.map_batches(to_images, batch_format="pyarrow")
+    img = hamming_near_dup_pairs(imgs, "phash", "doc_id", max_hamming=3)
+
+    m = txt.merge(img, on=["a", "b"], suffixes=("_t", "_p"))
+    m = m.rename(columns={"hamming_t": "text_hamming",
+                          "hamming_p": "phash_hamming"})
+    return (m[["a", "b", "text_hamming", "phash_hamming"]]
+            .sort_values(["a", "b"]).reset_index(drop=True))
+
+
 def embedding_near_dup_q(sf_dir: str) -> pd.DataFrame:
     from .dedup import embedding_near_dup_pairs
 
@@ -1207,6 +1250,7 @@ def all_queries() -> dict:
         "ngram_jaccard_pairs": ngram_jaccard_q,
         "simhash_pairs": simhash_pairs_q,
         "phash_near_dup": phash_near_dup_q,
+        "crossmodal_pairs": crossmodal_pairs_q,
         "embedding_near_dup": embedding_near_dup_q,
         "lang_id_accuracy": lang_id_q,
         "doc_fingerprints": fingerprints_q,
@@ -1704,6 +1748,66 @@ def _sm64_sql(x: str) -> str:
     return f"xor({z3}, ({z3}) // {1 << 31})"
 
 
+def _crossmodal_sql(max_hamming: int = 3) -> str:
+    """Cross-modal oracle: the all-pairs simhash model (text) joined
+    with the all-pairs phash model (image) over the SAME doubled id
+    space — a pair survives only if both Hamming distances are within
+    bound, exactly the engine's intersection (both banded paths have
+    full recall at Hamming <= 3 by pigeonhole, so all-pairs ==
+    banded-then-verified)."""
+    lo_bits = " + ".join(
+        f"(CASE WHEN SUM(CASE WHEN (h // {1 << b}) % 2 = 1 THEN 1 ELSE -1 END)"
+        f" > 0 THEN {1 << b} ELSE 0 END)" for b in range(32)
+    )
+    hi_bits = " + ".join(
+        f"(CASE WHEN SUM(CASE WHEN (h // {1 << b}) % 2 = 1 THEN 1 ELSE -1 END)"
+        f" > 0 THEN {1 << (b - 32)} ELSE 0 END)" for b in range(32, 64)
+    )
+    sm = _sm64_sql("hv")
+    return f"""
+WITH docs AS (
+  SELECT doc_id AS id, COALESCE(text, '') AS txt FROM documents
+  UNION ALL
+  SELECT doc_id + 100000, COALESCE(text, '') FROM documents),
+tok AS (
+  SELECT id, unnest(list_filter(regexp_split_to_array(txt, '\\s+'),
+                                x -> x <> '')) AS tk
+  FROM docs),
+th AS (
+  SELECT id, {_fnv_of_hex("hex(encode(tk))")} AS h FROM tok),
+sg0 AS (
+  SELECT id, CAST({lo_bits} AS BIGINT) AS lo, CAST({hi_bits} AS BIGINT) AS hi
+  FROM th GROUP BY id),
+sg AS (
+  SELECT d.id, COALESCE(s.lo, 0) AS lo, COALESCE(s.hi, 0) AS hi
+  FROM docs d LEFT JOIN sg0 s ON d.id = s.id),
+tp AS (
+  SELECT x.id AS a, y.id AS b,
+         CAST(bit_count(xor(x.lo, y.lo)) + bit_count(xor(x.hi, y.hi))
+              AS BIGINT) AS text_hamming
+  FROM sg x JOIN sg y ON x.id < y.id
+  WHERE bit_count(xor(x.lo, y.lo)) + bit_count(xor(x.hi, y.hi))
+        <= {max_hamming}),
+pbase AS (
+  SELECT id, CAST((id % 100000) // 4 AS HUGEINT) AS hv,
+         CAST((id % 100000) % 4 AS HUGEINT) AS lowbits
+  FROM docs),
+pg AS (SELECT id, xor({sm}, lowbits) AS ph FROM pbase),
+psg AS (SELECT id, CAST(ph % 4294967296 AS BIGINT) AS lo,
+               CAST(ph // 4294967296 AS BIGINT) AS hi FROM pg),
+ip AS (
+  SELECT x.id AS a, y.id AS b,
+         CAST(bit_count(xor(x.lo, y.lo)) + bit_count(xor(x.hi, y.hi))
+              AS BIGINT) AS phash_hamming
+  FROM psg x JOIN psg y ON x.id < y.id
+  WHERE bit_count(xor(x.lo, y.lo)) + bit_count(xor(x.hi, y.hi))
+        <= {max_hamming})
+SELECT tp.a, tp.b, tp.text_hamming, ip.phash_hamming
+FROM tp JOIN ip ON tp.a = ip.a AND tp.b = ip.b
+ORDER BY tp.a, tp.b
+"""
+
+
 def _phash_sql(max_hamming: int = 3) -> str:
     """All-pairs phash near-dup oracle: reproduces the planted-replica
     phash (splitmix64(doc_id // 4) xor (doc_id % 4)) in HUGEINT, splits
@@ -2010,6 +2114,7 @@ def all_oracle_sql() -> dict:
         "audio_features": AUDIO_FEATURES_SQL,
         "simhash_pairs": _simhash_sql(),
         "phash_near_dup": _phash_sql(),
+        "crossmodal_pairs": _crossmodal_sql(),
         "minhash_lsh_pairs": _minhash_sql(),
         "image_pyramid": _image_pyramid_sql(),
     }
