@@ -594,6 +594,18 @@ def phash_near_dup_q(sf_dir: str) -> pd.DataFrame:
     return hamming_near_dup_pairs(imgs, "phash", "image_id", max_hamming=3)
 
 
+def doc_chunks_q(sf_dir: str) -> pd.DataFrame:
+    """Context-window chunking: every document split into 24-token
+    windows at stride 16 (8-token overlap), one row per chunk with the
+    FNV-1a of the canonical rejoin — the packing step of an LLM
+    training pipeline, shuffle-free map_batches."""
+    from .textpipe import chunk_documents
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = chunk_documents(ds, size=24, overlap=8).to_pandas()
+    return out.sort_values(["doc_id", "chunk_idx"]).reset_index(drop=True)
+
+
 def crossmodal_pairs_q(sf_dir: str) -> pd.DataFrame:
     """Cross-modal near-dup over (image, caption) rows: a pair is a
     duplicate only when BOTH the caption simhashes (Hamming <= 3) AND
@@ -1251,6 +1263,7 @@ def all_queries() -> dict:
         "simhash_pairs": simhash_pairs_q,
         "phash_near_dup": phash_near_dup_q,
         "crossmodal_pairs": crossmodal_pairs_q,
+        "doc_chunks": doc_chunks_q,
         "embedding_near_dup": embedding_near_dup_q,
         "lang_id_accuracy": lang_id_q,
         "doc_fingerprints": fingerprints_q,
@@ -1748,6 +1761,39 @@ def _sm64_sql(x: str) -> str:
     return f"xor({z3}, ({z3}) // {1 << 31})"
 
 
+def _chunks_sql(size: int = 24, stride: int = 16) -> str:
+    """Chunking oracle: 1-based inclusive DuckDB list slices reproduce
+    the 0-based Python windows (toks[k*stride+1 : k*stride+size] is
+    `size` elements, clamped at the list end), FNV-1a over the
+    single-space rejoin, signed-BIGINT view of the hash."""
+    return f"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(COALESCE(text, ''), '\\s+'),
+                     x -> x <> '') AS toks
+  FROM documents),
+n AS (SELECT doc_id, toks, LEN(toks) AS n FROM t WHERE LEN(toks) > 0),
+c AS (
+  SELECT doc_id, unnest(generate_series(0, (n - 1) // {stride})) AS k,
+         toks FROM n),
+s AS (
+  SELECT doc_id, k AS chunk_idx,
+         toks[k * {stride} + 1 : k * {stride} + {size}] AS chunk
+  FROM c),
+h AS (
+  SELECT doc_id, chunk_idx, LEN(chunk) AS n_tokens,
+         hex(encode(array_to_string(chunk, ' '))) AS hx
+  FROM s),
+f AS (
+  SELECT doc_id, chunk_idx, n_tokens, {_fnv_of_hex('hx')} AS fnv FROM h)
+SELECT doc_id, chunk_idx, n_tokens,
+  CAST(fnv - (CASE WHEN fnv >= 9223372036854775808
+              THEN 18446744073709551616 ELSE 0 END) AS BIGINT)
+    AS chunk_hash
+FROM f ORDER BY doc_id, chunk_idx
+"""
+
+
 def _crossmodal_sql(max_hamming: int = 3) -> str:
     """Cross-modal oracle: the all-pairs simhash model (text) joined
     with the all-pairs phash model (image) over the SAME doubled id
@@ -2115,6 +2161,7 @@ def all_oracle_sql() -> dict:
         "simhash_pairs": _simhash_sql(),
         "phash_near_dup": _phash_sql(),
         "crossmodal_pairs": _crossmodal_sql(),
+        "doc_chunks": _chunks_sql(),
         "minhash_lsh_pairs": _minhash_sql(),
         "image_pyramid": _image_pyramid_sql(),
     }

@@ -142,3 +142,56 @@ class Fingerprint:
                 "window_min": np.array(mins, dtype=np.uint64).astype(np.int64),
             }
         )
+
+
+class Chunker:
+    """Fixed-token-window document chunking with overlap — the
+    context-window packing step of a training-data pipeline. Documents
+    split on whitespace; chunk i covers tokens [i*stride, i*stride +
+    size) with stride = size - overlap, the trailing short chunk kept;
+    empty documents produce no chunks. Emits one row per chunk with
+    the token count and a 64-bit FNV-1a of the canonical single-space
+    rejoin — so only (doc_id, chunk_idx, counts, hash) ride any
+    downstream shuffle, never the text. Runs in map_batches (an
+    embarrassingly parallel flat map); at 100 TB the output is
+    id-stream-sized and chunk text is re-derivable from the source."""
+
+    def __init__(self, size: int = 64, overlap: int = 16,
+                 text_col: str = "text", id_col: str = "doc_id"):
+        if overlap >= size:
+            raise ValueError("overlap must be < size")
+        self.size = size
+        self.stride = size - overlap
+        self.text_col = text_col
+        self.id_col = id_col
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        ids, idxs, counts, texts = [], [], [], []
+        for did, t in zip(df[self.id_col], df[self.text_col].fillna("")):
+            toks = t.split()
+            n = len(toks)
+            i = 0
+            start = 0
+            while start < n:
+                chunk = toks[start:start + self.size]
+                ids.append(did)
+                idxs.append(i)
+                counts.append(len(chunk))
+                texts.append(" ".join(chunk))
+                i += 1
+                start += self.stride
+        h = (fnv1a64_strings(np.array(texts, dtype=object))
+             .astype(np.int64) if texts else np.empty(0, np.int64))
+        return pd.DataFrame({
+            self.id_col: pd.array(ids, dtype="int64"),
+            "chunk_idx": pd.array(idxs, dtype="int64"),
+            "n_tokens": pd.array(counts, dtype="int64"),
+            "chunk_hash": h,
+        })
+
+
+def chunk_documents(ds: ray.data.Dataset, size: int = 64,
+                    overlap: int = 16, text_col: str = "text",
+                    id_col: str = "doc_id") -> ray.data.Dataset:
+    return ds.map_batches(Chunker(size, overlap, text_col, id_col),
+                          batch_format="pandas")
