@@ -594,6 +594,18 @@ def phash_near_dup_q(sf_dir: str) -> pd.DataFrame:
     return hamming_near_dup_pairs(imgs, "phash", "image_id", max_hamming=3)
 
 
+def stratified_sample_q(sf_dir: str) -> pd.DataFrame:
+    """Deterministic stratified sample: the 20 documents with the
+    smallest splitmix64(doc_id) rank per language — partial top-k in
+    map_batches, final top-k per group (never a full sort)."""
+    from .sampling import stratified_sample
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "lang"])
+    out = stratified_sample(ds, "lang", "doc_id", 20).to_pandas()
+    return (out[["lang", "doc_id"]]
+            .sort_values(["lang", "doc_id"]).reset_index(drop=True))
+
+
 def doc_chunks_q(sf_dir: str) -> pd.DataFrame:
     """Context-window chunking: every document split into 24-token
     windows at stride 16 (8-token overlap), one row per chunk with the
@@ -1264,6 +1276,7 @@ def all_queries() -> dict:
         "phash_near_dup": phash_near_dup_q,
         "crossmodal_pairs": crossmodal_pairs_q,
         "doc_chunks": doc_chunks_q,
+        "stratified_sample": stratified_sample_q,
         "embedding_near_dup": embedding_near_dup_q,
         "lang_id_accuracy": lang_id_q,
         "doc_fingerprints": fingerprints_q,
@@ -1761,6 +1774,22 @@ def _sm64_sql(x: str) -> str:
     return f"xor({z3}, ({z3}) // {1 << 31})"
 
 
+def _stratified_sql(k: int = 20) -> str:
+    """Per-language smallest-k splitmix64(doc_id) ranks — a window
+    rank over the exact hash model (ties impossible: splitmix64 is a
+    bijection over distinct ids)."""
+    sm = _sm64_sql("hv")
+    return f"""
+WITH base AS (
+  SELECT doc_id, lang, CAST(doc_id AS HUGEINT) AS hv FROM documents),
+r AS (SELECT doc_id, lang, {sm} AS rank FROM base),
+w AS (SELECT doc_id, lang,
+             row_number() OVER (PARTITION BY lang ORDER BY rank) AS rn
+      FROM r)
+SELECT lang, doc_id FROM w WHERE rn <= {k} ORDER BY lang, doc_id
+"""
+
+
 def _chunks_sql(size: int = 24, stride: int = 16) -> str:
     """Chunking oracle: 1-based inclusive DuckDB list slices reproduce
     the 0-based Python windows (toks[k*stride+1 : k*stride+size] is
@@ -2162,6 +2191,7 @@ def all_oracle_sql() -> dict:
         "phash_near_dup": _phash_sql(),
         "crossmodal_pairs": _crossmodal_sql(),
         "doc_chunks": _chunks_sql(),
+        "stratified_sample": _stratified_sql(),
         "minhash_lsh_pairs": _minhash_sql(),
         "image_pyramid": _image_pyramid_sql(),
     }
