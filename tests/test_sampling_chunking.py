@@ -1,0 +1,76 @@
+"""Unit tests for the deterministic sampling and chunking operators
+(the oracle harness covers end-to-end equality; these pin the edge
+semantics)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from tippecanoe_ray.functions.hashing import splitmix64
+from tippecanoe_ray.pipelines.textpipe import Chunker
+
+
+def test_chunker_windows_and_tail():
+    c = Chunker(size=8, overlap=2)
+    df = pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": [" ".join(str(i) for i in range(20)),  # 20 tokens
+                 "one two",                            # short: one chunk
+                 ""],                                  # empty: no chunks
+    })
+    out = c(df)
+    # stride 6: windows [0:8] [6:14] [12:20] [18:20]
+    d1 = out[out.doc_id == 1]
+    assert list(d1.chunk_idx) == [0, 1, 2, 3]
+    assert list(d1.n_tokens) == [8, 8, 8, 2]
+    assert list(out[out.doc_id == 2].n_tokens) == [2]
+    assert (out.doc_id == 3).sum() == 0
+
+
+def test_chunker_hash_matches_rejoin():
+    from tippecanoe_ray.functions.hashing import fnv1a64_strings
+
+    c = Chunker(size=4, overlap=0)
+    out = c(pd.DataFrame({"doc_id": [7], "text": ["a  b\tc\nd e"]}))
+    # whitespace runs collapse; chunks rejoin with single spaces
+    expect = fnv1a64_strings(np.array(["a b c d", "e"], object))
+    assert list(out.chunk_hash) == list(expect.astype(np.int64))
+
+
+def test_chunker_rejects_bad_overlap():
+    with pytest.raises(ValueError):
+        Chunker(size=4, overlap=4)
+
+
+def test_stratified_sample_smallest_ranks(ray_session):
+    import ray
+
+    from tippecanoe_ray.pipelines.sampling import stratified_sample
+
+    n = 500
+    df = pd.DataFrame({"doc_id": np.arange(n),
+                       "key": np.arange(n) % 3})
+    out = stratified_sample(
+        ray.data.from_pandas(df), "key", "doc_id", 5).to_pandas()
+    assert len(out) == 15
+    ranks = splitmix64(np.arange(n).astype(np.uint64))
+    for k in range(3):
+        ids = df.doc_id[df.key == k].to_numpy()
+        expect = set(ids[np.argsort(ranks[ids])][:5].tolist())
+        assert set(out.doc_id[out.key == k]) == expect
+
+
+def test_rate_sample_deterministic(ray_session):
+    import ray
+
+    from tippecanoe_ray.pipelines.sampling import rate_sample
+
+    df = pd.DataFrame({"doc_id": np.arange(2000)})
+    a = rate_sample(ray.data.from_pandas(df), "doc_id", 0.25).to_pandas()
+    b = rate_sample(ray.data.from_pandas(df), "doc_id", 0.25).to_pandas()
+    assert sorted(a.doc_id) == sorted(b.doc_id)
+    assert 0.18 < len(a) / 2000 < 0.32  # ~Bernoulli(0.25)
+    thr = np.uint64(int(0.25 * float(1 << 64)))
+    expect = np.arange(2000)[
+        splitmix64(np.arange(2000).astype(np.uint64)) < thr]
+    assert sorted(a.doc_id) == expect.tolist()
