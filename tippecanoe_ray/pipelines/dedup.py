@@ -310,7 +310,13 @@ def minhash_lsh_pairs(
                 out_a.append(a)
                 out_b.append(b)
                 out_j.append(round(jac, 6))
-        return pd.DataFrame({"a": out_a, "b": out_b, "jaccard": out_j})
+        # pin dtypes to the incoming id dtype so empty partitions
+        # don't flip the Ray block schema (int64 -> float64)
+        return pd.DataFrame({
+            "a": pd.Series(out_a, dtype=df["a"].dtype),
+            "b": pd.Series(out_b, dtype=df["b"].dtype),
+            "jaccard": pd.Series(out_j, dtype="float64"),
+        })
 
     n_blocks = max(1, min(64, len(pairs) // 2000))
     verified = (
@@ -389,7 +395,13 @@ def ngram_jaccard_pairs(
                 out_a.append(a)
                 out_b.append(b)
                 out_j.append(round(jac, 6))
-        return pd.DataFrame({"a": out_a, "b": out_b, "jaccard": out_j})
+        # pin dtypes to the incoming id dtype so empty partitions
+        # don't flip the Ray block schema (int64 -> float64)
+        return pd.DataFrame({
+            "a": pd.Series(out_a, dtype=df["a"].dtype),
+            "b": pd.Series(out_b, dtype=df["b"].dtype),
+            "jaccard": pd.Series(out_j, dtype="float64"),
+        })
 
     n_blocks = max(1, min(64, len(pairs) // 2000))
     verified = (
