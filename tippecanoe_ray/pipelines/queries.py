@@ -594,6 +594,26 @@ def phash_near_dup_q(sf_dir: str) -> pd.DataFrame:
     return hamming_near_dup_pairs(imgs, "phash", "image_id", max_hamming=3)
 
 
+def aspect_buckets_q(sf_dir: str) -> pd.DataFrame:
+    """Resolution-bucket counts over the image table (the input_hint
+    w/h rule: w = 64 + (id%5)*16, h = 64 + ((id//5)%5)*16) — pixels
+    never move, only (w, h) and a 7-value bucket key."""
+    from .imagepipe import aspect_bucket_counts
+
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+
+    def to_wh(t: pa.Table) -> pa.Table:
+        k = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "image_id": pa.array([f"img-{i:012d}" for i in k], pa.string()),
+            "w": pa.array((64 + (k % 5) * 16).astype(np.int32), pa.int32()),
+            "h": pa.array((64 + ((k // 5) % 5) * 16).astype(np.int32),
+                          pa.int32()),
+        })
+
+    return aspect_bucket_counts(ds.map_batches(to_wh, batch_format="pyarrow"))
+
+
 def stratified_sample_q(sf_dir: str) -> pd.DataFrame:
     """Deterministic stratified sample: the 20 documents with the
     smallest splitmix64(doc_id) rank per language — partial top-k in
@@ -1277,6 +1297,7 @@ def all_queries() -> dict:
         "crossmodal_pairs": crossmodal_pairs_q,
         "doc_chunks": doc_chunks_q,
         "stratified_sample": stratified_sample_q,
+        "aspect_buckets": aspect_buckets_q,
         "embedding_near_dup": embedding_near_dup_q,
         "lang_id_accuracy": lang_id_q,
         "doc_fingerprints": fingerprints_q,
@@ -1774,6 +1795,33 @@ def _sm64_sql(x: str) -> str:
     return f"xor({z3}, ({z3}) // {1 << 31})"
 
 
+def _aspect_sql() -> str:
+    """Aspect-bucket oracle: the same exact integer cross-product
+    misfit (GREATEST(w*q, h*p) / LEAST(...)) argmin'd per image with
+    the bucket-index tie-break, then counted per label."""
+    vals = ", ".join(
+        f"({i}, {p}, {q}, '{p}:{q}')"
+        for i, (p, q) in enumerate(
+            [(1, 4), (1, 2), (3, 4), (1, 1), (4, 3), (2, 1), (4, 1)]))
+    return f"""
+WITH base AS (
+  SELECT doc_id, 64 + (doc_id % 5) * 16 AS w,
+         64 + ((doc_id // 5) % 5) * 16 AS h
+  FROM documents),
+b(idx, p, q, label) AS (VALUES {vals}),
+d AS (
+  SELECT doc_id, label, idx,
+         CAST(GREATEST(w * q, h * p) AS DOUBLE) / LEAST(w * q, h * p) AS f
+  FROM base CROSS JOIN b),
+r AS (
+  SELECT doc_id, label,
+         row_number() OVER (PARTITION BY doc_id ORDER BY f, idx) AS rn
+  FROM d)
+SELECT label AS bucket, COUNT(*) AS n_images
+FROM r WHERE rn = 1 GROUP BY label ORDER BY bucket
+"""
+
+
 def _stratified_sql(k: int = 20) -> str:
     """Per-language smallest-k splitmix64(doc_id) ranks — a window
     rank over the exact hash model (ties impossible: splitmix64 is a
@@ -2192,6 +2240,7 @@ def all_oracle_sql() -> dict:
         "crossmodal_pairs": _crossmodal_sql(),
         "doc_chunks": _chunks_sql(),
         "stratified_sample": _stratified_sql(),
+        "aspect_buckets": _aspect_sql(),
         "minhash_lsh_pairs": _minhash_sql(),
         "image_pyramid": _image_pyramid_sql(),
     }
