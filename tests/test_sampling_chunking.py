@@ -74,3 +74,34 @@ def test_rate_sample_deterministic(ray_session):
     expect = np.arange(2000)[
         splitmix64(np.arange(2000).astype(np.uint64)) < thr]
     assert sorted(a.doc_id) == expect.tolist()
+
+
+def test_connected_components_shapes(ray_session):
+    import pandas as pd
+
+    from tippecanoe_ray.pipelines.components import (
+        connected_components, dedup_groups,
+    )
+
+    pairs = pd.DataFrame({"a": [1, 2, 3, 10, 20, 21, 20, 30],
+                          "b": [2, 3, 4, 11, 21, 22, 22, 31]})
+    cc = connected_components(pairs)
+    got = dict(zip(cc.node, cc.component))
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10,
+                   20: 20, 21: 20, 22: 20, 30: 30, 31: 30}
+    g = dedup_groups(pairs)
+    assert list(zip(g.component, g.n_members)) == [
+        (1, 4), (10, 2), (20, 3), (30, 2)]
+
+
+def test_connected_components_chain(ray_session):
+    import numpy as np
+    import pandas as pd
+
+    from tippecanoe_ray.pipelines.components import connected_components
+
+    n = 300  # pathological single chain: worst case for round count
+    pairs = pd.DataFrame({"a": np.arange(n - 1), "b": np.arange(1, n)})
+    cc = connected_components(pairs)
+    assert len(cc) == n and (cc.component == 0).all()
+    assert len(connected_components(pairs.head(0))) == 0

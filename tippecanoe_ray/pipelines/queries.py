@@ -594,6 +594,27 @@ def phash_near_dup_q(sf_dir: str) -> pd.DataFrame:
     return hamming_near_dup_pairs(imgs, "phash", "image_id", max_hamming=3)
 
 
+def dedup_components_q(sf_dir: str) -> pd.DataFrame:
+    """Near-dup pairs → dedup groups: connected components over the
+    simhash pair list (large-star/small-star Dataset rounds), one
+    canonical smallest-id survivor per group, reported as
+    (component, n_members)."""
+    from .components import dedup_groups
+    from .dedup import simhash_pairs
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def shifted(t: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": pa.compute.add(t["doc_id"], 100000),
+                         "text": t["text"]})
+
+    both = ds.union(
+        _read(sf_dir, "documents", columns=["doc_id", "text"])
+        .map_batches(shifted, batch_format="pyarrow"))
+    pairs = simhash_pairs(both, "text", "doc_id", max_hamming=3)
+    return dedup_groups(pairs[["a", "b"]])
+
+
 def aspect_buckets_q(sf_dir: str) -> pd.DataFrame:
     """Resolution-bucket counts over the image table (the input_hint
     w/h rule: w = 64 + (id%5)*16, h = 64 + ((id//5)%5)*16) — pixels
@@ -1298,6 +1319,7 @@ def all_queries() -> dict:
         "doc_chunks": doc_chunks_q,
         "stratified_sample": stratified_sample_q,
         "aspect_buckets": aspect_buckets_q,
+        "dedup_components": dedup_components_q,
         "embedding_near_dup": embedding_near_dup_q,
         "lang_id_accuracy": lang_id_q,
         "doc_fingerprints": fingerprints_q,
@@ -1795,6 +1817,54 @@ def _sm64_sql(x: str) -> str:
     return f"xor({z3}, ({z3}) // {1 << 31})"
 
 
+def _components_sql(max_hamming: int = 3) -> str:
+    """Dedup-group oracle: the all-pairs simhash model produces the
+    edge list, a recursive label-propagation CTE computes each node's
+    reachable-minimum label (the component id), and groups count
+    members."""
+    lo_bits = " + ".join(
+        f"(CASE WHEN SUM(CASE WHEN (h // {1 << b}) % 2 = 1 THEN 1 ELSE -1 END)"
+        f" > 0 THEN {1 << b} ELSE 0 END)" for b in range(32)
+    )
+    hi_bits = " + ".join(
+        f"(CASE WHEN SUM(CASE WHEN (h // {1 << b}) % 2 = 1 THEN 1 ELSE -1 END)"
+        f" > 0 THEN {1 << (b - 32)} ELSE 0 END)" for b in range(32, 64)
+    )
+    return f"""
+WITH RECURSIVE
+docs AS (
+  SELECT doc_id AS id, COALESCE(text, '') AS txt FROM documents
+  UNION ALL
+  SELECT doc_id + 100000, COALESCE(text, '') FROM documents),
+tok AS (
+  SELECT id, unnest(list_filter(regexp_split_to_array(txt, '\\s+'),
+                                x -> x <> '')) AS tk
+  FROM docs),
+th AS (
+  SELECT id, {_fnv_of_hex("hex(encode(tk))")} AS h FROM tok),
+sg0 AS (
+  SELECT id, CAST({lo_bits} AS BIGINT) AS lo, CAST({hi_bits} AS BIGINT) AS hi
+  FROM th GROUP BY id),
+sg AS (
+  SELECT d.id, COALESCE(s.lo, 0) AS lo, COALESCE(s.hi, 0) AS hi
+  FROM docs d LEFT JOIN sg0 s ON d.id = s.id),
+pr AS (
+  SELECT x.id AS a, y.id AS b
+  FROM sg x JOIN sg y ON x.id < y.id
+  WHERE bit_count(xor(x.lo, y.lo)) + bit_count(xor(x.hi, y.hi))
+        <= {max_hamming}),
+edges AS (SELECT a, b FROM pr UNION SELECT b, a FROM pr),
+nodes AS (SELECT DISTINCT a AS node FROM edges),
+cc(node, label) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT e.b, c.label FROM cc c JOIN edges e ON c.node = e.a),
+lab AS (SELECT node, MIN(label) AS component FROM cc GROUP BY node)
+SELECT component, COUNT(*) AS n_members
+FROM lab GROUP BY component ORDER BY component
+"""
+
+
 def _aspect_sql() -> str:
     """Aspect-bucket oracle: the same exact integer cross-product
     misfit (GREATEST(w*q, h*p) / LEAST(...)) argmin'd per image with
@@ -2241,6 +2311,7 @@ def all_oracle_sql() -> dict:
         "doc_chunks": _chunks_sql(),
         "stratified_sample": _stratified_sql(),
         "aspect_buckets": _aspect_sql(),
+        "dedup_components": _components_sql(),
         "minhash_lsh_pairs": _minhash_sql(),
         "image_pyramid": _image_pyramid_sql(),
     }
