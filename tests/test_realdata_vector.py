@@ -157,6 +157,18 @@ BYTE_EXACT_CORPORA = [
      ["--detect-shared-borders"], ["--detect-shared-borders"]),
     ("ne_110m_admin_0_countries", 4,
      ["--detect-shared-borders"], ["--detect-shared-borders"]),
+    # -ab composed with the flags that alter the shared simplification
+    # inputs: -S4 (arc epsilon), -pn (the global flag reaches the arc
+    # DP's retain accounting even with empty node lists,
+    # geometry.cpp:298), and ocean for multipolygon-heavy rings
+    ("ne_110m_admin_0_countries", 3,
+     ["--detect-shared-borders", "-S4"],
+     ["--detect-shared-borders", "--simplification", "4"]),
+    ("ne_110m_admin_0_countries", 3,
+     ["--detect-shared-borders", "-pn"],
+     ["--detect-shared-borders", "--prevent-shared-nodes"]),
+    ("ne_110m_ocean", 4,
+     ["--detect-shared-borders"], ["--detect-shared-borders"]),
 ]
 
 # the reference's own edge-case corpora (tests/<name>/), byte-exact:

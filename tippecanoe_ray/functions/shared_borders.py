@@ -71,7 +71,7 @@ def _edge_keys(a: np.ndarray, b: np.ndarray):
 
 def find_common_edges(geoms, z, line_detail, simplification,
                       skip_simplify, mark_bounds,
-                      use_visvalingam=False):
+                      use_visvalingam=False, pn=False):
     """Rewrite every polygon of a tile as shared simplified arcs.
 
     geoms: list of (ops, xy) for the tile's VT_POLYGON features in
@@ -226,9 +226,15 @@ def find_common_edges(geoms, z, line_detail, simplification,
             continue
         ops_a = np.full(len(pts), dv.LINETO, np.uint8)
         ops_a[0] = dv.MOVETO
+        # shared_borders.cpp:360 calls the full simplify_lines with
+        # EMPTY node lists, but the global -pn flag still reaches
+        # douglas_peucker, where it burns `retain` for each pre-marked
+        # point (clip.cpp:924-928) — so the flag must pass through
+        # even though no nodes are looked up here
         _, sxy = dv.simplify_lines(
             ops_a, pts, z, line_detail, mark_bounds,
-            simplification, 4, use_visvalingam=use_visvalingam,
+            simplification, 4, pn=pn,
+            use_visvalingam=use_visvalingam,
         )
         simplified.append(sxy)
 

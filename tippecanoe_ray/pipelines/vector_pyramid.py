@@ -2621,6 +2621,10 @@ def _encode_with_detail_ladder(cfg: VectorConfig, z, tx, ty, survivors,
                         or (z < cfg.maxzoom and cfg.grid_low_zooms)),
                     mark_bounds=mark_bounds,
                     use_visvalingam=cfg.visvalingam,
+                    # the global -pn flag reaches the arc DP's retain
+                    # accounting even with empty node lists
+                    # (geometry.cpp:298, clip.cpp:924-928)
+                    pn=pn,
                 )
                 for pi, (nops, nxy) in zip(_polys, _new):
                     pending[pi][2] = nops
