@@ -391,3 +391,46 @@ def test_windows_csv(ray_session, corpus):
     ours = _our_tiles(join_csv_exact(read_mbtiles(mac),
                                      f"{CORPUS}/windows.csv"))
     _assert_tiles_equal(ours, _ref_tiles(ref_path))
+
+
+def test_cli_overzoom_merge(ray_session, corpus, tmp_path):
+    """-O: the shallower input (macarthur z5-z10) overzooms up to the
+    deeper input's maxzoom (macarthur2 z9-z11) during the merge —
+    whole tile table byte-identical to the reference tile-join -O,
+    and the decoded text (tilestats included) identical too."""
+    import subprocess
+
+    mac, mac2 = corpus["mac"], corpus["mac2"]
+    ref_path = str(tmp_path / "oz_ref.mbtiles")
+    our_path = str(tmp_path / "oz_our.mbtiles")
+    _run([f"{REFDIR}/tile-join", "-q", "-f", "-O",
+          "-o", ref_path, mac, mac2])
+    r = subprocess.run(
+        ["python", "-m", "tippecanoe_ray", "tilejoin", "-O",
+         "-o", our_path, mac, mac2],
+        capture_output=True, cwd="/root/repo")
+    assert r.returncode == 0, r.stderr.decode()[-500:]
+
+    import sqlite3
+
+    def tiles(p):
+        con = sqlite3.connect(p)
+        d = {t[:3]: bytes(t[3]) for t in con.execute(
+            "SELECT zoom_level, tile_column, tile_row, tile_data "
+            "FROM tiles")}
+        con.close()
+        return d
+
+    ref, ours = tiles(ref_path), tiles(our_path)
+    _assert_tiles_equal(ours, ref)
+    assert max(z for z, _, _ in ref) == 11  # overzoomed past z10
+
+    dec_ref = subprocess.run(
+        [f"{REFDIR}/tippecanoe-decode", "-x", "generator",
+         "-x", "generator_options", ref_path],
+        capture_output=True, check=True).stdout
+    dec_our = subprocess.run(
+        [f"{REFDIR}/tippecanoe-decode", "-x", "generator",
+         "-x", "generator_options", our_path],
+        capture_output=True, check=True).stdout
+    assert dec_ref == dec_our

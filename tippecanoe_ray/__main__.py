@@ -609,6 +609,9 @@ def tilejoin_main(argv):
     ap.add_argument("-j", "--feature-filter", default=None,
                     help="JSON feature-filter expression")
     ap.add_argument("-J", "--feature-filter-file", default=None)
+    ap.add_argument("-O", "--overzoom", action="store_true",
+                    help="overzoom shallower inputs up to the deepest "
+                         "input's maxzoom (tile-join.cpp:1402)")
     ap.add_argument("-pC", "--no-tile-compression", action="store_true",
                     dest="no_tile_compression")
     ap.add_argument("-pk", "--no-tile-size-limit", action="store_true",
@@ -673,6 +676,53 @@ def tilejoin_main(argv):
         from tippecanoe_ray.functions.filters import compile_filter
 
         feature_filter = compile_filter(json.loads(fdoc))
+    overzoom_final_keys = None
+    if args.overzoom:
+        # -O (tile-join.cpp:1402-1404): overzoom the shallower inputs
+        # up to the deepest input's real maxzoom — entire levels, each
+        # overzoomed tile built from its maxzoom ancestor. The readers'
+        # final queue states (minimum next-level candidate) order the
+        # metadata accumulation.
+        from tippecanoe_ray.pipelines.overzoom_exact import (
+            overzoom_extend_ds, overzoom_final_key,
+        )
+
+        zmaxes = []
+        for d in dss:
+            try:
+                zmaxes.append(d.max("z"))
+            except Exception:
+                zmaxes.append(None)
+        real = [z for z in zmaxes if z is not None]
+        if real:
+            target = int(max(real))
+            overzoom_final_keys = {}
+            new_dss = []
+            for path, d, zm in zip(args.inputs, dss, zmaxes):
+                if zm is None:
+                    overzoom_final_keys[path] = (1 << 30, 0, 0, b"")
+                    new_dss.append(d)
+                    continue
+                if int(zm) >= target:
+                    overzoom_final_keys[path] = overzoom_final_key(
+                        d, int(zm), target)
+                    new_dss.append(d)
+                    continue
+                ext = overzoom_extend_ds(d, target)
+                if ext is None:
+                    overzoom_final_keys[path] = (1 << 30, 0, 0, b"")
+                    new_dss.append(d)
+                    continue
+                ext = ext.materialize()
+                frontier = (ext.filter(expr="z < 0")
+                            .select_columns(["x", "y"]).to_pandas())
+                gen_target = (ext.filter(expr=f"z == {target}")
+                              .to_pandas())
+                overzoom_final_keys[path] = overzoom_final_key(
+                    d, int(zm), target, frontier=frontier,
+                    gen_target_rows=gen_target)
+                new_dss.append(d.union(ext.filter(expr="z >= 0")))
+            dss = new_dss
     merged = merge_tilesets_exact(
         dss, csv_path=args.csv, exclude=frozenset(args.exclude),
         # -y implies exclude-all (tile-join.cpp:1475-1478)
@@ -687,7 +737,8 @@ def tilejoin_main(argv):
         no_size_limit=args.no_tile_size_limit).materialize()
     stats_rows = reduce_join_stats(merged)
     inputs_meta = gather_input_metadata(
-        args.inputs, args.minimum_zoom, args.maximum_zoom)
+        args.inputs, args.minimum_zoom, args.maximum_zoom,
+        final_keys=overzoom_final_keys)
     meta = tilejoin_metadata(
         stats_rows, inputs_meta,
         commandline="tippecanoe_ray tilejoin " + " ".join(argv),

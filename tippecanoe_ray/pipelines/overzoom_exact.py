@@ -329,9 +329,16 @@ def overzoom_bytes(tiles, nz: int, nx: int, ny: int, *,
                    simplification: float = 0.0,
                    tiny_polygon_size: float = 0.0,
                    deduplicate_by_id: bool = False,
-                   feature_limit: int | None = None) -> bytes:
+                   feature_limit: int | None = None,
+                   collect_next: bool = False):
     """tiles: [(tile_bytes, z, x, y), ...] -> encoded child tile bytes
-    ('' when everything clips away), clip.cpp:1453-1755."""
+    ('' when everything clips away), clip.cpp:1453-1755.
+
+    With collect_next (the next_overzoomed_tiles out-param,
+    clip.cpp:1697-1731), returns (bytes, [(cx, cy), ...]): each of the
+    four z+1 children is probed by overzooming the JUST-BUILT tile
+    with feature_limit=1, and non-empty children are listed — the
+    pruning tile-join -O uses to walk deeper overzoom levels."""
     keep = set(keep)
     exclude = set(exclude)
     exclude_prefix = list(exclude_prefix)
@@ -515,12 +522,41 @@ def overzoom_bytes(tiles, nz: int, nx: int, ny: int, *,
             if hit_limit:
                 break
 
+    next_children: list = []
+    if collect_next and out_layers:
+        # probe each z+1 child against the just-built tile
+        # (clip.cpp:1705-1731; the probe precedes the empty-layer
+        # erase, which changes nothing — empty layers clip empty)
+        probe_layers = [ol for ol in out_layers if ol["features"]]
+        if probe_layers:
+            probe = encode_tile(
+                [encode_layer(ol["name"], ol["features"], ol["extent"])
+                 for ol in probe_layers], compress=False)
+            for dx in (0, 1):
+                for dy in (0, 1):
+                    child = overzoom_bytes(
+                        [(probe, nz, nx, ny)],
+                        nz + 1, nx * 2 + dx, ny * 2 + dy,
+                        detail=detail, buffer=buffer, keep=keep,
+                        exclude=exclude, exclude_prefix=exclude_prefix,
+                        compress=False, demultiply=demultiply,
+                        filter_doc=filter_doc,
+                        preserve_input_order=preserve_input_order,
+                        attribute_accum=attribute_accum,
+                        simplification=simplification,
+                        tiny_polygon_size=tiny_polygon_size,
+                        deduplicate_by_id=deduplicate_by_id,
+                        feature_limit=1)
+                    if child:
+                        next_children.append((nx * 2 + dx, ny * 2 + dy))
+
     out_layers = [ol for ol in out_layers if ol["features"]]
     if not out_layers:
-        return b""
+        return (b"", next_children) if collect_next else b""
     encoded = [encode_layer(ol["name"], ol["features"], ol["extent"])
                for ol in out_layers]
-    return encode_tile(encoded, compress=compress)
+    out = encode_tile(encoded, compress=compress)
+    return (out, next_children) if collect_next else out
 
 
 def _geom_vals(geom_raw: bytes) -> list[int]:
@@ -557,6 +593,144 @@ def overzoom_ds(tile_ds, **opts):
         return pd.DataFrame(rows)
 
     return tile_ds.map_batches(fn, batch_format="pandas")
+
+
+def overzoom_extend_ds(ds, target_zoom: int, buffer: int = 5):
+    """tile-join -O: overzoom a shallow tileset's maxzoom tiles up to
+    ``target_zoom`` (the deepest real zoom across the join's inputs —
+    the reference's tileset_reader stops when a fresh overzoom level
+    finds every reader done, tile-join.cpp:550-605,676-705).
+
+    Each maxzoom parent's overzoom subtree is independent (every
+    overzoomed tile is built FROM ITS MAXZOOM ANCESTOR,
+    retrieve_overzoom tile-join.cpp:796-840), so this is a shuffle-free
+    map_batches: per parent, level L+1 candidates start as all four
+    children and deeper levels use the constructed tiles'
+    next_overzoomed_tiles pruning. detail=-1 keeps the source layer
+    extent; tiles return UNCOMPRESSED (do_compress=false at the
+    callsite) for the join rewrite to re-encode. Returns a Dataset of
+    the generated (z, x, y, tile) rows, or None when nothing to do."""
+    import pandas as pd
+
+    zmax = ds.max("z")
+    if zmax is None or zmax >= target_zoom:
+        return None
+    parents = ds.filter(expr=f"z == {zmax}")
+
+    def expand(df: pd.DataFrame) -> pd.DataFrame:
+        rows = {"z": [], "x": [], "y": [], "tile": []}
+        for z0, x0, y0, data in zip(df["z"], df["x"], df["y"], df["tile"]):
+            z0, x0, y0 = int(z0), int(x0), int(y0)
+            src = [(bytes(data), z0, x0, y0)]
+            frontier = [(2 * x0 + dx, 2 * y0 + dy)
+                        for dx in (0, 1) for dy in (0, 1)]
+            for cz in range(z0 + 1, target_zoom + 1):
+                nxt: list = []
+                for cx, cy in frontier:
+                    out, children = overzoom_bytes(
+                        src, cz, cx, cy, detail=-1, buffer=buffer,
+                        compress=False, collect_next=True)
+                    if out:
+                        rows["z"].append(cz)
+                        rows["x"].append(cx)
+                        rows["y"].append(cy)
+                        rows["tile"].append(out)
+                    nxt.extend(children)
+                frontier = nxt
+                if not frontier:
+                    break
+            # the level-(target+1) frontier, marked with negative z:
+            # the reader's FINAL queue position pops the minimum of
+            # this candidate list (tile-join.cpp:594-605), which
+            # decides the metadata accumulation order
+            for cx, cy in frontier:
+                rows["z"].append(-(target_zoom + 1))
+                rows["x"].append(cx)
+                rows["y"].append(cy)
+                rows["tile"].append(b"")
+        return pd.DataFrame(rows)
+
+    return parents.map_batches(expand, batch_format="pandas")
+
+
+def overzoom_final_key(ds, zmax: int, target: int, frontier=None,
+                       gen_target_rows=None, buffer: int = 5):
+    """The reader's FINAL priority-queue key under -O — (zoom, x,
+    tms_y, tile_bytes) — which orders the metadata accumulation
+    (tile-join.cpp:1135-1137 iterates the queue's final order; each
+    reader's last advance pops the MINIMUM level-(target+1) candidate
+    and builds its tile from the maxzoom ancestor before the loop
+    exits, tile-join.cpp:576-605,762-793).
+
+    For a reader whose real maxzoom equals the target, the candidates
+    are all four children of its real target tiles, so the minimum is
+    child (2px, 2py+1) of the first target tile in (x asc, tms asc)
+    order.  For an overzoomed reader, the candidates are the
+    collect_next frontier.  ``frontier``: the extension's marked rows
+    (pandas with x, y at target+1), or None for a deep reader.
+
+    A fully tied primary key falls back to the order the readers
+    exhausted the last level — the reader whose LAST level-target tile
+    (by z/x/tms/bytes) sorts earlier re-queued its final state first —
+    so the key carries that last tile as a secondary component.
+    ``gen_target_rows``: pandas (x, y, tile) of an overzoomed reader's
+    GENERATED tiles at the target zoom (a deep reader's come from its
+    own real tiles)."""
+    import pandas as pd
+
+    M1 = target + 1
+
+    def _extreme(df: pd.DataFrame, best: bool):
+        if not len(df):
+            return None
+        tms = (1 << target) - 1 - df["y"]
+        order = np.lexsort((tms.to_numpy(), df["x"].to_numpy()))
+        return df.iloc[order[0] if best else order[-1]]
+
+    def _collect(pds):
+        def part(df: pd.DataFrame) -> pd.DataFrame:
+            if not len(df):
+                return df
+            lo = _extreme(df, True)
+            hi = _extreme(df, False)
+            return pd.DataFrame([lo, hi])
+
+        return pds.map_batches(part, batch_format="pandas").to_pandas()
+
+    if frontier is None:
+        tdf = _collect(ds.filter(expr=f"z == {target}"))
+        row = _extreme(tdf, True)
+        if row is None:
+            return (1 << 30, 0, 0, b"", 0, 0, 0, b"")
+        px, py = int(row["x"]), int(row["y"])
+        cand = (2 * px, 2 * py + 1)
+        src = (bytes(row["tile"]), target, px, py)
+        last = _extreme(tdf, False)
+    else:
+        if not len(frontier):
+            return (1 << 30, 0, 0, b"", 0, 0, 0, b"")
+        tms = (1 << M1) - 1 - frontier["y"]
+        i = np.lexsort((tms.to_numpy(), frontier["x"].to_numpy()))[0]
+        cand = (int(frontier["x"].iloc[i]), int(frontier["y"].iloc[i]))
+        sh = M1 - zmax
+        ax, ay = cand[0] >> sh, cand[1] >> sh
+        anc = ds.filter(
+            expr=f"z == {zmax} and x == {ax} and y == {ay}").take(1)
+        if not anc:
+            return (1 << 30, 0, 0, b"", 0, 0, 0, b"")
+        src = (bytes(anc[0]["tile"]), zmax, ax, ay)
+        last = (_extreme(gen_target_rows, False)
+                if gen_target_rows is not None and len(gen_target_rows)
+                else None)
+
+    data = overzoom_bytes([src], M1, cand[0], cand[1],
+                          detail=-1, buffer=buffer, compress=False)
+    if last is not None:
+        lkey = (target, int(last["x"]),
+                (1 << target) - 1 - int(last["y"]), bytes(last["tile"]))
+    else:
+        lkey = (0, 0, 0, b"")
+    return (M1, cand[0], (1 << M1) - 1 - cand[1], data, *lkey)
 
 
 def overzoom_main(argv) -> int:

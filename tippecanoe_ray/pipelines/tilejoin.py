@@ -599,7 +599,8 @@ def reduce_join_stats(ds: ray.data.Dataset) -> list[dict]:
 
 def gather_input_metadata(paths: list[str],
                           minzoom: int | None = None,
-                          maxzoom: int | None = None) -> dict:
+                          maxzoom: int | None = None,
+                          final_keys: dict | None = None) -> dict:
     """The reference's per-reader metadata merge (tile-join.cpp:
     1120-1255), iterating inputs in the readers' FINAL priority order —
     each reader ends positioned at its last tile, so the order is by
@@ -659,7 +660,11 @@ def gather_input_metadata(paths: list[str],
         "generator_options": "", "strategies": [],
         "layer_descriptions": {}, "attribute_descriptions": {},
     }
-    for path in sorted(paths, key=last_key):
+    # under -O the readers end at their minimum level-(target+1)
+    # overzoom candidate instead of their last real tile; the caller
+    # passes those keys (overzoom_exact.overzoom_final_key)
+    key_fn = (lambda p: final_keys[p]) if final_keys else last_key
+    for path in sorted(paths, key=key_fn):
         if path.endswith(".pmtiles"):
             from ..stages.decode_json import _pmtiles_meta_and_entries
 
