@@ -434,3 +434,42 @@ def test_cli_overzoom_merge(ray_session, corpus, tmp_path):
          "-x", "generator_options", our_path],
         capture_output=True, check=True).stdout
     assert dec_ref == dec_our
+
+
+def test_cli_overzoom_buffer_and_exclude_all_attrs(ray_session, corpus,
+                                                   tmp_path):
+    """-O -b20 (overzoom clip buffer) and
+    --exclude-all-tile-attributes (original attributes stripped, joined
+    CSV columns kept): decoded output identical to the reference."""
+    import subprocess
+
+    def decode(p):
+        return subprocess.run(
+            [f"{REFDIR}/tippecanoe-decode", "-x", "generator",
+             "-x", "generator_options", p],
+            capture_output=True, check=True).stdout
+
+    mac, mac2, tab = corpus["mac"], corpus["mac2"], corpus["tab"]
+
+    ref_b = str(tmp_path / "b_ref.mbtiles")
+    our_b = str(tmp_path / "b_our.mbtiles")
+    _run([f"{REFDIR}/tile-join", "-q", "-f", "-O", "-b20",
+          "-o", ref_b, mac, mac2])
+    r = subprocess.run(
+        ["python", "-m", "tippecanoe_ray", "tilejoin", "-O", "-b", "20",
+         "-o", our_b, mac, mac2], capture_output=True, cwd="/root/repo")
+    assert r.returncode == 0, r.stderr.decode()[-400:]
+    assert decode(ref_b) == decode(our_b)
+
+    ref_a = str(tmp_path / "a_ref.mbtiles")
+    our_a = str(tmp_path / "a_our.mbtiles")
+    _run([f"{REFDIR}/tile-join", "-q", "-f",
+          "--exclude-all-tile-attributes", "-i", "-c",
+          f"{CORPUS}/population.csv", "-o", ref_a, tab])
+    r = subprocess.run(
+        ["python", "-m", "tippecanoe_ray", "tilejoin",
+         "--exclude-all-tile-attributes", "-i", "-c",
+         f"{CORPUS}/population.csv", "-o", our_a, tab],
+        capture_output=True, cwd="/root/repo")
+    assert r.returncode == 0, r.stderr.decode()[-400:]
+    assert decode(ref_a) == decode(our_a)

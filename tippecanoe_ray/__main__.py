@@ -609,9 +609,15 @@ def tilejoin_main(argv):
     ap.add_argument("-j", "--feature-filter", default=None,
                     help="JSON feature-filter expression")
     ap.add_argument("-J", "--feature-filter-file", default=None)
+    ap.add_argument("--exclude-all-tile-attributes", action="store_true",
+                    help="strip every attribute, joined columns "
+                         "included (tile-join.cpp:216,289)")
     ap.add_argument("-O", "--overzoom", action="store_true",
                     help="overzoom shallower inputs up to the deepest "
                          "input's maxzoom (tile-join.cpp:1402)")
+    ap.add_argument("-b", "--buffer", type=int, default=5,
+                    help="overzoom clip buffer in 256ths "
+                         "(tile-join.cpp:64)")
     ap.add_argument("-pC", "--no-tile-compression", action="store_true",
                     dest="no_tile_compression")
     ap.add_argument("-pk", "--no-tile-size-limit", action="store_true",
@@ -705,10 +711,10 @@ def tilejoin_main(argv):
                     continue
                 if int(zm) >= target:
                     overzoom_final_keys[path] = overzoom_final_key(
-                        d, int(zm), target)
+                        d, int(zm), target, buffer=args.buffer)
                     new_dss.append(d)
                     continue
-                ext = overzoom_extend_ds(d, target)
+                ext = overzoom_extend_ds(d, target, buffer=args.buffer)
                 if ext is None:
                     overzoom_final_keys[path] = (1 << 30, 0, 0, b"")
                     new_dss.append(d)
@@ -720,7 +726,7 @@ def tilejoin_main(argv):
                               .to_pandas())
                 overzoom_final_keys[path] = overzoom_final_key(
                     d, int(zm), target, frontier=frontier,
-                    gen_target_rows=gen_target)
+                    gen_target_rows=gen_target, buffer=args.buffer)
                 new_dss.append(d.union(ext.filter(expr="z >= 0")))
             dss = new_dss
     merged = merge_tilesets_exact(
@@ -734,7 +740,9 @@ def tilejoin_main(argv):
         with_stats=True, feature_filter=feature_filter,
         compress=not args.no_tile_compression,
         include=frozenset(args.include),
-        no_size_limit=args.no_tile_size_limit).materialize()
+        no_size_limit=args.no_tile_size_limit,
+        exclude_all_tile_attrs=args.exclude_all_tile_attributes,
+    ).materialize()
     stats_rows = reduce_join_stats(merged)
     inputs_meta = gather_input_metadata(
         args.inputs, args.minimum_zoom, args.maximum_zoom,

@@ -299,6 +299,7 @@ def _rewrite_tile_group(
     feature_filter=None,
     include: frozenset = frozenset(),
     no_size_limit: bool = False,
+    exclude_all_tile_attrs: bool = False,
 ) -> tuple[bytes, int]:
     """The append_tile accumulation (tile-join.cpp:105-400) over all
     input tiles sharing one (z, x, y): layers found-or-created by name
@@ -375,9 +376,13 @@ def _rewrite_tile_group(
                     vt, sv = serial_val_of_raw(raw)
                     if vt == "null":
                         continue
-                    # include (-y) overrides -X/-x (tile-join.cpp:217)
-                    if ((key in include
-                         or (not exclude_all and key not in exclude))
+                    # include (-y) overrides -X/-x (tile-join.cpp:217);
+                    # --exclude-all-tile-attributes drops everything,
+                    # -y included (tile-join.cpp:216,289 gate both
+                    # insert sites but not the CSV match lookup)
+                    if (not exclude_all_tile_attrs
+                            and (key in include
+                                 or (not exclude_all and key not in exclude))
                             and key not in attrs):
                         attrs[key] = ("raw", raw, vt, sv)
                     if hdr and key == hdr[0]:
@@ -395,6 +400,11 @@ def _rewrite_tile_group(
                                         jt = "double"
                                 elif empty_null:
                                     jt = "null"
+                                # joined columns SURVIVE
+                                # --exclude-all-tile-attributes: only
+                                # the original-attribute inserts are
+                                # gated (tile-join.cpp:216,289 vs the
+                                # ungated join insert at :268)
                                 if (joinkey in include
                                         or (not exclude_all
                                             and joinkey not in exclude
@@ -836,6 +846,7 @@ def merge_tilesets_exact(
     feature_filter=None,
     include: frozenset | set = frozenset(),
     no_size_limit: bool = False,
+    exclude_all_tile_attrs: bool = False,
 ) -> ray.data.Dataset:
     """Byte-parity tile-join over N input tilesets: tiles grouped by
     (z, x, y), inputs accumulated in argument order (the reference's
@@ -879,7 +890,8 @@ def merge_tilesets_exact(
             exclude_all, semi, empty_null, compress,
             keep_layers, remove_layers, renames,
             zxy=zxy, stats=stats, feature_filter=feature_filter,
-            include=frozenset(include), no_size_limit=no_size_limit)
+            include=frozenset(include), no_size_limit=no_size_limit,
+            exclude_all_tile_attrs=exclude_all_tile_attrs)
         cols = {"z": "int64", "x": "int64", "y": "int64",
                 "n_features": "int64", "tile": "object"}
         if total == 0:
