@@ -169,6 +169,13 @@ BYTE_EXACT_CORPORA = [
      ["--detect-shared-borders", "--prevent-shared-nodes"]),
     ("ne_110m_ocean", 4,
      ["--detect-shared-borders"], ["--detect-shared-borders"]),
+    # -aX: each feature's bbox_index appended as a tippecanoe:index
+    # attribute (serial.cpp:725-732) — polygons (vertex-hash index)
+    # and points (low-bit quadkey rule) both
+    ("ne_110m_admin_0_countries", 3,
+     ["-aX"], ["--calculate-feature-index"]),
+    ("ne_110m_populated_places", 4,
+     ["-aX"], ["--calculate-feature-index"]),
 ]
 
 # the reference's own edge-case corpora (tests/<name>/), byte-exact:

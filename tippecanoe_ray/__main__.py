@@ -470,6 +470,16 @@ def _build_from_geo(args, cfg):
             vec_attrs["__vindex__"] = dict(
                 zip(feats["seq"].to_pylist(), feats["vindex"].to_pylist())
             )
+        if getattr(args, "calculate_feature_index", False):
+            # -aX: append each feature's bbox_index as a
+            # tippecanoe:index attribute AFTER its original attrs
+            # (serial.cpp:725-732, std::to_string of the uint64)
+            for s, vix in zip(feats["seq"].to_pylist(),
+                              feats["vindex"].to_pylist()):
+                fid, rows = vec_attrs.get(s, (None, []))
+                vec_attrs[s] = (fid, list(rows) + [
+                    ("tippecanoe:index", "double",
+                     str(int(vix) & ((1 << 64) - 1)))])
         outs.append(build_vector_pyramid(
             feats, vcfg, attrs=vec_attrs or None,
         ))
@@ -962,6 +972,9 @@ def main(argv=None):
                     help="-av: simplify by effective triangle area "
                          "(visvalingam.cpp:147-230) instead of "
                          "Douglas-Peucker")
+    ap.add_argument("--calculate-feature-index", action="store_true",
+                    help="-aX: add each feature's spatial index as a "
+                         "tippecanoe:index attribute (serial.cpp:725)")
     ap.add_argument("--detect-shared-borders", action="store_true",
                     help="-ab: simplify shared polygon borders "
                          "identically via a per-tile arc pass "

@@ -62,7 +62,7 @@ A_LETTERS = {
     "P": "--convert-polygons-to-label-points",
     "R": "",  # prefer-radix-sort: no output effect
     "S": "--coalesce-densest-as-needed",
-    "X": None,  # calculate-feature-index
+    "X": "--calculate-feature-index",
     "b": "--detect-shared-borders",
     "c": "--coalesce",
     "d": "--drop-fraction-as-needed",
@@ -93,7 +93,7 @@ P_LETTERS = {
     "b": "--limit-base-zoom-to-maximum-zoom",
     "c": "--no-clipping",
     "d": "--force-feature-limit",
-    "e": None,  # empty-csv-columns-are-null
+    "e": "--empty-csv-columns-are-null",
     "f": "--no-feature-limit",
     "g": "",  # no-tilestats: metadata only; tiles unaffected
     "i": "--preserve-input-order",
