@@ -8,7 +8,7 @@ down Ray.
   over a deterministic image table derived from sf0.001 documents.
 - ``queries()``: one entry per implemented operator/pipeline
   (SURVEY.md §2 + the training-data ops); each takes ``sf_dir``.
-- ``oracle_sql()``: DuckDB-runnable SQL equivalents — 46 of the 49
+- ``oracle_sql()``: DuckDB-runnable SQL equivalents — 47 of the 50
   queries, including the LSH families (simhash signatures, the full
   capped-bucket MinHash banding model, sampled exact-shingle n-gram
   Jaccard, the pruned sign-LSH ANN read, the IVF spherical-k-means

@@ -615,6 +615,46 @@ def dedup_components_q(sf_dir: str) -> pd.DataFrame:
     return dedup_groups(pairs[["a", "b"]])
 
 
+def dedup_filtered_counts_q(sf_dir: str) -> pd.DataFrame:
+    """End-to-end near-dup removal: simhash pairs → connected
+    components → drop every non-canonical member → per-language
+    surviving-document counts. The non-survivor id set (pairs-sized,
+    tiny relative to the corpus) broadcasts via ray.put into a
+    map_batches filter — the corpus itself streams."""
+    from .components import connected_components
+    from .dedup import simhash_pairs
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def shifted(t: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": pa.compute.add(t["doc_id"], 100000),
+                         "text": t["text"]})
+
+    both = ds.union(
+        _read(sf_dir, "documents", columns=["doc_id", "text"])
+        .map_batches(shifted, batch_format="pyarrow"))
+    pairs = simhash_pairs(both, "text", "doc_id", max_hamming=3)
+    cc = connected_components(pairs[["a", "b"]])
+    drop = set(cc.loc[cc["node"] != cc["component"], "node"].tolist())
+    drop_ref = ray.put(drop)
+
+    def keep(t: pa.Table) -> pa.Table:
+        d = ray.get(drop_ref)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        mask = pa.array([int(i) not in d for i in ids])
+        return t.filter(mask)
+
+    full = _read(sf_dir, "documents", columns=["doc_id", "lang"]).union(
+        _read(sf_dir, "documents", columns=["doc_id", "lang"])
+        .map_batches(lambda t: pa.table(
+            {"doc_id": pa.compute.add(t["doc_id"], 100000),
+             "lang": t["lang"]}), batch_format="pyarrow"))
+    out = (full.map_batches(keep, batch_format="pyarrow")
+           .groupby("lang").count().to_pandas())
+    out = out.rename(columns={"count()": "n_docs"})
+    return out.sort_values("lang").reset_index(drop=True)
+
+
 def aspect_buckets_q(sf_dir: str) -> pd.DataFrame:
     """Resolution-bucket counts over the image table (the input_hint
     w/h rule: w = 64 + (id%5)*16, h = 64 + ((id//5)%5)*16) — pixels
@@ -1320,6 +1360,7 @@ def all_queries() -> dict:
         "stratified_sample": stratified_sample_q,
         "aspect_buckets": aspect_buckets_q,
         "dedup_components": dedup_components_q,
+        "dedup_filtered_counts": dedup_filtered_counts_q,
         "embedding_near_dup": embedding_near_dup_q,
         "lang_id_accuracy": lang_id_q,
         "doc_fingerprints": fingerprints_q,
@@ -1865,6 +1906,56 @@ FROM lab GROUP BY component ORDER BY component
 """
 
 
+def _dedup_filtered_sql(max_hamming: int = 3) -> str:
+    """Filtered-corpus oracle: the components model names every
+    non-canonical member (node != component); dropping them from the
+    doubled corpus and counting per language mirrors the engine's
+    broadcast-filter exactly."""
+    lo_bits = " + ".join(
+        f"(CASE WHEN SUM(CASE WHEN (h // {1 << b}) % 2 = 1 THEN 1 ELSE -1 END)"
+        f" > 0 THEN {1 << b} ELSE 0 END)" for b in range(32)
+    )
+    hi_bits = " + ".join(
+        f"(CASE WHEN SUM(CASE WHEN (h // {1 << b}) % 2 = 1 THEN 1 ELSE -1 END)"
+        f" > 0 THEN {1 << (b - 32)} ELSE 0 END)" for b in range(32, 64)
+    )
+    return f"""
+WITH RECURSIVE
+docs AS (
+  SELECT doc_id AS id, COALESCE(text, '') AS txt, lang FROM documents
+  UNION ALL
+  SELECT doc_id + 100000, COALESCE(text, ''), lang FROM documents),
+tok AS (
+  SELECT id, unnest(list_filter(regexp_split_to_array(txt, '\\s+'),
+                                x -> x <> '')) AS tk
+  FROM docs),
+th AS (
+  SELECT id, {_fnv_of_hex("hex(encode(tk))")} AS h FROM tok),
+sg0 AS (
+  SELECT id, CAST({lo_bits} AS BIGINT) AS lo, CAST({hi_bits} AS BIGINT) AS hi
+  FROM th GROUP BY id),
+sg AS (
+  SELECT d.id, COALESCE(s.lo, 0) AS lo, COALESCE(s.hi, 0) AS hi
+  FROM docs d LEFT JOIN sg0 s ON d.id = s.id),
+pr AS (
+  SELECT x.id AS a, y.id AS b
+  FROM sg x JOIN sg y ON x.id < y.id
+  WHERE bit_count(xor(x.lo, y.lo)) + bit_count(xor(x.hi, y.hi))
+        <= {max_hamming}),
+edges AS (SELECT a, b FROM pr UNION SELECT b, a FROM pr),
+nodes AS (SELECT DISTINCT a AS node FROM edges),
+cc(node, label) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT e.b, c.label FROM cc c JOIN edges e ON c.node = e.a),
+lab AS (SELECT node, MIN(label) AS component FROM cc GROUP BY node)
+SELECT lang, COUNT(*) AS n_docs
+FROM docs
+WHERE id NOT IN (SELECT node FROM lab WHERE node <> component)
+GROUP BY lang ORDER BY lang
+"""
+
+
 def _aspect_sql() -> str:
     """Aspect-bucket oracle: the same exact integer cross-product
     misfit (GREATEST(w*q, h*p) / LEAST(...)) argmin'd per image with
@@ -2312,6 +2403,7 @@ def all_oracle_sql() -> dict:
         "stratified_sample": _stratified_sql(),
         "aspect_buckets": _aspect_sql(),
         "dedup_components": _components_sql(),
+        "dedup_filtered_counts": _dedup_filtered_sql(),
         "minhash_lsh_pairs": _minhash_sql(),
         "image_pyramid": _image_pyramid_sql(),
     }
