@@ -423,14 +423,19 @@ def run_scaling():
     4. Supplementary (recorded, never substituted): steal-corrected
        efficiency using sec * (1 - steal_frac) per phase.
 
-    Default pair is 2 -> 8 cpus: this sandbox's single VM saturates
-    its MEMORY BANDWIDTH above ~16 concurrent streaming workers (the
+    Default pair is 1 -> 4 cpus — the pinned round-4 sub-knee pair:
+    the r3/r4 encode speedups doubled per-core throughput, moving this
+    VM's DRAM-saturation knee from ~16 to ~8 streaming workers
+    (measured: total throughput saturates at ~1.2M tiles/s from 8 cpus
+    up, making 2 -> 8 mathematically capped near 0.66 regardless of
+    engine quality). The single VM saturates
+    its MEMORY BANDWIDTH above ~8 concurrent streaming workers (the
     tile-encode kernel in isolation reaches 3.6x/4 from 4->16 but only
     12x/32 at 32); a real cluster multiplies memory bandwidth with
     node count, so the sub-knee pair is the faithful analogue (knee
     evidence in BASELINE.md). Override with BENCH_SCALING_CPUS="8,32";
     BENCH_SCALING_PAIRS overrides the pair count."""
-    lo, hi = (int(x) for x in os.environ.get("BENCH_SCALING_CPUS", "2,8").split(","))
+    lo, hi = (int(x) for x in os.environ.get("BENCH_SCALING_CPUS", "1,4").split(","))
     n_pairs = int(os.environ.get("BENCH_SCALING_PAIRS", "5"))
     pairs = []
     ref = None
@@ -517,7 +522,7 @@ def run_scaling_collect():
     budget runs out. This changes WHEN pairs run, never which pairs
     count — the validity rule still filters on the measured in-phase
     steal, so a storm arriving mid-pair is still caught."""
-    lo, hi = (int(x) for x in os.environ.get("BENCH_SCALING_CPUS", "2,8").split(","))
+    lo, hi = (int(x) for x in os.environ.get("BENCH_SCALING_CPUS", "1,4").split(","))
     target_valid = int(os.environ.get("BENCH_COLLECT_VALID", "5"))
     budget_s = float(os.environ.get("BENCH_COLLECT_MINUTES", "90")) * 60
     glimit = 0.08
