@@ -473,3 +473,31 @@ def test_cli_overzoom_buffer_and_exclude_all_attrs(ray_session, corpus,
         capture_output=True, cwd="/root/repo")
     assert r.returncode == 0, r.stderr.decode()[-400:]
     assert decode(ref_a) == decode(our_a)
+
+
+def test_cli_exclude_all_tile_geometries(ray_session, corpus, tmp_path):
+    """--exclude-all-tile-geometries: features serialize with neither
+    type nor geometry fields (the writer's handling of type -1),
+    tilestats geometry counters still reflect the original types, and
+    the never-updated world bbox surfaces as the reference's exact
+    INT_MIN/INT_MAX sentinel bounds. Byte-identical decode."""
+    import subprocess
+
+    for src in (corpus["mac"], corpus["mac2"]):
+        ref_p = str(tmp_path / "g_ref.mbtiles")
+        our_p = str(tmp_path / "g_our.mbtiles")
+        _run([f"{REFDIR}/tile-join", "-q", "-f",
+              "--exclude-all-tile-geometries", "-o", ref_p, src])
+        r = subprocess.run(
+            ["python", "-m", "tippecanoe_ray", "tilejoin",
+             "--exclude-all-tile-geometries", "-o", our_p, src],
+            capture_output=True, cwd="/root/repo")
+        assert r.returncode == 0, r.stderr.decode()[-400:]
+        for p in (ref_p, our_p):
+            pass
+        dec = [subprocess.run(
+            [f"{REFDIR}/tippecanoe-decode", "-x", "generator",
+             "-x", "generator_options", p],
+            capture_output=True, check=True).stdout
+            for p in (ref_p, our_p)]
+        assert dec[0] == dec[1]

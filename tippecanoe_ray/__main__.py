@@ -622,6 +622,10 @@ def tilejoin_main(argv):
     ap.add_argument("--exclude-all-tile-attributes", action="store_true",
                     help="strip every attribute, joined columns "
                          "included (tile-join.cpp:216,289)")
+    ap.add_argument("--exclude-all-tile-geometries", action="store_true",
+                    help="strip every geometry, keeping attributes "
+                         "(tile-join.cpp:328; features serialize with "
+                         "no type/geometry fields)")
     ap.add_argument("-O", "--overzoom", action="store_true",
                     help="overzoom shallower inputs up to the deepest "
                          "input's maxzoom (tile-join.cpp:1402)")
@@ -752,6 +756,7 @@ def tilejoin_main(argv):
         include=frozenset(args.include),
         no_size_limit=args.no_tile_size_limit,
         exclude_all_tile_attrs=args.exclude_all_tile_attributes,
+        exclude_all_tile_geoms=args.exclude_all_tile_geometries,
     ).materialize()
     stats_rows = reduce_join_stats(merged)
     inputs_meta = gather_input_metadata(
@@ -766,6 +771,7 @@ def tilejoin_main(argv):
         tilestats_attributes_limit=args.tile_stats_attributes_limit,
         tilestats_sample_values_limit=args.tile_stats_sample_values_limit,
         tilestats_values_limit=args.tile_stats_values_limit,
+        sentinel_bounds=args.exclude_all_tile_geometries,
     )
     if args.output_to_directory:
         n = write_dirtiles(merged, args.output_to_directory, meta=meta)

@@ -300,6 +300,7 @@ def _rewrite_tile_group(
     include: frozenset = frozenset(),
     no_size_limit: bool = False,
     exclude_all_tile_attrs: bool = False,
+    exclude_all_tile_geoms: bool = False,
 ) -> tuple[bytes, int]:
     """The append_tile accumulation (tile-join.cpp:105-400) over all
     input tiles sharing one (z, x, y): layers found-or-created by name
@@ -427,6 +428,14 @@ def _rewrite_tile_group(
                         _geom_raw_to_draws(f["geom_raw"]),
                         out["extent"], lay["extent"])
                     nf["geom"] = None
+                if exclude_all_tile_geoms:
+                    # --exclude-all-tile-geometries: outfeature.type
+                    # = -1 (tile-join.cpp:328-329) — serialized with
+                    # neither type nor geometry fields; the tilestats
+                    # geometry counters still see the ORIGINAL type
+                    nf["geom"] = b""
+                    nf["draws"] = None
+                    nf["no_geom"] = True
                 out["feats"].append(nf)
     enc_layers = []
     total = 0
@@ -437,8 +446,9 @@ def _rewrite_tile_group(
         for f in out["feats"]:
             geom = (f["geom"] if f["geom"] is not None
                     else _reencode_geom({"geometry": f["draws"]}))
-            feats.append({"geom": geom, "type": f["type"], "id": f["id"],
-                          "attrs_sv": f["attrs_sv"]})
+            feats.append({"geom": geom,
+                          "type": None if f.get("no_geom") else f["type"],
+                          "id": f["id"], "attrs_sv": f["attrs_sv"]})
         total += len(feats)
         if stats is not None and zxy is not None:
             _accumulate_join_stats(stats, out, zxy)
@@ -770,6 +780,7 @@ def tilejoin_metadata(
     tilestats_attributes_limit: int | None = None,
     tilestats_sample_values_limit: int | None = None,
     tilestats_values_limit: int | None = None,
+    sentinel_bounds: bool = False,
 ) -> dict[str, str]:
     """Final metadata assembly (tile-join.cpp:1628-1667 +
     make_metadata): -n/-N/-A overrides, own command line appended to
@@ -795,8 +806,18 @@ def tilejoin_metadata(
     maxzoom = max((e.maxzoom for e in lmap.values()), default=0)
     b = dict(bbox)
     if b["maxlon"] < b["minlon"]:
-        for k in b:
-            b[k] = 0.0
+        if sentinel_bounds:
+            # --exclude-all-tile-geometries: no geometry ever updates
+            # the reference's INT_MIN/INT_MAX-seeded world bbox, and
+            # make_metadata converts the sentinels unguarded —
+            # lon = x*360 ± 180 of INT_MIN/INT_MAX, lat clamped ±90
+            b["minlon"] = b["minlon2"] = -2147483648.0 * 360.0 - 180.0
+            b["maxlon"] = b["maxlon2"] = 2147483647.0 * 360.0 + 180.0
+            b["minlat"] = -90.0
+            b["maxlat"] = 90.0
+        else:
+            for k in b:
+                b[k] = 0.0
     if b["maxlon"] - b["minlon"] <= b["maxlon2"] - b["minlon2"]:
         b["minlon2"], b["maxlon2"] = b["minlon"], b["maxlon"]
     bc = {
@@ -847,6 +868,7 @@ def merge_tilesets_exact(
     include: frozenset | set = frozenset(),
     no_size_limit: bool = False,
     exclude_all_tile_attrs: bool = False,
+    exclude_all_tile_geoms: bool = False,
 ) -> ray.data.Dataset:
     """Byte-parity tile-join over N input tilesets: tiles grouped by
     (z, x, y), inputs accumulated in argument order (the reference's
@@ -891,7 +913,8 @@ def merge_tilesets_exact(
             keep_layers, remove_layers, renames,
             zxy=zxy, stats=stats, feature_filter=feature_filter,
             include=frozenset(include), no_size_limit=no_size_limit,
-            exclude_all_tile_attrs=exclude_all_tile_attrs)
+            exclude_all_tile_attrs=exclude_all_tile_attrs,
+            exclude_all_tile_geoms=exclude_all_tile_geoms)
         cols = {"z": "int64", "x": "int64", "y": "int64",
                 "n_features": "int64", "tile": "object"}
         if total == 0:

@@ -328,7 +328,8 @@ def encode_layer(
                 if v is None:
                     continue
                 tags += [pool.key(k), pool.value(v)]
-        spec.append((int(f["type"]), tags or [], f.get("id"), f["geom"]))
+        spec.append((None if f["type"] is None else int(f["type"]),
+                     tags or [], f.get("id"), f["geom"]))
     # sort + dedup values by serialized bytes (mvt.cpp:385-420)
     order = sorted(range(len(pool.values)), key=lambda v: (pool.values[v], v))
     mapping = [0] * len(pool.values)
@@ -349,7 +350,10 @@ def encode_layer(
     for v in value_list:
         out += _len_delim(4, v)
     for t, tags, fid, geom in spec:
-        body = _tag_varint(3, t)
+        # type None: a geometry-stripped feature (tile-join
+        # --exclude-all-tile-geometries sets type -1, which the writer
+        # serializes as NO type and NO geometry field at all)
+        body = _tag_varint(3, t) if t is not None else b""
         if tags:
             rt = list(tags)
             for j in range(1, len(rt), 2):
@@ -357,7 +361,8 @@ def encode_layer(
             body += _len_delim(2, varint_array(np.array(rt, dtype=np.uint64)))
         if fid is not None:
             body += _tag_varint(1, int(fid))
-        body += _len_delim(4, geom)
+        if t is not None:
+            body += _len_delim(4, geom)
         out += _len_delim(2, body)
     return out
 
