@@ -600,3 +600,10 @@ def test_clip_bounding_box_byte_exact(ray_session, tmp_path):
     a, b = tiles(ours_mb), tiles(mb)
     bad = [k for k in sorted(set(a) | set(b)) if a.get(k) != b.get(k)]
     assert not bad, bad[:8]
+
+
+# appended after the fuzz pass found the -y/-aX ordering interaction
+BYTE_EXACT_CORPORA.append(
+    ("ne_110m_populated_places", 5,
+     ["-aX", "-yNAME"],
+     ["--calculate-feature-index", "--include", "NAME"]))

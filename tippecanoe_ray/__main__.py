@@ -473,13 +473,23 @@ def _build_from_geo(args, cfg):
         if getattr(args, "calculate_feature_index", False):
             # -aX: append each feature's bbox_index as a
             # tippecanoe:index attribute AFTER its original attrs
-            # (serial.cpp:725-732, std::to_string of the uint64)
-            for s, vix in zip(feats["seq"].to_pylist(),
-                              feats["vindex"].to_pylist()):
-                fid, rows = vec_attrs.get(s, (None, []))
-                vec_attrs[s] = (fid, list(rows) + [
-                    ("tippecanoe:index", "double",
-                     str(int(vix) & ((1 << 64) - 1)))])
+            # (serial.cpp:725-732, std::to_string of the uint64).
+            # The -y/-x filter loop runs AFTER the append
+            # (serial.cpp:850-860), so include-mode (-y implies
+            # exclude-all) drops the index unless named, and -x
+            # drops it when named
+            _inc = set(getattr(args, "include", None) or [])
+            _exc = set(getattr(args, "exclude", None) or [])
+            _xall = getattr(args, "exclude_all", False) or bool(_inc)
+            _keep_ix = (("tippecanoe:index" in _inc) if _xall
+                        else ("tippecanoe:index" not in _exc))
+            if _keep_ix:
+                for s, vix in zip(feats["seq"].to_pylist(),
+                                  feats["vindex"].to_pylist()):
+                    fid, rows = vec_attrs.get(s, (None, []))
+                    vec_attrs[s] = (fid, list(rows) + [
+                        ("tippecanoe:index", "double",
+                         str(int(vix) & ((1 << 64) - 1)))])
         outs.append(build_vector_pyramid(
             feats, vcfg, attrs=vec_attrs or None,
         ))
