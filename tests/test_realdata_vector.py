@@ -176,6 +176,11 @@ BYTE_EXACT_CORPORA = [
      ["-aX"], ["--calculate-feature-index"]),
     ("ne_110m_populated_places", 4,
      ["-aX"], ["--calculate-feature-index"]),
+    # -y runs AFTER the -aX append (serial.cpp:850-860), so the index
+    # attribute is filtered out in include mode
+    ("ne_110m_populated_places", 5,
+     ["-aX", "-yNAME"],
+     ["--calculate-feature-index", "--include", "NAME"]),
 ]
 
 # the reference's own edge-case corpora (tests/<name>/), byte-exact:
@@ -601,9 +606,3 @@ def test_clip_bounding_box_byte_exact(ray_session, tmp_path):
     bad = [k for k in sorted(set(a) | set(b)) if a.get(k) != b.get(k)]
     assert not bad, bad[:8]
 
-
-# appended after the fuzz pass found the -y/-aX ordering interaction
-BYTE_EXACT_CORPORA.append(
-    ("ne_110m_populated_places", 5,
-     ["-aX", "-yNAME"],
-     ["--calculate-feature-index", "--include", "NAME"]))
