@@ -984,11 +984,61 @@ def impose_tile_boundaries(ops, xy, necessary, extent: int):
     )
 
 
+# ---- pure-kernel memo (zoom-retry reuse) ---------------------------
+#
+# The as-needed strategy driver re-runs a WHOLE zoom when any tile
+# raises a shared threshold (traverse_zooms tile.cpp:3506-3527), so at
+# the low zooms — one or a handful of serial tiles — the retry pass
+# repeats simplify/clean work on byte-identical inputs. These kernels
+# are pure functions of their arguments, so a byte-keyed memo installed
+# by the zoom task (and shipped to the retry pass) skips the repeat
+# without any semantic change: identical input bytes + identical
+# parameters => identical output by construction.
+_MEMO: dict | None = None
+_MEMO_CAP = 200_000  # entries; low-zoom retry sets are far smaller
+_MEMO_MAX_NBYTES = 1 << 20  # skip giant features
+
+
+def memo_install(d: dict | None) -> None:
+    global _MEMO
+    _MEMO = d
+
+
+def memo_take() -> dict | None:
+    global _MEMO
+    d = _MEMO
+    _MEMO = None
+    return d
+
+
 def simplify_lines(ops, xy, z: int, detail: int, mark_tile_bounds: bool,
                    simplification: float, retain: int,
                    pn: bool = False, tx: int = 0, ty: int = 0,
                    local_nodes=None, global_nodes=None,
                    use_visvalingam: bool = False):
+    memo = _MEMO
+    key = None
+    if (memo is not None and not pn and global_nodes is None
+            and not local_nodes and xy.nbytes <= _MEMO_MAX_NBYTES):
+        key = (1, ops.tobytes(), xy.tobytes(), z, detail, mark_tile_bounds,
+               simplification, retain, use_visvalingam)
+        hit = memo.get(key)
+        if hit is not None:
+            return hit[0].copy(), hit[1].copy()
+    o, p = _simplify_lines_impl(
+        ops, xy, z, detail, mark_tile_bounds, simplification, retain,
+        pn=pn, tx=tx, ty=ty, local_nodes=local_nodes,
+        global_nodes=global_nodes, use_visvalingam=use_visvalingam)
+    if key is not None and len(memo) < _MEMO_CAP:
+        memo[key] = (o.copy(), p.copy())
+    return o, p
+
+
+def _simplify_lines_impl(ops, xy, z: int, detail: int, mark_tile_bounds: bool,
+                         simplification: float, retain: int,
+                         pn: bool = False, tx: int = 0, ty: int = 0,
+                         local_nodes=None, global_nodes=None,
+                         use_visvalingam: bool = False):
     """geometry.cpp:219-313. With pn (-pn), vertices matching either
     the tile-local clip edge nodes (`local_nodes`, a set of (x, y)
     tile-local tuples, geometry.cpp:243-246) or the global shared-node
@@ -1158,6 +1208,20 @@ def _pnpoly(ring_xy: np.ndarray, px: int, py: int) -> bool:
 
 
 def clean_poly_tile_scale(ops, xy, try_scaling: bool = True):
+    memo = _MEMO
+    key = None
+    if memo is not None and xy.nbytes <= _MEMO_MAX_NBYTES:
+        key = (2, ops.tobytes(), xy.tobytes(), try_scaling)
+        hit = memo.get(key)
+        if hit is not None:
+            return hit[0].copy(), hit[1].copy()
+    o, p = _clean_poly_tile_scale_impl(ops, xy, try_scaling)
+    if key is not None and len(memo) < _MEMO_CAP:
+        memo[key] = (o.copy(), p.copy())
+    return o, p
+
+
+def _clean_poly_tile_scale_impl(ops, xy, try_scaling: bool = True):
     """clean_or_clip_poly (clip.cpp:260-388) via the Vatti/wagyu port:
     positive-fill union of the feature's rings with snap rounding,
     self-intersection repair, ring-nesting rebuild, and the x16

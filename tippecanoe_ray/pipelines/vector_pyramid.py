@@ -1129,7 +1129,7 @@ def _feature_step(cfg: VectorConfig, z: int, tx: int, ty: int,
 def process_tile(cfg: VectorConfig, z: int, tx: int, ty: int, tbl,
                  global_nodes=None, est=None, attrs=None,
                  strat: dict | None = None, nextzoom: int | None = None,
-                 fanout_only: bool = False):
+                 fanout_only: bool = False, par_workers: int = 0):
     """One write_tile (keep-all path): returns (tile_row | None,
     children: dict[(cx, cy) -> row list]). `tbl` is a feature table or
     a list of row tuples (see table_to_rows). `fanout_only` is the
@@ -1207,7 +1207,8 @@ def process_tile(cfg: VectorConfig, z: int, tx: int, ty: int, tbl,
         return None, children, False
     tile_row = _encode_with_detail_ladder(cfg, z, tx, ty, survivors,
                                           global_nodes=global_nodes, est=est,
-                                          attrs=attrs, strat=strat)
+                                          attrs=attrs, strat=strat,
+                                          par_workers=par_workers)
     return tile_row, children, poison_children
 
 
@@ -1890,9 +1891,175 @@ def _mk_feat(geom: bytes, t: int, seq: int, attrs, acc: dict | None = None,
 _EMPTY_DICT: dict = {}
 
 
+def _phase2_geom(cfg: VectorConfig, z, tx, ty, line_detail, out_detail,
+                 t, ops, xy, reduced, area, was_coalesced, pn, mark_bounds,
+                 local_nodes, global_nodes, simplification):
+    """The per-feature simplification-worker chain (simplify_feature
+    tile.cpp:595-665 + the worker's to_tile_scale / clean, tile.cpp
+    2287-2480): stairstep or simplify, -ar reversal, scale to tile
+    coordinates, and for polygons the wagyu clean with revive
+    fallback. Pure in its arguments, so it can run serially in the
+    ladder loop or fan out to Ray subtasks (the reference runs the
+    same chain in its simplification worker threads)."""
+    if cfg.grid_low_zooms and z < cfg.maxzoom and t in (2, 3):
+        # rasterize onto the grid; no simplification, and the
+        # revive-area comes from the STAIRSTEPPED geometry
+        # (simplify_feature computes area after stairstep)
+        ops, xy = dv.stairstep_ops(ops, xy, z, line_detail)
+        if t == 3:
+            area = dv.get_mp_area(ops, xy)
+    elif not reduced and not (
+        cfg.no_simplify
+        or (z == cfg.maxzoom and cfg.simplify_only_low)
+    ):
+        if t == 2 and not pn:
+            # skipped under -pn: might wipe out the
+            # intersection (tile.cpp:617-624)
+            ops, xy = dv.remove_noop(ops, xy, t, WORLD_BITS - z - line_detail)
+        # already_marked (tile.cpp:626-629): under -ab the
+        # polygon arcs were simplified globally by
+        # find_common_edges, so the individual pass is skipped
+        if not (cfg.detect_shared_borders and t == 3):
+            if was_coalesced and t == 3:
+                # clean coalesced polygons BEFORE simplification,
+                # at world coordinates without scale-up, so shapes
+                # that would union exactly don't leave shards
+                # (simplify_feature tile.cpp:633-643 →
+                # coalesce_polygon(geom, false))
+                ops, xy = dv.clean_poly_tile_scale(
+                    ops, xy, try_scaling=False)
+            nops, nxy = dv.simplify_lines(
+                ops, xy, z, line_detail, mark_bounds,
+                # the stop-early attempt only removes
+                # collinearities (sf.simplification = 0,
+                # tile.cpp:2268-2272)
+                simplification,
+                4 if t == 3 else 0,
+                pn=pn, tx=tx, ty=ty,
+                local_nodes=local_nodes or None,
+                global_nodes=global_nodes,
+                use_visvalingam=cfg.visvalingam,
+            )
+            if was_coalesced and pn:
+                # extra pass to remove collinearities left at the
+                # former corners between coalesced geometries
+                # (simplify_feature tile.cpp:648-652)
+                nops, nxy = dv.simplify_lines(
+                    nops, nxy, z, line_detail, mark_bounds, 0.1,
+                    4 if t == 3 else 0,
+                    pn=pn, tx=tx, ty=ty,
+                    local_nodes=local_nodes or None,
+                    use_visvalingam=cfg.visvalingam,
+                )
+            if t != 3 or len(nops) >= 3:
+                ops, xy = nops, nxy
+    if t == 2 and cfg.reverse_lines:
+        # -ar (tile.cpp:657-660 → reorder_lines
+        # geometry.cpp:315-360): reverse a simple linestring
+        # whose last point's spatial index precedes its first's
+        ops, xy = dv.remove_noop(ops, xy, 2, 0)
+        if (len(ops) > 0 and ops[0] == 1
+                and bool((ops[1:] == 2).all())):
+            if cfg.index_scheme == "hilbert":
+                from ..functions.spatial import (
+                    encode_hilbert as _enc_i,
+                )
+            else:
+                from ..functions.spatial import (
+                    encode_quadkey as _enc_i,
+                )
+            ends = _enc_i(
+                (xy[[0, -1], 0] & 0xFFFFFFFF).astype(np.uint64),
+                (xy[[0, -1], 1] & 0xFFFFFFFF).astype(np.uint64),
+            )
+            if int(ends[0]) > int(ends[1]):
+                xy = xy[::-1].copy()
+    xy = dv.to_tile_scale(xy, z, out_detail)
+    if t == 3:
+        b_ops, b_xy = ops, xy
+        ops, xy = dv.clean_poly_tile_scale(ops, xy)
+        if len(ops) < 3:
+            if area > 0:
+                ops, xy = dv.revive_polygon(b_ops, b_xy, area, z, out_detail)
+            else:
+                ops, xy = dv.empty_geom()
+    return ops, xy
+
+
+def _pack_geoms(metas, opss, xys):
+    """Pack many small per-feature (ops, xy) arrays into three
+    contiguous arrays + offsets — pickling thousands of tiny ndarrays
+    costs ~30µs each, one big array costs ~nothing."""
+    lens = np.array([len(o) for o in opss], np.int64)
+    ops_cat = (np.concatenate(opss) if opss
+               else np.empty(0, np.uint8)).astype(np.uint8, copy=False)
+    xy_cat = (np.vstack(xys) if xys
+              else np.empty((0, 2), np.int64)).astype(np.int64, copy=False)
+    return metas, lens, ops_cat, xy_cat
+
+
+def _unpack_geoms(packed):
+    metas, lens, ops_cat, xy_cat = packed
+    off = np.zeros(len(lens) + 1, np.int64)
+    np.cumsum(lens, out=off[1:])
+    for i, m in enumerate(metas):
+        yield m, ops_cat[off[i]:off[i + 1]], xy_cat[off[i]:off[i + 1]]
+
+
+@ray.remote
+def _phase2_geom_chunk(cfg: VectorConfig, z, tx, ty, line_detail, out_detail,
+                       packed, local_nodes, global_nodes, simplification,
+                       do_enc=False):
+    """One simplification-worker chunk over packed features
+    ((pi, t, reduced, area, was_coalesced) + contiguous geometry) →
+    packed results. With do_enc (no reorder/coalesce downstream) the
+    chunk also runs the pure per-feature encode tail — remove_noop →
+    ring split → MVT draw-command bytes — so only the stateful
+    attribute pooling stays serial in the parent. The intra-chunk
+    kernel memo dedupes repeated geometries; it is deliberately NOT
+    shipped back — the retry pass re-parallelizes, so chunk deltas
+    would never be read, only paid for in serialization."""
+    pn = cfg.prevent_shared_nodes
+    mark_bounds = not (cfg.prevent_clipping or cfg.prevent_duplication)
+    dv.memo_install({})
+    if do_enc:
+        enc_out = []
+        for (pi, t, reduced, area, was_coalesced), ops, xy in _unpack_geoms(packed):
+            o, p = _phase2_geom(
+                cfg, z, tx, ty, line_detail, out_detail, t, ops, xy,
+                reduced, area, was_coalesced, pn, mark_bounds,
+                local_nodes, global_nodes, simplification)
+            o, p = dv.remove_noop(o, p, t, 0)
+            gb = None
+            ng = 0
+            if len(o):
+                parts = [p[i:j] for i, j in dv.rings(o)]
+                if parts:
+                    if t == 3:
+                        gb = encode_polygon(parts)
+                        ng = sum(len(q) + 1 for q in parts)
+                    else:
+                        gb = encode_linestring(parts)
+                        ng = sum(len(q) for q in parts)
+            enc_out.append((pi, gb, ng))
+        dv.memo_install(None)
+        return enc_out
+    out_meta, out_ops, out_xy = [], [], []
+    for (pi, t, reduced, area, was_coalesced), ops, xy in _unpack_geoms(packed):
+        o, p = _phase2_geom(
+            cfg, z, tx, ty, line_detail, out_detail, t, ops, xy, reduced,
+            area, was_coalesced, pn, mark_bounds, local_nodes,
+            global_nodes, simplification)
+        out_meta.append(pi)
+        out_ops.append(np.asarray(o, np.uint8))
+        out_xy.append(np.asarray(p, np.int64).reshape(-1, 2))
+    dv.memo_install(None)
+    return _pack_geoms(out_meta, out_ops, out_xy)
+
+
 def _encode_with_detail_ladder(cfg: VectorConfig, z, tx, ty, survivors,
                                global_nodes=None, est=None, attrs=None,
-                               strat: dict | None = None):
+                               strat: dict | None = None, par_workers=0):
     """The write_tile detail loop (tile.cpp:1719-3079, no-strategy path):
     run reduce/simplify/scale/encode at line_detail = detail, and on
     byte overflow retry at line_detail-1 … min_detail (detail_reduced
@@ -2031,6 +2198,7 @@ def _encode_with_detail_ladder(cfg: VectorConfig, z, tx, ty, survivors,
     gap_override = strat.get("_gap_override", _EMPTY_DICT) if strat else _EMPTY_DICT
     li = 0
     retries = 0
+    _p2_gref = None  # lazily ray.put global_nodes for phase-2 chunks
     while li < len(details):
         line_detail = details[li]
         # --extra-detail: maxzoom tiles encode at the deeper grid while
@@ -2644,6 +2812,42 @@ def _encode_with_detail_ladder(cfg: VectorConfig, z, tx, ty, survivors,
                         sorted(range(len(_lst)), key=lambda i: pend_seq[_lst[i]])):
                     mseq_by_idx[_lst[oi]] = rank
         post: list = []  # worker-complete features for reorder/coalesce
+        # in-tile simplification workers (tile.cpp:2287-2480 runs this
+        # same chain across threads): on parallelism-starved zooms fan
+        # the pure per-feature geometry chain out to Ray subtasks
+        par_geom = None
+        par_enc = None
+        if par_workers > 1:
+            _elig = [(pi, p[1], p[4], p[5], pend_coalesced[pi])
+                     for pi, p in enumerate(pending) if p[1] != 1]
+            if len(_elig) >= 256:
+                _simp = (0.0 if (trying_to_stop_early
+                                 and line_detail == details[0])
+                         else cfg.resolved_simplification(z))
+                if global_nodes is not None and _p2_gref is None:
+                    _p2_gref = ray.put(global_nodes)
+                nch = min(par_workers, max(1, len(_elig) // 32))
+                refs = [
+                    _phase2_geom_chunk.remote(
+                        cfg, z, tx, ty, line_detail, out_detail,
+                        _pack_geoms(
+                            _elig[ci::nch],
+                            [pending[m[0]][2] for m in _elig[ci::nch]],
+                            [pending[m[0]][3] for m in _elig[ci::nch]]),
+                        local_nodes or None, _p2_gref, _simp,
+                        do_enc=not do_rc)
+                    for ci in range(nch)
+                ]
+                if do_rc:
+                    par_geom = {}
+                    for packed in ray.get(refs):
+                        for pi_, o_, p_ in _unpack_geoms(packed):
+                            par_geom[pi_] = (o_, p_)
+                else:
+                    par_enc = {}
+                    for chunk_out in ray.get(refs):
+                        for pi_, gb_, ng_ in chunk_out:
+                            par_enc[pi_] = (gb_, ng_)
         for pi, (seq, t, ops, xy, reduced, area) in enumerate(pending):
             acc = acc_by_idx.get(pi)
             glow = dens_by_idx.get(pi)
@@ -2670,90 +2874,26 @@ def _encode_with_detail_ladder(cfg: VectorConfig, z, tx, ty, survivors,
                     f_["_ngeom"] = len(xy)
                     feats.append(f_)
                 continue
-            if cfg.grid_low_zooms and z < cfg.maxzoom and t in (2, 3):
-                # rasterize onto the grid; no simplification, and the
-                # revive-area comes from the STAIRSTEPPED geometry
-                # (simplify_feature computes area after stairstep)
-                ops, xy = dv.stairstep_ops(ops, xy, z, line_detail)
-                if t == 3:
-                    area = dv.get_mp_area(ops, xy)
-            elif not reduced and not (
-                cfg.no_simplify
-                or (z == cfg.maxzoom and cfg.simplify_only_low)
-            ):
-                if t == 2 and not pn:
-                    # skipped under -pn: might wipe out the
-                    # intersection (tile.cpp:617-624)
-                    ops, xy = dv.remove_noop(ops, xy, t, WORLD_BITS - z - line_detail)
-                # already_marked (tile.cpp:626-629): under -ab the
-                # polygon arcs were simplified globally by
-                # find_common_edges, so the individual pass is skipped
-                if not (cfg.detect_shared_borders and t == 3):
-                    if was_coalesced and t == 3:
-                        # clean coalesced polygons BEFORE simplification,
-                        # at world coordinates without scale-up, so shapes
-                        # that would union exactly don't leave shards
-                        # (simplify_feature tile.cpp:633-643 →
-                        # coalesce_polygon(geom, false))
-                        ops, xy = dv.clean_poly_tile_scale(
-                            ops, xy, try_scaling=False)
-                    nops, nxy = dv.simplify_lines(
-                        ops, xy, z, line_detail, mark_bounds,
-                        # the stop-early attempt only removes
-                        # collinearities (sf.simplification = 0,
-                        # tile.cpp:2268-2272)
-                        0.0 if (trying_to_stop_early
-                                and line_detail == details[0])
-                        else cfg.resolved_simplification(z),
-                        4 if t == 3 else 0,
-                        pn=pn, tx=tx, ty=ty,
-                        local_nodes=local_nodes or None,
-                        global_nodes=global_nodes,
-                        use_visvalingam=cfg.visvalingam,
-                    )
-                    if was_coalesced and pn:
-                        # extra pass to remove collinearities left at the
-                        # former corners between coalesced geometries
-                        # (simplify_feature tile.cpp:648-652)
-                        nops, nxy = dv.simplify_lines(
-                            nops, nxy, z, line_detail, mark_bounds, 0.1,
-                            4 if t == 3 else 0,
-                            pn=pn, tx=tx, ty=ty,
-                            local_nodes=local_nodes or None,
-                            use_visvalingam=cfg.visvalingam,
-                        )
-                    if t != 3 or len(nops) >= 3:
-                        ops, xy = nops, nxy
-            if t == 2 and cfg.reverse_lines:
-                # -ar (tile.cpp:657-660 → reorder_lines
-                # geometry.cpp:315-360): reverse a simple linestring
-                # whose last point's spatial index precedes its first's
-                ops, xy = dv.remove_noop(ops, xy, 2, 0)
-                if (len(ops) > 0 and ops[0] == 1
-                        and bool((ops[1:] == 2).all())):
-                    if cfg.index_scheme == "hilbert":
-                        from ..functions.spatial import (
-                            encode_hilbert as _enc_i,
-                        )
-                    else:
-                        from ..functions.spatial import (
-                            encode_quadkey as _enc_i,
-                        )
-                    ends = _enc_i(
-                        (xy[[0, -1], 0] & 0xFFFFFFFF).astype(np.uint64),
-                        (xy[[0, -1], 1] & 0xFFFFFFFF).astype(np.uint64),
-                    )
-                    if int(ends[0]) > int(ends[1]):
-                        xy = xy[::-1].copy()
-            xy = dv.to_tile_scale(xy, z, out_detail)
-            if t == 3:
-                b_ops, b_xy = ops, xy
-                ops, xy = dv.clean_poly_tile_scale(ops, xy)
-                if len(ops) < 3:
-                    if area > 0:
-                        ops, xy = dv.revive_polygon(b_ops, b_xy, area, z, out_detail)
-                    else:
-                        ops, xy = dv.empty_geom()
+            if par_enc is not None and pi in par_enc:
+                gb, ng = par_enc[pi]
+                if gb is None:
+                    continue
+                f_ = _mk_feat(gb, t, seq, attrs, acc, glow, clu, mfirst,
+                              mseq)
+                f_["_ngeom"] = ng
+                feats.append(f_)
+                continue
+            if par_geom is not None and pi in par_geom:
+                ops, xy = par_geom[pi]
+            else:
+                ops, xy = _phase2_geom(
+                    cfg, z, tx, ty, line_detail, out_detail, t, ops, xy,
+                    reduced, area, was_coalesced, pn, mark_bounds,
+                    local_nodes, global_nodes,
+                    0.0 if (trying_to_stop_early
+                            and line_detail == details[0])
+                    else cfg.resolved_simplification(z),
+                )
             if do_rc:
                 # worker-end state: reorder/coalesce sit between the
                 # simplification workers and the final cleanup
@@ -3814,7 +3954,8 @@ def _strat_write_tiles(tbl: pa.Table, raw_dir: str, z: int, idx: int) -> int:
 def _strat_zoom_task(cfg: VectorConfig, z: int, my_keys, child_refs, entry,
                      leaf_set, is_dropping, attrs_ref, gn_ref, at_origin,
                      poisoned_keys, nextzoom=None, fanout_only=False,
-                     parent_shift=1, n_parts=1):
+                     parent_shift=1, n_parts=1, use_memo=False,
+                     memo_ref=None, par_workers=0):
     """One zoom pass over a subset of the zoom's tiles (run_thread,
     tile.cpp:3081-3199): skip tiles under a leafed parent unless the
     zoom is dropping (revival), process the rest, and report (tile
@@ -3827,9 +3968,19 @@ def _strat_zoom_task(cfg: VectorConfig, z: int, my_keys, child_refs, entry,
     hash(key) % n_parts — the _vp_partition pattern), and the children
     this task produces are returned hash-partitioned the same way as
     {pid: ObjectRef} so the next zoom's tasks fetch only their slice."""
+    _prof = None
+    if _os_env.get("TPR_STRAT_PROFILE") and z <= int(_os_env.get("TPR_STRAT_PROFILE_MAXZ", "1")):
+        import cProfile
+
+        _prof = cProfile.Profile()
+        _prof.enable()
     attrs = ray.get(attrs_ref) if isinstance(attrs_ref, ray.ObjectRef) else attrs_ref
     gn = ray.get(gn_ref) if isinstance(gn_ref, ray.ObjectRef) else gn_ref
     parts = [ray.get(r) if isinstance(r, ray.ObjectRef) else r for r in child_refs]
+    if use_memo:
+        # pure-kernel memo across the zoom's consensus retry passes
+        # (memo_ref is pass k-1's exported dict, auto-resolved by Ray)
+        dv.memo_install(dict(memo_ref) if memo_ref else {})
     vix_of = (attrs or {}).get("__vindex__", _EMPTY_DICT)
     rows_by_key: dict = {}
     for part in parts:
@@ -3861,7 +4012,8 @@ def _strat_zoom_task(cfg: VectorConfig, z: int, my_keys, child_refs, entry,
                     [(r[0], r[1], r[2], r[3], r[6]) for r in rows], at_origin)
         tile_row, ch, poison = process_tile(
             cfg, z, x, y, rows, global_nodes=gn, est=est, attrs=attrs,
-            strat=strat, nextzoom=nextzoom, fanout_only=fanout_only)
+            strat=strat, nextzoom=nextzoom, fanout_only=fanout_only,
+            par_workers=par_workers)
         if tile_row is not None:
             out_rows.append(tile_row)
             if tile_row.get("leafed"):
@@ -3890,10 +4042,18 @@ def _strat_zoom_task(cfg: VectorConfig, z: int, my_keys, child_refs, entry,
     }
     # hash-partition the children blobs so the next zoom's tasks fetch
     # only their own slice (never every parent's full children dict)
+    if use_memo:
+        meta["memo"] = ray.put(dv.memo_take())
     by_pid: dict = {}
     for ck, blobs in children.items():
         by_pid.setdefault(hash(ck) % n_parts, {})[ck] = blobs
     part_map = {pid: ray.put(sub) for pid, sub in by_pid.items()}
+    if _prof is not None:
+        import os as _posx
+        import time as _t
+
+        _prof.disable()
+        _prof.dump_stats(f"/tmp/strat_z{z}_{_posx.getpid()}_{int(_t.time()*1e6)%10**9}.prof")
     return _tile_rows_table(out_rows), part_map, meta
 
 
@@ -4050,6 +4210,17 @@ def _build_strategy_pyramid(
         ntasks = max(1, min(n_cpus, len(pids_sorted)))
         task_pids = [pids_sorted[i::ntasks] for i in range(ntasks)]
         task_pids = [tp for tp in task_pids if tp]
+        # pure-kernel memo across retry passes: worth shipping only on
+        # parallelism-starved zooms, where per-pass serial constants
+        # dominate (deep zooms amortize retries across many tasks)
+        memo_gate = not fanout_only and len(keys) < 2 * n_cpus
+        memo_refs: list = [None] * len(task_pids)
+        # parallelism-starved zoom: fewer tiles than CPUs -> let each
+        # tile fan its simplification workers out as Ray subtasks
+        # (mirrors the reference's in-tile worker threads)
+        z_par_workers = (max(0, n_cpus // max(1, len(keys)))
+                         if not fanout_only and len(keys) < n_cpus // 2
+                         else 0)
         for _pass in range(1 if fanout_only else 64):
             cfg_pass = (cfg if eff_maxzoom == cfg.maxzoom
                         else dataclasses.replace(cfg, maxzoom=eff_maxzoom))
@@ -4065,10 +4236,14 @@ def _build_strategy_pyramid(
                     entry, leaf_set, is_dropping,
                     attrs_ref, gn_ref, at_origin, poisoned,
                     nextzoom=nextzoom, fanout_only=fanout_only,
-                    parent_shift=parent_shift, n_parts=n_parts)
-                for tp in task_pids
+                    parent_shift=parent_shift, n_parts=n_parts,
+                    use_memo=memo_gate, memo_ref=memo_refs[ti],
+                    par_workers=z_par_workers)
+                for ti, tp in enumerate(task_pids)
             ]
             metas = ray.get([t[2] for t in task_out])
+            if memo_gate:
+                memo_refs = [m.get("memo") for m in metas]
             # the extension check runs per pass, BEFORE the again/break
             # (traverse_zooms tile.cpp:3544-3556): a still-dropping
             # deepest zoom grows maxzoom by one — even when no shared
