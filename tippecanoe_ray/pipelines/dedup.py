@@ -148,11 +148,14 @@ N_COARSE = 256  # buckets per map_groups call: one python invocation
 # handles many buckets vectorized instead of one tiny pandas group each
 
 
-def _coarse(bucketed: ray.data.Dataset, id_col: str, max_bucket: int,
-            extra: list[str] | None = None) -> pd.DataFrame:
+def _coarse_ds(bucketed: ray.data.Dataset, id_col: str,
+               max_bucket: int) -> ray.data.Dataset:
     """Candidate pairs via groupby(bucket %% N_COARSE): each group holds
     complete buckets (same bucket → same coarse key), generated with one
-    numpy pass per bucket."""
+    numpy pass per bucket. Stays a Dataset — at scale the candidate-pair
+    set is itself a dataset, so it must never visit the driver. The
+    (a, b) pairs are then globally deduped by a groupby("a") shuffle
+    (a band collision repeats the same pair across buckets)."""
 
     def add_h(df: pd.DataFrame) -> pd.DataFrame:
         df = df.copy()
@@ -165,12 +168,41 @@ def _coarse(bucketed: ray.data.Dataset, id_col: str, max_bucket: int,
         )
         return pd.DataFrame({"a": a, "b": b})
 
+    def dd(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop_duplicates(subset=["a", "b"])
+
     return (
         bucketed.map_batches(add_h, batch_format="pandas")
         .groupby("bh")
         .map_groups(pairs_of, batch_format="pandas")
-        .to_pandas()
+        .groupby("a")
+        .map_groups(dd, batch_format="pandas")
     )
+
+
+def _coarse(bucketed: ray.data.Dataset, id_col: str, max_bucket: int,
+            extra: list[str] | None = None) -> pd.DataFrame:
+    """Driver-side form of _coarse_ds (small inputs / tests only)."""
+    return _coarse_ds(bucketed, id_col, max_bucket).to_pandas()
+
+
+def _join_pair_payloads(pairs: ray.data.Dataset, ds: ray.data.Dataset,
+                        id_col: str, payload_col: str) -> ray.data.Dataset:
+    """Attach each pair's two payloads (text / vector / signature) via
+    two distributed hash joins — pairs ⋈ payload on `a`, then on `b` —
+    so payload bytes move once through a shuffle, pruned by the inner
+    join, and no driver-held payload dict exists at any scale."""
+    nparts = max(2, int(ray.cluster_resources().get("CPU", 8)))
+
+    def sel(alias: str, out: str):
+        def f(t: pa.Table) -> pa.Table:
+            return t.select([id_col, payload_col]).rename_columns([alias, out])
+        return f
+
+    pa_ds = ds.map_batches(sel("a", "_pa"), batch_format="pyarrow")
+    pb_ds = ds.map_batches(sel("b", "_pb"), batch_format="pyarrow")
+    j = pairs.join(pa_ds, "inner", nparts, on=("a",))
+    return j.join(pb_ds, "inner", nparts, on=("b",))
 
 
 _TRIU_CACHE: dict[int, tuple[np.ndarray, np.ndarray]] = {}
@@ -286,19 +318,31 @@ def minhash_lsh_pairs(
         return pd.DataFrame(recs)
 
     bucketed = ds.map_batches(to_buckets, batch_format="pandas")
-    pairs = _coarse(bucketed, id_col, max_bucket)
-    if len(pairs) == 0:
+    pairs = _coarse_ds(bucketed, id_col, max_bucket)
+    joined = _join_pair_payloads(pairs, ds, id_col, text_col)
+    verified = joined.map_batches(
+        _JaccardVerify(k, threshold), batch_format="pandas").to_pandas()
+    if len(verified) == 0:
         return pd.DataFrame({"a": [], "b": [], "jaccard": []})
-    pairs = pairs.drop_duplicates(subset=["a", "b"]).reset_index(drop=True)
+    return verified.drop_duplicates(subset=["a", "b"]).sort_values(["a", "b"]).reset_index(drop=True)
 
-    cand_ids = np.unique(np.concatenate([pairs["a"].to_numpy(), pairs["b"].to_numpy()]))
-    texts = _fetch_by_ids(ds, id_col, [id_col, text_col], cand_ids)
-    text_ref = ray.put(dict(zip(texts[id_col], texts[text_col])))
 
-    def verify(df: pd.DataFrame) -> pd.DataFrame:
-        tmap = ray.get(text_ref)
-        uniq = pd.unique(pd.concat([df["a"], df["b"]]))
-        shs = dict(zip(uniq, _shingle_hashes([tmap.get(i, "") for i in uniq], k)))
+class _JaccardVerify:
+    """Exact-Jaccard verify over joined pair batches (a, b, _pa, _pb):
+    shingle each batch's distinct texts once, compare per pair. No
+    broadcast text dict — the join delivered each pair's two texts."""
+
+    def __init__(self, k: int, threshold: float):
+        self.k = k
+        self.threshold = threshold
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        ids = pd.concat([df["a"], df["b"]])
+        txt = pd.concat([df["_pa"], df["_pb"]])
+        first = ~ids.duplicated()
+        uniq_ids = ids[first].to_numpy()
+        shs = dict(zip(uniq_ids,
+                       _shingle_hashes(list(txt[first]), self.k)))
         out_a, out_b, out_j = [], [], []
         for a, b in zip(df["a"], df["b"]):
             sa, sb = shs[a], shs[b]
@@ -306,7 +350,7 @@ def minhash_lsh_pairs(
                 continue
             inter = np.intersect1d(sa, sb, assume_unique=True).size
             jac = inter / (len(sa) + len(sb) - inter)
-            if jac >= threshold:
+            if jac >= self.threshold:
                 out_a.append(a)
                 out_b.append(b)
                 out_j.append(round(jac, 6))
@@ -317,17 +361,6 @@ def minhash_lsh_pairs(
             "b": pd.Series(out_b, dtype=df["b"].dtype),
             "jaccard": pd.Series(out_j, dtype="float64"),
         })
-
-    n_blocks = max(1, min(64, len(pairs) // 2000))
-    verified = (
-        ray.data.from_pandas(pairs)
-        .repartition(n_blocks)
-        .map_batches(verify, batch_format="pandas")
-        .to_pandas()
-    )
-    if len(verified) == 0:
-        return pd.DataFrame({"a": [], "b": [], "jaccard": []})
-    return verified.drop_duplicates(subset=["a", "b"]).sort_values(["a", "b"]).reset_index(drop=True)
 
 
 # ------------------------------------------------------- n-gram Jaccard
@@ -371,45 +404,10 @@ def ngram_jaccard_pairs(
         )
 
     bucketed = ds.map_batches(to_buckets, batch_format="pandas")
-    pairs = _coarse(bucketed, id_col, max_bucket)
-    if len(pairs) == 0:
-        return pd.DataFrame({"a": [], "b": [], "jaccard": []})
-    pairs = pairs.drop_duplicates(subset=["a", "b"]).reset_index(drop=True)
-
-    cand_ids = np.unique(np.concatenate([pairs["a"].to_numpy(), pairs["b"].to_numpy()]))
-    texts = _fetch_by_ids(ds, id_col, [id_col, text_col], cand_ids)
-    text_ref = ray.put(dict(zip(texts[id_col], texts[text_col])))
-
-    def verify(df: pd.DataFrame) -> pd.DataFrame:
-        tmap = ray.get(text_ref)
-        uniq = pd.unique(pd.concat([df["a"], df["b"]]))
-        shs = dict(zip(uniq, _shingle_hashes([tmap.get(i, "") for i in uniq], k)))
-        out_a, out_b, out_j = [], [], []
-        for a, b in zip(df["a"], df["b"]):
-            sa, sb = shs[a], shs[b]
-            if len(sa) == 0 or len(sb) == 0:
-                continue
-            inter = np.intersect1d(sa, sb, assume_unique=True).size
-            jac = inter / (len(sa) + len(sb) - inter)
-            if jac >= threshold:
-                out_a.append(a)
-                out_b.append(b)
-                out_j.append(round(jac, 6))
-        # pin dtypes to the incoming id dtype so empty partitions
-        # don't flip the Ray block schema (int64 -> float64)
-        return pd.DataFrame({
-            "a": pd.Series(out_a, dtype=df["a"].dtype),
-            "b": pd.Series(out_b, dtype=df["b"].dtype),
-            "jaccard": pd.Series(out_j, dtype="float64"),
-        })
-
-    n_blocks = max(1, min(64, len(pairs) // 2000))
-    verified = (
-        ray.data.from_pandas(pairs)
-        .repartition(n_blocks)
-        .map_batches(verify, batch_format="pandas")
-        .to_pandas()
-    )
+    pairs = _coarse_ds(bucketed, id_col, max_bucket)
+    joined = _join_pair_payloads(pairs, ds, id_col, text_col)
+    verified = joined.map_batches(
+        _JaccardVerify(k, threshold), batch_format="pandas").to_pandas()
     if len(verified) == 0:
         return pd.DataFrame({"a": [], "b": [], "jaccard": []})
     return verified.drop_duplicates(subset=["a", "b"]).sort_values(["a", "b"]).reset_index(drop=True)
@@ -586,23 +584,26 @@ def embedding_near_dup_pairs(
         return pd.DataFrame(recs)
 
     bucketed = ds.map_batches(to_buckets, batch_format="pandas")
-    pairs = _coarse(bucketed, id_col, max_bucket)
-    if len(pairs) == 0:
-        return pd.DataFrame({"a": [], "b": [], "cosine": []})
-    pairs = pairs.drop_duplicates(subset=["a", "b"]).reset_index(drop=True)
+    pairs = _coarse_ds(bucketed, id_col, max_bucket)
 
-    cand_ids = np.unique(np.concatenate([pairs["a"].to_numpy(), pairs["b"].to_numpy()]))
-    vec_rows = _fetch_by_ids(ds, id_col, [id_col, vec_col], cand_ids)
-    units = {}
-    for i, v in zip(vec_rows[id_col], vec_rows[vec_col]):
-        arr = np.asarray(v, dtype=np.float64)
-        units[i] = arr / max(np.linalg.norm(arr), 1e-12)
-    unit_ref = ray.put(units)
+    # Acero hash joins reject list<> non-key columns: carry the vector
+    # as packed float64 bytes through the join, decode in the verify
+    def vec_bytes(t: pa.Table) -> pa.Table:
+        vb = [np.asarray(v, np.float64).tobytes()
+              for v in t[vec_col].to_pylist()]
+        return pa.table({id_col: t[id_col], vec_col: pa.array(vb, pa.binary())})
+
+    joined = _join_pair_payloads(
+        pairs, ds.map_batches(vec_bytes, batch_format="pyarrow"),
+        id_col, vec_col)
 
     def verify(df: pd.DataFrame) -> pd.DataFrame:
-        um = ray.get(unit_ref)
-        ua = np.stack([um[a] for a in df["a"]])
-        ub = np.stack([um[b] for b in df["b"]])
+        if len(df) == 0:
+            return pd.DataFrame({"a": [], "b": [], "cosine": []})
+        ua = np.stack([np.frombuffer(v, dtype=np.float64) for v in df["_pa"]])
+        ub = np.stack([np.frombuffer(v, dtype=np.float64) for v in df["_pb"]])
+        ua /= np.maximum(np.linalg.norm(ua, axis=1, keepdims=True), 1e-12)
+        ub /= np.maximum(np.linalg.norm(ub, axis=1, keepdims=True), 1e-12)
         cos = np.einsum("ij,ij->i", ua, ub)
         m = cos >= threshold
         return pd.DataFrame(
@@ -613,13 +614,7 @@ def embedding_near_dup_pairs(
             }
         )
 
-    n_blocks = max(1, min(64, len(pairs) // 2000))
-    verified = (
-        ray.data.from_pandas(pairs)
-        .repartition(n_blocks)
-        .map_batches(verify, batch_format="pandas")
-        .to_pandas()
-    )
+    verified = joined.map_batches(verify, batch_format="pandas").to_pandas()
     if len(verified) == 0:
         return pd.DataFrame({"a": [], "b": [], "cosine": []})
     return verified.drop_duplicates(subset=["a", "b"]).sort_values(["a", "b"]).reset_index(drop=True)

@@ -1194,17 +1194,12 @@ def raster_tiles_q(sf_dir: str) -> pd.DataFrame:
 
 def payload_psnr_q(sf_dir: str) -> pd.DataFrame:
     from ..sources.image_table import synthesize_image_table
-    from ..stages.thumbnails import verify_payloads
+    from ..stages.thumbnails import verify_payloads_summary
 
     ds = synthesize_image_table(300, with_payload=True)
-    out = verify_payloads(ds, concurrency=2)
-    return (
-        out.groupby("fmt", as_index=False)
-        .agg(n=("image_id", "count"), min_psnr=("roundtrip_psnr", "min"),
-             caption_ok=("caption_ok", "all"))
-        .sort_values("fmt")
-        .reset_index(drop=True)
-    )
+    # distributed per-format aggregation: no per-image driver collect
+    summ, _viol = verify_payloads_summary(ds, concurrency=2)
+    return summ[["fmt", "n", "min_psnr", "caption_ok"]].reset_index(drop=True)
 
 
 # ============================================================ registry

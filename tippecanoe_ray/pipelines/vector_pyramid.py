@@ -3580,9 +3580,18 @@ class GroupEncoder:
                     (seq, t, ops, xy, (lx, ly), fmz, fmn, fmx)
                     for seq, t, ops, xy, lx, ly, fmz, fmn, fmx in rows
                 ]
+            # low-zoom single-tile groups are the cascade's serial
+            # critical path (one task sees ~the whole input at z0):
+            # fan their simplification workers out as Ray subtasks,
+            # scaled down as the zoom's own tile parallelism grows
+            n_cpus_ = int(ray.cluster_resources().get("CPU", 8))
+            pw = n_cpus_ >> (2 * z) if (1 << (2 * z)) < n_cpus_ // 2 else 0
+            if _os_env.get("TPR_NO_TILE_FANOUT"):
+                pw = 0
             row = _encode_with_detail_ladder(cfg, z, x, y, survivors,
                                              global_nodes=gn, est=est,
-                                             attrs=self._attr_table())
+                                             attrs=self._attr_table(),
+                                             par_workers=pw)
             if row is not None:
                 out_rows.append(row)
                 if row.get("leafed"):
@@ -3976,7 +3985,14 @@ def _strat_zoom_task(cfg: VectorConfig, z: int, my_keys, child_refs, entry,
         _prof.enable()
     attrs = ray.get(attrs_ref) if isinstance(attrs_ref, ray.ObjectRef) else attrs_ref
     gn = ray.get(gn_ref) if isinstance(gn_ref, ray.ObjectRef) else gn_ref
-    parts = [ray.get(r) if isinstance(r, ray.ObjectRef) else r for r in child_refs]
+    # one batched get: per-ref ray.get round-trips cost ~3ms each and
+    # a deep zoom's task holds one ref per upstream producer
+    _ref_ix = [i for i, r in enumerate(child_refs)
+               if isinstance(r, ray.ObjectRef)]
+    parts = list(child_refs)
+    if _ref_ix:
+        for i, v in zip(_ref_ix, ray.get([child_refs[i] for i in _ref_ix])):
+            parts[i] = v
     if use_memo:
         # pure-kernel memo across the zoom's consensus retry passes
         # (memo_ref is pass k-1's exported dict, auto-resolved by Ray)

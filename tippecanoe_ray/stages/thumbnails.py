@@ -97,11 +97,57 @@ def thumbnail_stage(ds: ray.data.Dataset, thumb_px: int = 16,
 
 
 def verify_payloads(ds: ray.data.Dataset, concurrency: int = 4) -> pd.DataFrame:
+    """Row-level verify results — DEV-SCALE ONLY: collects one row per
+    image to the driver. Fleet-scale QA should call
+    verify_payloads_summary, which aggregates distributed."""
     out = ds.map_batches(
         PayloadVerifier, batch_format="pandas", batch_size=256,
         concurrency=concurrency,
     ).to_pandas()
     return out
+
+
+def verify_payloads_summary(ds: ray.data.Dataset, concurrency: int = 4,
+                            psnr_floor: float = 40.0,
+                            sample_violators: int = 20) -> tuple[pd.DataFrame, pd.DataFrame]:
+    """Fleet-scale payload QA gate: per-format (n, min_psnr,
+    caption_ok, n_below_floor) aggregated inside map_batches — only
+    per-(batch, fmt) partials and a bounded violator sample reach the
+    driver, never a row per image."""
+
+    def agg_batch(df: pd.DataFrame) -> pd.DataFrame:
+        v = PayloadVerifier()(df)
+        g = v.groupby("fmt", as_index=False).agg(
+            n=("image_id", "count"),
+            min_psnr=("roundtrip_psnr", "min"),
+            caption_ok=("caption_ok", "all"),
+            n_below=("roundtrip_psnr", lambda s: int((s < psnr_floor).sum())),
+        )
+        bad = v[(v["roundtrip_psnr"] < psnr_floor) | ~v["caption_ok"]]
+        g["violators"] = [
+            bad[bad["fmt"] == f]["image_id"].head(sample_violators).tolist()
+            for f in g["fmt"]
+        ]
+        return g
+
+    parts = ds.map_batches(
+        agg_batch, batch_format="pandas", batch_size=256,
+        concurrency=concurrency,
+    ).to_pandas()
+    if len(parts) == 0:
+        empty = pd.DataFrame({"fmt": [], "n": [], "min_psnr": [],
+                              "caption_ok": [], "n_below": []})
+        return empty, pd.DataFrame({"fmt": [], "image_id": []})
+    summ = parts.groupby("fmt", as_index=False).agg(
+        n=("n", "sum"), min_psnr=("min_psnr", "min"),
+        caption_ok=("caption_ok", "all"), n_below=("n_below", "sum"),
+    ).sort_values("fmt").reset_index(drop=True)
+    viol = pd.DataFrame([
+        {"fmt": f, "image_id": i}
+        for f, ids in zip(parts["fmt"], parts["violators"])
+        for i in ids[:sample_violators]
+    ], columns=["fmt", "image_id"])
+    return summ, viol.head(sample_violators * max(1, summ["fmt"].nunique()))
 
 
 def compose_raster_tiles(
