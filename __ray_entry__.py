@@ -8,7 +8,7 @@ down Ray.
   over a deterministic image table derived from sf0.001 documents.
 - ``queries()``: one entry per implemented operator/pipeline
   (SURVEY.md §2 + the training-data ops); each takes ``sf_dir``.
-- ``oracle_sql()``: DuckDB-runnable SQL equivalents — 47 of the 50
+- ``oracle_sql()``: DuckDB-runnable SQL equivalents — 49 of the 50
   queries, including the LSH families (simhash signatures, the full
   capped-bucket MinHash banding model, sampled exact-shingle n-gram
   Jaccard, the pruned sign-LSH ANN read, the IVF spherical-k-means
@@ -18,10 +18,12 @@ down Ray.
   forms (axis-aligned squares, buffered-point containment incl. the
   z0 dateline duplication), and the multimodal feature models
   (frame-sample counts, integer-exact PCM RMS/zero-crossings).
-  Rows-only by design: vector_pyramid_counts / vector_tiles_z3
-  (general line/polygon clip survival — byte-exact pytest vs the
-  reference binary is the stronger check), payload_psnr (image
-  kernel).
+  vector_pyramid_counts / vector_tiles_z3 are anchored to the
+  strongest oracle available: committed parquet fixtures decoded from
+  the reference binary's own tiles over the identical corpus
+  (tools/build_vector_oracle_fixtures.py); their SQL is a plain
+  read_parquet of the fixture. Rows-only by design: payload_psnr
+  (pixel kernel — no SQL form).
 """
 
 from __future__ import annotations

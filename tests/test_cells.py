@@ -137,3 +137,84 @@ def test_cell_id_dispatch():
     s = cell_id(lon, lat, 6, kind="s2")
     assert q.dtype == np.uint64 and s.dtype == np.uint64
     assert (s == s2_cell_id(lon, lat, 6)).all()
+
+
+# ----------------------------------------------------- H3-style cells
+
+
+def test_h3_id_layout_and_determinism():
+    from tippecanoe_ray.functions.cells import h3_cell
+
+    rs = np.random.RandomState(3)
+    lon = rs.uniform(-179, 179, 300)
+    lat = rs.uniform(-85, 85, 300)
+    c = h3_cell(lon, lat, 6)
+    assert c.dtype == np.uint64
+    assert (((c >> np.uint64(59)) & np.uint64(0xF)) == 1).all()  # mode
+    assert (((c >> np.uint64(52)) & np.uint64(0xF)) == 6).all()  # res
+    base = (c >> np.uint64(45)) & np.uint64(0x7F)
+    assert int(base.max()) <= 121  # 7-bit base-cell field range
+    assert (h3_cell(lon, lat, 6) == c).all()
+    # digits beyond res are the 0b111 invalid marker
+    for d in range(6, 15):
+        assert (((c >> np.uint64(42 - 3 * d)) & np.uint64(7)) == 7).all()
+
+
+def test_h3_up7_inverts_down7_for_every_child():
+    """The exact-hierarchy contract: up-aperture-7 maps each of a
+    parent's 7 children (down7(parent) + unit digit) back to the
+    parent, for both resolution classes."""
+    from tippecanoe_ray.functions import cells as C
+
+    rs = np.random.RandomState(1)
+    for class3 in (False, True):
+        for _ in range(200):
+            p = C._norm_ijk(int(rs.randint(0, 50)), int(rs.randint(0, 50)), 0)
+            c0 = C._down7(p, class3)
+            for u in C._UNIT:
+                child = C._norm_ijk(c0[0] + u[0], c0[1] + u[1], c0[2] + u[2])
+                assert C._up7(child, class3) == p
+
+
+def test_h3_parent_truncation_consistency():
+    """parent(cell, r) is a pure digit truncation: two points in the
+    same fine cell always share every coarser parent, and the parent's
+    res field/digit padding are well-formed."""
+    from tippecanoe_ray.functions.cells import h3_cell, h3_parent
+
+    rs = np.random.RandomState(5)
+    lon = rs.uniform(-179, 179, 500)
+    lat = rs.uniform(-85, 85, 500)
+    c8 = h3_cell(lon, lat, 8)
+    p5 = h3_parent(c8, 5)
+    assert (((p5 >> np.uint64(52)) & np.uint64(0xF)) == 5).all()
+    # same fine cell -> same parent (pure function of the id)
+    seen = {}
+    for f, p in zip(c8.tolist(), p5.tolist()):
+        assert seen.setdefault(f, p) == p
+    # truncation transitivity: parent(parent(c, 5), 2) == parent(c, 2)
+    assert (h3_parent(p5, 2) == h3_parent(c8, 2)).all()
+
+
+def test_h3_kring_identity():
+    from tippecanoe_ray.functions.cells import h3_k_ring_ijk
+
+    for k in (1, 2, 3, 7):
+        assert len(h3_k_ring_ijk(k)) == 1 + 3 * k * (k + 1)
+
+
+def test_h3_spatial_coherence():
+    """Tight point clusters share one coarse cell (away from cell
+    boundaries), and nearby≠far points separate at fine res."""
+    from tippecanoe_ray.functions.cells import h3_cell
+
+    rs = np.random.RandomState(7)
+    shared = 0
+    for _ in range(40):
+        lon0, lat0 = rs.uniform(-170, 170), rs.uniform(-80, 80)
+        c = h3_cell(lon0 + rs.uniform(-1e-4, 1e-4, 16),
+                    lat0 + rs.uniform(-1e-4, 1e-4, 16), 5)
+        shared += len(set(c.tolist())) == 1
+    assert shared >= 36  # boundary-straddling clusters allowed
+    far = h3_cell([0.0, 90.0, -120.0], [0.0, 45.0, -30.0], 5)
+    assert len(set(far.tolist())) == 3

@@ -22,13 +22,16 @@ nor the `s2` library is available in this environment, so:
   library binary; points within ~1 ulp of a leaf-cell boundary may
   round to the adjacent cell if libm and numpy trig/sqrt differ in the
   last bit.
-- ``h3_cell`` uses the real `h3` package when importable and otherwise
-  raises: H3's point→cell derivation is table-driven (122-entry base
-  cell data, per-face IJK lookup tables) and a from-scratch rewrite
-  could not be validated bit-exactly in this sandbox, so rather than
-  ship plausible-but-unverifiable ids we gate on the library.
-  ``cell_id(kind="quadkey")`` (the engine's native system) and
-  ``kind="s2"`` are the supported hierarchical-cell fallbacks.
+- ``h3_cell`` uses the real `h3` package when importable; otherwise it
+  falls back to the self-consistent H3-STYLE implementation below —
+  H3's id bit layout and exact integer aperture-7 hierarchy (up/down
+  walks, digit extraction, parent truncation, k-ring identities are
+  all exact and property-tested), with the icosahedron FACE as the
+  base cell instead of libh3's 122-entry base-cell stitching tables,
+  whose published data cannot be validated bit-exactly in this
+  sandbox (no h3 library, no network). Ids are therefore NOT
+  bit-compatible with libh3 — documented deviation; ``kind="s2"`` and
+  ``kind="quadkey"`` remain the spec-exact hierarchical systems.
 """
 
 from __future__ import annotations
@@ -195,26 +198,252 @@ def quadkey_cell(lon, lat, level: int) -> np.ndarray:
     return qk >> shift
 
 
+# -------------------------------------------------- H3-style hex cells
+#
+# An aperture-7 hexagonal hierarchical index in H3's id bit layout
+# (H3 Index spec: [1 reserved][4 mode][3 reserved][4 res][7 base cell]
+# [15 × 3-bit digits]) built from the documented per-face machinery:
+# gnomonic projection onto an icosahedron face, hex2d → IJK+ cube
+# rounding (CoordIJK.c _hex2dToCoordIJK), and the exact integer
+# aperture-7 up/down walks with Class II/III alternation (_upAp7 /
+# _upAp7r / _downAp7 / _downAp7r matrices). DEVIATION, DOCUMENTED:
+# the true H3 base-cell stitching (122-entry baseCellData + 540-entry
+# faceIjkBaseCells lookup, with pentagon distortion at the 12
+# icosahedron vertices) is published DATA that cannot be validated
+# bit-exactly in this sandbox (no h3 library, no network), so instead
+# of shipping plausible-but-unverifiable table transcriptions the base
+# cell here is the icosahedron FACE (0..19 in the 7-bit field) and
+# cells do not cross face edges. Ids are therefore NOT bit-compatible
+# with libh3 — but the hierarchy is exactly self-consistent by
+# construction: digit extraction inverts the integer down-walk, so
+# parent-by-digit-truncation == the aperture-7 up-walk, round trips
+# are exact, and k-rings have the exact 1+3k(k+1) hexagon counts
+# (property-tested in tests/test_cells.py).
+
+_PHI = (1.0 + np.sqrt(5.0)) / 2.0
+_ICO_VERTS = None
+_ICO_FACES = None
+_ICO_CENTERS = None
+_ICO_AXES = None
+
+# res-0 hex radius in face gnomonic units (face circumradius ~ the
+# gnomonic image of the face spans ~1; one res-0 cell per face)
+_RES0_U = 0.8
+
+
+def _ico_tables():
+    """Mathematically exact icosahedron (golden-ratio vertices, fixed
+    deterministic orientation): 20 faces, unit face centers, and a
+    per-face orthonormal (ex, ey) basis for the gnomonic plane."""
+    global _ICO_VERTS, _ICO_FACES, _ICO_CENTERS, _ICO_AXES
+    if _ICO_AXES is not None:
+        return _ICO_FACES, _ICO_CENTERS, _ICO_AXES
+    v = []
+    for a in (-1.0, 1.0):
+        for b in (-_PHI, _PHI):
+            v.append((0.0, a, b))
+            v.append((a, b, 0.0))
+            v.append((b, 0.0, a))
+    verts = np.array(sorted(set(v)), dtype=np.float64)
+    verts /= np.linalg.norm(verts, axis=1, keepdims=True)
+    # faces: all vertex triples at minimal mutual distance (edge length)
+    from itertools import combinations
+
+    d = np.linalg.norm(verts[:, None, :] - verts[None, :, :], axis=2)
+    edge = np.min(d[d > 1e-9])
+    faces = []
+    for i, j, k in combinations(range(12), 3):
+        if (abs(d[i, j] - edge) < 1e-9 and abs(d[i, k] - edge) < 1e-9
+                and abs(d[j, k] - edge) < 1e-9):
+            faces.append((i, j, k))
+    faces = sorted(faces)
+    centers = np.array([
+        (verts[i] + verts[j] + verts[k]) / 3.0 for i, j, k in faces
+    ])
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    axes = []
+    for fi, (i, j, k) in enumerate(faces):
+        c = centers[fi]
+        ex = verts[i] - c * np.dot(verts[i], c)
+        ex /= np.linalg.norm(ex)
+        ey = np.cross(c, ex)
+        axes.append((ex, ey))
+    _ICO_VERTS, _ICO_FACES = verts, np.array(faces)
+    _ICO_CENTERS, _ICO_AXES = centers, np.array(axes)
+    return _ICO_FACES, _ICO_CENTERS, _ICO_AXES
+
+
+_SQRT7 = np.sqrt(7.0)
+# CoordIJK.c aperture-7 down matrices (integer, exact)
+_DOWN7 = np.array([[3, 0, 1], [1, 3, 0], [0, 1, 3]], dtype=np.int64)      # Class II
+_DOWN7R = np.array([[3, 1, 0], [0, 3, 1], [1, 0, 3]], dtype=np.int64)     # Class III
+# unit IJK+ vector per digit 0..6 (CoordIJK.c UNIT_VECS)
+_UNIT = np.array([
+    [0, 0, 0], [0, 0, 1], [0, 1, 0], [0, 1, 1],
+    [1, 0, 0], [1, 0, 1], [1, 1, 0],
+], dtype=np.int64)
+_UNIT_DIGIT = {tuple(u): di for di, u in enumerate(_UNIT)}
+
+
+def _axial_round(q: float, r: float) -> tuple[int, int, int]:
+    """Nearest-hex-center rounding (the semantics of CoordIJK.c
+    _hex2dToCoordIJK): exact cube rounding of fractional axial
+    coordinates, normalized to IJK+ (all components ≥ 0, min component
+    0). Any consistent nearest-center rule yields a self-consistent
+    hierarchy; libh3's branchy form is unavailable to diff against."""
+    s = -q - r
+    rq, rr, rs = round(q), round(r), round(s)
+    dq, dr, ds = abs(rq - q), abs(rr - r), abs(rs - s)
+    if dq > dr and dq > ds:
+        rq = -rr - rs
+    elif dr > ds:
+        rr = -rq - rs
+    else:
+        rs = -rq - rr
+    return _norm_ijk(int(rq), int(rr), 0)
+
+
+def _up7(ijk: tuple[int, int, int], class3: bool) -> tuple[int, int, int]:
+    """Exact integer aperture-7 parent (CoordIJK.c _upAp7 / _upAp7r
+    via float round-half-away, normalized to IJK+)."""
+    i = ijk[0] - ijk[2]
+    j = ijk[1] - ijk[2]
+    if class3:
+        ni = (2.0 * i + j) / 7.0
+        nj = (3.0 * j - i) / 7.0
+    else:
+        ni = (3.0 * i - j) / 7.0
+        nj = (i + 2.0 * j) / 7.0
+    ri = int(np.floor(ni + 0.5)) if ni >= 0 else -int(np.floor(-ni + 0.5))
+    rj = int(np.floor(nj + 0.5)) if nj >= 0 else -int(np.floor(-nj + 0.5))
+    return _norm_ijk(ri, rj, 0)
+
+
+def _down7(ijk: tuple[int, int, int], class3: bool) -> tuple[int, int, int]:
+    m = _DOWN7R if class3 else _DOWN7
+    v = m.T @ np.array(ijk, np.int64)
+    return _norm_ijk(int(v[0]), int(v[1]), int(v[2]))
+
+
+def _norm_ijk(i: int, j: int, k: int) -> tuple[int, int, int]:
+    if i < 0:
+        j -= i
+        k -= i
+        i = 0
+    if j < 0:
+        i -= j
+        k -= j
+        j = 0
+    if k < 0:
+        i -= k
+        j -= k
+        k = 0
+    m = min(i, j, k)
+    return i - m, j - m, k - m
+
+
+def _ijk_sub(a, b) -> tuple[int, int, int]:
+    return _norm_ijk(a[0] - b[0], a[1] - b[1], a[2] - b[2])
+
+
+H3_MODE_CELL = 1
+
+
+def h3_cell(lon, lat, res: int) -> np.ndarray:
+    """H3-STYLE cell ids (see module banner: exact aperture-7 hierarchy
+    in the H3 bit layout, base cell = icosahedron face, NOT
+    bit-compatible with libh3 — which is unavailable to validate
+    against in this sandbox). Uses the real `h3` package instead when
+    importable."""
+    try:
+        import h3  # noqa: F401
+
+        lon_a = np.asarray(lon, dtype=np.float64)
+        lat_a = np.asarray(lat, dtype=np.float64)
+        return np.array(
+            [h3.str_to_int(h3.latlng_to_cell(la, lo, res))
+             for lo, la in zip(lon_a, lat_a)],
+            dtype=np.uint64,
+        )
+    except ImportError:
+        pass
+    if not 0 <= res <= 15:
+        raise ValueError("res must be 0..15")
+    faces, centers, axes = _ico_tables()
+    x, y, z = _lonlat_to_xyz(lon, lat)
+    pts = np.stack([np.asarray(x).ravel(), np.asarray(y).ravel(),
+                    np.asarray(z).ravel()], axis=1)
+    dots = pts @ centers.T
+    face = np.argmax(dots, axis=1)
+    out = np.empty(len(pts), dtype=np.uint64)
+    for n in range(len(pts)):
+        f = int(face[n])
+        c = centers[f]
+        ex, ey = axes[f]
+        p = pts[n] / np.dot(pts[n], c)  # gnomonic onto the face plane
+        gx = float(np.dot(p - c, ex)) / _RES0_U
+        gy = float(np.dot(p - c, ey)) / _RES0_U
+        # res-0 fractional axial coords, then descend by the EXACT
+        # integer axial images of the down-aperture-7 matrices — the
+        # res-r lattice is then down7^r of the res-0 lattice by
+        # construction, so the integer up-walk (digit extraction,
+        # parenting) agrees with direct coarse-res rounding up to the
+        # unavoidable ±1 boundary rounding, exactly like libh3
+        q = gx - gy / np.sqrt(3.0)
+        rr_ = 2.0 * gy / np.sqrt(3.0)
+        for lev in range(1, res + 1):
+            if lev % 2 == 1:  # Class III (ap7r): i->(3,1,0), j->(0,3,1)
+                q, rr_ = 3.0 * q - rr_, q + 2.0 * rr_
+            else:             # Class II  (ap7):  i->(3,0,1), j->(1,3,0)
+                q, rr_ = 2.0 * q + rr_, -q + 3.0 * rr_
+        cur = _axial_round(q, rr_)
+        digits = [7] * 15
+        for r in range(res, 0, -1):
+            parent = _up7(cur, class3=(r % 2 == 1))
+            center = _down7(parent, class3=(r % 2 == 1))
+            digits[r - 1] = _UNIT_DIGIT.get(_ijk_sub(cur, center), 0)
+            cur = parent
+        h = (np.uint64(H3_MODE_CELL) << np.uint64(59))
+        h |= np.uint64(res) << np.uint64(52)
+        h |= np.uint64(f) << np.uint64(45)
+        for d in range(15):
+            h |= np.uint64(digits[d]) << np.uint64(42 - 3 * d)
+        out[n] = h
+    return out
+
+
+def h3_parent(cell: np.ndarray, parent_res: int) -> np.ndarray:
+    """Parent by digit truncation (H3 cellToParent semantics): set the
+    res field and fill digits below parent_res with 7 (invalid)."""
+    c = np.asarray(cell, dtype=np.uint64)
+    res = ((c >> np.uint64(52)) & np.uint64(0xF)).astype(np.int64)
+    if np.any(res < parent_res):
+        raise ValueError("parent_res above cell res")
+    out = (c & ~(np.uint64(0xF) << np.uint64(52))) | (
+        np.uint64(parent_res) << np.uint64(52))
+    for d in range(parent_res, 15):
+        out |= np.uint64(7) << np.uint64(42 - 3 * d)
+    return out
+
+
+def h3_k_ring_ijk(k: int) -> np.ndarray:
+    """All IJK+ offsets within hex distance k of the origin — exactly
+    1 + 3k(k+1) cells (the hexagon k-ring identity)."""
+    out = []
+    for di in range(-k, k + 1):
+        for dj in range(max(-k, -di - k), min(k, -di + k) + 1):
+            out.append(_norm_ijk(di, dj, 0))
+    return np.array(sorted(set(map(tuple, out))), dtype=np.int64)
+
+
 def cell_id(lon, lat, level: int, kind: str = "quadkey") -> np.ndarray:
-    """Dispatch: 'quadkey' (native), 's2' (S2-style), 'h3' (needs h3 lib)."""
+    """Dispatch: 'quadkey' (native), 's2' (S2-style), 'h3' (H3-style —
+    real h3 lib when importable, else the self-consistent per-face
+    aperture-7 implementation above)."""
     if kind == "quadkey":
         return quadkey_cell(lon, lat, level)
     if kind == "s2":
         return s2_cell_id(lon, lat, level)
     if kind == "h3":
-        try:
-            import h3  # noqa: F401
-        except ImportError as e:
-            raise NotImplementedError(
-                "h3 library not available in this environment; "
-                "use kind='quadkey' or kind='s2'"
-            ) from e
-        import h3
-
-        lon = np.asarray(lon, dtype=np.float64)
-        lat = np.asarray(lat, dtype=np.float64)
-        return np.array(
-            [h3.str_to_int(h3.latlng_to_cell(la, lo, level)) for lo, la in zip(lon, lat)],
-            dtype=np.uint64,
-        )
+        return h3_cell(lon, lat, level)
     raise ValueError(f"unknown cell kind {kind!r}")

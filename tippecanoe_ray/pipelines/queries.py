@@ -980,12 +980,20 @@ GROUP BY 1
 
 
 def vector_tiles_q(sf_dir: str) -> pd.DataFrame:
-    from .vector import build_vector_tiles, synth_lines_polys
+    """Single-zoom (-Z3 -z3) cascade tiles over the committed oracle
+    corpus; the oracle is the reference binary's own decoded per-tile
+    feature counts (tippecanoe_ray/fixtures/vector_tiles_z3.parquet,
+    built by tools/build_vector_oracle_fixtures.py)."""
+    from . import vector_fixture as vf
+    from .vector_pyramid import VectorConfig, build_vector_pyramid, ingest_features
 
-    ds = synth_lines_polys(16, 8)
-    tiles = build_vector_tiles(ds, z=3, detail=10)
-    df = tiles.to_pandas()[["z", "x", "y", "n_features"]]
-    return df.sort_values(["x", "y"]).reset_index(drop=True)
+    cfg = VectorConfig(minzoom=vf.TILES_ZOOM, maxzoom=vf.TILES_ZOOM,
+                       no_size_limit=True)
+    tiles = build_vector_pyramid(
+        ingest_features(vf.to_table(vf.corpus()), cfg), cfg)
+    df = tiles.select_columns(["z", "x", "y", "n_features"]).to_pandas()
+    df = df[df["n_features"] > 0].astype("int64")
+    return df.sort_values(["z", "x", "y"]).reset_index(drop=True)
 
 
 def overzoom_q(sf_dir: str) -> pd.DataFrame:
@@ -1206,41 +1214,24 @@ def payload_psnr_q(sf_dir: str) -> pd.DataFrame:
 
 
 def vector_pyramid_q(sf_dir: str) -> pd.DataFrame:
-    """Per-zoom tile/feature counts of the line/polygon cascade over a
-    deterministic synthetic corpus (exact-match vs the reference binary
-    is the stronger check — tests/test_vector_pyramid.py; rows-only
-    here)."""
-    import numpy as _np
-
+    """Per-zoom tile/feature counts of the full line/polygon cascade
+    over the committed oracle corpus; the oracle is the reference
+    binary's own decoded counts
+    (tippecanoe_ray/fixtures/vector_pyramid_counts.parquet, built by
+    tools/build_vector_oracle_fixtures.py)."""
+    from . import vector_fixture as vf
     from .vector_pyramid import (
-        VectorConfig, build_vector_pyramid, features_table, ingest_features,
+        VectorConfig, build_vector_pyramid, ingest_features,
     )
 
-    rs = _np.random.RandomState(7)
-    lo, hi = 1 << 28, (1 << 32) - (1 << 28)
-    rows = []
-    for seq in range(24):
-        if seq % 3 == 2:
-            cx, cy = rs.randint(lo + (1 << 27), hi - (1 << 27), size=2)
-            k = rs.randint(5, 20)
-            ang = _np.sort(rs.uniform(0, 2 * _np.pi, k))
-            rad = rs.randint(1 << 21, 1 << 25, size=k)
-            xs = (cx + rad * _np.cos(ang)).clip(lo, hi)
-            ys = (cy + rad * _np.sin(ang)).clip(lo, hi)
-            ring = _np.stack([xs, ys], axis=1).astype(_np.int64)
-            ring = _np.vstack([ring, ring[:1]])
-            rows.append((seq, 3, _np.array([1] + [2] * (len(ring) - 1), _np.uint8), ring))
-        else:
-            n = rs.randint(4, 40)
-            start = rs.randint(lo + (1 << 27), hi - (1 << 27), size=2)
-            steps = rs.randint(-(1 << 23), 1 << 23, size=(n, 2))
-            pts = _np.cumsum(_np.vstack([start, steps]), axis=0).clip(lo, hi)
-            rows.append((seq, 2, _np.array([1] + [2] * n, _np.uint8), pts.astype(_np.int64)))
-    cfg = VectorConfig(maxzoom=6)
-    tiles = build_vector_pyramid(ingest_features(features_table(rows), cfg), cfg)
-    df = tiles.select_columns(["z", "x", "y", "n_features"]).to_pandas()
+    cfg = VectorConfig(maxzoom=vf.PYRAMID_MAXZOOM, no_size_limit=True)
+    tiles = build_vector_pyramid(
+        ingest_features(vf.to_table(vf.corpus()), cfg), cfg)
+    df = tiles.select_columns(["z", "n_features"]).to_pandas()
     df = df[df["n_features"] > 0]  # strategy-counter phantom rows
-    g = df.groupby("z").agg(n_tiles=("z", "size"), n_features=("n_features", "sum")).reset_index()
+    g = (df.groupby("z")
+         .agg(n_tiles=("z", "size"), n_features=("n_features", "sum"))
+         .reset_index().astype("int64"))
     return g.sort_values("z").reset_index(drop=True)
 
 
@@ -2350,7 +2341,20 @@ FROM hit GROUP BY 1, 2, 3 ORDER BY z, x, y
 
 
 def all_oracle_sql() -> dict:
+    from . import vector_fixture as _vf
+
     return {
+        # reference-binary fixture oracles: the committed parquet was
+        # produced by decoding the reference tippecanoe's own tiles
+        # over the identical corpus (tools/build_vector_oracle_fixtures.py)
+        "vector_pyramid_counts": (
+            "SELECT z, n_tiles, n_features "
+            f"FROM read_parquet('{_vf.PYRAMID_FIXTURE}') ORDER BY z"
+        ),
+        "vector_tiles_z3": (
+            "SELECT z, x, y, n_features "
+            f"FROM read_parquet('{_vf.TILES_Z3_FIXTURE}') ORDER BY z, x, y"
+        ),
         "guess_zoom_params": _guess_sql(),
         "overzoom_z3": _overzoom_sql(),
         "cluster_tiles": _cluster_sql(),

@@ -3495,9 +3495,13 @@ class GroupEncoder:
         self.shared_nodes_ref = shared_nodes_ref
         self._gn = None
 
-    def _attr_table(self):
+    def _attr_table(self, seqs=None):
         if self.attrs_ref is None:
             return None
+        if isinstance(self.attrs_ref, AttrShards):
+            # seq-range shards: fetch only this group's slice (the
+            # AttrShards cache keeps shards across groups in one task)
+            return self.attrs_ref.resolve(seqs if seqs is not None else ())
         if self._attrs is None:
             self._attrs = (
                 ray.get(self.attrs_ref)
@@ -3564,6 +3568,7 @@ class GroupEncoder:
             )
         out_rows: list[dict] = []
         leaf_keys: list[tuple[int, int, int]] = []
+        grp_attrs = self._attr_table(np.unique(sq))
         if z < self.b:
             if cfg.prevent_shared_nodes and "enodes" in grp.column_names:
                 eno = grp["enodes"].to_pylist()
@@ -3590,7 +3595,7 @@ class GroupEncoder:
                 pw = 0
             row = _encode_with_detail_ladder(cfg, z, x, y, survivors,
                                              global_nodes=gn, est=est,
-                                             attrs=self._attr_table(),
+                                             attrs=grp_attrs,
                                              par_workers=pw)
             if row is not None:
                 out_rows.append(row)
@@ -3603,7 +3608,7 @@ class GroupEncoder:
                 tile_row, children, poison = process_tile(
                     cfg, zz, tx, ty, rr,
                     global_nodes=gn, est=ezz,
-                    attrs=self._attr_table())
+                    attrs=grp_attrs)
                 if tile_row is not None:
                     out_rows.append(tile_row)
                 if tile_row is not None and tile_row.get("leafed"):
@@ -3864,6 +3869,104 @@ class _SeqMap:
         return len(self.keys)
 
 
+class AttrShards:
+    """Seq-range-sharded attribute side table. The former design
+    `ray.put` one dict covering the WHOLE input — an O(dataset) object
+    replicated to every node. Shards of width `width` are separate
+    store objects; `resolve(seqs)` fetches only the shards the caller's
+    seq set overlaps and presents them as the same plain attrs dict the
+    tile pipeline reads (low zooms still touch every shard — a z0 tile
+    sees every feature — but deep-zoom tasks fetch only their slice,
+    and no single store object scales with the input)."""
+
+    __slots__ = ("width", "refs", "meta", "_cache")
+
+    def __init__(self, width: int, refs: list, meta: dict):
+        self.width = width
+        self.refs = refs
+        self.meta = meta  # non-seq-keyed entries (__n__, ...)
+        self._cache: dict = {}
+
+    def shard_ids(self, seqs) -> list:
+        w = self.width
+        out = {int(s) // w for s in seqs}
+        return sorted(i for i in out if 0 <= i < len(self.refs)
+                      and self.refs[i] is not None)
+
+    def resolve(self, seqs) -> dict:
+        need = self.shard_ids(seqs)
+        missing = [i for i in need if i not in self._cache]
+        if missing:
+            got = ray.get([self.refs[i] for i in missing])
+            for i, sh in zip(missing, got):
+                self._cache[i] = sh
+        out: dict = dict(self.meta)
+        sides: dict = {}
+        layers: dict = {}
+        for i in need:
+            sh = self._cache[i]
+            out.update(sh["attrs"])
+            if sh.get("layers"):
+                layers.update(sh["layers"])
+            for name, (ks, vs) in sh.get("maps", {}).items():
+                sides.setdefault(name, ([], []))
+                sides[name][0].append(ks)
+                sides[name][1].append(vs)
+        if layers:
+            out["__layers__"] = layers
+        for name, (kl, vl) in sides.items():
+            # per-shard slices are sorted and ranges are disjoint and
+            # ordered, so the concatenation is already globally sorted
+            out[name] = _SeqMap(np.concatenate(kl), np.concatenate(vl))
+        return out
+
+
+def _shard_attr_dict(attrs: dict, n_shards: int) -> AttrShards:
+    """Split a combined attrs dict (plain seq->entry + _SeqMap side
+    maps + __layers__/__n__ meta) into seq-range shards, each its own
+    object-store entry."""
+    int_keys = [k for k in attrs if isinstance(k, (int, np.integer))]
+    maps = {k: v for k, v in attrs.items()
+            if isinstance(v, _SeqMap)}
+    # CLI-built side maps arrive as plain {seq: int} dicts
+    for name in ("__vindex__", "__gap__", "__extent__"):
+        v = attrs.get(name)
+        if isinstance(v, dict) and name not in maps:
+            ks = np.fromiter(v.keys(), np.int64, len(v))
+            vs = np.fromiter((v[k] for k in ks), np.uint64, len(v))
+            maps[name] = _SeqMap(ks, vs)
+    layers = attrs.get("__layers__") or {}
+    meta = {k: v for k, v in attrs.items()
+            if not isinstance(k, (int, np.integer))
+            and k not in maps and k != "__layers__"}
+    max_seq = 0
+    if int_keys:
+        max_seq = max(int_keys)
+    for m in maps.values():
+        if len(m):
+            max_seq = max(max_seq, int(m.keys[-1]))
+    if layers:
+        max_seq = max(max_seq, max(layers))
+    n_shards = max(1, n_shards)
+    width = max(1, (int(max_seq) + n_shards) // n_shards)
+    nsh = int(max_seq) // width + 1
+    shards: list = [None] * nsh
+    for i in range(nsh):
+        lo, hi = i * width, (i + 1) * width
+        sh_attrs = {k: attrs[k] for k in int_keys if lo <= k < hi}
+        sh_layers = {k: v for k, v in layers.items() if lo <= k < hi}
+        sh_maps = {}
+        for name, m in maps.items():
+            a = int(np.searchsorted(m.keys, lo))
+            b = int(np.searchsorted(m.keys, hi))
+            if b > a:
+                sh_maps[name] = (m.keys[a:b], m.vals[a:b])
+        if sh_attrs or sh_layers or sh_maps:
+            shards[i] = ray.put(
+                {"attrs": sh_attrs, "layers": sh_layers, "maps": sh_maps})
+    return AttrShards(width, shards, meta)
+
+
 @ray.remote(num_returns=2)
 def _strat_block_sides(tbl: pa.Table, g: int, need_extent: bool):
     """Phase A over one (vindex, seq)-sorted block: tiny driver meta
@@ -3913,9 +4016,12 @@ def _strat_block_gaps(tbl: pa.Table, prev_v: int, origin, scheme: str):
 
 @ray.remote
 def _strat_combine_attrs(attrs: dict | None, sides: list, gaps: list | None,
-                         need_extent: bool):
+                         need_extent: bool, n_shards: int = 32):
     """Assemble the per-seq side table ONCE in a worker (never on the
-    driver): CLI attrs dict + _SeqMap arrays for vindex/gap/extent."""
+    driver): CLI attrs dict + _SeqMap arrays for vindex/gap/extent —
+    then split it into seq-range object-store shards so no single
+    broadcast object scales with the input (zoom tasks resolve only
+    the shards their rows touch)."""
     sides = [ray.get(s) if isinstance(s, ray.ObjectRef) else s for s in sides]
     if gaps is not None:
         gaps = [ray.get(gv) if isinstance(gv, ray.ObjectRef) else gv
@@ -3931,7 +4037,7 @@ def _strat_combine_attrs(attrs: dict | None, sides: list, gaps: list | None,
         gseq = np.concatenate([gv["seq"] for gv in gaps]) if gaps else np.zeros(0, np.int64)
         garr = np.concatenate([gv["gap"] for gv in gaps]) if gaps else np.zeros(0, np.uint64)
         out["__gap__"] = _SeqMap(gseq, garr)
-    return out
+    return _shard_attr_dict(out, n_shards)
 
 
 @ray.remote
@@ -3997,13 +4103,17 @@ def _strat_zoom_task(cfg: VectorConfig, z: int, my_keys, child_refs, entry,
         # pure-kernel memo across the zoom's consensus retry passes
         # (memo_ref is pass k-1's exported dict, auto-resolved by Ray)
         dv.memo_install(dict(memo_ref) if memo_ref else {})
-    vix_of = (attrs or {}).get("__vindex__", _EMPTY_DICT)
     rows_by_key: dict = {}
     for part in parts:
         for k in my_keys:
             blobs = part.get(k)
             if blobs:
                 rows_by_key.setdefault(k, []).extend(blobs)
+    if isinstance(attrs, AttrShards):
+        # fetch only the side-table shards this task's rows touch
+        attrs = attrs.resolve(
+            {r[0] for blobs in rows_by_key.values() for r in blobs})
+    vix_of = (attrs or {}).get("__vindex__", _EMPTY_DICT)
     strat = None if fanout_only else {**entry, "out": {}}
     out_rows: list = []
     children: dict = {}
@@ -4438,7 +4548,10 @@ def build_vector_pyramid(
             if first:
                 fxy = np.frombuffer(first[0]["xy"], dtype=np.int64).reshape(-1, 2)
                 at_origin = (int(fxy[0, 0]) >> g, int(fxy[0, 1]) >> g)
-    attrs_ref = ray.put(attrs) if attrs else None
+    # seq-range shards, not one O(dataset) broadcast object
+    attrs_ref = (_shard_attr_dict(
+        attrs, max(8, int(ray.cluster_resources().get("CPU", 8))))
+        if attrs else None)
     encoder = GroupEncoder(cfg, b, raw_dir, shared_ref, at_origin=at_origin,
                            attrs_ref=attrs_ref)
     if cfg.variable_depth and b > 0:
