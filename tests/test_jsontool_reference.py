@@ -71,7 +71,25 @@ def test_json_tool_byte_identical(corpus, mode):
     emit-before-parse-error streaming order)."""
     src = f"/root/reference/tests/{corpus}/in.json"
     if not os.path.exists(src):
-        pytest.skip("no in.json")
+        # gz-only corpora (ne countries) and the bare-geometry corpus
+        # carry their json under other names — exercise them all
+        import glob
+        import gzip
+        import tempfile
+
+        alts = sorted(
+            p for p in glob.glob(f"/root/reference/tests/{corpus}/*.json")
+            if "/out" not in p
+        )
+        if not alts and os.path.exists(src + ".gz"):
+            with tempfile.NamedTemporaryFile(
+                    suffix=".json", delete=False) as tf:
+                tf.write(gzip.open(src + ".gz").read())
+                alts = [tf.name]
+        assert alts, f"no json input for {corpus}"
+        for a in alts:
+            assert ours([*mode, a]) == refout([*mode, a])
+        return
     assert ours([*mode, src]) == refout([*mode, src])
 
 
