@@ -4255,7 +4255,8 @@ def _build_strategy_pyramid(
                 _strat_block_gaps.remote(b, prev_v, origin, cfg.index_scheme))
             prev_v = side_metas[i]["last_v"]
     attrs_ref = _strat_combine_attrs.remote(
-        attrs, side_arr_refs, gap_refs, need_extent)
+        attrs, side_arr_refs, gap_refs, need_extent,
+        n_shards=max(8, int(ray.cluster_resources().get("CPU", 8))))
     gn_ref = None
     if cfg.prevent_shared_nodes:
         from ..stages.nodes import shared_nodes_global
