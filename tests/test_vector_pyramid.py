@@ -215,3 +215,43 @@ def test_sink_resume_and_ds_parity(ray_session, tmp_path):
     assert resumed == streamed
     summ2 = pq.read_table(f"{out_dir}/summary.parquet")
     assert int(sum(summ2["n_tiles"].to_pylist())) == len(streamed)
+
+
+def test_attr_shards_resolve_equals_direct_dict(ray_session):
+    """AttrShards (the seq-range-sharded side table) must present the
+    identical view the old single-object broadcast did: plain entries,
+    the _SeqMap side maps, __layers__, and meta keys — for any seq
+    subset, resolving only the overlapping shards."""
+    import numpy as np
+
+    from tippecanoe_ray.pipelines.vector_pyramid import (
+        _SeqMap, _shard_attr_dict,
+    )
+
+    rs = np.random.RandomState(11)
+    n = 1000
+    attrs = {i: (i * 7 % 97, [("k", "string", f"v{i}")])
+             for i in range(0, n, 3)}
+    seqs = np.arange(0, n, 2, dtype=np.int64)
+    attrs["__vindex__"] = _SeqMap(seqs, rs.randint(0, 1 << 60, len(seqs)).astype(np.uint64))
+    attrs["__gap__"] = {int(s): int(g) for s, g in
+                        zip(seqs[:50], rs.randint(0, 1 << 30, 50))}
+    attrs["__layers__"] = {i: f"layer{i % 4}" for i in range(0, n, 5)}
+    attrs["__n__"] = n
+
+    shards = _shard_attr_dict(dict(attrs), 7)
+    assert sum(r is not None for r in shards.refs) >= 2  # actually sharded
+
+    for subset in (range(0, 40), range(500, 640, 2), range(n - 30, n),
+                   [0, 999], range(0, n)):
+        view = shards.resolve(list(subset))
+        assert view["__n__"] == n
+        for s in subset:
+            assert view.get(s) == attrs.get(s)
+            got = view.get("__vindex__", {})
+            want = attrs["__vindex__"]
+            assert got.get(s, -1) == want.get(s, -1)
+            gg = view.get("__gap__", {})
+            assert gg.get(s, 0) == attrs["__gap__"].get(s, 0)
+            lay = view.get("__layers__", {})
+            assert lay.get(s) == attrs["__layers__"].get(s)
