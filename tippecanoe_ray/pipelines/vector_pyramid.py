@@ -2814,7 +2814,11 @@ def _encode_with_detail_ladder(cfg: VectorConfig, z, tx, ty, survivors,
         post: list = []  # worker-complete features for reorder/coalesce
         # in-tile simplification workers (tile.cpp:2287-2480 runs this
         # same chain across threads): on parallelism-starved zooms fan
-        # the pure per-feature geometry chain out to Ray subtasks
+        # the pure per-feature geometry chain out to Ray subtasks.
+        # Deadlock-safety invariant: callers only set par_workers > 1
+        # when the zoom has fewer tiles than cpus/2, so the parents
+        # blocked in ray.get() can never hold every CPU — at least
+        # half the cluster stays free for the chunks to schedule on.
         par_geom = None
         par_enc = None
         if par_workers > 1:
