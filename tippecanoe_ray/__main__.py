@@ -104,6 +104,12 @@ def _build_from_geo(args, cfg):
     vec_ds = None  # fragment-parallel NDJSON geometry Dataset
     merged_layers: dict = {}
     total = 0
+    # --generate-ids: the id is the reference's serialize seq + 1,
+    # which for parallel-parsed inputs (RFC 7464 text sequences) is
+    # BYTE-OFFSET-based, and across files accumulates bytes (parallel)
+    # or feature counts (serial) — main.cpp:472,1705 / serial.cpp:601
+    genid_ref: dict = {}
+    ref_off = 0
     # the Dataset ingest path needs no driver-side Table: single NDJSON
     # input, no provisional full-table scans (-zg / -Bg / -rg / -ag)
     parallel_ok = (
@@ -187,6 +193,24 @@ def _build_from_geo(args, cfg):
             file_layer = named.get(path) or layer_name_from_path(path, src_i)
             for s in range(n_i or 0):
                 merged_layers.setdefault(s + total, file_layer)
+        if getattr(args, "generate_ids", False):
+            rs = None
+            if not (lower.endswith(".csv") or lower.endswith(".fgb")
+                    or lower.endswith(".geobuf")):
+                from tippecanoe_ray.sources.geojson import (
+                    reference_parallel_seqs,
+                )
+
+                rs = reference_parallel_seqs(path, initial_offset=ref_off)
+            if rs is not None:
+                seqs, consumed = rs
+                for k, v in enumerate(seqs):
+                    genid_ref[k + total] = v
+                ref_off += consumed
+            else:
+                for k in range(n_i or 0):
+                    genid_ref[k + total] = ref_off + k
+                ref_off += n_i or 0
         pts_parts.append(_offset_seq(pts_i, total))
         vec_parts.append(_offset_seq(vec_i, total))
         total += n_i or 0
@@ -279,14 +303,15 @@ def _build_from_geo(args, cfg):
                 nrows.append(row)
             vec_attrs[k] = (fid, nrows)
     if getattr(args, "generate_ids", False):
-        # --generate-ids: id = seq + 1 for features without one
-        # (serial.cpp:601-605)
+        # --generate-ids: id = reference seq + 1 for features without
+        # one (serial.cpp:601-605); seq per genid_ref above
         for s in range(vec_attrs.get("__n__", 0)):
+            gid = genid_ref.get(s, s) + 1
             old = vec_attrs.get(s)
             if old is None:
-                vec_attrs[s] = (s + 1, [])
+                vec_attrs[s] = (gid, [])
             elif old[0] is None:
-                vec_attrs[s] = (s + 1, old[1])
+                vec_attrs[s] = (gid, old[1])
     if getattr(args, "include", None):
         # -y: keep ONLY the named attributes (include set); ids and
         # the layer map are untouched

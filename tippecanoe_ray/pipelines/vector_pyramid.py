@@ -2588,12 +2588,20 @@ def _encode_with_detail_ladder(cfg: VectorConfig, z, tx, ty, survivors,
                                 dropped_here = True
                     elif cfg.drop_smallest:
                         extents_s.add(sf_extent, my_seq)
-                        if s_minextent != 0 and sf_extent + coalesced_area <= s_minextent:
+                        # the reference compares in C doubles (extent is
+                        # long long, coalesced_area double, tile.cpp:2069)
+                        # so LLONG_MAX promotes to 2^63 on BOTH sides and
+                        # the clamped max extent still gates; Python's
+                        # exact float-vs-int compare would say 2^63 >
+                        # LLONG_MAX and KEEP it (flag-fuzzer find)
+                        if s_minextent != 0 and (
+                                sf_extent + coalesced_area <= float(s_minextent)):
                             can_stop_early = False
                             dropped_here = _try_drop()
                     elif cfg.coalesce_smallest:
                         extents_s.add(sf_extent, my_seq)
-                        if s_minextent != 0 and sf_extent + coalesced_area <= s_minextent:
+                        if s_minextent != 0 and (
+                                sf_extent + coalesced_area <= float(s_minextent)):
                             ti2 = _find_small_target(
                                 pending, pend_lname, pend_extent, lname,
                                 gate_t, s_minextent)
@@ -3128,6 +3136,11 @@ def _encode_with_detail_ladder(cfg: VectorConfig, z, tx, ty, survivors,
                 if not extents_s.vals:
                     return "giveup"
                 m = _choose_threshold(extents_s.vals, f_minextent, s_minextent)
+                if _os_env.get("TPR_RETRY_DEBUG"):
+                    import sys as _s
+                    print(f"[retry z={z}] f={f_minextent:.5f} existing={s_minextent} "
+                          f"m={m} n_samples={len(extents_s.vals)} "
+                          f"max={max(extents_s.vals)}", file=_s.stderr)
                 if m > s_minextent:
                     s_minextent = m
                     if m > out.get("minextent", 0):
@@ -4473,10 +4486,19 @@ def build_vector_pyramid(
     import os
 
     cfg = cfg or VectorConfig()
-    if cfg.strategies_active():
+    if cfg.strategies_active() or (cfg.minzoom > 0 and cfg.one_tile is None):
         # gamma/-K/as-needed strategies need the zoom-sequential
         # consensus orchestration (whole-zoom retries with shared
-        # thresholds); the subtree cascade cannot express it
+        # thresholds); the subtree cascade cannot express it.
+        # minzoom > 0 also routes here: the reference's below-minzoom
+        # passes JUMP zooms (nextzoom = z+log4(child_shards) capped at
+        # minzoom, write_tile tile.cpp:1686-1697), clipping features
+        # DIRECTLY from the root to the jump target — the stepwise
+        # z+1 cascade composes clips differently (an intermediate
+        # boundary can add/move a snapped vertex, caught by the flag
+        # fuzzer on the dateline corpus at -Z2 -d10), while this
+        # driver emulates the reference's exact schedule (-R keeps the
+        # cascade: the root tile IS the single subtree, no jumps)
         raw_dir = None
         if out_dir:
             raw_dir = os.path.join(out_dir, "raw")

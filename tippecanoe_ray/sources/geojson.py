@@ -34,8 +34,16 @@ def _iter_features(path: str):
     # utf-8-sig strips a leading BOM (json_pull does the same)
     with op(path, "rt", encoding="utf-8-sig") as f:
         text = f.read()
+    yield from _iter_features_text(text)
+
+
+def _iter_features_text(text: str, state: dict | None = None):
+    """The text-level core of _iter_features; `state` carries the
+    per-FILE bare-geometry gate when the caller parses a file in
+    pieces (record by record)."""
     dec = json.JSONDecoder()
-    state = {"found_features": 0}  # per-file bare-geometry gate
+    if state is None:
+        state = {"found_features": 0}  # per-file bare-geometry gate
     pos = 0
     n = len(text)
     while pos < n:
@@ -230,6 +238,69 @@ def read_geojson_points(path: str) -> pa.Table:
             "fmax": pa.array(fmaxs, pa.int16()),
         }
     )
+
+
+def reference_parallel_seqs(path: str, cpus: int | None = None,
+                            initial_offset: int = 0) -> list[int] | None:
+    """Per-ordinal reference `sf.seq` values for inputs the reference
+    binary auto-parses in PARALLEL — RFC 7464 text sequences (first
+    byte 0x1E, also behind gzip via the streamed-chunk path). In
+    do_read_parallel (main.cpp:451-523) each of CPUS segments starts
+    at byte offset len*i/CPUS advanced to the next 0x1E, and that
+    segment's seq counter BEGINS AT ITS BYTE OFFSET (+ the cumulative
+    offset of earlier inputs), incrementing once per feature — so
+    `--generate-ids` ids (sf.seq + 1, serial.cpp:601-605) are
+    byte-offset-based, not ordinals. Ordinal seqs are order-isomorphic
+    (both increase in file order), so this only matters where the seq
+    VALUE escapes into output. Returns (per-ordinal seqs, consumed
+    length in the reference's overall_offset units) — or None for
+    inputs the reference reads serially (where seqs are plain
+    ordinals). Caveat, documented: gzipped text sequences larger than
+    the reference's 10 MB PARSE_MIN are chunked by parse TIMING
+    (main.cpp:1766-1830, gated on !is_parsing), so their generated ids
+    are nondeterministic in the reference itself; this model treats
+    the file as one chunk."""
+    with open(path, "rb") as f:
+        head = f.read(2)
+    if head[:2] == b"\x1f\x8b" or path.endswith(".gz"):
+        with gzip.open(path, "rb") as f:
+            data = f.read()
+    else:
+        with open(path, "rb") as f:
+            data = f.read()
+    if not data or data[0] != 0x1E:
+        return None
+    if cpus is None:
+        from ..pipelines.vector_pyramid import _tippecanoe_cpus_tempfiles
+
+        cpus = _tippecanoe_cpus_tempfiles()[0]
+    n = len(data)
+    segs = [0] * (cpus + 1)
+    segs[cpus] = n
+    for i in range(1, cpus):
+        s = n * i // cpus
+        while s < n and data[s] != 0x1E:
+            s += 1
+        segs[i] = s
+    # record starts: RFC 7464 JSON cannot contain a raw 0x1E byte, so
+    # every occurrence is a record separator
+    rec_pos = [i for i in range(n) if data[i] == 0x1E]
+    rec_pos.append(n)
+    state = {"found_features": 0}  # file-scoped bare-geometry gate
+    out: list[int] = []
+    seg_i = 0
+    counter = segs[0] + initial_offset
+    for r in range(len(rec_pos) - 1):
+        start = rec_pos[r]
+        while seg_i + 1 < cpus + 1 and start >= segs[seg_i + 1]:
+            seg_i += 1
+            counter = segs[seg_i] + initial_offset
+        rec_text = data[start:rec_pos[r + 1]].decode(
+            "utf-8", errors="replace")
+        for _ in _iter_features_text(rec_text, state):
+            out.append(counter)
+            counter += 1
+    return out, n
 
 
 # ----------------------------------------------- parallel fragment read
