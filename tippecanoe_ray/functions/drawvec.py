@@ -1345,14 +1345,21 @@ def polygon_to_anchor(ops: np.ndarray, xy: np.ndarray) -> tuple[int, int] | None
     falling back to sorted-stride midpoints, then grid points, then the
     centroid, maximizing label_goodness."""
     start = end = 0
-    best_area = 0.0
+    # the reference's best_area is a size_t: every assignment TRUNCATES
+    # the double ring area (geometry.cpp:768,793), so sub-1.0 areas
+    # (tiny rings snapped at a coarse geometry_scale) stay 0 — and the
+    # whole anchor is skipped (`if (best_area > 0)`), leaving
+    # label_point = 0. A later ring with a SMALLER fractional area can
+    # also displace an earlier one (0.4 > trunc(0.6)=0). Flag-fuzzer
+    # find: islands -z4 -d9 -aP.
+    best_area = 0
     points: list[tuple[int, int]] = []
     for i, j in rings(ops):
         for k in range(i + 1, j):
             points.append((int(xy[k, 0]), int(xy[k, 1])))
         area = get_area(xy, i, j)
         if area > best_area:
-            start, end, best_area = i, j, area
+            start, end, best_area = i, j, int(area)
     if best_area <= 0:
         return None
     xs = xy[start + 1 : end, 0]
@@ -1439,10 +1446,19 @@ def checkerboard_anchors(ops: np.ndarray, xy: np.ndarray, tx: int, ty: int,
     label_spacing = int(spiral_dist * (tx2 - tx1))
     if label_spacing <= 0:
         return []
-    x1 = math.floor(min(bx1 - label_wx, bx2 - label_wx) / label_spacing)
-    x2 = math.ceil(max(bx1 - label_wx, bx2 - label_wx) / label_spacing)
-    y1 = math.floor(min(by1 - label_wy, by2 - label_wy) / label_spacing - 0.5)
-    y2 = math.ceil(max(by1 - label_wy, by2 - label_wy) / label_spacing)
+    # the reference divides long long / long long — C TRUNCATING
+    # division — before floor()/ceil() ever see the (already integral)
+    # value (geometry.cpp:992-995); Python's float floor-division is
+    # off by one for negative offsets, shifting the anchor lattice
+    # (flag-fuzzer find: islands -z4 -d9 -aP)
+    def _cdiv(a: int, b: int) -> int:
+        q = abs(a) // b
+        return q if a >= 0 else -q
+
+    x1 = _cdiv(min(bx1 - label_wx, bx2 - label_wx), label_spacing)
+    x2 = _cdiv(max(bx1 - label_wx, bx2 - label_wx), label_spacing)
+    y1 = _cdiv(min(by1 - label_wy, by2 - label_wy), label_spacing) - 1
+    y2 = _cdiv(max(by1 - label_wy, by2 - label_wy), label_spacing)
     out = []
     for lx in range(x1, x2 + 1):
         for ly in range(y1, y2 + 1):

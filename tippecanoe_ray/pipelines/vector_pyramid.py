@@ -1701,10 +1701,15 @@ _MVT_TYPE_RANK = {"string": 0, "float": 1, "double": 2, "int": 3,
                   "uint": 4, "sint": 5, "bool": 6, "null": 7}
 
 
-def _coal_key(t, fid, rows, acc):
+def _coal_key(t, fid, rows, acc, extra=()):
     """coalcmp sort/equality key (tile.cpp:113-171): type, id
-    presence+value, pooled attributes via metacmp (count, then per
-    entry key/type/value), then the accumulated full entries."""
+    presence+value, POOLED attributes via metacmp (count, then per
+    entry key/type/value), then the APPENDED full_keys entries —
+    accumulate values plus `extra` (the synthesized multiplier-seq and
+    -K cluster attrs, appended before the reorder at tile.cpp:
+    2394-2451 and therefore part of the comparison; they only decide
+    when every pooled attribute ties — flag-fuzzer find: lines
+    -z4 -K50 -ao vs countries -z3 -K100 -ao -ac)."""
     meta = tuple(
         (k, _MVT_TYPE_RANK.get(vt, 0), s) for k, vt, s in rows
         if vt != "null" and (not acc or k not in acc)
@@ -1712,6 +1717,9 @@ def _coal_key(t, fid, rows, acc):
     full = tuple(
         (k, _MVT_TYPE_RANK.get(v[0], 0), v[1]) for k, v in acc.items()
     ) if acc else ()
+    full += tuple(
+        (k, _MVT_TYPE_RANK.get(vt, 0), s) for k, vt, s in extra
+    )
     return (t, fid is not None, fid if fid is not None else 0,
             len(meta), meta, len(full), full)
 
@@ -2684,9 +2692,19 @@ def _encode_with_detail_ladder(cfg: VectorConfig, z, tx, ty, survivors,
                 # Runs in the read loop, so -pn sees only the edge
                 # nodes accumulated SO FAR and no global map
                 # (tile.cpp:1928 passes shared_nodes, NULL)
+                _apdbg = _os_env.get("TPR_AP_DEBUG") and z == 0
+                if _apdbg:
+                    np.save(f"/tmp/ap_z0_seq{seq}_preops.npy", ops)
+                    np.save(f"/tmp/ap_z0_seq{seq}_prexy.npy", xy)
                 if dv.line_is_too_small(ops, xy, z, line_detail):
+                    if _apdbg:
+                        import sys as _s
+                        print(f"[aP] seq={seq} too-small", file=_s.stderr)
                     continue
                 if dv.get_mp_area(ops, xy) <= 0:
+                    if _apdbg:
+                        import sys as _s
+                        print(f"[aP] seq={seq} area<=0", file=_s.stderr)
                     continue
                 nops, nxy = dv.simplify_lines(
                     ops, xy, z, line_detail, mark_bounds,
@@ -2699,6 +2717,12 @@ def _encode_with_detail_ladder(cfg: VectorConfig, z, tx, ty, survivors,
                 anchors = dv.checkerboard_anchors(
                     nops, nxy, tx, ty, z, lab[0], lab[1]
                 )
+                if _apdbg:
+                    import sys as _s
+                    print(f"[aP] seq={seq} anchors={len(anchors) if anchors else 0} lab={lab} "
+                          f"nops={len(nops)} pre={len(ops)} anch={anchors}", file=_s.stderr)
+                    np.save(f"/tmp/ap_z0_seq{seq}_ops.npy", nops)
+                    np.save(f"/tmp/ap_z0_seq{seq}_xy.npy", nxy)
                 if not anchors:
                     continue
                 pts = np.array(anchors, dtype=np.int64).reshape(-1, 2)
@@ -2929,12 +2953,33 @@ def _encode_with_detail_ladder(cfg: VectorConfig, z, tx, ty, survivors,
                 f_["_ngeom"] = sum(len(p) for p in parts)
             feats.append(f_)
         if do_rc and post:
+            _vix_map = (attrs or {}).get("__vindex__", _EMPTY_DICT)
+
             def _ckey(e):
                 seq_, t_ = e[0], e[1]
                 ent = attrs.get(seq_) if attrs else None
                 fid = ent[0] if ent else None
                 rows = ent[1] if ent else ()
-                return _coal_key(t_, fid, rows, e[4])
+                extra = []
+                if e[9] is not None:
+                    extra.append((
+                        "tippecanoe:retain_points_multiplier_sequence",
+                        "double", str(e[9])))
+                if e[7]:
+                    extra.extend(_cluster_attr_rows(e[7]))
+                return _coal_key(t_, fid, rows, e[4], tuple(extra))
+
+            def _ckey_ordered_of(pos: int, e):
+                # coalindexcmp (tile.cpp:173-200): attribute key, then
+                # the spatial index — the worker assigns index=stream
+                # position when a feature has none (tile.cpp:707-709),
+                # so without index-bearing modes the tiebreak is stream
+                # order, but with -K the features carry REAL bbox
+                # indexes and cluster leads are not in stream order
+                # (flag-fuzzer find: lines -z4 -K50 -ao). The geometry
+                # tiebreak only fires on duplicate real indexes.
+                vix = int(_vix_map.get(e[0], 0))
+                return (_ckey(e), vix if vix else pos)
 
             if cfg.reorder:
                 # stable sort by coalcmp; the index tiebreak
@@ -2944,7 +2989,9 @@ def _encode_with_detail_ladder(cfg: VectorConfig, z, tx, ty, survivors,
                 # equal-attribute features keep stream order — the
                 # geometry tiebreak only fires for duplicate real
                 # indexes, which cannot happen without drop flags
-                post.sort(key=_ckey)
+                keys_ = [_ckey_ordered_of(i, e) for i, e in enumerate(post)]
+                post = [post[i] for i in
+                        sorted(range(len(post)), key=lambda i: keys_[i])]
             if cfg.coalesce:
                 merged: list = []
                 for e in post:
